@@ -1,0 +1,1086 @@
+"""Tier B relational query surface (SURVEY.md §2, B1-B38): the declared
+operators of the engine, each hash-checked against a DuckDB oracle.
+
+All plans are declarative DataFrame API — Catalyst handles pushdown,
+pruning, join strategy (broadcast for dims under the threshold, AQE for
+skew/coalesce at runtime). No driver-side collect() anywhere; every
+query is a single distributed plan that scales by partition count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .registry import ORACLES, QUERIES, query, t  # noqa: F401
+
+DEC = "decimal(18,4)"  # exact money math; see registry docstring
+
+
+# ---------------------------------------------------------------------------
+# Scan / projection / filter (B1, B6, B7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b01_scan_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def b01_scan_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan + column pruning: ReadSchema in the plan carries only
+    the 3 projected columns (verified in tests/test_plans.py)."""
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "b02_filter_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_name LIKE '%a%'
+      AND (p_retailprice > 500 OR p_size < 15)
+      AND NOT (p_size = 22)
+      AND p_type IS NOT NULL
+    """,
+)
+def b02_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """=, BETWEEN, IN, LIKE, AND/OR/NOT, IS NOT NULL — all pushed to the
+    parquet scan (PushedFilters, see tests/test_plans.py)."""
+    p = t(spark, sf, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_name").like("%a%")
+        & ((F.col("p_retailprice") > 500) | (F.col("p_size") < 15))
+        & ~(F.col("p_size") == 22)
+        & F.col("p_type").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+
+# ---------------------------------------------------------------------------
+# Joins (B8-B13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b03_join_inner_3way",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6))
+             AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def b03_join_inner_3way(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-dim star join. lineitem⋈orders shuffles on orderkey;
+    customer/nation are broadcast by Catalyst (small side under the
+    autoBroadcastJoinThreshold) so the big fact never reshuffles for
+    them — the 100 TB-correct shape."""
+    l, o = t(spark, sf, "lineitem"), t(spark, sf, "orders")
+    c, n = t(spark, sf, "customer"), t(spark, sf, "nation")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "b04_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def b04_join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "b05_join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM customer c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey <= 2000
+    """,
+)
+def b05_join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@query(
+    "b06_join_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         ss AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cc.nk, ss.nk) AS nationkey,
+           COALESCE(cc.n_cust, 0) AS n_cust,
+           COALESCE(ss.n_supp, 0) AS n_supp
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+)
+def b06_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    cc = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ss = (
+        t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk2"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cc.join(ss, cc.nk == ss.nk2, "full").select(
+        F.coalesce("nk", "nk2").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "b07_join_left_semi",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b07_join_left_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+@query(
+    "b08_join_left_anti",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_customers_no_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def b08_join_left_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+@query(
+    "b09_join_cross",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    """,
+)
+def b09_join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross join of tiny dims only (25 rows) — never a fact table."""
+    a = t(spark, sf, "region").select(F.col("r_name").alias("r1"))
+    b = t(spark, sf, "region").select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b)
+
+
+@query(
+    "b10_join_broadcast_hint",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS sum_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 15
+    GROUP BY p.p_brand
+    """,
+)
+def b10_join_broadcast_hint(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit broadcast() of the filtered dim: the fact table streams
+    map-side with zero shuffle for the join (only the final small agg
+    shuffles). At 100 TB this is the difference between minutes and
+    hours — tests assert BroadcastHashJoin in the plan."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_size") <= 15)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)").alias("sum_qty"))
+    )
+
+
+@query(
+    "b11_join_range",
+    oracle="""
+    SELECT b.label, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS sum_price
+    FROM part p
+    JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large'))
+         AS b(lo, hi, label)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.label
+    """,
+)
+def b11_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta/range join against a tiny literal bucket table — executes
+    as BroadcastNestedLoopJoin (small side broadcast, the only sane
+    physical strategy for non-equi conditions)."""
+    p = t(spark, sf, "part")
+    buckets = spark.createDataFrame(
+        [(1, 10, "small"), (11, 25, "medium"), (26, 50, "large")],
+        "lo INT, hi INT, label STRING",
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_size >= buckets.lo) & (p.p_size <= buckets.hi),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast(DEC))
+            .cast("decimal(38,6)")
+            .alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (B14-B18)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b12_agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b12_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the engine's flagship query).
+    Partial aggregation is map-side (HashAggregate x2 around one
+    exchange of only |groups| rows) — scale-invariant."""
+    l = t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("decimal(38,6)")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "b13_agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b13_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    l = t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "b14_agg_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS lvl
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def b14_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("o_orderstatus") + F.grouping("o_orderpriority")).alias("lvl"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "lvl",
+        )
+    )
+
+
+@query(
+    "b15_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def b15_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    l = t(spark, sf, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+@query(
+    "b16_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def b16_agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("decimal(38,6)")
+            .alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "b17_agg_minmax_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def b17_agg_minmax_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """avg emitted as one double division over an exact decimal sum —
+    identical bit pattern on both engines regardless of row order."""
+    c = t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (B19-B21)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b18_window_ranking",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 5
+    """,
+)
+def b18_window_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "b19_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate)
+             AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def b19_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@query(
+    "b20_window_running_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,6)) AS running_total
+    FROM orders
+    """,
+)
+def b20_window_running_frame(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("decimal(38,6)")
+        .alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (B22, B23)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b21_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def b21_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver; never a full global sort."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+@query(
+    "b22_sort_nulls",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    ORDER BY bal ASC NULLS FIRST, c_custkey
+    LIMIT 200
+    """,
+)
+def b22_sort_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    return (
+        c.select("c_custkey", bal.alias("bal"))
+        .orderBy(F.col("bal").asc_nulls_first(), "c_custkey")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (B24)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b23_union_all",
+    oracle="""
+    SELECT kind, key, name FROM (
+      SELECT 'C' AS kind, c_custkey AS key, c_name AS name FROM customer
+      UNION ALL
+      SELECT 'S' AS kind, s_suppkey AS key, s_name AS name FROM supplier
+    ) WHERE key <= 500
+    """,
+)
+def b23_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(
+        F.lit("C").alias("kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    s = t(spark, sf, "supplier").select(
+        F.lit("S").alias("kind"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+    )
+    return c.unionAll(s).filter(F.col("key") <= 500)
+
+
+@query(
+    "b24_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def b24_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "b25_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def b25_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "b26_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 0
+    """,
+)
+def b26_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)  # EXCEPT (set semantics); exceptAll = EXCEPT ALL
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (B25-B33)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b27_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_up,
+           LOWER(p_type) AS type_lo,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_name, 1, 5) AS name_pfx,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           TRIM(p_name) AS name_trim,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           STR_SPLIT(p_name, ' ')[1] AS first_word,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part WHERE p_partkey <= 1000
+    """,
+)
+def b27_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part").filter(F.col("p_partkey") <= 1000)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "b28_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAY(o_orderdate) AS INT) AS dom,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due,
+           STRFTIME(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def b28_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp_ntz")
+        .alias("due"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "b29_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS d1,
+           ROUND(l_extendedprice, 1) AS p_round,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS q_floor,
+           CAST(CEIL(l_quantity) AS BIGINT) AS q_ceil,
+           ((l_orderkey % 7) + 7) % 7 AS m7,
+           SQRT(l_quantity) AS q_sqrt,
+           ROUND(LN(l_extendedprice), 9) AS p_ln,
+           POW(l_tax + 1, 2) AS tax_sq
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def b29_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    l = t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("d1"),
+        F.round("l_extendedprice", 1).alias("p_round"),
+        F.floor("l_quantity").alias("q_floor"),
+        F.ceil("l_quantity").alias("q_ceil"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("m7"),
+        F.sqrt("l_quantity").alias("q_sqrt"),
+        # ln differs in the last ulp between JVM and libm: round to 9
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("p_ln"),
+        F.pow(F.col("l_tax") + 1, 2).alias("tax_sq"),
+    )
+
+
+@query(
+    "b30_conditional_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'high'
+                WHEN c_acctbal > 0 THEN 'mid'
+                ELSE 'low' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'UNKNOWN'), 'n/a') AS seg,
+           CASE WHEN ISNAN(c_acctbal) THEN 1 ELSE 0 END AS bad
+    FROM customer
+    """,
+)
+def b30_conditional_null(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") > 0, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("UNKNOWN")), F.lit("n/a")).alias(
+            "seg"
+        ),
+        F.when(F.isnan("c_acctbal"), 1).otherwise(0).alias("bad"),
+    )
+
+
+@query(
+    "b31_array_funcs",
+    oracle="""
+    SELECT l_orderkey,
+           LEN(LIST(l_linenumber ORDER BY l_linenumber)) AS n_items,
+           LIST(l_linenumber ORDER BY l_linenumber)[1] AS first_ln,
+           CAST(LIST_AGGREGATE(RANGE(1, CAST(MAX(l_linenumber) AS BIGINT) + 1),
+                               'sum') AS BIGINT) AS tri_sum,
+           CAST(LIST_CONTAINS(LIST(l_linenumber), 1) AS INT) AS has_first
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    GROUP BY l_orderkey
+    """,
+)
+def b31_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Array construction (collect_list+sort_array), element access,
+    higher-order aggregate() over sequence(), array_contains — all
+    JVM-side Catalyst expressions."""
+    l = t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return l.groupBy("l_orderkey").agg(
+        F.size(arr).alias("n_items"),
+        F.element_at(arr, 1).alias("first_ln"),
+        F.aggregate(
+            F.sequence(F.lit(1).cast("bigint"), F.max("l_linenumber").cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("tri_sum"),
+        F.array_contains(F.collect_list("l_linenumber"), 1)
+        .cast("int")
+        .alias("has_first"),
+    )
+
+
+@query(
+    "b32_map_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_from_map,
+           o_orderpriority AS prio_from_struct,
+           CONCAT(o_orderstatus, '/', o_orderpriority) AS packed
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def b32_map_struct_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-trips values through MAP and STRUCT constructors +
+    element_at/getField/withField — the oracle sees the identity."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    m = F.create_map(F.lit("status"), F.col("o_orderstatus"))
+    s = F.struct(
+        F.col("o_orderstatus").alias("st"), F.col("o_orderpriority").alias("pr")
+    ).withField("extra", F.lit("x"))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_from_map"),
+        s.getField("pr").alias("prio_from_struct"),
+        F.concat_ws("/", s.getField("st"), s.dropFields("extra").getField("pr")).alias(
+            "packed"
+        ),
+    )
+
+
+@query(
+    "b33_json_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def b33_json_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "b34_from_json_schema",
+    oracle="""
+    SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id <= 2000
+    """,
+)
+def b34_from_json_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """from_json with an explicit schema (B32's typed-parse variant)."""
+    e = t(spark, sf, "events").filter(F.col("event_id") <= 2000)
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return e.select("event_id", parsed.getField("k").alias("k"))
+
+
+@query(
+    "b35_cast_promotion",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS ln_long,
+           CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS qty_dbl,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(18,2))
+             AS price_wide,
+           CAST(l_shipdate AS DATE) AS ship_day
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def b35_cast_promotion(spark: SparkSession, sf: str) -> DataFrame:
+    """The legal promotions of the evolution engine (int->long,
+    float->double, decimal widening) as expressions — A14 mirrored in
+    the query layer."""
+    l = t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return l.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("ln_long"),
+        F.col("l_quantity").cast("float").cast("double").alias("qty_dbl"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_extendedprice")
+        .cast("decimal(12,2)")
+        .cast("decimal(18,2)")
+        .alias("price_wide"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / sampling (B34, B35)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b36_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event
+    FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def b36_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic dedup: keep the min-event_id row per key.
+    (dropDuplicates picks an arbitrary row — this is the reproducible
+    form, and the same shape C1 uses at scale.)"""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.select(
+            "user_id", "event_type", "event_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event"))
+    )
+
+
+@query("b37_sample")  # engine-specific RNG -> rows-only check (SURVEY B35)
+def b37_sample(spark: SparkSession, sf: str) -> DataFrame:
+    l = t(spark, sf, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query("b38_approx_count_distinct")  # approximate by design (SURVEY B16)
+def b38_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    l = t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surfaces (B36-B38)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b39_python_udf",
+    oracle="""
+    SELECT p_partkey, REVERSE(p_name) AS name_rev,
+           LENGTH(p_name) AS name_len
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def b39_python_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-at-a-time Python UDF — declared for surface coverage; the
+    engine's guidance is to prefer built-ins/pandas_udf (B37) in hot
+    paths. Kept to a 500-row slice for exactly that reason."""
+    p = t(spark, sf, "part").filter(F.col("p_partkey") <= 500)
+    rev = F.udf(lambda s: s[::-1] if s is not None else None, T.StringType())
+    return p.select(
+        "p_partkey",
+        rev("p_name").alias("name_rev"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+@query(
+    "b40_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def b40_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized (Arrow) scalar pandas_udf: elementwise IEEE double ops
+    — bit-identical to the oracle's C implementation."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    # postponed annotations (PEP 563) break pandas_udf hint inspection;
+    # build the hints eagerly
+    def _disc_price(price, disc):
+        return price * (1 - disc)
+
+    _disc_price.__annotations__ = {
+        "price": pd.Series, "disc": pd.Series, "return": pd.Series
+    }
+    disc_price = pandas_udf(_disc_price, "double")
+
+    l = t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@query(
+    "b41_grouped_agg_pandas_udf",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(l_quantity) AS total_qty
+    FROM lineitem WHERE l_orderkey <= 5000
+    GROUP BY l_returnflag
+    """,
+)
+def b41_grouped_agg_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """UDAF surface: grouped-agg pandas_udf. pandas .sum() uses pairwise
+    summation — restricted to a small slice where double addition is
+    exact regardless of order (quantities are small integers-as-doubles)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _total(qty):
+        return float(qty.sum())
+
+    _total.__annotations__ = {"qty": pd.Series, "return": float}
+    total = pandas_udf(_total, "double")
+
+    l = t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 5000)
+    return l.groupBy("l_returnflag").agg(total("l_quantity").alias("total_qty"))
+
+
+@query(
+    "b42_udtf_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STR_SPLIT(p_name, ' ')) AS word
+          FROM part WHERE p_partkey <= 2000)
+    GROUP BY word
+    """,
+)
+def b42_udtf_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-generating surface: explode() of a split array (the
+    engine's UDTF pattern — SURVEY B38)."""
+    p = t(spark, sf, "part").filter(F.col("p_partkey") <= 2000)
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
