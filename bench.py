@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full distributed
+execution, no driver collect) except LIMIT queries, which collect their
+small result. DuckDB wall-clock for the same oracle SQL is measured
+alongside (BASELINE.md gate: within 2x) and reported under
+"duckdb_queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+HEADLINE = [
+    "b03_join_inner_3way",
+    "b12_agg_pricing_summary",
+    "b13_agg_count_distinct",
+    "b16_agg_having",
+    "b18_window_ranking",
+    "b20_window_running_frame",
+    "b21_topk",
+    "b36_dedup_keep_first",
+    "b42_udtf_explode",
+    "c01_dedup_exact",
+    "c02_dedup_minhash_lsh",
+    "c04_dedup_ngram_jaccard",
+    "c05_cosine_topk_brute",
+    "c09_token_count",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators import (
+        ORACLES,
+        QUERIES,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing once so per-query times measure the
+    # query, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    duck_times: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        for tb in TABLES:
+            con.execute(
+                f"CREATE VIEW {tb} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{tb}.parquet')"
+            )
+        for name in HEADLINE:
+            if name not in ORACLES:
+                continue
+            t0 = time.time()
+            con.execute(ORACLES[name]).fetchall()
+            duck_times[name] = round(time.time() - t0, 3)
+    except Exception:  # noqa: BLE001 — bench must still emit its line
+        pass
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "duckdb_queries": duck_times,
+                "duckdb_total": round(sum(duck_times.values()), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Reusable column expressions shared across operators — all pure
+Catalyst (JVM-side, codegen-friendly); no Python row path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD_PRIME = 1_000_000_007
+# 2^31-1: largest Mersenne prime whose a*h products stay inside int64
+# (a, h < 2^31 -> a*h < 2^62) — minhash permutation modulus
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def money(col: str | Column) -> Column:
+    """Exact decimal money math (oracle-parity rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,4)")
+
+
+def words(text: str | Column) -> Column:
+    """Lowercased whitespace tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def word_ngrams(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array<string>; empty array when the
+    doc has fewer than n words. transform() over sequence() — one pass,
+    no explode until the caller wants one."""
+    return F.when(
+        F.size(ws) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rolling_hash(text: Column, length: int = 64) -> Column:
+    """Polynomial rolling hash (mod 1e9+7) over the first ``length``
+    chars — document fingerprinting. aggregate() keeps it JVM-side."""
+    chars = F.split(F.substring(F.lower(text), 1, length), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % MOD_PRIME,
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns in double — sequential
+    left-to-right summation (deterministic, matches DuckDB)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -11,9 +11,14 @@ from . import relational  # noqa: F401, E402
 # broken module is an import error, not silent missing coverage
 _MODULES = ["relational"]
 
-for _m in ("evolution_queries", "dedup", "similarity", "text", "multimodal"):
-    try:
-        __import__(f"{__name__}.{_m}")
-        _MODULES.append(_m)
-    except ImportError:
-        pass
+from . import evolution_queries  # noqa: E402
+from . import dedup  # noqa: E402
+from . import similarity  # noqa: E402
+from . import text  # noqa: E402
+from . import multimodal  # noqa: E402
+from ..streaming import queries as streaming_queries  # noqa: E402
+
+_MODULES += [
+    "evolution_queries", "dedup", "similarity", "text", "multimodal",
+    "streaming.queries",
+]

@@ -1,0 +1,269 @@
+"""Tier C deduplication operators over ``documents``: exact, n-gram
+Jaccard, MinHash-LSH, SimHash (SURVEY.md §2 Tier C / C1-C2).
+
+Scale design notes (the point of these operators):
+- exact dedup: one hash-shuffle on the text digest — never on the full
+  text bytes (digest first, 16 bytes/row instead of KBs/row).
+- n-gram Jaccard: gram-explode + equi-join on the gram — candidate
+  generation is a shuffle on gram keys, quadratic only within a gram's
+  posting list (bounded by dropping ultra-common grams).
+- MinHash-LSH: signatures via one explode + groupBy-min (map-side
+  partial min), banding join on (band, band-hash) keys; exact Jaccard
+  verification only on LSH candidates. This is the standard linear-ish
+  pipeline that replaces the O(n^2) all-pairs scan at corpus scale.
+- SimHash: 64-bit signature from word hashes, one pass; near-dup pairs
+  via b-bit band join on signature chunks (hamming <= k search).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import MINHASH_PRIME, word_ngrams, words
+from .registry import query, t
+
+N_PERM = 32  # minhash permutations
+N_BANDS = 8  # bands of 4 rows each
+_rng = random.Random(7)
+_PERM_A = [_rng.randrange(1, MINHASH_PRIME) for _ in range(N_PERM)]
+_PERM_B = [_rng.randrange(0, MINHASH_PRIME) for _ in range(N_PERM)]
+
+
+@query(
+    "c01_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           MD5(text) AS text_digest
+    FROM documents
+    GROUP BY text
+    HAVING COUNT(*) > 1
+    """,
+)
+def c01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group on md5(text) (16-byte shuffle key, not the
+    full text), keep min doc_id. Duplicate-cluster report."""
+    d = t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_digest"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keeper_doc_id", "n_copies", "text_digest")
+    )
+
+
+def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id + exploded distinct word-3-grams."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.explode(word_ngrams(words("text"), 3)).alias("gram")
+    )
+
+
+@query(
+    "c04_dedup_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in RANGE(1, GREATEST(LEN(ws) - 1, 1))])) AS gram
+      FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents)
+      WHERE LEN(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           ROUND(CAST(s.both AS DOUBLE) / (sa.n + sb.n - s.both), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.both AS DOUBLE) / (sa.n + sb.n - s.both) >= 0.2
+    """,
+)
+def c04_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.2): explode
+    word-3-grams, equi-join on gram to count intersections, Jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|). Deterministic and SQL-expressible — the
+    exactness oracle for the MinHash approximation (c02)."""
+    g = _grams_df(spark, sf)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        ga.join(gb, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("both")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(grams: DataFrame) -> DataFrame:
+    """doc_id -> 32-permutation minhash signature. One explode is
+    already done; the N_PERM mins fold into a single groupBy with
+    map-side partial aggregation — one shuffle of 32 longs per doc."""
+    # deterministic gram hash folded into [0, p): pmod keeps it
+    # non-negative so a*h stays within int64 (a, h < 2^31)
+    h = F.pmod(F.xxhash64("gram"), F.lit(MINHASH_PRIME))
+    mins = [
+        F.min(
+            (F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i])) % MINHASH_PRIME
+        ).alias(f"s{i}")
+        for i in range(N_PERM)
+    ]
+    return grams.groupBy("doc_id").agg(*mins)
+
+
+@query("c02_dedup_minhash_lsh")  # hash family not reproducible in SQL ->
+def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
+
+    shingle -> 32-perm minhash -> 8 bands x 4 rows -> band-bucket
+    equi-join -> distinct candidate pairs -> verify with exact Jaccard
+    on gram sets (>= 0.5). rows-only driver check; the pytest property
+    test plants known dups and asserts recovery + agreement with c04.
+    """
+    g = _grams_df(spark, sf)
+    sig = minhash_signatures(g)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.hash(*[F.col(f"s{b * 4 + r}") for r in range(4)]).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.bh")
+    a = stacked.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
+    b = stacked.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    cand = (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        ga.join(gb, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("both")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("c03_dedup_simhash")  # 64-bit signature; hamming pairs rows-only
+def c03_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature = sign of per-bit sums
+    of word hashes; candidates share one of four 16-bit chunks
+    (hamming <= 3 within-chunk guarantee by pigeonhole over 4 chunks),
+    verified by exact popcount of the XOR."""
+    d = t(spark, sf, "documents")
+    w = d.select("doc_id", F.explode(words("text")).alias("word"))
+    h = F.xxhash64("word")
+    # per-bit +/-1 sums -> sign bit; build the signature as bigint
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = w.groupBy("doc_id").agg(*bit_sums)
+    sig = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("bigint"), i),
+                ).otherwise(F.lit(0).cast("bigint"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "chunk_id", "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "chunk_id", "chunk",
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@query("c02b_minhash_signatures")  # signature table itself (rows-only)
+def c02b_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """The minhash signature table as a first-class output (join target
+    for incremental dedup against an existing corpus)."""
+    return minhash_signatures(_grams_df(spark, sf))

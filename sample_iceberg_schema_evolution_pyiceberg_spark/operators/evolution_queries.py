@@ -1,0 +1,184 @@
+"""Tier A evolution capabilities exposed through the correctness gate:
+the v1->v2 episode, partition transforms, and the lake write/read
+round-trip, each with a deterministic oracle (SURVEY.md §2 A7-A22).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..handler import process_event
+from ..schema_diff import flatten
+from ..table_format import LakeCatalog
+from .registry import query, t
+
+_ASSETS = Path(__file__).parent.parent / "assets"
+
+
+@query(
+    "a01_evolution_episode",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('order_id', 'string', 1),
+      ('order_time', 'timestamp_ntz', 1),
+      ('customer_name', 'string', 1),
+      ('address', 'struct', 1),
+      ('address.address_line', 'string', 1),
+      ('address.city', 'string', 1),
+      ('address.state', 'string', 1),
+      ('address.zip', 'string', 1),
+      ('order_items', 'array', 0),
+      ('order_items.element.item_id', 'string', 0),
+      ('order_items.element.item_count', 'int', 0),
+      ('order_items.element.price', 'float', 0)
+    ) AS s(column_path, type_name, is_nullable)
+    """,
+)
+def a01_evolution_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Run the full CREATE -> ALTER golden episode (reference assets
+    v1 -> v2) in a scratch warehouse and emit the evolved schema as
+    rows; the oracle is the literal expected schema. Proves A5, A7-A17,
+    A19 end-to-end through the driver gate."""
+    with tempfile.TemporaryDirectory(prefix="evo_gate_") as wh:
+        cat = LakeCatalog(wh)
+        r1 = process_event(spark, cat, str(_ASSETS / "orders_v1.json"))
+        r2 = process_event(spark, cat, str(_ASSETS / "orders_v2.json"))
+        assert not (r1.has_error or r2.has_error), (r1, r2)
+        table = cat.load_table("customer_order", "orders")
+        rows = [
+            (
+                path,
+                _type_name(ff.dtype),
+                0 if ff.required else 1,
+            )
+            for path, ff in flatten(table.schema).items()
+        ]
+    return spark.createDataFrame(
+        rows, "column_path string, type_name string, is_nullable int"
+    )
+
+
+def _type_name(dt: T.DataType) -> str:
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return dt.simpleString()
+
+
+@query(
+    "a02_partition_transforms",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y') AS y,
+           STRFTIME(o_orderdate, '%Y-%m') AS ym,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS ymd,
+           STRFTIME(o_orderdate, '%Y-%m-%d-%H') AS ymdh,
+           o_orderstatus AS ident
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def a02_partition_transforms(spark: SparkSession, sf: str) -> DataFrame:
+    """The five partition transforms (A18) as value expressions — the
+    same Column exprs the write path uses for hidden partitioning."""
+    from ..partitioning import PartitionField  # noqa: PLC0415
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    mk = lambda tr, name: PartitionField("o_orderdate", tr, name, 1000).expression().alias(name)  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        mk("year", "y"),
+        mk("month", "ym"),
+        mk("day", "ymd"),
+        mk("hour", "ymdh"),
+        PartitionField("o_orderstatus", "identity", "ident", 1004)
+        .expression()
+        .alias("ident"),
+    )
+
+
+@query(
+    "a03_lake_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS total
+    FROM orders WHERE o_orderkey <= 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def a03_lake_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Write orders into a partitioned lake table (A7+A22: months()
+    hidden partitioning, snapshot append), scan it back (B2), aggregate
+    — the oracle reads the original parquet. Proves the write/read path
+    loses nothing."""
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 5000)
+    with tempfile.TemporaryDirectory(prefix="lake_rt_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table(
+            "gate",
+            "orders_rt",
+            src.schema,
+            partition_spec=_month_spec("o_orderdate"),
+        )
+        table.append(src)
+        out = (
+            table.to_df(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("decimal(38,6)")
+                .alias("total"),
+            )
+        )
+        # materialize before the temp dir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+def _month_spec(col: str):
+    from ..partitioning import PartitionField, PartitionSpec  # noqa: PLC0415
+
+    return PartitionSpec((PartitionField(col, "month", f"{col}_month", 1000),))
+
+
+@query(
+    "a04_schema_diff_report",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('order_id', 'add', 0),
+      ('address.address_line', 'add', 1),
+      ('address.zip', 'add', 1),
+      ('order_items.element.item_count', 'add', 1)
+    ) AS s(column_path, change, is_nested)
+    """,
+)
+def a04_schema_diff_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The schema differ (A9) as a queryable report: diff v1 vs v2
+    compiled schemas, emit one row per SchemaChange."""
+    from ..schema_compiler import compile_schema  # noqa: PLC0415
+    from ..schema_diff import diff_schemas  # noqa: PLC0415
+
+    v1 = compile_schema(json.loads((_ASSETS / "orders_v1.json").read_text()))
+    v2 = compile_schema(json.loads((_ASSETS / "orders_v2.json").read_text()))
+    rows = [
+        (
+            c.column_path,
+            "add" if c.add else ("drop" if c.drop else "update"),
+            1 if c.is_nested else 0,
+        )
+        for c in diff_schemas(v1, v2)
+    ]
+    return spark.createDataFrame(
+        rows, "column_path string, change string, is_nested int"
+    )

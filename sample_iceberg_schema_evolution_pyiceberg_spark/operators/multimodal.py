@@ -1,0 +1,89 @@
+"""Tier C multimodal columns (SURVEY.md §2 C5): opaque binary payloads
+with typed metadata, decode/feature-extract plumbing via Arrow-batched
+mapInPandas.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly marked deterministic stub — the Spark-side plumbing (binary
+schema, batch iteration, output schema, partition behavior) is real and
+tested; swapping the stub for PIL/librosa is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, t
+
+FEATURE_DIM = 8
+
+
+@query(
+    "c11_multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           MD5(text) AS digest,
+           CASE WHEN OCTET_LENGTH(ENCODE(text)) >= 256 THEN 'large'
+                ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def c11_multimodal_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata pass: payload synthesized by utf-8
+    encoding the text (testdata has no real media), then byte length,
+    digest, size class — all JVM-side, the pattern for petabyte media
+    manifests (metadata scan never touches payload bytes at read time
+    when stored columnar)."""
+    d = t(spark, sf, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+        F.when(F.length(payload) >= 256, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+def decode_media_stub(payload: bytes) -> list[float]:
+    """STUB decoder: a real deployment replaces this with image/audio
+    decoding (PIL.Image.open / librosa.load — not in this container).
+    Deterministic fake features derived from the payload digest so
+    tests are stable."""
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+@query("c12_multimodal_decode_features")  # stub decode -> rows-only
+def c12_multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads with mapInPandas:
+    Arrow batches in, feature vectors out. The batch shape, output
+    schema (vec_id/feature array/width), and partition-preserving
+    execution are the real contract; the decoder itself is the stub
+    above."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            feats = pdf["payload"].apply(
+                lambda p: decode_media_stub(bytes(p))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": feats,
+                    "feature_dim": feats.apply(len),
+                }
+            )
+
+    return d.mapInPandas(
+        extract, "doc_id bigint, features array<double>, feature_dim int"
+    )

@@ -36,14 +36,6 @@ def query(name: str, oracle: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # parquet TIMESTAMP(NANOS) arrives as raw long ns (see
-        # session.py nanosAsLong); truncate to micros exactly like
-        # DuckDB's ns->us timestamp read so oracles agree.
-        from pyspark.sql import functions as F  # noqa: PLC0415
+    from ..sources import load_table  # noqa: PLC0415
 
-        df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-        )
-    return df
+    return load_table(spark, sf_dir, name)

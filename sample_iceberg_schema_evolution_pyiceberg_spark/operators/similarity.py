@@ -1,0 +1,173 @@
+"""Tier C similarity search over ``embeddings`` (array<float>, 64-dim):
+brute-force cosine top-k as the exactness baseline, LSH-bucketed ANN as
+the scale path (SURVEY.md §2 C2-C3).
+
+Scale design: brute force is one scan + TakeOrderedAndProject (per-
+partition top-k, k-row driver merge) — correct baseline but O(n) per
+query. The ANN variant buckets vectors by random-hyperplane signs so a
+query probes ~n/2^bits vectors; the bucketing pass is one Arrow-batched
+pandas UDF (numpy matmul) and the index is just a column — at 100 TB it
+becomes a partition key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cosine
+from .registry import query, t
+
+N_TABLES = 4  # independent LSH tables (multi-table = the recall knob)
+BITS_PER_TABLE = 4  # 16 buckets per table
+N_PLANES = N_TABLES * BITS_PER_TABLE
+_DIM = 64
+# deterministic hyperplanes (fixed seed; float64)
+_PLANES = np.random.RandomState(11).standard_normal((N_PLANES, _DIM))
+
+
+def _query_vector(spark: SparkSession, sf: str) -> DataFrame:
+    """The query point: embedding of vec_id=0, as a 1-row broadcastable
+    DataFrame (a query constant, not a driver-side data loop)."""
+    e = t(spark, sf, "embeddings")
+    return e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+
+
+@query(
+    "c05_cosine_topk_brute",
+    oracle="""
+    SELECT e.vec_id, e.label,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def c05_cosine_topk_brute(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-20 neighbors of vec_id=0. Dot/norms via
+    zip_with+aggregate (sequential double fold — bit-matches DuckDB's
+    list_cosine_similarity), rounded to 6."""
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vector(spark, sf)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+def lsh_buckets_udf():
+    """pandas UDF: embedding batch -> array of per-table hyperplane-sign
+    bucket ids (one Arrow-batched numpy matmul for all tables)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _buckets(emb):
+        m = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        signs = (m @ _PLANES.T) > 0  # (batch, N_PLANES)
+        weights = 1 << np.arange(BITS_PER_TABLE)
+        out = [
+            (signs[:, l * BITS_PER_TABLE : (l + 1) * BITS_PER_TABLE] * weights)
+            .sum(axis=1)
+            for l in range(N_TABLES)
+        ]
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    _buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(_buckets, "array<bigint>")
+
+
+@query("c06_ann_lsh_topk")  # approximate by design -> rows-only check
+def c06_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k: multi-table random-hyperplane LSH. Each vector lands
+    in one bucket per table; a candidate matches the query in ANY table
+    (union via explode + equi-join + distinct), then exact cosine ranks
+    the candidates. N_TABLES trades recall for candidate-set size —
+    recall vs the brute baseline asserted in tests."""
+    buckets = lsh_buckets_udf()
+    e = t(spark, sf, "embeddings").withColumn("buckets", buckets("embedding"))
+    tb = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    q = (
+        tb.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qvec"),
+            "table_id",
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = (
+        tb.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(q),
+            (tb.table_id == q.table_id) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .select("vec_id", "label", tb.embedding, "qvec")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@query(
+    "c06b_knn_join_sampled",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS qid, embedding AS qvec
+                    FROM embeddings WHERE vec_id < 5)
+    SELECT qid, vec_id AS nbr,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                CAST(p.qvec AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings e CROSS JOIN probes p
+    WHERE e.vec_id <> p.qid
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, vec_id) <= 5
+    """,
+)
+def c06b_knn_join_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN *join* (5 query points x top-5): broadcast the probe set,
+    window top-k per query — the batched retrieval shape (probe set
+    broadcast, corpus never reshuffled)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nbr"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

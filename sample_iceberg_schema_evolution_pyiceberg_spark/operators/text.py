@@ -1,0 +1,155 @@
+"""Tier C text-analysis operators over the ``documents`` table:
+language ID, quality scoring, token counting, fingerprinting
+(SURVEY.md §2 Tier C / north-star extensions).
+
+Everything is built-in Catalyst expressions — at 100 TB these run
+entirely inside whole-stage codegen with no Python in the row path,
+and every query is a single scan + narrow projection (no shuffle except
+the final small aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import rolling_hash, words
+from .registry import query, t
+
+# marker stopwords for the n-gram/stopword language heuristic — English
+# function words; deterministic and SQL-expressible on both engines
+_EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+@query(
+    "c07_text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '),
+                             w -> LIST_CONTAINS(
+                               ['the','a','of','and','to','in','is','for'], w)))
+               AS en_hits,
+             LEN(STR_SPLIT(LOWER(text), ' ')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_hits * 10 >= n_words THEN 'en' ELSE 'unknown' END
+             AS predicted_lang,
+           en_hits, n_words
+    FROM scored
+    """,
+)
+def c07_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-density language ID heuristic: share of English function
+    words >= 10% -> 'en'. (A real system adds per-language marker sets;
+    the operator shape — filter+size over the token array, zero
+    shuffles — is the scale-relevant part.)"""
+    d = t(spark, sf, "documents")
+    ws = words("text")
+    en_hits = F.size(
+        F.filter(ws, lambda w: w.isin(*_EN_MARKERS))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en_hits * 10 >= F.size(ws), "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+        en_hits.alias("en_hits"),
+        F.size(ws).alias("n_words"),
+    )
+
+
+@query(
+    "c08_text_quality",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           LEN(STR_SPLIT(text, ' ')) AS n_words,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+                 / LEN(STR_SPLIT(text, ' ')), 6) AS avg_word_len,
+           ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+           ROUND(CAST(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '),
+                 w -> LIST_CONTAINS(
+                   ['the','a','of','and','to','in','is','for'], w)))
+                 AS DOUBLE) / LEN(STR_SPLIT(text, ' ')), 6) AS stopword_ratio,
+           CASE WHEN LENGTH(text) BETWEEN 100 AND 5000
+                 AND LEN(STR_SPLIT(text, ' ')) >= 20 THEN 1 ELSE 0 END
+             AS passes_quality
+    FROM documents
+    """,
+)
+def c08_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: length, word stats, punctuation + stopword
+    ratios, and a pass/fail gate — the standard pre-training corpus
+    filter shape."""
+    d = t(spark, sf, "documents")
+    n_chars = F.length("text")
+    ws_raw = F.split(F.col("text"), " ")
+    n_words = F.size(ws_raw)
+    stop_hits = F.size(F.filter(words("text"), lambda w: w.isin(*_EN_MARKERS)))
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_actual"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(n_chars.cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(stop_hits.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.when((n_chars.between(100, 5000)) & (n_words >= 20), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@query(
+    "c09_token_count",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(LEN(STR_SPLIT(text, ' '))) AS ws_tokens,
+           SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+             AS bpe_ish_tokens,
+           SUM(LENGTH(text)) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def c09_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + a BPE-ish regex
+    segmentation (letters / digits / single punctuation) — the corpus
+    sizing query every training pipeline runs first."""
+    d = t(spark, sf, "documents")
+    ws_tokens = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_tokens).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_ish_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@query(
+    "c10_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           LIST_REDUCE([CAST(ORD(c) AS BIGINT)
+                        for c in STR_SPLIT(SUBSTRING(LOWER(text), 1, 64), '')],
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def c10_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprint (polynomial mod 1e9+7 over the
+    first 64 chars) — cheap near-identity clustering key. aggregate()
+    keeps the fold JVM-side; DuckDB's list_reduce seeds with the first
+    element, which equals a 0-seeded fold for this hash."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", rolling_hash(F.col("text")).alias("fingerprint"))

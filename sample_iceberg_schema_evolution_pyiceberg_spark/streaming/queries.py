@@ -1,0 +1,178 @@
+"""Streaming operators (B39-B43), each run with Trigger.AvailableNow
+into an in-memory sink so the result is a finite, deterministic
+DataFrame the gate can compare.
+
+Design for real streams: the same pipelines run unchanged with a
+kafka/file source and a real sink; availableNow is the batch-replay
+mode Spark itself provides for backfill — watermarks, windows, and
+state semantics are identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.registry import query, t
+
+
+def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
+    """events as a file stream: explicit schema (streams can't infer),
+    ns->us conversion as in the batch source."""
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        # the sf dir holds all tables; glob-select only the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(f"{sf}")
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so
+        # window-start formatting matches the naive batch/oracle values
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream
+
+
+def _run_to_memory(out: DataFrame, mode: str = "complete") -> str:
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+@query(
+    "s01_stream_tumbling_window",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s01_stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream
+    (B39+B40) — result equals the batch date_trunc grouping."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return spark.table(_run_to_memory(agg))
+
+
+@query(
+    "s02_stream_sliding_window",
+    oracle="""
+    WITH slides AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + (CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) * 1800 - s.k * 1800)
+                 * INTERVAL 1 SECOND AS win_start
+      FROM events e
+      CROSS JOIN (VALUES (0), (1)) AS s(k)
+    )
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM slides GROUP BY 1
+    """,
+)
+def s02_stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): every event lands in
+    two windows; oracle enumerates the two slides per event."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+    return spark.table(_run_to_memory(agg))
+
+
+@query(
+    "s03_stream_dedup",
+    oracle="""
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def s03_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming dedup (B43): dropDuplicates on
+    (user_id, event_type) within the watermark, then count per user —
+    equals batch COUNT(DISTINCT)."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "2 hours")
+    agg = (
+        ev.dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    return spark.table(_run_to_memory(agg))
+
+
+@query("s04_stream_session_window")  # gap-session semantics: behavioral
+def s04_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (B42): 5-minute-gap sessions per user. Checked
+    behaviorally in tests against a batch islands computation (oracle
+    SQL for merged gap-sessions is engine-specific; SURVEY flags B42 as
+    a behavioral check)."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "user_id",
+            "n_events",
+        )
+    )
+    return spark.table(_run_to_memory(agg))
+
+
+@query("s05_stream_late_data_drop")  # watermark behavior: rows-only
+def s05_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark/late-data surface (B41): aggregation in append mode —
+    only windows the watermark has closed are emitted. The behavioral
+    test asserts late rows beyond the watermark are dropped."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+    return spark.table(_run_to_memory(agg, mode="append"))

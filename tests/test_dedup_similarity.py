@@ -1,0 +1,155 @@
+"""Property tests for the Tier C dedup / similarity operators:
+planted duplicates must be recovered (SURVEY.md §5 strategy — the
+hash gate can't check approximate ops, so these tests carry the
+correctness burden for MinHash/SimHash/ANN)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, tmp_path_factory):
+    """120 random documents + 3 planted near-dup pairs + 2 exact dups,
+    written as a scratch 'documents' parquet so the operators run
+    unchanged."""
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(120):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(60)),
+                     "en", f"src{i % 4}", 0))
+    # exact dups: 200<-copy of 0, 201<-copy of 1
+    docs.append((200, docs[0][1], "en", "src0", 0))
+    docs.append((201, docs[1][1], "en", "src1", 0))
+    # near dups: copy with small edits (drop 3 words of 60 -> j ~ 0.8)
+    for base, nid in [(2, 300), (3, 301), (4, 302)]:
+        wsl = docs[base][1].split()
+        for k in (5, 25, 45):
+            wsl[k] = "edited"
+        docs.append((nid, " ".join(wsl), "en", "srcX", 0))
+    d = tmp_path_factory.mktemp("planted")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_recovers_planted(spark, planted_docs):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c01_dedup_exact,
+    )
+
+    rows = {r["keeper_doc_id"]: r["n_copies"]
+            for r in c01_dedup_exact(spark, planted_docs).collect()}
+    assert rows == {0: 2, 1: 2}
+
+
+def test_minhash_lsh_recovers_planted_neardups(spark, planted_docs):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c02_dedup_minhash_lsh,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in c02_dedup_minhash_lsh(spark, planted_docs).collect()}
+    # exact dups found with jaccard 1.0
+    assert pairs.get((0, 200)) == pytest.approx(1.0)
+    assert pairs.get((1, 201)) == pytest.approx(1.0)
+    # planted near-dups (3 edits in 60 words -> shingle jaccard ~0.7+)
+    for base, nid in [(2, 300), (3, 301), (4, 302)]:
+        assert (base, nid) in pairs, f"missed planted pair {(base, nid)}"
+        assert pairs[(base, nid)] >= 0.5
+    # no random-pair false positives at >= 0.5
+    planted = {(0, 200), (1, 201), (2, 300), (3, 301), (4, 302)}
+    assert set(pairs) == planted
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, planted_docs):
+    """LSH-found pairs carry the exact Jaccard — must equal the c04
+    all-pairs computation on the same pairs."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c02_dedup_minhash_lsh,
+        c04_dedup_ngram_jaccard,
+    )
+
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in c02_dedup_minhash_lsh(spark, planted_docs).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in c04_dedup_ngram_jaccard(spark, planted_docs).collect()}
+    for pair, j in lsh.items():
+        assert exact.get(pair) == pytest.approx(j)
+
+
+def test_simhash_finds_exact_and_near_dups(spark, planted_docs):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c03_dedup_simhash,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in c03_dedup_simhash(spark, planted_docs).collect()}
+    assert pairs.get((0, 200)) == 0  # identical text -> identical simhash
+    assert pairs.get((1, 201)) == 0
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark, tmp_path_factory):
+    """200 random unit-ish vectors + 5 near-copies of vec 0."""
+    rng = random.Random(99)
+    rows = []
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows.append((0, [float(x) for x in base], 0))
+    for i in range(1, 200):
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(64)], i % 5))
+    for j in range(5):  # 900+j: base + small noise -> high cosine
+        rows.append(
+            (900 + j, [float(x + rng.gauss(0, 0.05)) for x in base], 9)
+        )
+    d = tmp_path_factory.mktemp("vecs")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_brute_topk_finds_planted_neighbors(spark, planted_vectors):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        c05_cosine_topk_brute,
+    )
+
+    top = c05_cosine_topk_brute(spark, planted_vectors).collect()
+    top5 = [r["vec_id"] for r in top[:5]]
+    assert set(top5) == {900, 901, 902, 903, 904}
+    assert all(r["cos_sim"] > 0.95 for r in top[:5])
+
+
+def test_ann_lsh_recall_on_planted(spark, planted_vectors):
+    """Near-copies of the query share its hyperplane signs with high
+    probability — ANN must recover most of the planted top-5."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        c06_ann_lsh_topk,
+    )
+
+    got = {r["vec_id"] for r in c06_ann_lsh_topk(spark, planted_vectors).collect()}
+    recall = len(got & {900, 901, 902, 903, 904}) / 5
+    assert recall >= 0.8, f"ANN recall {recall} on planted near-copies"
+
+
+def test_multimodal_decode_stub_schema(spark, planted_docs):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
+        FEATURE_DIM,
+        c12_multimodal_decode_features,
+    )
+
+    df = c12_multimodal_decode_features(spark, planted_docs)
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,features:array<double>,feature_dim:int>"
+    )
+    rows = df.collect()
+    assert len(rows) == 125
+    assert all(r["feature_dim"] == FEATURE_DIM for r in rows)
+    # deterministic: same payload -> same features (the exact-dup docs)
+    by_id = {r["doc_id"]: r["features"] for r in rows}
+    assert by_id[0] == by_id[200]
