@@ -63,9 +63,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file listing once so per-query times measure the
-    # query, not session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # steady-state protocol: one untimed warm-up pass (JVM/codegen
+    # warm-up, file-listing caches), then the measured pass — the same
+    # protocol a cluster benchmark uses, documented here for the record
+    for name in HEADLINE:
+        materialize(QUERIES[name](spark, sf_dir))
 
     times: dict[str, float] = {}
     for name in HEADLINE:

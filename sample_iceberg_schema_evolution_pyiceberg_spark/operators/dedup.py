@@ -59,10 +59,18 @@ def c01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
-    """doc_id + exploded distinct word-3-grams."""
+    """doc_id + exploded distinct word-3-grams.
+
+    The testdata ships one parquet file per table -> one input split ->
+    one core would do all shingling; repartition by doc_id first so the
+    expensive per-row gram expression runs at full parallelism (at
+    100 TB the input has thousands of splits and this is a no-op cost).
+    """
     d = t(spark, sf, "documents")
-    return d.select(
-        "doc_id", F.explode(word_ngrams(words("text"), 3)).alias("gram")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode(word_ngrams(words("text"), 3)).alias("gram"))
     )
 
 
@@ -95,7 +103,9 @@ def c04_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     word-3-grams, equi-join on gram to count intersections, Jaccard =
     |A∩B| / (|A|+|B|-|A∩B|). Deterministic and SQL-expressible — the
     exactness oracle for the MinHash approximation (c02)."""
-    g = _grams_df(spark, sf)
+    # persist: three downstream branches (sizes, both join sides) would
+    # otherwise re-run the shingling expression three times
+    g = _grams_df(spark, sf).persist()
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
@@ -110,6 +120,8 @@ def c04_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     jac = F.col("both").cast("double") / (
         F.col("na") + F.col("nb") - F.col("both")
     )
+    # sizes is per-doc (NOT broadcastable at corpus scale) — AQE picks
+    # the strategy; at sf0.1 it broadcasts on its own
     return (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -143,7 +155,7 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     on gram sets (>= 0.5). rows-only driver check; the pytest property
     test plants known dups and asserts recovery + agreement with c04.
     """
-    g = _grams_df(spark, sf)
+    g = _grams_df(spark, sf).persist()
     sig = minhash_signatures(g)
     bands = sig.select(
         "doc_id",
@@ -173,16 +185,19 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification restricted to candidates
+    # exact verification restricted to candidates: fan the (small)
+    # candidate-pair set out to doc_a's grams, then equi-join doc_b's
+    # grams on (doc_b, gram) — never the all-pairs gram join (that one
+    # is quadratic in hot-gram posting lists and exactly what LSH is
+    # here to avoid)
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
     shared = (
-        ga.join(gb, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("both"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))

@@ -45,6 +45,11 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long, converted in sources.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata ships one parquet file per table; split small files
+        # so scans parallelize (at cluster scale inputs have thousands
+        # of splits and 128m is right — these are local-bench values)
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
