@@ -11,6 +11,7 @@ from . import relational  # noqa: F401, E402
 # broken module is an import error, not silent missing coverage
 _MODULES = ["relational"]
 
+from . import sources_sinks  # noqa: E402
 from . import evolution_queries  # noqa: E402
 from . import dedup  # noqa: E402
 from . import similarity  # noqa: E402

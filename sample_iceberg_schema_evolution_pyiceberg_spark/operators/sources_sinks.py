@@ -1,0 +1,195 @@
+"""Source/sink coverage (SURVEY B3-B5) and SQL-subquery surface:
+JSON/CSV scan round-trips, lake overwrite sink, EXISTS / IN / scalar
+subqueries via spark.sql."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, t
+
+
+@query(
+    "b43_json_scan_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS total
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderstatus
+    """,
+)
+def b43_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON sink + schema'd JSON scan (B5): write a slice as JSON lines,
+    read it back with an explicit schema (no inference pass), aggregate.
+    Timestamps go through ISO strings — the lossless JSON encoding."""
+    src = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    )
+    with tempfile.TemporaryDirectory(prefix="json_rt_") as d:
+        src.write.mode("overwrite").json(d)
+        back = spark.read.schema(src.schema).json(d)
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "b44_csv_scan_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS total
+    FROM part GROUP BY p_brand
+    """,
+)
+def b44_csv_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink + schema'd CSV scan (B5) with header."""
+    src = t(spark, sf, "part")
+    with tempfile.TemporaryDirectory(prefix="csv_rt_") as d:
+        src.write.mode("overwrite").option("header", True).csv(d)
+        back = spark.read.schema(src.schema).option("header", True).csv(d)
+        out = back.groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,4)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "b45_lake_overwrite_sink",
+    oracle="""
+    SELECT COUNT(*) AS n_after_overwrite,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum
+    FROM supplier WHERE s_acctbal > 0
+    """,
+)
+def b45_lake_overwrite_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Overwrite/replace sink (B4): append the full table, then
+    overwrite with the filtered slice — the scan must see only the
+    overwrite snapshot."""
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    src = t(spark, sf, "supplier")
+    with tempfile.TemporaryDirectory(prefix="ow_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "sup_ow", src.schema)
+        table.append(src)
+        table.overwrite(src.filter(F.col("s_acctbal") > 0))
+        out = table.to_df(spark).agg(
+            F.count(F.lit(1)).alias("n_after_overwrite"),
+            F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+def _view(df: DataFrame, prefix: str) -> str:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+@query(
+    "b46_exists_subquery_sql",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9500)
+    GROUP BY s_nationkey
+    """,
+)
+def b46_exists_subquery_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS through spark.sql — planned as a left-semi
+    join, same engine surface a SQL user hits."""
+    s = _view(t(spark, sf, "supplier"), "sup")
+    c = _view(t(spark, sf, "customer"), "cust")
+    return spark.sql(f"""
+        SELECT s_nationkey, COUNT(*) AS n
+        FROM {s} s
+        WHERE EXISTS (SELECT 1 FROM {c} c
+                      WHERE c.c_nationkey = s.s_nationkey
+                        AND c.c_acctbal > 9500)
+        GROUP BY s_nationkey
+    """)
+
+
+@query(
+    "b47_scalar_subquery_sql",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def b47_scalar_subquery_sql(spark: SparkSession, sf: str) -> DataFrame:
+    o = _view(t(spark, sf, "orders"), "ord")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice
+        FROM {o}
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM {o})
+    """)
+
+
+@query(
+    "b48_in_subquery_sql",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey = 0)
+      AND c_custkey <= 300
+    """,
+)
+def b48_in_subquery_sql(spark: SparkSession, sf: str) -> DataFrame:
+    c = _view(t(spark, sf, "customer"), "cust")
+    n = _view(t(spark, sf, "nation"), "nat")
+    return spark.sql(f"""
+        SELECT c_custkey, c_name FROM {c}
+        WHERE c_nationkey IN (SELECT n_nationkey FROM {n}
+                              WHERE n_regionkey = 0)
+          AND c_custkey <= 300
+    """)
+
+
+@query(
+    "b49_cte_sql",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_big
+    FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b49_cte_sql(spark: SparkSession, sf: str) -> DataFrame:
+    c = _view(t(spark, sf, "customer"), "cust")
+    o = _view(t(spark, sf, "orders"), "ord")
+    return spark.sql(f"""
+        WITH big AS (
+          SELECT o_custkey, COUNT(*) AS n
+          FROM {o} GROUP BY o_custkey HAVING COUNT(*) >= 5
+        )
+        SELECT c.c_mktsegment, COUNT(*) AS n_big
+        FROM {c} c JOIN big b ON b.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """)

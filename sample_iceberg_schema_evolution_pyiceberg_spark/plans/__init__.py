@@ -50,4 +50,9 @@ def has_operator(df: DataFrame, name: str) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return physical_plan(df).count("WholeStageCodegen")
+    """Distinct whole-stage-codegen stages in the (final) plan — AQE
+    prints them as '*(n)' markers."""
+    import re  # noqa: PLC0415
+
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

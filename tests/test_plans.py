@@ -1,0 +1,123 @@
+"""Physical-plan shape assertions: the 100 TB design gate (SURVEY §2
+C6). Correctness says the answer is right; these tests say the plan
+would still be the right plan at 1000 executors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_iceberg_schema_evolution_pyiceberg_spark.operators import QUERIES
+from sample_iceberg_schema_evolution_pyiceberg_spark.plans import (
+    codegen_stage_count,
+    has_operator,
+    has_pushed_filter,
+    physical_plan,
+    read_schema_columns,
+)
+
+
+def test_filters_push_to_parquet_scan(spark, sf_dir):
+    df = QUERIES["b02_filter_predicates"](spark, sf_dir)
+    # BETWEEN bounds and IN-set must reach the scan as PushedFilters
+    assert has_pushed_filter(df, "GreaterThanOrEqual(p_size,10)")
+    assert has_pushed_filter(df, "LessThanOrEqual(p_size,30)")
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = QUERIES["b01_scan_projection"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """The fact table must stream through broadcast joins — zero
+    fact-table shuffles before the final 25-row aggregate exchange."""
+    df = QUERIES["b03_join_inner_3way"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan
+    # AQE prints initial+final plans; the final plan is the first block
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    df = QUERIES["b10_join_broadcast_hint"](spark, sf_dir)
+    df.collect()
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    df = QUERIES["b21_topk"](spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    """Map-side combine: two HashAggregates around one exchange that
+    carries only |groups| rows."""
+    df = QUERIES["b12_agg_pricing_summary"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_hot_path_is_whole_stage_codegen(spark, sf_dir):
+    df = QUERIES["b12_agg_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    assert codegen_stage_count(df) >= 1
+
+
+def test_range_join_broadcasts_tiny_side(spark, sf_dir):
+    df = QUERIES["b11_join_range"](spark, sf_dir)
+    df.collect()
+    assert has_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_no_driver_collect_in_operators():
+    """Operators must be distributed plans: no .collect()/.toPandas()
+    in the operator modules' hot paths (a03's bounded materialization
+    of a tiny aggregate before its temp dir vanishes is the allowed
+    exception, marked inline)."""
+    import pathlib
+
+    root = pathlib.Path(
+        "sample_iceberg_schema_evolution_pyiceberg_spark/operators"
+    )
+    for mod in root.glob("*.py"):
+        lines = mod.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if ".collect()" in line or ".toPandas()" in line:
+                window = "\n".join(lines[max(0, i - 2) : i + 2])
+                assert "materialize before the temp dir" in window, (
+                    f"driver-side collect at {mod}:{i + 1}"
+                )
+
+
+def test_lake_scan_prunes_partitions(spark, tmp_path):
+    """Hidden-partitioning: a predicate on the source column must reach
+    the scan as a partition filter on the derived column."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    src = spark.range(0, 1000).select(
+        F.col("id"),
+        F.expr(
+            "cast(timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,cast(id as int),0,0,0) as timestamp_ntz)"
+        ).alias("ts"),
+    )
+    cat = LakeCatalog(tmp_path / "wh")
+    table = cat.create_table(
+        "t", "pp", src.schema,
+        PartitionSpec((PartitionField("ts", "month", "ts_month", 1000),)),
+    )
+    table.append(src)
+    pruned = table.to_df(spark, pruning=[("ts", ">=", "2024-03-01")])
+    plan = physical_plan(pruned)
+    assert "_p_ts_month" in plan
+    full = table.to_df(spark)
+    assert pruned.count() == full.filter("ts >= '2024-03-01'").count()
