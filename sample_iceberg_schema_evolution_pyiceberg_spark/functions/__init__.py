@@ -72,3 +72,35 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: salted two-phase aggregation
+# ---------------------------------------------------------------------------
+
+
+def salted_agg(df, keys: list[str], aggs: dict[str, str], salt: int = 16):
+    """Two-phase aggregation for skewed keys: phase 1 groups on
+    (keys + random salt) so one hot key spreads over ``salt``
+    reducers; phase 2 merges the partials on the true keys.
+
+    ``aggs`` maps column -> 'sum' | 'count' | 'min' | 'max' (the
+    re-aggregatable functions; avg is expressed as sum+count by the
+    caller). AQE's skew-join handling covers joins; this covers the
+    groupBy-on-a-hot-key case AQE can't split.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    phase1_aggs = []
+    for col, fn in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(f"_p_{col}"))
+        else:
+            phase1_aggs.append(getattr(F, fn)(col).alias(f"_p_{col}"))
+    p1 = salted.groupBy(*keys, "_salt").agg(*phase1_aggs)
+    merge = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    phase2_aggs = [
+        merge[fn](f"_p_{col}").alias(f"{fn}_{col}") for col, fn in aggs.items()
+    ]
+    return p1.groupBy(*keys).agg(*phase2_aggs)

@@ -1067,6 +1067,47 @@ def b41_grouped_agg_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b50_python_udtf",
+    oracle="""
+    SELECT p_partkey, word, pos
+    FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200) p,
+         LATERAL (SELECT UNNEST(STR_SPLIT(p.p_name, ' ')) AS word,
+                         UNNEST(RANGE(1, LEN(STR_SPLIT(p.p_name, ' ')) + 1))
+                           AS pos)
+    """,
+)
+def b50_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """Real Python UDTF (Spark 3.5+ @udtf): tokenize with positions —
+    one input row expands to N output rows through the UDTF protocol
+    (lateral join). Kept to a 200-row slice: UDTFs are row-at-a-time
+    Python, the explode() form (b42) is the hot-path equivalent."""
+    from pyspark.sql.functions import lit, udtf  # noqa: PLC0415
+
+    @udtf(returnType="word: string, pos: int")
+    class Tokenize:
+        def eval(self, partkey: int, name: str):  # noqa: ANN001
+            for i, w in enumerate(name.split(" "), start=1):
+                yield w, i
+
+    spark.udtf.register("gate_tokenize", Tokenize)
+    p = _view_of(
+        t(spark, sf, "part").filter(F.col("p_partkey") <= 200), "udtf_part"
+    )
+    return spark.sql(
+        f"""SELECT p.p_partkey, t.word, t.pos
+            FROM {p} p, LATERAL gate_tokenize(p.p_partkey, p.p_name) t"""
+    )
+
+
+def _view_of(df: DataFrame, prefix: str) -> str:
+    import uuid  # noqa: PLC0415
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+@query(
     "b42_udtf_explode",
     oracle="""
     SELECT word, COUNT(*) AS n

@@ -133,6 +133,34 @@ def c06_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "c13_dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+)
+def c13_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.3 — calibrated to the synthetic embeddings' cosine range). Exact all-pairs
+    here (oracle-checkable); at corpus scale the c06 LSH buckets gate
+    the pair generation and this exact scoring runs per bucket — the
+    composition is `bucket-join >> this`, both shapes are in the repo.
+    """
+    e = t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@query(
     "c06b_knn_join_sampled",
     oracle="""
     WITH probes AS (SELECT vec_id AS qid, embedding AS qvec

@@ -263,12 +263,29 @@ class LakeTable:
         self._commit()
         return snap
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> Snapshot:
+        """Rewrite-data-files analog: merge all live snapshots into one
+        (the reference's append pattern snowballs 1-20-row files —
+        SURVEY §4 'small-file behavior'; this is the maintenance op it
+        lacks). History keeps the old snapshots for time travel; the
+        live set becomes the single compacted snapshot."""
+        df = self.to_df(spark)
+        old = self.meta["snapshots"]
+        snap = self._write(df, "overwrite")
+        # overwrite replaced the live list; keep the old ones in history
+        self.meta.setdefault("snapshot_history", []).extend(old)
+        self._commit()
+        return snap
+
     # -- read path ---------------------------------------------------------
 
     def to_df(
         self,
         spark: SparkSession,
         pruning: list[tuple[str, str, Any]] | None = None,
+        as_of_snapshot: str | None = None,
     ) -> DataFrame:
         """Scan the table aligned to the current schema.
 
@@ -276,9 +293,33 @@ class LakeTable:
         simple predicates; each is rewritten onto hidden partition
         columns (directory pruning) AND applied to rows. Arbitrary
         further filtering composes on the returned DataFrame as usual.
+
+        ``as_of_snapshot`` time-travels: scan the table as of (and
+        including) that snapshot id, in commit order — Iceberg's
+        snapshot-id read, over our snapshot log.
         """
         cur = self.schema
         snaps = self.snapshots
+        if as_of_snapshot is not None:
+            hist = [
+                Snapshot.from_json(s)
+                for s in self.meta.get("snapshot_history", [])
+            ] + snaps
+            upto: list[Snapshot] = []
+            found = False
+            for s in sorted(hist, key=lambda s: s.timestamp_ms):
+                if s.operation == "overwrite":
+                    upto = [s]
+                else:
+                    upto.append(s)
+                if s.snapshot_id == as_of_snapshot:
+                    found = True
+                    break
+            if not found:
+                raise TableFormatError(
+                    f"unknown snapshot {as_of_snapshot!r} for {self.identifier}"
+                )
+            snaps = upto
         if not snaps:
             return spark.createDataFrame([], cur)
         groups: dict[tuple[int, int], list[Snapshot]] = {}

@@ -1,0 +1,59 @@
+"""Salted aggregation equivalence + streaming foreachBatch -> lake
+table sink (B39's Iceberg-sink analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import salted_agg
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    salted = {
+        (r["l_returnflag"],): (r["sum_l_quantity"], r["count_l_orderkey"])
+        for r in salted_agg(
+            l, ["l_returnflag"],
+            {"l_quantity": "sum", "l_orderkey": "count"},
+        ).collect()
+    }
+    plain = {
+        (r["l_returnflag"],): (r["s"], r["c"])
+        for r in l.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_stream_foreachbatch_into_lake_table(spark, sf_dir, tmp_path):
+    """readStream -> foreachBatch -> LakeTable.append: the streaming
+    ingest pattern into the lake format (each micro-batch = one
+    snapshot)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.queries import (
+        _stream_events,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    batch_count = load_table(spark, sf_dir, "events").count()
+    stream = _stream_events(spark, sf_dir)
+    table = cat.create_table("stream", "events_sink", stream.schema)
+
+    def sink(batch_df, batch_id):  # noqa: ANN001
+        table.refresh().append(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = cat.load_table("stream", "events_sink")
+    assert out.to_df(spark).count() == batch_count
+    assert len(out.snapshots) >= 1

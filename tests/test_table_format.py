@@ -1,0 +1,76 @@
+"""Lake table format: snapshots, time travel, compaction, overwrite
+visibility, multi-append scan grouping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+    LakeCatalog,
+    TableFormatError,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return LakeCatalog(tmp_path / "wh")
+
+
+def _mk(spark, catalog, name="t1"):
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    table = catalog.create_table("db", name, df.schema)
+    return table, df
+
+
+def test_multi_append_and_snapshot_log(spark, catalog):
+    table, df = _mk(spark, catalog)
+    s1 = table.append(df)
+    s2 = table.append(df.filter("id < 10"))
+    assert [s.snapshot_id for s in table.snapshots] == [
+        s1.snapshot_id, s2.snapshot_id,
+    ]
+    assert table.to_df(spark).count() == 110
+
+
+def test_time_travel_by_snapshot(spark, catalog):
+    table, df = _mk(spark, catalog)
+    s1 = table.append(df)
+    table.append(df.filter("id < 10"))
+    assert table.to_df(spark, as_of_snapshot=s1.snapshot_id).count() == 100
+    with pytest.raises(TableFormatError):
+        table.to_df(spark, as_of_snapshot="nope")
+
+
+def test_overwrite_replaces_live_set(spark, catalog):
+    table, df = _mk(spark, catalog)
+    table.append(df)
+    s2 = table.overwrite(df.filter("id >= 90"))
+    assert table.to_df(spark).count() == 10
+    assert [s.snapshot_id for s in table.snapshots] == [s2.snapshot_id]
+
+
+def test_compact_merges_snapshots_and_keeps_history(spark, catalog):
+    table, df = _mk(spark, catalog)
+    s1 = table.append(df.filter("id < 40"))
+    table.append(df.filter("id >= 40"))
+    before = table.to_df(spark).agg(F.sum("id")).first()[0]
+    table.compact(spark)
+    assert len(table.snapshots) == 1
+    after = table.to_df(spark).agg(F.sum("id")).first()[0]
+    assert before == after
+    # history retained: time travel to pre-compaction snapshot works
+    assert table.to_df(spark, as_of_snapshot=s1.snapshot_id).count() == 40
+
+
+def test_scan_after_refresh_sees_other_writer(spark, catalog):
+    table, df = _mk(spark, catalog)
+    table.append(df)
+    # a second handle (separate metadata load) appends
+    other = catalog.load_table("db", "t1")
+    other.append(df.filter("id < 5"))
+    # stale handle still sees 100; refresh picks up the commit
+    assert table.to_df(spark).count() == 100
+    assert table.refresh().to_df(spark).count() == 105
