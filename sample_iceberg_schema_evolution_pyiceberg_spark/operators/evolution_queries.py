@@ -153,6 +153,88 @@ def _month_spec(col: str):
 
 
 @query(
+    "a05_merge_upsert",
+    oracle="""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+         src AS (SELECT * FROM orders
+                 WHERE o_orderkey BETWEEN 501 AND 1500),
+         merged AS (
+           SELECT t.o_orderkey,
+                  CASE WHEN s.o_orderkey IS NOT NULL THEN 'MERGED'
+                       ELSE t.o_orderpriority END AS prio
+           FROM target t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+           UNION ALL
+           SELECT s.o_orderkey, s.o_orderpriority
+           FROM src s
+           WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+         )
+    SELECT prio, COUNT(*) AS n FROM merged GROUP BY prio
+    """,
+)
+def a05_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO (upsert) on a lake table: matched rows updated,
+    unmatched source rows inserted, one overwrite snapshot — the
+    Iceberg row-level-op surface on our format."""
+    o = t(spark, sf, "orders")
+    target_src = o.filter(F.col("o_orderkey") <= 1000)
+    source = o.filter(F.col("o_orderkey").between(501, 1500))
+    with tempfile.TemporaryDirectory(prefix="merge_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "orders_m", target_src.schema)
+        table.append(target_src)
+        table.merge_into(
+            spark,
+            source,
+            ["o_orderkey"],
+            when_matched_update={"o_orderpriority": "'MERGED'"},
+        )
+        out = (
+            table.to_df(spark)
+            .groupBy(F.col("o_orderpriority").alias("prio"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a06_delete_update_where",
+    oracle="""
+    WITH afterdel AS (SELECT * FROM part
+                      WHERE p_partkey <= 2000 AND NOT (p_size < 10)),
+         afterupd AS (
+           SELECT p_partkey, p_brand,
+                  CASE WHEN p_size > 40 THEN 0 ELSE p_size END AS p_size
+           FROM afterdel
+         )
+    SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS size_sum
+    FROM afterupd GROUP BY p_brand
+    """,
+)
+def a06_delete_update_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level DELETE then UPDATE (copy-on-write snapshots)."""
+    src = t(spark, sf, "part").filter(F.col("p_partkey") <= 2000)
+    with tempfile.TemporaryDirectory(prefix="dml_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "part_dml", src.schema)
+        table.append(src)
+        table.delete_where(spark, "p_size < 10")
+        table.update_where(spark, "p_size > 40", {"p_size": "0"})
+        out = (
+            table.to_df(spark)
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("p_size").alias("size_sum"),
+            )
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
     "a04_schema_diff_report",
     oracle="""
     SELECT * FROM (VALUES

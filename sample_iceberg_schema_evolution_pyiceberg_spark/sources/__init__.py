@@ -13,11 +13,29 @@ TESTDATA_TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may hand us a session built without our factory
+    (session.py); these four confs are semantics-bearing (oracle
+    parity), runtime-settable, and idempotent — set them on every
+    table load."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is non-fatal
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (B1 parquet scan). ``events`` carries a
     TIMESTAMP(NANOS) column Spark can't represent: read as long ns (see
     session.py nanosAsLong) and truncate to micros — identical to
     DuckDB's nanosecond-parquet read, keeping oracle parity."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

@@ -263,6 +263,147 @@ class LakeTable:
         self._commit()
         return snap
 
+    # -- row-level operations (copy-on-write) ------------------------------
+
+    def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
+        """Row-level DELETE, copy-on-write: rewrite the live set minus
+        matching rows as one overwrite snapshot (Iceberg's
+        copy-on-write delete strategy; merge-on-read is a format-v2
+        refinement out of scope here)."""
+        kept = self.to_df(spark).filter(f"NOT ({condition})")
+        return self._replace_live(spark, kept, "delete")
+
+    def update_where(
+        self, spark: SparkSession, condition: str, assignments: dict[str, str]
+    ) -> Snapshot:
+        """Row-level UPDATE, copy-on-write: SET col = expr for rows
+        matching ``condition``."""
+        df = self.to_df(spark)
+        cond = F.expr(condition)
+        for col, expr in assignments.items():
+            df = df.withColumn(
+                col,
+                F.when(cond, F.expr(expr).cast(self.schema[col].dataType)).otherwise(
+                    F.col(col)
+                ),
+            )
+        return self._replace_live(spark, df, "update")
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: bool = False,
+        insert_not_matched: bool = True,
+    ) -> Snapshot:
+        """MERGE INTO, copy-on-write: upsert ``source`` into the table
+        on ``key_cols``.
+
+        matched + update  -> SET col = expr (exprs see source columns
+                             as ``s_<name>``)
+        matched + delete  -> drop the target row
+        not matched       -> insert the source row (when enabled)
+
+        One shuffle on the merge keys; the rewrite is one overwrite
+        snapshot. This is the canonical distributed upsert: left join
+        target->source for the update/delete side, anti join
+        source->target for inserts.
+        """
+        target = self.to_df(spark)
+        cols = [f.name for f in self.schema.fields]
+        src = source.select(
+            *[F.col(c).alias(f"s_{c}") for c in source.columns]
+        )
+        on = [target[k] == src[f"s_{k}"] for k in key_cols]
+        joined = target.join(
+            src, on[0] if len(on) == 1 else F.expr(
+                " AND ".join(f"({k} = s_{k})" for k in key_cols)
+            ),
+            "left",
+        )
+        matched = F.col(f"s_{key_cols[0]}").isNotNull()
+        if when_matched_delete:
+            kept = joined.filter(~matched).select(*cols)
+        elif when_matched_update:
+            upd = joined
+            for col, expr in when_matched_update.items():
+                upd = upd.withColumn(
+                    col,
+                    F.when(matched, F.expr(expr).cast(self.schema[col].dataType))
+                    .otherwise(F.col(col)),
+                )
+            kept = upd.select(*cols)
+        else:
+            kept = joined.select(*cols)
+        result = kept
+        if insert_not_matched:
+            inserts = source.join(
+                target.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            aligned = inserts.select(
+                *[
+                    F.col(c).cast(self.schema[c].dataType).alias(c)
+                    if c in inserts.columns
+                    else F.lit(None).cast(self.schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+            result = kept.unionByName(aligned)
+        return self._replace_live(spark, result, "merge")
+
+    def _replace_live(
+        self, spark: SparkSession, df: DataFrame, operation: str
+    ) -> Snapshot:
+        """Materialize a rewritten live set, then commit it as the one
+        live snapshot (old snapshots move to history for time travel).
+        The staging write IS the materialization — no driver round-trip.
+        """
+        old = list(self.meta["snapshots"])
+        snap = self._write(df, "overwrite")
+        snap.operation = operation
+        self.meta["snapshots"] = [snap.to_json()]
+        self.meta.setdefault("snapshot_history", []).extend(old)
+        self._commit()
+        return snap
+
+    # -- incremental reads -------------------------------------------------
+
+    def read_appends_since(
+        self, spark: SparkSession, snapshot_id: str
+    ) -> DataFrame:
+        """Incremental consumption: rows appended strictly after the
+        given snapshot (CDC-lite for append-only tables; raises if a
+        rewrite intervened, where row-level diffing would be needed)."""
+        snaps = self.snapshots
+        ids = [s.snapshot_id for s in snaps]
+        if snapshot_id not in ids:
+            raise TableFormatError(
+                f"snapshot {snapshot_id!r} is not in the live log "
+                "(rewritten by overwrite/merge? incremental read needs "
+                "an append-only history)"
+            )
+        newer = snaps[ids.index(snapshot_id) + 1 :]
+        if any(s.operation != "append" for s in newer):
+            raise TableFormatError(
+                "non-append snapshot in the incremental range"
+            )
+        if not newer:
+            return spark.createDataFrame([], self.schema)
+        cur = self.schema
+        parts = []
+        for s in newer:
+            df = spark.read.parquet(str(self.location / s.data_dir))
+            df = df.drop(
+                *[c for c in df.columns if c.startswith(PARTITION_COL_PREFIX)]
+            )
+            parts.append(_align_df(df, cur))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- maintenance -------------------------------------------------------
 
     def compact(self, spark: SparkSession) -> Snapshot:

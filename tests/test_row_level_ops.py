@@ -1,0 +1,82 @@
+"""Row-level operations on lake tables: MERGE / DELETE / UPDATE
+(copy-on-write) and incremental append reads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+    LakeCatalog,
+    TableFormatError,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = LakeCatalog(tmp_path / "wh")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit("old").alias("tag")
+    )
+    t = cat.create_table("db", "rl", df.schema)
+    t.append(df)
+    return t
+
+
+def test_delete_where(spark, table):
+    table.delete_where(spark, "grp = 3")
+    df = table.to_df(spark)
+    assert df.count() == 90
+    assert df.filter("grp = 3").count() == 0
+    assert table.snapshots[0].operation == "delete"
+
+
+def test_update_where(spark, table):
+    table.update_where(spark, "id < 10", {"tag": "'new'"})
+    df = table.to_df(spark)
+    assert df.filter("tag = 'new'").count() == 10
+    assert df.filter("tag = 'old'").count() == 90
+
+
+def test_merge_upsert(spark, table):
+    src = spark.range(50, 150).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit("src").alias("tag")
+    )
+    table.merge_into(
+        spark, src, ["id"], when_matched_update={"tag": "'upd'"}
+    )
+    df = table.to_df(spark)
+    assert df.count() == 150
+    assert df.filter("tag = 'upd'").count() == 50   # 50-99 updated
+    assert df.filter("tag = 'src'").count() == 50   # 100-149 inserted
+    assert df.filter("tag = 'old'").count() == 50   # 0-49 untouched
+
+
+def test_merge_matched_delete(spark, table):
+    src = spark.range(0, 30).select(F.col("id"))
+    table.merge_into(
+        spark, src, ["id"], when_matched_delete=True, insert_not_matched=False
+    )
+    assert table.to_df(spark).count() == 70
+
+
+def test_time_travel_across_row_ops(spark, table):
+    s0 = table.snapshots[0]
+    table.delete_where(spark, "id < 50")
+    assert table.to_df(spark).count() == 50
+    assert table.to_df(spark, as_of_snapshot=s0.snapshot_id).count() == 100
+
+
+def test_incremental_append_read(spark, table):
+    s0 = table.snapshots[0]
+    inc = spark.range(1000, 1020).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit("inc").alias("tag")
+    )
+    table.append(inc)
+    delta = table.read_appends_since(spark, s0.snapshot_id)
+    assert delta.count() == 20
+    assert delta.filter("tag = 'inc'").count() == 20
+    # after a rewrite, incremental read must refuse
+    table.delete_where(spark, "grp = 0")
+    with pytest.raises(TableFormatError):
+        table.read_appends_since(spark, s0.snapshot_id)
