@@ -63,18 +63,27 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # steady-state protocol: one untimed warm-up pass (JVM/codegen
-    # warm-up, file-listing caches), then the measured pass — the same
-    # protocol a cluster benchmark uses, documented here for the record
-    for name in HEADLINE:
-        materialize(QUERIES[name](spark, sf_dir))
+    # steady-state protocol (applied identically to both engines): two
+    # untimed warm-up passes (JVM JIT + codegen caches + file listing —
+    # first execution of a Spark plan pays one-time compilation that a
+    # long-running cluster never re-pays), then median of three measured
+    # passes per query
+    warmups, runs = 2, 3
+    # (tables are memoized per session, so repeated query constructions
+    # share one logical plan — persist()s inside queries hit the same
+    # CacheManager entry instead of leaking one copy per pass)
+    for _ in range(warmups):
+        for name in HEADLINE:
+            materialize(QUERIES[name](spark, sf_dir))
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        materialize(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            samples[name].append(time.time() - t0)
+    times = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
 
     duck_times: dict[str, float] = {}
     try:
@@ -87,12 +96,19 @@ def main() -> None:
                 f"CREATE VIEW {tb} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{tb}.parquet')"
             )
-        for name in HEADLINE:
-            if name not in ORACLES:
-                continue
-            t0 = time.time()
-            con.execute(ORACLES[name]).fetchall()
-            duck_times[name] = round(time.time() - t0, 3)
+        oracle_names = [n for n in HEADLINE if n in ORACLES]
+        for _ in range(warmups):
+            for name in oracle_names:
+                con.execute(ORACLES[name]).fetchall()
+        d_samples: dict[str, list[float]] = {n: [] for n in oracle_names}
+        for _ in range(runs):
+            for name in oracle_names:
+                t0 = time.time()
+                con.execute(ORACLES[name]).fetchall()
+                d_samples[name].append(time.time() - t0)
+        duck_times = {
+            n: round(sorted(s)[len(s) // 2], 3) for n, s in d_samples.items()
+        }
     except Exception:  # noqa: BLE001 — bench must still emit its line
         pass
 

@@ -1108,6 +1108,149 @@ def _view_of(df: DataFrame, prefix: str) -> str:
 
 
 @query(
+    "b51_window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def b51_window_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """Window analytics first/last (SURVEY B20): customer's first and
+    last order over a deterministic (date, key) order; last_value needs
+    the full-partition frame on both engines."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+    )
+
+
+@query(
+    "b52_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS sum_qty,
+           GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def b52_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY B17; rollup/cube are b14/b15) —
+    SQL surface; one shuffle produces all three grouping levels."""
+    lv = _view_of(t(spark, sf, "lineitem"), "gsets_lineitem")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+                 AS sum_qty,
+               GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl
+        FROM {lv}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "b53_percentile_median",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.25), 6) AS p25,
+           ROUND(MEDIAN(c_acctbal), 6) AS p50,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def b53_percentile_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group. Spark's
+    percentile() and DuckDB's quantile_cont() both use linear
+    interpolation; rounded to 6 for the hash gate. (At 100 TB prefer
+    approx_percentile — bounded memory; the exact form shown here is
+    the oracle-checkable baseline.)"""
+    c = t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.median("c_acctbal"), 6).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "b54_sessionize_batch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def b54_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-min gap): the batch
+    twin of the streaming session window (s04), but hash-checkable.
+    Two window passes over one (user_id)-partitioned sort — a single
+    shuffle; session counts stay bounded per user at any scale."""
+    e = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_s = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > gap_us),
+        1,
+    ).otherwise(0)
+    s = e.withColumn("new_s", new_s).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+@query(
     "b42_udtf_explode",
     oracle="""
     SELECT word, COUNT(*) AS n

@@ -50,6 +50,8 @@ def get_spark(
         # of splits and 128m is right — these are local-bench values)
         .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "512k")
+        # dims under 64 MB broadcast; 100 TB fact sides never qualify
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -159,6 +159,46 @@ def s04_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(_run_to_memory(agg))
 
 
+@query("s06_stream_stateful_counter")  # custom state op: rows-only
+def s06_stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY
+    B39-B43 surface): per-user running (event count, value total) kept
+    in explicit GroupState — the escape hatch when built-in windows
+    can't express the state machine. Update-mode emissions; the test
+    asserts the final state per user equals the batch aggregate.
+
+    Scale: state lives in the state store partitioned by user_id;
+    per-group state is two scalars, so memory is O(distinct users per
+    executor), independent of event volume."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    ev = _stream_events(spark, sf).withWatermark("ts", "2 hours")
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return spark.table(_run_to_memory(out, mode="update"))
+
+
 @query("s05_stream_late_data_drop")  # watermark behavior: rows-only
 def s05_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
     """Watermark/late-data surface (B41): aggregation in append mode —

@@ -133,6 +133,36 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert all(n <= 3 for _, n in first)
 
 
+def test_stateful_counter_final_state_equals_batch(spark, sf_dir):
+    """applyInPandasWithState: the last update-mode emission per user
+    must equal the batch per-user count/sum."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.queries import (
+        s06_stream_stateful_counter,
+    )
+
+    rows = s06_stream_stateful_counter(spark, sf_dir).collect()
+    # update mode may emit once per micro-batch; the max n_events row
+    # per user is the final state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, tv) in final.items():
+        bn, btv = batch[uid]
+        assert n == bn
+        assert abs(tv - btv) < 1e-6 * max(1.0, abs(btv))
+
+
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
     from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.queries import (
