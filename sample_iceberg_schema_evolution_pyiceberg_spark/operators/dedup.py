@@ -185,28 +185,23 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification restricted to candidates: fan the (small)
-    # candidate-pair set out to doc_a's grams, then equi-join doc_b's
-    # grams on (doc_b, gram) — never the all-pairs gram join (that one
-    # is quadratic in hot-gram posting lists and exactly what LSH is
-    # here to avoid)
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
-    shared = (
-        cand.join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("both").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("both")
+    # exact verification restricted to candidates: the candidate-pair
+    # set (post-LSH, small by construction) broadcasts against a
+    # per-doc gram-set table folded from the already-persisted gram
+    # explode (one collect_set shuffle, no re-shingling); the
+    # intersection runs as array_intersect in a single map stage.
+    # Never the all-pairs gram join (quadratic in hot-gram posting
+    # lists — exactly what LSH is here to avoid).
+    ds = g.groupBy("doc_id").agg(F.collect_set("gram").alias("grams"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = ds.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter.cast("double") / (
+        F.size("ga") + F.size("gb") - inter
     )
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(F.broadcast(cand), "doc_a")
+        .join(b, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
