@@ -87,3 +87,55 @@ def c12_multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(
         extract, "doc_id bigint, features array<double>, feature_dim int"
     )
+
+
+FRAME_INTERVAL = 64  # stub "frame" stride in payload bytes
+
+
+def sample_frames_stub(payload: bytes) -> list[tuple[int, str]]:
+    """STUB frame sampler: a real deployment decodes video and samples
+    frames (e.g. pyav keyframe iteration — not in this container).
+    Deterministic fake: one "frame" per FRAME_INTERVAL bytes,
+    fingerprinted by the md5 of its byte window, so the fan-out shape
+    (1 row in -> N frame rows out) and schema are real and testable."""
+    return [
+        (i // FRAME_INTERVAL, hashlib.md5(payload[i : i + FRAME_INTERVAL]).hexdigest())
+        for i in range(0, len(payload), FRAME_INTERVAL)
+    ]
+
+
+@query("c14_multimodal_frame_sample")  # stub decode -> rows-only
+def c14_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over binary media via mapInPandas: each payload
+    expands to one row per sampled frame (frame index + fingerprint +
+    byte offsets). The expansion happens inside the Arrow batch
+    iterator — no explode of a driver-built array, no row-at-a-time
+    UDF — so a 1 PB video corpus fans out partition-locally with
+    bounded memory per batch."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out_doc, out_idx, out_fp, out_off = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, fp in sample_frames_stub(bytes(payload)):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_fp.append(fp)
+                    out_off.append(idx * FRAME_INTERVAL)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "frame_fingerprint": out_fp,
+                    "byte_offset": out_off,
+                }
+            )
+
+    return d.mapInPandas(
+        sample,
+        "doc_id bigint, frame_idx int, frame_fingerprint string, "
+        "byte_offset bigint",
+    )

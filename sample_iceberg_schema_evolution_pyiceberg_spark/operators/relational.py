@@ -1251,6 +1251,91 @@ def b54_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b55_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END)
+                AS DECIMAL(38,6)) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,4)) END)
+                AS DECIMAL(38,6)) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b55_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (wide aggregation): status columns from row values.
+    Explicit value list — no extra distinct-scan job, and the plan is a
+    single hash aggregate exactly like the CASE-WHEN form."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+@query(
+    "b56_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             CAST(l_quantity AS DOUBLE) AS val
+      FROM lineitem WHERE l_orderkey <= 500
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice',
+             CAST(l_extendedprice AS DOUBLE)
+      FROM lineitem WHERE l_orderkey <= 500
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+      FROM lineitem WHERE l_orderkey <= 500
+    )
+    """,
+)
+def b56_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (narrow transformation): measure columns to
+    (metric, value) rows — one generate stage, no shuffle."""
+    l = t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+
+
+@query(
+    "b57_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS members,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def b57_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> array_sort ->
+    array_join gives the deterministic STRING_AGG(... ORDER BY)
+    equivalent (collect_list alone is partition-order-dependent —
+    never hashable without the sort)."""
+    n, r = t(spark, sf, "nation"), t(spark, sf, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "members"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
     "b42_udtf_explode",
     oracle="""
     SELECT word, COUNT(*) AS n

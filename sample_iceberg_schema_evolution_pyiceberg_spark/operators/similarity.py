@@ -132,6 +132,62 @@ def c06_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16  # IVF codebook size
+N_PROBE = 4  # centroids probed per query (the recall knob)
+# deterministic "trained" codebook: fixed-seed gaussian centroids.
+# A real deployment trains these with KMeans on a sample; the index
+# structure and query path below are identical either way.
+_CENTROIDS = np.random.RandomState(23).standard_normal((N_CENTROIDS, _DIM))
+_CENTROIDS /= np.linalg.norm(_CENTROIDS, axis=1, keepdims=True)
+
+
+def ivf_assign_udf(n_nearest: int):
+    """pandas UDF: embedding batch -> array of the ``n_nearest``
+    centroid ids by cosine (one numpy matmul per Arrow batch)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _assign(emb):
+        m = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ _CENTROIDS.T  # (batch, N_CENTROIDS)
+        top = np.argsort(-sims, axis=1)[:, :n_nearest]
+        return pd.Series(top.tolist())
+
+    _assign.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "array<int>")
+
+
+@query("c06c_ann_ivf_topk")  # approximate by design -> rows-only check
+def c06c_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k via IVF (inverted-file index): every vector is
+    assigned to its nearest centroid (the posting list it lives in);
+    a query probes only the N_PROBE nearest centroids' lists, then
+    exact cosine ranks that candidate subset. The centroid id is a
+    plain column — at 100 TB it becomes the partition key, so a probe
+    reads N_PROBE partitions instead of the corpus (the IVF twin of
+    the c06 LSH buckets; recall vs brute force asserted in tests)."""
+    e = t(spark, sf, "embeddings").withColumn(
+        "cell", F.element_at(ivf_assign_udf(1)("embedding"), 1)
+    )
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qvec"),
+            F.explode(ivf_assign_udf(N_PROBE)("embedding")).alias("cell"),
+        )
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(q), "cell")
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(20)
+    )
+
+
 @query(
     "c13_dedup_embedding_cosine",
     oracle="""

@@ -137,6 +137,52 @@ def test_ann_lsh_recall_on_planted(spark, planted_vectors):
     assert recall >= 0.8, f"ANN recall {recall} on planted near-copies"
 
 
+def test_ann_ivf_recall_on_planted(spark, planted_vectors):
+    """Near-copies of the query land in the same (or a probed) IVF
+    cell — the IVF path must recover most of the planted top-5."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        c06c_ann_ivf_topk,
+    )
+
+    got = {r["vec_id"] for r in c06c_ann_ivf_topk(spark, planted_vectors).collect()}
+    recall = len(got & {900, 901, 902, 903, 904}) / 5
+    assert recall >= 0.8, f"IVF recall {recall} on planted near-copies"
+
+
+def test_frame_sample_stub_fanout(spark, planted_docs):
+    """c14: each doc fans out to ceil(len(payload)/interval) frame rows
+    with deterministic fingerprints."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
+        FRAME_INTERVAL,
+        c14_multimodal_frame_sample,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    frames = c14_multimodal_frame_sample(spark, planted_docs)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    lens = {
+        r["doc_id"]: r["n_bytes"]
+        for r in load_table(spark, planted_docs, "documents")
+        .select("doc_id", F.length(F.encode("text", "utf-8")).alias("n_bytes"))
+        .collect()
+    }
+    assert set(per_doc) == set(lens)
+    for doc_id, n in per_doc.items():
+        expected = -(-lens[doc_id] // FRAME_INTERVAL)  # ceil
+        assert n == expected
+    # deterministic across the exact-dup pair
+    fp = {
+        (r["doc_id"], r["frame_idx"]): r["frame_fingerprint"]
+        for r in frames.filter(F.col("doc_id").isin(0, 200)).collect()
+    }
+    n0 = max(i for (d, i) in fp if d == 0) + 1
+    assert all(fp[(0, i)] == fp[(200, i)] for i in range(n0))
+
+
 def test_multimodal_decode_stub_schema(spark, planted_docs):
     from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
         FEATURE_DIM,
