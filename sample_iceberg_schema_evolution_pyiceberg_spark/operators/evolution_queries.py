@@ -235,6 +235,85 @@ def a06_delete_update_where(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a07_time_travel",
+    oracle="""
+    SELECT 'v1' AS version, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS total
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'v2', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def a07_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot time travel (Iceberg snapshot-id read on our snapshot
+    log): append batch 1, append batch 2, then scan as-of snapshot 1
+    and current — the as-of read must see only batch 1. Oracle computes
+    both states relationally from the source parquet."""
+    o = t(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") <= 1000)
+    b2 = o.filter(F.col("o_orderkey").between(1001, 2000))
+
+    def agg(df: DataFrame, version: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
+        ).select(F.lit(version).alias("version"), "n", "total")
+
+    with tempfile.TemporaryDirectory(prefix="tt_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "orders_tt", b1.schema)
+        s1 = table.append(b1)
+        table.append(b2)
+        out = agg(table.to_df(spark, as_of_snapshot=s1.snapshot_id), "v1").unionAll(
+            agg(table.to_df(spark), "v2")
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a08_compaction_invariance",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_orderkey < 2500
+    GROUP BY o_orderstatus
+    """,
+)
+def a08_compaction_invariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintenance op (rewrite_data_files analog): five small appends —
+    the reference's 1-20-row-per-invoke pattern that snowballs tiny
+    files (SURVEY §4) — then compact() merges the live set into one
+    snapshot. Query results must be identical after compaction; the
+    oracle sees the plain relational aggregate."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 2500)
+    with tempfile.TemporaryDirectory(prefix="compact_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "orders_c", o.schema)
+        for i in range(5):  # five snapshot appends of ~500 keys each
+            table.append(
+                o.filter(
+                    (F.col("o_orderkey") >= i * 500)
+                    & (F.col("o_orderkey") < (i + 1) * 500)
+                )
+            )
+        assert len(table.snapshots) == 5
+        table.compact(spark)
+        assert len(table.snapshots) == 1
+        out = table.to_df(spark).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
     "a04_schema_diff_report",
     oracle="""
     SELECT * FROM (VALUES
