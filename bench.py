@@ -30,11 +30,13 @@ HEADLINE = [
     "b21_topk",
     "b36_dedup_keep_first",
     "b42_udtf_explode",
+    "b54_sessionize_batch",
     "c01_dedup_exact",
     "c02_dedup_minhash_lsh",
     "c04_dedup_ngram_jaccard",
     "c05_cosine_topk_brute",
     "c09_token_count",
+    "c15_tfidf_top_terms",
 ]
 
 TABLES = [

@@ -137,6 +137,53 @@ def c09_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "c15_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           ROUND(tf * LN((1.0 + n.n_docs) / (1.0 + df)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY tf * LN((1.0 + n.n_docs) / (1.0 + df)) DESC, term) <= 3
+    """,
+)
+def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln((1+N)/(1+df)) (smoothed idf), term-lexicographic
+    tie-break. Shape at scale: one explode + two term-keyed
+    aggregations + a term-keyed join (document-frequency table is
+    |vocabulary|-sized, not corpus-sized) + a per-doc window — no
+    all-pairs anything; N joins in as a broadcast scalar."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = t(spark, sf, "documents")
+    w = d.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * F.log(
+        (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+@query(
     "c10_text_fingerprint",
     oracle="""
     SELECT doc_id,
