@@ -1251,6 +1251,41 @@ def b54_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b58_grouped_map_pandas",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+             AS bal_centered
+    FROM customer WHERE c_custkey <= 3000
+    """,
+)
+def b58_grouped_map_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-segment mean-centering
+    — the split-apply-combine escape hatch when per-group logic exceeds
+    SQL (model scoring, per-group fitting). One shuffle on the group
+    key; each group becomes one Arrow batch in one Python worker.
+    Mean computed with numpy float64 over a bounded slice so it matches
+    the window-AVG oracle at 6 decimals."""
+    c = t(spark, sf, "customer").filter(F.col("c_custkey") <= 3000).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = float(pdf["c_acctbal"].to_numpy().mean())
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "bal_centered": (pdf["c_acctbal"] - mean).round(6),
+            }
+        )
+
+    return c.groupBy("c_mktsegment").applyInPandas(
+        center, "c_custkey bigint, c_mktsegment string, bal_centered double"
+    )
+
+
+@query(
     "b55_pivot",
     oracle="""
     SELECT l_returnflag,

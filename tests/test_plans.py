@@ -93,6 +93,43 @@ def test_no_driver_collect_in_operators():
                 )
 
 
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys at write time: a join of two
+    tables bucketed on the key must plan ZERO exchanges — at 100 TB
+    this is the difference between a free join and reshuffling both
+    sides every query."""
+    # (warehouse dir is a static conf — use the session default with a
+    # dedicated database, dropped in the finally)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdb")
+    try:
+        a = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        for name, df in (("ta", a), ("tb", b)):
+            (
+                df.write.bucketBy(8, "k").sortBy("k")
+                .mode("overwrite")
+                .saveAsTable(f"bucketdb.{name}")
+            )
+        # disable broadcast so the test exercises the bucketed path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bucketdb.ta").join(
+            spark.table("bucketdb.tb"), "k"
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
 def test_lake_scan_prunes_partitions(spark, tmp_path):
     """Hidden-partitioning: a predicate on the source column must reach
     the scan as a partition filter on the derived column."""
