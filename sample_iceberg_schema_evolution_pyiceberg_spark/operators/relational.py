@@ -1251,6 +1251,37 @@ def b54_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b59_map_hof",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity * 2 AS DOUBLE) AS qty_doubled,
+           CASE WHEN l_quantity > 25 THEN 'qty' END AS big_key,
+           2 AS n_entries
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def b59_map_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Map higher-order functions: map_from_arrays -> transform_values
+    -> map_filter -> map_keys/element_at, all in one codegen'd
+    projection. The oracle sees the equivalent scalar arithmetic —
+    identity-style check that the map pipeline loses nothing."""
+    l = t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price")),
+        F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big = F.map_filter(m, lambda k, v: (k == "qty") & (v > 25))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(doubled, "qty").cast("double").alias("qty_doubled"),
+        F.try_element_at(F.map_keys(big), F.lit(1)).alias("big_key"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@query(
     "b58_grouped_map_pandas",
     oracle="""
     SELECT c_custkey, c_mktsegment,
