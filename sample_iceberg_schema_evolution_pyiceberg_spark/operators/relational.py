@@ -984,6 +984,23 @@ def b38_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("b60_approx_percentile")  # approximate by design (sketch class)
+def b60_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile: the bounded-memory quantile sketch that
+    replaces exact percentiles (b53) at 100 TB — mergeable partials,
+    accuracy set by the last arg (10000). Emitted alongside the exact
+    values so the bench/test can assert the error bound; rows-only for
+    the driver gate (approximate by design)."""
+    l = t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF surfaces (B36-B38)
 # ---------------------------------------------------------------------------

@@ -199,6 +199,51 @@ def s06_stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(_run_to_memory(out, mode="update"))
 
 
+@query("s07_stream_stream_join")  # interval join semantics: behavioral
+def s07_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each purchase joins the same user's clicks in the preceding 30
+    minutes. Both sides carry watermarks so Spark can bound the join
+    state (clicks older than the watermark + interval are evicted) —
+    the canonical funnel/attribution shape. Checked behaviorally
+    against the identical batch join in tests."""
+    clicks = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "p_user",
+        "purchase_id",
+        "click_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+    )
+    return spark.table(_run_to_memory(joined, mode="append"))
+
+
 @query("s05_stream_late_data_drop")  # watermark behavior: rows-only
 def s05_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
     """Watermark/late-data surface (B41): aggregation in append mode —

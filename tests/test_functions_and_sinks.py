@@ -57,3 +57,24 @@ def test_stream_foreachbatch_into_lake_table(spark, sf_dir, tmp_path):
     out = cat.load_table("stream", "events_sink")
     assert out.to_df(spark).count() == batch_count
     assert len(out.snapshots) >= 1
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """The sketch operators (excluded from the hash gate by design)
+    must sit within their declared error bounds of the exact values
+    they ship alongside."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators import QUERIES
+
+    for r in QUERIES["b38_approx_count_distinct"](spark, sf_dir).collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(
+            1, r["exact_parts"]
+        )
+        assert rel_err <= 0.1, (r["l_returnflag"], rel_err)
+
+    for r in QUERIES["b60_approx_percentile"](spark, sf_dir).collect():
+        # accuracy=10000 -> rank error ~1/10000; allow 1% value slack
+        # on this distribution
+        rel_err = abs(r["approx_p50"] - r["exact_p50"]) / max(
+            1.0, abs(r["exact_p50"])
+        )
+        assert rel_err <= 0.01, (r["l_returnflag"], rel_err)

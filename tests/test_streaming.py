@@ -163,6 +163,44 @@ def test_stateful_counter_final_state_equals_batch(spark, sf_dir):
         assert abs(tv - btv) < 1e-6 * max(1.0, abs(btv))
 
 
+def test_stream_stream_join_equals_batch_join(spark, sf_dir):
+    """Interval stream-stream join must equal the identical batch join
+    (single availableNow replay sees all rows within the watermark)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.queries import (
+        s07_stream_stream_join,
+    )
+
+    stream = {
+        (r["p_user"], r["purchase_id"], r["click_id"])
+        for r in s07_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = {
+        (r["p_user"], r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).collect()
+    }
+    assert stream == batch
+
+
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
     from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.queries import (
