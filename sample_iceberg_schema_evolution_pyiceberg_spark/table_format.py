@@ -406,17 +406,29 @@ class LakeTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> Snapshot:
+    def compact(
+        self, spark: SparkSession, sort_by: list[str] | None = None
+    ) -> Snapshot:
         """Rewrite-data-files analog: merge all live snapshots into one
         (the reference's append pattern snowballs 1-20-row files —
         SURVEY §4 'small-file behavior'; this is the maintenance op it
         lacks). History keeps the old snapshots for time travel; the
-        live set becomes the single compacted snapshot."""
+        live set becomes the single compacted snapshot.
+
+        ``sort_by`` applies a table sort order during the rewrite
+        (Iceberg's sort-order + sorted rewrite): rows are range-
+        clustered across files on the sort key and sorted within each
+        file, so min/max file statistics turn range predicates into
+        file skips at scan time."""
         df = self.to_df(spark)
+        if sort_by:
+            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         old = self.meta["snapshots"]
         snap = self._write(df, "overwrite")
         # overwrite replaced the live list; keep the old ones in history
         self.meta.setdefault("snapshot_history", []).extend(old)
+        if sort_by:
+            self.meta["sort_order"] = list(sort_by)
         self._commit()
         return snap
 

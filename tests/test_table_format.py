@@ -65,6 +65,37 @@ def test_compact_merges_snapshots_and_keeps_history(spark, catalog):
     assert table.to_df(spark, as_of_snapshot=s1.snapshot_id).count() == 40
 
 
+def test_sorted_compaction_clusters_files(spark, catalog):
+    """compact(sort_by=...) must range-cluster rows across files and
+    sort within each file — the min/max-statistics layout that lets
+    range predicates skip files at scan time."""
+    import pyarrow.parquet as pq
+
+    table, df = _mk(spark, catalog)
+    # three shuffled appends so the pre-compaction layout is unclustered
+    table.append(df.filter("id % 3 = 0"))
+    table.append(df.filter("id % 3 = 1"))
+    table.append(df.filter("id % 3 = 2"))
+    before = sorted(r["id"] for r in table.to_df(spark).collect())
+    table.compact(spark, sort_by=["id"])
+    assert table.meta.get("sort_order") == ["id"]
+    after = sorted(r["id"] for r in table.to_df(spark).collect())
+    assert after == before
+
+    snap_dir = table.location / table.snapshots[0].data_dir
+    ranges = []
+    for f in sorted(snap_dir.rglob("*.parquet")):
+        ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
+        if not ids:
+            continue
+        assert ids == sorted(ids), f"{f} not sorted within file"
+        ranges.append((min(ids), max(ids)))
+    assert ranges
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"file ranges overlap: {ranges}"
+
+
 def test_scan_after_refresh_sees_other_writer(spark, catalog):
     table, df = _mk(spark, catalog)
     table.append(df)
