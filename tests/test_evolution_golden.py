@@ -111,6 +111,57 @@ def _normalize(schema: T.StructType) -> T.StructType:
     return T.StructType.fromJson(d)
 
 
+def test_legal_type_promotion_across_snapshots(spark, catalog, tmp_path):
+    """int->long widening (the reference's only update class, A14):
+    evolve the type, then scan pre-evolution snapshots under the new
+    schema — old files align by cast, no rewrite."""
+    import json
+
+    def cfg(qty_type):
+        return {
+            "database_name": "promo_db",
+            "table_name": "items",
+            "columns": [
+                {"column_name": "item_id", "data_type": "bigint",
+                 "required": True},
+                {"column_name": "qty", "data_type": qty_type},
+                {"column_name": "note", "data_type": "string"},
+            ],
+        }
+
+    v1 = tmp_path / "items_v1.json"
+    v1.write_text(json.dumps(cfg("integer")))
+    v2 = tmp_path / "items_v2.json"
+    v2.write_text(json.dumps(cfg("bigint")))
+
+    r1 = process_event(spark, catalog, str(v1))
+    assert not r1.has_error and r1.change_type == "CREATE TABLE"
+    t = catalog.load_table("promo_db", "items")
+    assert t.schema["qty"].dataType == T.IntegerType()
+    t.append(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "item_id long, qty int, note string"
+        )
+    )
+
+    r2 = process_event(spark, catalog, str(v2))
+    assert not r2.has_error, r2.message_list
+    assert r2.change_type == "ALTER TABLE"
+    assert any("qty" in m for m in r2.message_list)
+    t = catalog.load_table("promo_db", "items")
+    assert t.schema["qty"].dataType == T.LongType()
+    # post-evolution append writes longs; pre-evolution files cast up
+    t.append(
+        spark.createDataFrame(
+            [(3, 2**40, "c")], "item_id long, qty long, note string"
+        )
+    )
+    df = t.to_df(spark)
+    assert dict(df.dtypes)["qty"] == "bigint"
+    got = {r["item_id"]: r["qty"] for r in df.collect()}
+    assert got == {1: 10, 2: 20, 3: 2**40}
+
+
 def test_idempotent_second_run_no_changes(spark, catalog):
     r1 = process_event(spark, catalog, str(ASSETS / "orders_v1.json"))
     assert r1.change_type == "CREATE TABLE"
