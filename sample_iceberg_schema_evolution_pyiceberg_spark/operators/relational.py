@@ -1268,6 +1268,72 @@ def b54_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "b61_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT p_partkey,
+                      CASE WHEN p_size < 15 THEN NULL ELSE p_brand END AS brand
+               FROM part WHERE p_partkey <= 1000),
+         b AS (SELECT p_partkey AS pk2,
+                      CASE WHEN p_size < 15 THEN NULL ELSE p_brand END AS brand2
+               FROM part WHERE p_partkey <= 1000)
+    SELECT a.p_partkey, b.pk2, a.brand
+    FROM a JOIN b ON a.brand IS NOT DISTINCT FROM b.brand2
+                 AND a.p_partkey = b.pk2
+    """,
+)
+def b61_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics SCD-style
+    dimension joins need. Plans as a hash join on the null-safe key,
+    same shuffle shape as a plain equi-join."""
+    p = t(spark, sf, "part").filter(F.col("p_partkey") <= 1000)
+    brand = F.when(F.col("p_size") < 15, None).otherwise(F.col("p_brand"))
+    a = p.select("p_partkey", brand.alias("brand"))
+    b = p.select(
+        F.col("p_partkey").alias("pk2"), brand.alias("brand2")
+    )
+    return a.join(
+        b,
+        a["brand"].eqNullSafe(b["brand2"]) & (a["p_partkey"] == b["pk2"]),
+    ).select("p_partkey", "pk2", "brand")
+
+
+@query(
+    "c16_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS count_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def c16_salted_hot_key_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe aggregation as a first-class operator: events has only
+    5 event_type values, the degenerate hot-key case where one reducer
+    would take a whole key. functions.salted_agg spreads each key over
+    16 salted partials and merges — results identical to the plain
+    groupBy (the oracle), which is the whole point."""
+    from ..functions import salted_agg  # noqa: PLC0415
+
+    ev = t(spark, sf, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev, ["event_type"], {"value": "sum"}, salt=16
+    )
+    cnt = salted_agg(ev, ["event_type"], {"value": "count"}, salt=16)
+    return (
+        cnt.join(out, "event_type")
+        .select(
+            "event_type",
+            F.col("count_value"),
+            F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        )
+    )
+
+
+@query(
     "b59_map_hof",
     oracle="""
     SELECT l_orderkey, l_linenumber,
