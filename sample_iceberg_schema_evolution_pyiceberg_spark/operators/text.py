@@ -184,6 +184,71 @@ def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "c17_corpus_prep_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, source,
+             LENGTH(text) AS n_chars,
+             LEN(STR_SPLIT(text, ' ')) AS n_words,
+             LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '),
+                 w -> LIST_CONTAINS(
+                   ['the','a','of','and','to','in','is','for'], w)))
+               AS en_hits
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM base
+      WHERE n_chars BETWEEN 100 AND 5000 AND n_words >= 20
+    ),
+    english AS (SELECT * FROM quality WHERE en_hits * 10 >= n_words),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM english GROUP BY MD5(text)
+    )
+    SELECT e.source,
+           COUNT(*) AS n_docs,
+           SUM(e.n_words) AS ws_tokens,
+           SUM(e.n_chars) AS total_chars
+    FROM english e JOIN keepers k ON e.doc_id = k.doc_id
+    GROUP BY e.source
+    """,
+)
+def c17_corpus_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data prep pipeline in one plan: quality
+    gate (length/word bounds) -> language gate (stopword density) ->
+    exact dedup keep-first (digest groupBy) -> per-source token stats.
+    One scan feeds everything; the only shuffles are the digest
+    dedup and the final small rollup — the end-to-end shape a corpus
+    build runs nightly at 100 TB."""
+    d = t(spark, sf, "documents")
+    ws = words("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.size(F.filter(ws, lambda w: w.isin(*_EN_MARKERS))).alias("en_hits"),
+    )
+    english = base.filter(
+        F.col("n_chars").between(100, 5000)
+        & (F.col("n_words") >= 20)
+        & (F.col("en_hits") * 10 >= F.col("n_words"))
+    )
+    keepers = english.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        english.join(keepers.select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("ws_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "c10_text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -78,3 +78,37 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
             1.0, abs(r["exact_p50"])
         )
         assert rel_err <= 0.01, (r["l_returnflag"], rel_err)
+
+
+def test_stream_merge_sink_upserts(spark, sf_dir, tmp_path):
+    """CDC-apply pattern: foreachBatch merge_into keyed on event_id —
+    replaying the same stream twice must NOT duplicate rows (idempotent
+    upsert), unlike a plain append sink."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources import load_table
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.queries import (
+        _stream_events,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    batch_count = load_table(spark, sf_dir, "events").count()
+    stream = _stream_events(spark, sf_dir)
+    table = cat.create_table("stream", "events_merge", stream.schema)
+
+    def sink(batch_df, batch_id):  # noqa: ANN001
+        table.refresh().merge_into(spark, batch_df, ["event_id"])
+
+    for ckpt in ("ckpt1", "ckpt2"):  # second run replays everything
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    out = cat.load_table("stream", "events_merge").to_df(spark)
+    assert out.count() == batch_count  # no duplicates after replay
+    assert out.select("event_id").distinct().count() == batch_count
