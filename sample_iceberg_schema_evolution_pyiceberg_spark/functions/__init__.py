@@ -19,9 +19,11 @@ def money(col: str | Column) -> Column:
 
 
 def words(text: str | Column) -> Column:
-    """Lowercased whitespace tokenization."""
+    """Lowercased single-space tokenization — semantics chosen to match
+    DuckDB's STR_SPLIT(text, ' ') exactly (consecutive spaces yield
+    empty tokens) so every oracle shares one tokenizer definition."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), r"\s+")
+    return F.split(F.lower(c), " ")
 
 
 def word_ngrams(ws: Column, n: int = 3) -> Column:

@@ -110,7 +110,7 @@ def a02_partition_transforms(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS total
     FROM orders WHERE o_orderkey <= 5000
     GROUP BY o_orderstatus
@@ -136,9 +136,12 @@ def a03_lake_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                .cast("decimal(38,6)")
-                .alias("total"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("total"),
             )
         )
         # materialize before the temp dir vanishes
@@ -208,7 +211,7 @@ def a05_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
                   CASE WHEN p_size > 40 THEN 0 ELSE p_size END AS p_size
            FROM afterdel
          )
-    SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS size_sum
+    SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum
     FROM afterupd GROUP BY p_brand
     """,
 )
@@ -238,12 +241,12 @@ def a06_delete_update_where(spark: SparkSession, sf: str) -> DataFrame:
     "a07_time_travel",
     oracle="""
     SELECT 'v1' AS version, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS total
     FROM orders WHERE o_orderkey <= 1000
     UNION ALL
     SELECT 'v2', COUNT(*),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
     FROM orders WHERE o_orderkey <= 2000
     """,
 )
@@ -259,9 +262,12 @@ def a07_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     def agg(df: DataFrame, version: str) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(38,6)")
-            .alias("total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total"),
         ).select(F.lit(version).alias("version"), "n", "total")
 
     with tempfile.TemporaryDirectory(prefix="tt_gate_") as wh:

@@ -79,8 +79,8 @@ def b02_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
     "b03_join_inner_3way",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
              AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
@@ -104,7 +104,7 @@ def b03_join_inner_3way(spark: SparkSession, sf: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+            F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -231,7 +231,7 @@ def b09_join_cross(spark: SparkSession, sf: str) -> DataFrame:
     "b10_join_broadcast_hint",
     oracle="""
     SELECT p.p_brand,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS sum_qty
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -249,7 +249,7 @@ def b10_join_broadcast_hint(spark: SparkSession, sf: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)").alias("sum_qty"))
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 6).alias("sum_qty"))
     )
 
 
@@ -257,7 +257,7 @@ def b10_join_broadcast_hint(spark: SparkSession, sf: str) -> DataFrame:
     "b11_join_range",
     oracle="""
     SELECT b.label, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS sum_price
     FROM part p
     JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large'))
@@ -283,9 +283,9 @@ def b11_join_range(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast(DEC))
-            .cast("decimal(38,6)")
-            .alias("sum_price"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast(DEC)).cast("double"), 6
+            ).alias("sum_price"),
         )
     )
 
@@ -299,10 +299,10 @@ def b11_join_range(spark: SparkSession, sf: str) -> DataFrame:
     "b12_agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
@@ -321,11 +321,13 @@ def b12_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast("decimal(38,6)")
-            .alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 6
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 6
+            ).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 6).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -405,7 +407,7 @@ def b15_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     "b16_agg_having",
     oracle="""
     SELECT o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS total_spent,
            COUNT(*) AS n_orders
     FROM orders
@@ -418,9 +420,9 @@ def b16_agg_having(spark: SparkSession, sf: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC))
-            .cast("decimal(38,6)")
-            .alias("total_spent"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 6
+            ).alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .filter(F.col("n_orders") >= 3)
@@ -528,11 +530,11 @@ def b19_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
     "b20_window_running_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS running_total
+                AS DOUBLE), 6) AS running_total
     FROM orders
     """,
 )
@@ -546,10 +548,9 @@ def b20_window_running_frame(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC))
-        .over(w)
-        .cast("decimal(38,6)")
-        .alias("running_total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 6
+        ).alias("running_total"),
     )
 
 
@@ -872,7 +873,8 @@ def b32_map_struct_funcs(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -910,9 +912,9 @@ def b34_from_json_schema(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_orderkey,
            CAST(l_linenumber AS BIGINT) AS ln_long,
            CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS qty_dbl,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(18,2))
-             AS price_wide,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(18,2))
+                AS DOUBLE) AS price_wide,
            CAST(l_shipdate AS DATE) AS ship_day
     FROM lineitem WHERE l_orderkey <= 500
     """,
@@ -926,10 +928,14 @@ def b35_cast_promotion(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         F.col("l_linenumber").cast("bigint").alias("ln_long"),
         F.col("l_quantity").cast("float").cast("double").alias("qty_dbl"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_extendedprice")
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("price_dec"),
         F.col("l_extendedprice")
         .cast("decimal(12,2)")
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("price_wide"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
     )
@@ -1160,7 +1166,7 @@ def b51_window_first_last(spark: SparkSession, sf: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
            COALESCE(l_linestatus, 'ALL') AS lstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS sum_qty,
            GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl
     FROM lineitem
@@ -1177,7 +1183,7 @@ def b52_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
                COALESCE(l_linestatus, 'ALL') AS lstatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
                  AS sum_qty,
                GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lvl
         FROM {lv}
@@ -1230,8 +1236,8 @@ def b53_percentile_median(spark: SparkSession, sf: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM m
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1303,7 +1309,7 @@ def b61_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS count_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
              AS sum_value
     FROM events GROUP BY event_type
     """,
@@ -1328,7 +1334,7 @@ def c16_salted_hot_key_agg(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "event_type",
             F.col("count_value"),
-            F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+            F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
         )
     )
 
@@ -1403,12 +1409,12 @@ def b58_grouped_map_pandas(spark: SparkSession, sf: str) -> DataFrame:
     "b55_pivot",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
                     THEN CAST(l_quantity AS DECIMAL(18,4)) END)
-                AS DECIMAL(38,6)) AS qty_f,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                AS DOUBLE), 6) AS qty_f,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
                     THEN CAST(l_quantity AS DECIMAL(18,4)) END)
-                AS DECIMAL(38,6)) AS qty_o
+                AS DOUBLE), 6) AS qty_o
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1421,7 +1427,7 @@ def b55_pivot(spark: SparkSession, sf: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,6)"))
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 6))
         .withColumnRenamed("F", "qty_f")
         .withColumnRenamed("O", "qty_o")
     )

@@ -17,7 +17,7 @@ from .registry import query, t
     "b43_json_scan_roundtrip",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS total
     FROM orders WHERE o_orderkey <= 3000
     GROUP BY o_orderstatus
@@ -37,9 +37,12 @@ def b43_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         back = spark.read.schema(src.schema).json(d)
         out = back.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(38,6)")
-            .alias("total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total"),
         )
         rows = out.collect()
         # materialize before the temp dir vanishes
@@ -50,7 +53,7 @@ def b43_json_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     "b44_csv_scan_roundtrip",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS total
     FROM part GROUP BY p_brand
     """,
@@ -63,9 +66,12 @@ def b44_csv_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         back = spark.read.schema(src.schema).option("header", True).csv(d)
         out = back.groupBy("p_brand").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,4)"))
-            .cast("decimal(38,6)")
-            .alias("total"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total"),
         )
         rows = out.collect()
         # materialize before the temp dir vanishes
@@ -137,15 +143,22 @@ def b46_exists_subquery_sql(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                      AS DOUBLE) / COUNT(*) * 1.5
+                          FROM orders)
     """,
 )
 def b47_scalar_subquery_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery threshold computed as an exact decimal sum
+    divided in double — identical on both engines regardless of
+    partition summation order (a raw double AVG is not)."""
     o = _view(t(spark, sf, "orders"), "ord")
     return spark.sql(f"""
         SELECT o_orderkey, o_totalprice
         FROM {o}
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM {o})
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                                          AS DOUBLE) / COUNT(*) * 1.5
+                              FROM {o})
     """)
 
 

@@ -109,10 +109,11 @@ def c08_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(LEN(STR_SPLIT(text, ' '))) AS ws_tokens,
-           SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
-             AS bpe_ish_tokens,
-           SUM(LENGTH(text)) AS total_chars
+           CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                                           '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
     """,
@@ -206,8 +207,8 @@ def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT e.source,
            COUNT(*) AS n_docs,
-           SUM(e.n_words) AS ws_tokens,
-           SUM(e.n_chars) AS total_chars
+           CAST(SUM(e.n_words) AS BIGINT) AS ws_tokens,
+           CAST(SUM(e.n_chars) AS BIGINT) AS total_chars
     FROM english e JOIN keepers k ON e.doc_id = k.doc_id
     GROUP BY e.source
     """,

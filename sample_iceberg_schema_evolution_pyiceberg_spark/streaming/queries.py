@@ -57,7 +57,8 @@ def _run_to_memory(out: DataFrame, mode: str = "complete") -> str:
              AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -70,9 +71,9 @@ def s01_stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -126,12 +127,15 @@ def s02_stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def s03_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Stateful streaming dedup (B43): dropDuplicates on
-    (user_id, event_type) within the watermark, then count per user —
-    equals batch COUNT(DISTINCT)."""
+    """Stateful streaming dedup (B43): dropDuplicatesWithinWatermark on
+    (user_id, event_type), then count per user — equals batch
+    COUNT(DISTINCT). WithinWatermark (vs plain dropDuplicates without
+    the event-time column) is the state-bounded form: keys older than
+    the watermark are evicted instead of held forever, so state is
+    O(keys per watermark window), not O(all keys ever seen)."""
     ev = _stream_events(spark, sf).withWatermark("ts", "2 hours")
     agg = (
-        ev.dropDuplicates(["user_id", "event_type"])
+        ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_types"))
     )

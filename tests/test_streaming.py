@@ -29,9 +29,9 @@ def test_tumbling_equals_batch(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("sv"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sv"),
         )
     )
     batch = {
@@ -199,6 +199,64 @@ def test_stream_stream_join_equals_batch_join(spark, sf_dir):
         ).collect()
     }
     assert stream == batch
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state-eviction semantics: a key's
+    dedup state is dropped once the watermark passes its event time +
+    delay, so a duplicate key arriving AFTER eviction (with a fresh
+    event time) is emitted again — the bounded-state behavior plain
+    dropDuplicates(subset-without-event-time) can never provide. A
+    duplicate WITHIN the watermark window is still deduped."""
+    import datetime as dt
+    import time
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    schema = "ts timestamp, user_id bigint, event_type string"
+
+    # file 1: (u1, click) @10:00 + a 12:10 row advancing watermark to 12:00
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 0), 1, "click"),
+         (dt.datetime(2024, 1, 1, 12, 10), 2, "view")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    time.sleep(1.1)  # distinct mtime so maxFilesPerTrigger orders batches
+    # file 2: filler batch — state eviction runs at END of a batch, so
+    # the (u1, click)@10:00 entry (expiry 10:10 < watermark 12:00) is
+    # dropped when this batch commits
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 12, 4), 2, "view2")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    time.sleep(1.1)
+    # file 3: (u1, click) again at 12:05 — state evicted, so re-emitted;
+    # the 12:06 duplicate in the same batch IS deduped
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 12, 5), 1, "click"),
+         (dt.datetime(2024, 1, 1, 12, 6), 1, "click")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    out = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # two micro-batches
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        out.writeStream.format("memory").queryName("dd_evict")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    u1 = [r for r in spark.table("dd_evict").collect()
+          if r["user_id"] == 1 and r["event_type"] == "click"]
+    # batch 0 emits the 10:00 instance; batch 2 re-emits the key because
+    # its state was evicted at batch 1's commit, but dedups the 12:06
+    # within-batch duplicate
+    assert len(u1) == 2, u1
+    times = sorted(r["ts"] for r in u1)
+    assert times[0].hour == 10 and times[1].minute == 5
 
 
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):

@@ -46,9 +46,33 @@ def compare(spark_rows, duck_rows, cols):
     return False, f"row sets differ in length {len(a)} vs {len(b)}"
 
 
+def hash_unsafe_types(sdf, con, sql) -> str | None:
+    """Detect final output types the driver's value-hasher canonicalizes
+    differently per engine (round-1 root cause of 11 hash failures):
+    Spark DecimalType on one side, DuckDB DECIMAL/HUGEINT on the other.
+    Canonicalize to ROUND(CAST(... AS DOUBLE), 6) / CAST(... AS BIGINT)
+    on BOTH sides instead."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    bad = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, T.DecimalType)]
+    if bad:
+        return f"spark DecimalType output: {bad}"
+    if con is not None and sql is not None:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [f"{name}:{ct}" for name, ct, *_ in desc
+               if "DECIMAL" in ct.upper() or "HUGEINT" in ct.upper()]
+        if bad:
+            return f"duckdb DECIMAL/HUGEINT output: {bad}"
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--first", type=int, default=None,
+                    help="only the first N registry-order queries "
+                         "(emulates the driver's bounded window)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -60,7 +84,17 @@ def main() -> int:
     spark = get_spark(app_name="check_correctness")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.names or sorted(qs)
+    # registry order (the order the driver walks), not alphabetical
+    names = args.names or list(qs)
+    if args.first:
+        names = names[: args.first]
+    # coverage self-audit: every registered query must be checkable here;
+    # a key in ORACLES without a QUERIES entry (or vice versa misuse)
+    # is the silent-coverage-hole class from round 1
+    orphan_oracles = set(oracles) - set(qs)
+    if orphan_oracles:
+        print(f"FAIL  coverage: oracles without queries: {orphan_oracles}")
+        return 1
 
     con = duckdb.connect()
     for tb in TABLES:
@@ -83,8 +117,10 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
+            tw = hash_unsafe_types(sdf, None, None)
+            note = f" [TYPEWARN {tw}]" if tw else ""
             print(f"weak  {name}: rows-only ({len(srows)} rows, "
-                  f"{time.time()-t0:.1f}s)")
+                  f"{time.time()-t0:.1f}s){note}")
             n_weak += 1
             continue
         try:
@@ -106,6 +142,11 @@ def main() -> int:
             print(f"FAIL  {name}: rows spark={len(srows)} duck={len(drows)}")
             n_fail += 1
             continue
+        tw = hash_unsafe_types(sdf, con, oracles[name])
+        if tw:
+            print(f"FAIL  {name}: hash-unsafe output type — {tw}")
+            n_fail += 1
+            continue
         ok, detail = compare(srows, drows, spark_cols)
         if ok:
             print(f"pass  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
@@ -113,7 +154,16 @@ def main() -> int:
         else:
             print(f"FAIL  {name}: {detail}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    # coverage audit: when running the full registry, every key must have
+    # produced a line above (this loop guarantees it); surface the count
+    # so a driver-side bounded window is visible in the logs
+    if not args.names and not args.first:
+        missing = [k for k in qs if k not in names]
+        if missing:
+            print(f"FAIL  coverage: registered but unchecked: {missing}")
+            return 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail "
+          f"({len(names)}/{len(qs)} registry keys checked)")
     return 1 if n_fail else 0
 
 
