@@ -185,14 +185,23 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification restricted to candidates: the candidate-pair
-    # set (post-LSH, small by construction) broadcasts against a
-    # per-doc gram-set table folded from the already-persisted gram
-    # explode (one collect_set shuffle, no re-shingling); the
-    # intersection runs as array_intersect in a single map stage.
-    # Never the all-pairs gram join (quadratic in hot-gram posting
-    # lists — exactly what LSH is here to avoid).
-    ds = g.groupBy("doc_id").agg(F.collect_set("gram").alias("grams"))
+    # exact verification restricted to candidates. Order matters at
+    # scale: semi-join the exploded grams to the candidate doc-id set
+    # BEFORE the collect_set aggregation, so only candidate docs' gram
+    # arrays are folded and shuffled (candidate-sized, post-LSH small
+    # by construction) — never the whole corpus's. Both join sides are
+    # filtered the same way; the earlier form broadcast-filtered only
+    # the doc_a side and shuffled every doc's gram array for doc_b.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ds = (
+        g.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("gram").alias("grams"))
+    )
     a = ds.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = ds.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))

@@ -69,19 +69,24 @@ def c05_cosine_topk_brute(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def lsh_buckets_udf():
+def lsh_buckets_udf(n_tables: int = N_TABLES, bits: int = BITS_PER_TABLE,
+                    seed: int = 11):
     """pandas UDF: embedding batch -> array of per-table hyperplane-sign
-    bucket ids (one Arrow-batched numpy matmul for all tables)."""
+    bucket ids (one Arrow-batched numpy matmul for all tables).
+    (n_tables, bits) is the recall/cost dial: per-table collision
+    probability for angle θ is (1-θ/π)^bits, overall recall
+    1-(1-p)^n_tables."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    planes = np.random.RandomState(seed).standard_normal((n_tables * bits, _DIM))
 
     def _buckets(emb):
         m = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
-        signs = (m @ _PLANES.T) > 0  # (batch, N_PLANES)
-        weights = 1 << np.arange(BITS_PER_TABLE)
+        signs = (m @ planes.T) > 0  # (batch, n_tables*bits)
+        weights = 1 << np.arange(bits)
         out = [
-            (signs[:, l * BITS_PER_TABLE : (l + 1) * BITS_PER_TABLE] * weights)
-            .sum(axis=1)
-            for l in range(N_TABLES)
+            (signs[:, l * bits : (l + 1) * bits] * weights).sum(axis=1)
+            for l in range(n_tables)
         ]
         return pd.Series(np.stack(out, axis=1).tolist())
 
@@ -211,6 +216,48 @@ def c13_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     cos = cosine(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@query("c13b_dedup_lsh_gated_cosine")  # hash family not SQL-reproducible
+def c13b_dedup_lsh_gated_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale-shaped composition c13's docstring promises: LSH
+    buckets gate the pair generation, exact cosine verifies. Pairs are
+    generated ONLY within a (table, bucket) posting list — quadratic in
+    bucket size, never in corpus size — then scored exactly (threshold
+    0.3, same as c13). Every emitted pair is exact (precision 1 vs
+    c13); recall is the multi-table LSH knob, asserted in tests.
+
+    At 100 TB: (table_id, bucket) is the shuffle key; embeddings ride
+    the posting lists (the on-disk layout real vector indexes use), so
+    the verify is map-side within each bucket partition — no second
+    corpus join to re-fetch vectors.
+
+    Banding is 8 tables x 3 bits (vs c06's 4x4): the 0.3-cosine target
+    is a wide-angle pair (~73°, per-table collision 0.597^3≈0.21), so
+    recall needs many short bands — 1-(1-0.21)^8 ≈ 0.85."""
+    buckets = lsh_buckets_udf(n_tables=8, bits=3, seed=31)
+    e = t(spark, sf, "embeddings").withColumn("buckets", buckets("embedding"))
+    tb = e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
+    a = tb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "table_id", "bucket",
+    )
+    b = tb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "table_id", "bucket",
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # pair may share >1 table
         .filter(cos >= 0.3)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,7 +48,10 @@ def _split_cached_path(src: str) -> str:
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         st = os.stat(src)
-        key = f"{src.replace('/', '_')}-{st.st_size}-{int(st.st_mtime)}"
+        # "t" prefix: Spark's file listing skips '_'-prefixed paths
+        # (hidden-path convention), and src is absolute so replace()
+        # would otherwise start the dir name with '_'
+        key = f"t{src.replace('/', '_')}-{st.st_size}-{int(st.st_mtime)}"
         dst = os.path.join(_SPLIT_CACHE_DIR, key)
         if os.path.isdir(dst):
             return dst
@@ -56,15 +60,23 @@ def _split_cached_path(src: str) -> str:
         if n_rows < _MIN_SPLIT_ROWS or f.metadata.num_row_groups >= _SPLIT_FILES:
             return src
         table = f.read()
+        if table.num_rows != n_rows:  # truncated read → no cache
+            return src
         per_file = max(1, (n_rows + _SPLIT_FILES - 1) // _SPLIT_FILES)
         os.makedirs(_SPLIT_CACHE_DIR, exist_ok=True)
         tmp = tempfile.mkdtemp(dir=_SPLIT_CACHE_DIR)
+        written = 0
         for i, lo in enumerate(range(0, n_rows, per_file)):
+            piece = table.slice(lo, per_file)
+            written += piece.num_rows
             pq.write_table(
-                table.slice(lo, per_file),
+                piece,
                 os.path.join(tmp, f"part-{i:05d}.parquet"),
                 compression="snappy",
             )
+        if written != n_rows:  # row-preservation guard before publish
+            shutil.rmtree(tmp, ignore_errors=True)
+            return src
         try:
             os.rename(tmp, dst)  # atomic publish; loser of a race cleans up
         except OSError:
@@ -74,18 +86,21 @@ def _split_cached_path(src: str) -> str:
         return src
 
 
-_CONFED_SESSIONS: set[int] = set()
+_CONF_SENTINEL = "spark.graft.confed"
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """The driver may hand us a session built without our factory
     (session.py); these confs are semantics-bearing (oracle parity),
-    runtime-settable, and idempotent — set them once per session (each
-    conf.set is a py4j round-trip; doing it per table load costs real
-    milliseconds on the query-build path)."""
-    if id(spark) in _CONFED_SESSIONS:
-        return
-    _CONFED_SESSIONS.add(id(spark))
+    runtime-settable, and idempotent. The done-marker is a sentinel
+    conf on the session itself — not a Python-side id(spark) set,
+    which a recycled object id after session GC would falsely hit,
+    silently skipping the UTC/nanosAsLong parity confs."""
+    try:
+        if spark.conf.get(_CONF_SENTINEL, None) == "true":
+            return
+    except Exception:  # noqa: BLE001
+        pass
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
@@ -104,9 +119,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — a locked conf is non-fatal
             pass
+    try:
+        spark.conf.set(_CONF_SENTINEL, "true")
+    except Exception:  # noqa: BLE001
+        pass
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# keyed on the live session object (weakly): a dead session's entries
+# vanish with it, and an id()-recycling allocator can never alias two
+# sessions the way the old id(spark)-keyed dict could
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -119,8 +143,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     testdata is immutable, and re-reading repeats file listing + footer
     reads + analysis on every query build (driver-side latency that
     would also hit a cluster's driver)."""
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached
     ensure_session_confs(spark)
@@ -129,7 +155,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
         )
-    _TABLE_CACHE[key] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 

@@ -149,6 +149,35 @@ def test_ann_ivf_recall_on_planted(spark, planted_vectors):
     assert recall >= 0.8, f"IVF recall {recall} on planted near-copies"
 
 
+def test_lsh_gated_cosine_dedup_planted(spark, planted_vectors):
+    """c13b (LSH-bucketed pairs + exact cosine verify): the planted
+    near-copy cluster {0, 900..904} is all-pairs high-cosine — the
+    gated path must recover most of those pairs, and every emitted
+    pair must independently pass the exact threshold (precision 1 by
+    construction: verification IS the exact score)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        c13_dedup_embedding_cosine,
+        c13b_dedup_lsh_gated_cosine,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in c13_dedup_embedding_cosine(spark, planted_vectors).collect()
+    }
+    gated = {
+        (r["vec_a"], r["vec_b"])
+        for r in c13b_dedup_lsh_gated_cosine(spark, planted_vectors).collect()
+    }
+    assert gated <= exact  # exact verify -> no false positives
+    cluster = {0, 900, 901, 902, 903, 904}
+    cluster_pairs = {p for p in exact if p[0] in cluster and p[1] in cluster}
+    assert cluster_pairs, "fixture should plant high-cosine pairs"
+    got = len(gated & cluster_pairs) / len(cluster_pairs)
+    assert got >= 0.8, f"planted-cluster recall {got}"
+    overall = len(gated & exact) / max(1, len(exact))
+    assert overall >= 0.5, f"overall recall {overall}"
+
+
 def test_frame_sample_stub_fanout(spark, planted_docs):
     """c14: each doc fans out to ceil(len(payload)/interval) frame rows
     with deterministic fingerprints."""
