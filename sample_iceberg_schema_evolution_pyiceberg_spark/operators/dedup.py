@@ -179,11 +179,16 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "bk.band_id", "bk.bh")
     a = stacked.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
     b = stacked.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    # persist: cand feeds BOTH the candidate-doc semi-join filter and
+    # the final broadcast join — without it the whole LSH pipeline
+    # (signatures + band self-join + distinct) executes twice. cand is
+    # post-LSH small (pairs, not corpus), so the cache is bounded.
     cand = (
         a.join(b, ["band_id", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
     # exact verification restricted to candidates. Order matters at
     # scale: semi-join the exploded grams to the candidate doc-id set
@@ -197,10 +202,13 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # persisted for the same reason: ds is both join sides below, and
+    # it is candidate-sized (only docs that survived LSH banding)
     ds = (
         g.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("gram").alias("grams"))
+        .persist()
     )
     a = ds.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = ds.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))

@@ -158,25 +158,36 @@ def c09_token_count(spark: SparkSession, sf: str) -> DataFrame:
 def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document by
     tf * ln((1+N)/(1+df)) (smoothed idf), term-lexicographic
-    tie-break. Shape at scale: one explode + two term-keyed
-    aggregations + a term-keyed join (document-frequency table is
-    |vocabulary|-sized, not corpus-sized) + a per-doc window — no
-    all-pairs anything; N joins in as a broadcast scalar."""
+    tie-break.
+
+    Plan shape (2 shuffles + 1 broadcast, down from 4 shuffles + a
+    countDistinct Expand):
+    - one explode, repartitioned by doc_id — HashPartitioning(doc_id)
+      satisfies ClusteredDistribution for BOTH the (doc_id, term)
+      aggregate and the per-doc window, so tf and the ranking run with
+      no further exchange;
+    - df derived FROM tf (tf rows are already distinct (doc_id, term),
+      so COUNT(*) per term == COUNT(DISTINCT doc_id)) — the exchange
+      under tf is reused, no Expand;
+    - the |vocabulary|-sized df table joins back as a broadcast, so
+      the corpus-sized tf side never reshuffles on term. At extreme
+      vocab (>~broadcast threshold) drop the hint and AQE falls back
+      to a term-keyed shuffle join — semantics unchanged."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     d = t(spark, sf, "documents")
-    w = d.select("doc_id", F.explode(words("text")).alias("term"))
-    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = w.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    w = d.select("doc_id", F.explode(words("text")).alias("term")).repartition(
+        "doc_id"
     )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * F.log(
         (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
     )
     win = Window.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
     return (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= 3)
