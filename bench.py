@@ -78,10 +78,15 @@ def main() -> None:
         for name in HEADLINE:
             materialize(QUERIES[name](spark, sf_dir))
 
+    # consecutive per-query sampling (JMH-style steady state): the 3
+    # measured passes of a query run back-to-back, not interleaved with
+    # 15 other queries — measured on this box, interleaving inflates
+    # per-query medians ~40% (cache/JIT/cleaner cross-talk between
+    # plans; see tools/aqe_experiment.py, which first quantified it)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(runs):
-        for name in HEADLINE:
-            fn = QUERIES[name]
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        for _ in range(runs):
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             samples[name].append(time.time() - t0)

@@ -11,7 +11,50 @@ rewrite / partition-spec evolution / snapshot appends / hidden-partition
 pruning), realized with Spark-native parquet IO:
 
 - metadata: ``{location}/_meta/v{N}.metadata.json`` + ``version-hint``
-  (Iceberg's metadata-file + hint pattern).
+  (Iceberg's metadata-file + hint pattern). The JSON is written with
+  **Iceberg-spec field names** (see mapping below) so a future swap to a
+  real Iceberg runtime is a mechanical re-pointing, not a migration.
+
+On-disk metadata field mapping (in-memory key -> Iceberg spec name; the
+spec names follow the public Apache Iceberg table-spec "Table Metadata"
+section). Entries marked *ext* are engine extensions the spec keeps
+elsewhere (catalog / manifests) or not at all:
+
+====================  =========================  =========================
+in-memory key         on-disk (Iceberg spec)     notes
+====================  =========================  =========================
+format_version        format-version             spec v1 semantics
+table_uuid            table-uuid                 minted at CREATE
+identifier            identifier                 *ext* — spec keeps the
+                                                 identifier in the catalog
+location              location
+last_sequence_number  last-sequence-number       monotonic per commit
+(derived)             last-updated-ms            stamped at commit
+current_schema_version current-schema-id
+schemas               schemas                    list of {"schema-id": N,
+                                                 "spark-type": {...}};
+                                                 *ext*: payload is a Spark
+                                                 StructType JSON, not
+                                                 Iceberg field JSON (no
+                                                 per-field field-ids)
+current_spec_id       default-spec-id
+specs                 partition-specs            list of {"spec-id": N,
+                                                 "fields": [...]}
+properties            properties
+snapshots             snapshots                  per-snapshot keys below
+(derived)             current-snapshot-id        last live snapshot
+snapshot_history      snapshot-history           *ext* — spec expires
+                                                 snapshots instead
+sort_order            sort-orders +              minimal spec shape:
+                      default-sort-order-id      identity/asc/nulls-first
+====================  =========================  =========================
+
+Per-snapshot mapping: snapshot_id -> snapshot-id, sequence_number ->
+sequence-number, timestamp_ms -> timestamp-ms, operation ->
+summary.operation, schema_version -> schema-id, spec_id ->
+partition-spec-id (*ext* — the spec records the spec in manifests),
+data_dir -> data-dir (*ext* — stands in for manifest-list; this format
+tracks a directory per snapshot, not manifest files).
 - each append = one snapshot = one directory ``data/snap-{id}/`` written
   by ``df.write.partitionBy(_p_*)`` (hive-style dirs -> Spark partition
   discovery prunes them).
@@ -64,6 +107,7 @@ class Snapshot:
     schema_version: int
     spec_id: int
     data_dir: str  # relative to table location
+    sequence_number: int = 0  # Iceberg sequence-number: commit order
 
     def to_json(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -71,6 +115,132 @@ class Snapshot:
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
         return Snapshot(**d)
+
+
+# -- on-disk <-> in-memory metadata translation (module docstring table) ----
+
+def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
+    return {
+        "snapshot-id": d["snapshot_id"],
+        "sequence-number": d.get("sequence_number", 0),
+        "timestamp-ms": d["timestamp_ms"],
+        "summary": {"operation": d["operation"]},
+        "schema-id": d["schema_version"],
+        "partition-spec-id": d["spec_id"],
+        "data-dir": d["data_dir"],
+    }
+
+
+def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
+    return {
+        "snapshot_id": d["snapshot-id"],
+        "sequence_number": d.get("sequence-number", 0),
+        "timestamp_ms": d["timestamp-ms"],
+        "operation": d["summary"]["operation"],
+        "schema_version": d["schema-id"],
+        "spec_id": d["partition-spec-id"],
+        "data_dir": d["data-dir"],
+    }
+
+
+def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
+    live = meta["snapshots"]
+    doc: dict[str, Any] = {
+        "format-version": meta["format_version"],
+        "table-uuid": meta.get("table_uuid"),
+        "identifier": meta["identifier"],
+        "location": meta["location"],
+        "last-sequence-number": meta.get("last_sequence_number", 0),
+        "last-updated-ms": int(time.time() * 1000),
+        "current-schema-id": meta["current_schema_version"],
+        "schemas": [
+            {"schema-id": int(v), "spark-type": s}
+            for v, s in sorted(meta["schemas"].items(), key=lambda kv: int(kv[0]))
+        ],
+        "default-spec-id": meta["current_spec_id"],
+        # per-field keys follow the spec where possible: "field-id",
+        # "transform", "name"; "source-column" is the *ext* name-based
+        # stand-in for the spec's field-id-based "source-id"
+        "partition-specs": [
+            {
+                "spec-id": int(sid),
+                "fields": [
+                    {
+                        "source-column": f["source_column"],
+                        "transform": f["transform"],
+                        "name": f["name"],
+                        "field-id": f["spec_field_id"],
+                    }
+                    for f in fields
+                ],
+            }
+            for sid, fields in sorted(
+                meta["specs"].items(), key=lambda kv: int(kv[0])
+            )
+        ],
+        "properties": meta["properties"],
+        "current-snapshot-id": live[-1]["snapshot_id"] if live else None,
+        "snapshots": [_snap_to_spec(s) for s in live],
+    }
+    if meta.get("snapshot_history"):
+        doc["snapshot-history"] = [
+            _snap_to_spec(s) for s in meta["snapshot_history"]
+        ]
+    if meta.get("sort_order"):
+        doc["default-sort-order-id"] = 1
+        doc["sort-orders"] = [
+            {
+                "order-id": 1,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-column": c,
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in meta["sort_order"]
+                ],
+            }
+        ]
+    return doc
+
+
+def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
+    meta: dict[str, Any] = {
+        "format_version": doc["format-version"],
+        "table_uuid": doc.get("table-uuid"),
+        "identifier": doc["identifier"],
+        "location": doc["location"],
+        "last_sequence_number": doc.get("last-sequence-number", 0),
+        "current_schema_version": doc["current-schema-id"],
+        "schemas": {
+            str(s["schema-id"]): s["spark-type"] for s in doc["schemas"]
+        },
+        "current_spec_id": doc["default-spec-id"],
+        "specs": {
+            str(s["spec-id"]): [
+                {
+                    "source_column": f["source-column"],
+                    "transform": f["transform"],
+                    "name": f["name"],
+                    "spec_field_id": f["field-id"],
+                }
+                for f in s["fields"]
+            ]
+            for s in doc["partition-specs"]
+        },
+        "properties": doc["properties"],
+        "snapshots": [_snap_from_spec(s) for s in doc["snapshots"]],
+    }
+    if doc.get("snapshot-history"):
+        meta["snapshot_history"] = [
+            _snap_from_spec(s) for s in doc["snapshot-history"]
+        ]
+    if doc.get("sort-orders"):
+        meta["sort_order"] = [
+            f["source-column"] for f in doc["sort-orders"][0]["fields"]
+        ]
+    return meta
 
 
 class LakeCatalog:
@@ -106,6 +276,7 @@ class LakeCatalog:
         spec = partition_spec or PartitionSpec()
         meta = {
             "format_version": FORMAT_VERSION,
+            "table_uuid": str(uuid.uuid4()),
             "identifier": f"{database}.{table}",
             "location": str(loc),
             "current_schema_version": 1,
@@ -144,7 +315,7 @@ class LakeTable:
         location = Path(location)
         hint = (location / "_meta" / "version-hint.text").read_text().strip()
         meta_file = location / "_meta" / f"v{hint}.metadata.json"
-        return LakeTable(location, json.loads(meta_file.read_text()))
+        return LakeTable(location, _meta_from_spec(json.loads(meta_file.read_text())))
 
     def refresh(self) -> "LakeTable":
         """Re-read committed metadata (reference: table.refresh(),
@@ -161,7 +332,7 @@ class LakeTable:
                 int(hint_file.read_text().strip()) + 1 if hint_file.exists() else 1
             )
         (meta_dir / f"v{version}.metadata.json").write_text(
-            json.dumps(self.meta, indent=1)
+            json.dumps(_meta_to_spec(self.meta), indent=1)
         )
         (meta_dir / "version-hint.text").write_text(str(version))
 
@@ -248,6 +419,8 @@ class LakeTable:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(str(out))
+        seq = int(self.meta.get("last_sequence_number", 0)) + 1
+        self.meta["last_sequence_number"] = seq
         snap = Snapshot(
             snapshot_id=snap_id,
             timestamp_ms=int(time.time() * 1000),
@@ -255,6 +428,7 @@ class LakeTable:
             schema_version=int(self.meta["current_schema_version"]),
             spec_id=int(self.meta["current_spec_id"]),
             data_dir=rel,
+            sequence_number=seq,
         )
         if operation == "overwrite":
             self.meta["snapshots"] = [snap.to_json()]
