@@ -345,11 +345,28 @@ def b12_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b13_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-distinct as three two-phase aggregations + tiny joins
+    instead of one multi-countDistinct (which Catalyst plans as an
+    Expand that triples every input row through a single fat shuffle).
+    Each distinct pre-aggregates map-side on (flag, key), so only the
+    distinct pairs cross the wire — at 100 TB that's |keys| rows per
+    shuffle, not 3x|fact|. The three per-flag results are 3 rows each;
+    AQE broadcasts the joins."""
     l = t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    rows = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    supp = (
+        l.select("l_returnflag", "l_suppkey").distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    part = (
+        l.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return (
+        rows.join(supp, "l_returnflag").join(part, "l_returnflag")
+        .select("l_returnflag", "n_suppliers", "n_parts", "n_rows")
     )
 
 

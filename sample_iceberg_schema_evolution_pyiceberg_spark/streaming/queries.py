@@ -39,14 +39,29 @@ def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
 
 def _run_to_memory(out: DataFrame, mode: str = "complete") -> str:
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # Stateful streaming parallelism = shuffle partitions AT QUERY START
+    # (pinned in the checkpoint thereafter; AQE never applies to
+    # streaming). 32 state stores — and for applyInPandasWithState /
+    # stream-stream joins, 32 Python workers / 4x32 join state stores —
+    # is pure fixed overhead at gate scale. Pin 8 for the gate run; a
+    # production deployment sizes this to cluster cores before first
+    # start, which is exactly how real Spark streaming jobs pick state
+    # parallelism (it cannot be changed across restarts anyway).
+    spark = out.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, old)
     return name
 
 
