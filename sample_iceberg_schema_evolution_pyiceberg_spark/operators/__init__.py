@@ -35,6 +35,14 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
+    # Round 3: the 8 keys no driver round has ever checked (r1's window
+    # stopped before them; r2's reorder pushed them past the 50-entry
+    # window) go FIRST so CORRECTNESS_r03 finally has rows for them.
+    "b42_udtf_explode", "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
+    "b48_in_subquery_sql", "b49_cte_sql", "b58_grouped_map_pandas",
+    "c12_multimodal_decode_features", "c14_multimodal_frame_sample",
+    # b13's plan is rewritten in round 3 — needs fresh driver evidence
+    "b13_agg_count_distinct",
     # Tier A — the reference's core domain (schema evolution + lake ops)
     "a01_evolution_episode", "a02_partition_transforms", "a03_lake_roundtrip",
     "a04_schema_diff_report", "a05_merge_upsert", "a06_delete_update_where",
@@ -61,14 +69,11 @@ _PRIORITY = [
     # Streaming rows-only (session window, watermark, custom state, SS join)
     "s04_stream_session_window", "s05_stream_late_data_drop",
     "s06_stream_stateful_counter", "s07_stream_stream_join",
-    # Tier C rows-only (approximate / recall-tested)
+    # Tier C rows-only (approximate / recall-tested; r2 recorded no_oracle
+    # rows for these — may fall outside the r3 window, acceptable)
     "c02_dedup_minhash_lsh", "c03_dedup_simhash", "c06_ann_lsh_topk",
     "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
-    "c02b_minhash_signatures", "c12_multimodal_decode_features",
-    "c14_multimodal_frame_sample",
-    # SQL subquery/CTE surface + remaining variants
-    "b42_udtf_explode", "b58_grouped_map_pandas", "b46_exists_subquery_sql",
-    "b47_scalar_subquery_sql", "b48_in_subquery_sql", "b49_cte_sql",
+    "c02b_minhash_signatures",
     # Previously driver-green queries (re-verify after the window above)
     # ... everything unlisted keeps its registration order, rows-only last.
 ]
