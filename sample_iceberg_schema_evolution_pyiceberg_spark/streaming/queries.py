@@ -28,12 +28,17 @@ def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf}")
     )
-    if dict(batch.dtypes).get("ts") == "bigint":
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
         # watermarks require TIMESTAMP (not NTZ); session tz is UTC so
         # window-start formatting matches the naive batch/oracle values
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # parquet now carries timestamp[us]; NTZ->TIMESTAMP under the
+        # UTC session tz preserves the wall-clock values
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
