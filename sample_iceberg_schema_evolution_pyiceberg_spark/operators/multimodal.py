@@ -60,13 +60,14 @@ def decode_media_stub(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
-@query("c12_multimodal_decode_features")  # stub decode -> rows-only
-def c12_multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+def decode_features_array(spark: SparkSession, sf: str) -> DataFrame:
     """Decode/feature-extract over binary payloads with mapInPandas:
     Arrow batches in, feature vectors out. The batch shape, output
     schema (vec_id/feature array/width), and partition-preserving
     execution are the real contract; the decoder itself is the stub
-    above."""
+    above. This array-valued form is the user-facing API; the
+    registered c12 query below explodes it so the result is
+    canonicalizable (and DuckDB-oracle-expressible)."""
     d = t(spark, sf, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -89,6 +90,33 @@ def c12_multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "c12_multimodal_decode_features",
+    # The stub features are sha256(payload) bytes / 255.0 and the text
+    # payloads are pure ASCII, so DuckDB's VARCHAR sha256 hashes the
+    # same bytes; hex pairs -> byte values via strpos arithmetic.
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(i.g AS INT) AS feature_idx,
+           ((strpos('0123456789abcdef',
+                    substr(sha256(d.text), CAST(2 * i.g + 1 AS INT), 1)) - 1) * 16
+            + (strpos('0123456789abcdef',
+                      substr(sha256(d.text), CAST(2 * i.g + 2 AS INT), 1)) - 1)
+           ) / 255.0 AS feature_value
+    FROM documents d CROSS JOIN range({FEATURE_DIM}) i(g)
+    """,
+)
+def c12_multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical (doc_id, feature_idx, feature_value) view of the
+    mapInPandas decode above — one row per feature slot. The values are
+    IEEE-exact on both engines (integer byte / 255.0), so the query is
+    hash-gateable."""
+    return decode_features_array(spark, sf).select(
+        "doc_id",
+        F.posexplode("features").alias("feature_idx", "feature_value"),
+    )
+
+
 FRAME_INTERVAL = 64  # stub "frame" stride in payload bytes
 
 
@@ -104,7 +132,26 @@ def sample_frames_stub(payload: bytes) -> list[tuple[int, str]]:
     ]
 
 
-@query("c14_multimodal_frame_sample")  # stub decode -> rows-only
+@query(
+    "c14_multimodal_frame_sample",
+    # Frames are md5 over fixed 64-byte windows of the utf-8 payload;
+    # payloads are pure ASCII so DuckDB's VARCHAR substr/md5 hash the
+    # same bytes. unnest(range(n)) reproduces the per-doc fan-out.
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(CAST(ceil(length(text) / {FRAME_INTERVAL}.0)
+                                 AS BIGINT))) AS g
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(g AS INT) AS frame_idx,
+           md5(substr(text, CAST(g * {FRAME_INTERVAL} + 1 AS INT),
+               {FRAME_INTERVAL})) AS frame_fingerprint,
+           CAST(g * {FRAME_INTERVAL} AS BIGINT) AS byte_offset
+    FROM f
+    """,
+)
 def c14_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling over binary media via mapInPandas: each payload
     expands to one row per sampled frame (frame index + fingerprint +

@@ -216,9 +216,10 @@ def test_multimodal_decode_stub_schema(spark, planted_docs):
     from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
         FEATURE_DIM,
         c12_multimodal_decode_features,
+        decode_features_array,
     )
 
-    df = c12_multimodal_decode_features(spark, planted_docs)
+    df = decode_features_array(spark, planted_docs)
     assert df.schema.simpleString() == (
         "struct<doc_id:bigint,features:array<double>,feature_dim:int>"
     )
@@ -228,3 +229,9 @@ def test_multimodal_decode_stub_schema(spark, planted_docs):
     # deterministic: same payload -> same features (the exact-dup docs)
     by_id = {r["doc_id"]: r["features"] for r in rows}
     assert by_id[0] == by_id[200]
+    # the registered c12 query is the exploded, canonicalizable view
+    exploded = c12_multimodal_decode_features(spark, planted_docs)
+    assert exploded.schema.simpleString() == (
+        "struct<doc_id:bigint,feature_idx:int,feature_value:double>"
+    )
+    assert exploded.count() == 125 * FEATURE_DIM
