@@ -12,8 +12,10 @@ alongside (BASELINE.md gate: within 2x) and reported under
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -47,6 +49,21 @@ TABLES = [
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def plan_fingerprint(df) -> str:
+    """Stable hash of the physical plan shape: expression IDs, plan IDs
+    and stats vary per session, so strip them before hashing. Lets a
+    reader of BENCH_r{N}.json distinguish 'the plan changed' from 'the
+    box was noisy' when a query's time moves between rounds."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+L?", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=#?\d*\]", "", s)
+    s = re.sub(r"/[^\s,)\]]*testdata[^\s,)\]]*", "<path>", s)
+    s = re.sub(r"/tmp/[^\s,)\]]*", "<tmp>", s)
+    s = re.sub(r"\s+", " ", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 
 def main() -> None:
@@ -84,13 +101,19 @@ def main() -> None:
     # per-query medians ~40% (cache/JIT/cleaner cross-talk between
     # plans; see tools/aqe_experiment.py, which first quantified it)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    fingerprints: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        fingerprints[name] = plan_fingerprint(fn(spark, sf_dir))
         for _ in range(runs):
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             samples[name].append(time.time() - t0)
     times = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
+    spread = {
+        n: {"min": round(min(s), 3), "max": round(max(s), 3)}
+        for n, s in samples.items()
+    }
 
     duck_times: dict[str, float] = {}
     try:
@@ -116,8 +139,12 @@ def main() -> None:
         duck_times = {
             n: round(sorted(s)[len(s) // 2], 3) for n, s in d_samples.items()
         }
+        duck_spread = {
+            n: {"min": round(min(s), 3), "max": round(max(s), 3)}
+            for n, s in d_samples.items()
+        }
     except Exception:  # noqa: BLE001 — bench must still emit its line
-        pass
+        duck_spread = {}
 
     total = round(sum(times.values()), 3)
     print(
@@ -128,8 +155,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "query_spread": spread,
+                "plan_fingerprints": fingerprints,
                 "duckdb_queries": duck_times,
                 "duckdb_total": round(sum(duck_times.values()), 3),
+                "duckdb_spread": duck_spread,
             }
         )
     )
