@@ -133,6 +133,22 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
+    """Single point of truth for the events.ts encoding: the column
+    arrives either as raw nanosecond longs (nanosAsLong conf) or as
+    parquet timestamp[us]. Truncate ns->us and cast to ``target`` —
+    ``timestamp_ntz`` for batch/oracle parity, ``timestamp`` for
+    streaming (watermarks reject NTZ). Under the UTC session tz both
+    targets carry the same wall-clock values."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = "timestamp"
+    if ts_type != target:
+        df = df.withColumn("ts", F.col("ts").cast(target))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (B1 parquet scan). ``events`` carries a
     TIMESTAMP(NANOS) column Spark can't represent: read as long ns (see
@@ -151,10 +167,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     ensure_session_confs(spark)
     df = spark.read.parquet(_split_cached_path(f"{sf_dir}/{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-        )
+    if name == "events":
+        df = normalize_events_ts(df, target="timestamp_ntz")
     per_session[(sf_dir, name)] = df
     return df
 

@@ -20,7 +20,14 @@ from ..operators.registry import query, t
 
 def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
     """events as a file stream: explicit schema (streams can't infer),
-    ns->us conversion as in the batch source."""
+    ts normalized by the shared batch/streaming helper — TIMESTAMP
+    (not NTZ) because watermarks reject NTZ; session tz is UTC so
+    window-start formatting matches the naive batch/oracle values."""
+    from ..sources import ensure_session_confs, normalize_events_ts  # noqa: PLC0415
+
+    # parity confs (UTC tz, nanosAsLong, NTZ inference) must be live
+    # before the schema probe — a driver-built session may lack them
+    ensure_session_confs(spark)
     batch = spark.read.parquet(f"{sf}/events.parquet")
     stream = (
         spark.readStream.schema(batch.schema)
@@ -28,18 +35,7 @@ def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf}")
     )
-    ts_type = dict(batch.dtypes).get("ts")
-    if ts_type == "bigint":
-        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so
-        # window-start formatting matches the naive batch/oracle values
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-    elif ts_type == "timestamp_ntz":
-        # parquet now carries timestamp[us]; NTZ->TIMESTAMP under the
-        # UTC session tz preserves the wall-clock values
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_events_ts(stream, target="timestamp")
 
 
 def _run_to_memory(out: DataFrame, mode: str = "complete") -> str:
