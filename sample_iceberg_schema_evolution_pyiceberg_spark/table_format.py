@@ -349,6 +349,10 @@ class LakeTable:
         return T.StructType.fromJson(self.meta["schemas"][str(version)])
 
     @property
+    def properties(self) -> dict[str, str]:
+        return self.meta["properties"]
+
+    @property
     def partition_spec(self) -> PartitionSpec:
         sid = str(self.meta["current_spec_id"])
         return PartitionSpec.from_json(self.meta["specs"][sid])

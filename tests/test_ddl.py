@@ -1,0 +1,140 @@
+"""SQL DDL front-end tests: the v1->v2 golden evolution episode
+(reference assets orders_v1.json -> orders_v2.json) driven purely by
+DDL strings, plus parser edge cases and error contract."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import types as T
+
+from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import DdlFrontend
+from sample_iceberg_schema_evolution_pyiceberg_spark.schema_compiler import compile_schema
+from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeCatalog
+
+ASSETS = Path(__file__).parent.parent / (
+    "sample_iceberg_schema_evolution_pyiceberg_spark/assets"
+)
+
+
+@pytest.fixture()
+def ddl(spark, tmp_path):
+    return DdlFrontend(spark, LakeCatalog(tmp_path / "wh"))
+
+
+def _norm(dt: T.DataType) -> T.DataType:
+    """Nullability-normalized copy (DDL strings can't express every
+    containsNull/valueContainsNull combination the config compiler
+    emits; the episode's observable contract is names/types/order)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _norm(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_norm(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_norm(dt.keyType), _norm(dt.valueType), True)
+    return dt
+
+
+CREATE_V1 = """
+CREATE TABLE customer_order.orders (
+    order_time TIMESTAMP_NTZ,
+    customer_name STRING,
+    address STRUCT<city: STRING, state: STRING>,
+    order_items ARRAY<STRUCT<item_id: STRING NOT NULL,
+                             price: FLOAT NOT NULL>> NOT NULL
+) PARTITIONED BY (year(order_time))
+"""
+
+# the v2 delta, each as its own statement (reference episode §1.3:
+# add root order_id; add address.address_line + address.zip; add
+# order_items.element.item_count; partition year -> month)
+ALTER_V2 = [
+    "ALTER TABLE customer_order.orders ADD COLUMN order_id STRING",
+    "ALTER TABLE customer_order.orders ALTER COLUMN order_id FIRST",
+    "ALTER TABLE customer_order.orders ADD COLUMN address.address_line STRING",
+    "ALTER TABLE customer_order.orders ALTER COLUMN address.address_line FIRST",
+    "ALTER TABLE customer_order.orders ADD COLUMN address.zip STRING",
+    "ALTER TABLE customer_order.orders "
+    "ADD COLUMN order_items.element.item_count INT NOT NULL",
+    "ALTER TABLE customer_order.orders "
+    "ALTER COLUMN order_items.element.item_count AFTER item_id",
+    "ALTER TABLE customer_order.orders DROP PARTITION FIELD year(order_time)",
+    "ALTER TABLE customer_order.orders ADD PARTITION FIELD month(order_time)",
+]
+
+
+def test_golden_episode_via_sql(ddl):
+    r = ddl.sql(CREATE_V1)
+    assert not r.has_error, r.message_list
+    assert r.change_type == "CREATE TABLE"
+
+    for stmt in ALTER_V2:
+        r = ddl.sql(stmt)
+        assert not r.has_error, (stmt, r.message_list)
+        assert r.change_type == "ALTER TABLE"
+
+    table = ddl.catalog.load_table("customer_order", "orders")
+    v2 = json.loads((ASSETS / "orders_v2.json").read_text())
+    assert _norm(table.schema) == _norm(compile_schema(v2))
+    spec = table.partition_spec
+    assert [(f.source_column, f.transform) for f in spec.fields] == [
+        ("order_time", "month")
+    ]
+    # metadata-only evolution: every schema version retained
+    assert table.schema_at(1) is not None
+
+
+def test_create_if_not_exists_and_drop(ddl):
+    assert not ddl.sql("CREATE TABLE d.t (a INT)").has_error
+    r = ddl.sql("CREATE TABLE d.t (a INT)")
+    assert r.has_error  # no IF NOT EXISTS -> error accumulated, not raised
+    r = ddl.sql("CREATE TABLE IF NOT EXISTS d.t (a INT)")
+    assert not r.has_error
+    assert not ddl.sql("DROP TABLE d.t").has_error
+    assert ddl.sql("DROP TABLE d.t").has_error
+    assert not ddl.sql("DROP TABLE IF EXISTS d.t").has_error
+
+
+def test_add_columns_multi_and_type_update(ddl):
+    ddl.sql("CREATE TABLE d.t (a INT, b FLOAT)")
+    r = ddl.sql("ALTER TABLE d.t ADD COLUMNS (c STRING, d DECIMAL(10,2))")
+    assert not r.has_error
+    r = ddl.sql("ALTER TABLE d.t ALTER COLUMN a TYPE BIGINT")
+    assert not r.has_error
+    schema = ddl.catalog.load_table("d", "t").schema
+    assert schema.simpleString() == (
+        "struct<a:bigint,b:float,c:string,d:decimal(10,2)>"
+    )
+    # illegal promotion -> error accumulated, schema untouched
+    r = ddl.sql("ALTER TABLE d.t ALTER COLUMN b TYPE INT")
+    assert r.has_error
+    assert "not allowed" in " ".join(r.message_list)
+    assert ddl.catalog.load_table("d", "t").schema == schema
+
+
+def test_partition_field_errors_and_tblproperties(ddl):
+    r = ddl.sql(
+        "CREATE TABLE d.p (ts TIMESTAMP_NTZ, v INT) "
+        "PARTITIONED BY (days(ts)) "
+        "TBLPROPERTIES ('write.target-size' = '512m')"
+    )
+    assert not r.has_error, r.message_list
+    t = ddl.catalog.load_table("d", "p")
+    assert t.properties.get("write.target-size") == "512m"
+    assert [(f.source_column, f.transform) for f in t.partition_spec.fields] == [
+        ("ts", "day")
+    ]
+    assert ddl.sql(
+        "ALTER TABLE d.p ADD PARTITION FIELD bucket(16, v)"
+    ).has_error  # unsupported transform
+    assert ddl.sql("CREATE TABLE d.q (a INT) PARTITIONED BY (days(b))").has_error
+
+
+def test_unparseable_statement_is_error_not_raise(ddl):
+    r = ddl.sql("GRANT ALL ON d.t TO role")
+    assert r.has_error and "unrecognized" in r.message_list[0]
