@@ -1,0 +1,567 @@
+"""Export a LakeTable as an Apache Iceberg v1 table directory.
+
+The reference manages true Iceberg tables through PyIceberg + a catalog
+(``/root/reference/lambda/iceberg_helper.py:104-122``, create_table
+:234-239); this container has no Iceberg runtime, so table_format.py
+keeps its own metadata. This module closes the interop gap the honest
+way available offline: it materializes the **public Iceberg table spec
+v1** layout from a LakeTable —
+
+- ``metadata/v{N}.metadata.json`` + ``version-hint.text`` (the
+  HadoopTables/HadoopCatalog file-system catalog convention, so an
+  engine with an Iceberg runtime — Spark+iceberg-runtime, Trino,
+  pyiceberg ``StaticTable.from_metadata`` — can open ``location``
+  directly),
+- one Avro manifest list per exported snapshot chain,
+- one Avro manifest per contributing snapshot, listing its parquet
+  data files with per-file record counts/sizes (read from parquet
+  footers, the same stats Iceberg collects at commit time),
+
+with real per-field Iceberg field IDs, Iceberg type names, and
+spec-encoded partition values (year -> years since 1970, month ->
+months since 1970-01, day -> days since epoch, hour -> hours since
+epoch — the spec's integer transform encodings, converted from the
+hive-style directory values the write path produces).
+
+Verification strategy (tests/test_iceberg_export.py): the Avro files
+are read back through the Apache Avro *Java* implementation bundled in
+Spark's JVM (an independent codec implementation, not this writer), and
+an "external reader" reconstructs the table's rows purely from the
+exported Iceberg metadata — never touching ``_meta`` — and must match
+``to_df()``. A real Iceberg engine could not be installed offline; the
+Java-Avro round-trip plus byte-level spec assertions are the strongest
+in-container evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from datetime import date, datetime
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import types as T
+
+from .avro_ocf import write_ocf
+from .partitioning import PARTITION_COL_PREFIX, PartitionSpec
+from .table_format import LakeTable, Snapshot
+
+FORMAT_VERSION = 1
+
+# ---------------------------------------------------------------------------
+# Spark -> Iceberg schema JSON (public Iceberg spec "Schemas" section)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES: dict[str, str] = {
+    "boolean": "boolean",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+class _IdGen:
+    def __init__(self) -> None:
+        self.last = 0
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _iceberg_type(dt: T.DataType, ids: _IdGen) -> Any:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [_iceberg_field(f, ids) for f in dt.fields],
+        }
+    if isinstance(dt, T.ArrayType):
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = ids.next(), ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, ids),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    name = dt.typeName()
+    if name in _PRIMITIVES:
+        return _PRIMITIVES[name]
+    raise ValueError(f"no Iceberg mapping for Spark type {dt.simpleString()}")
+
+
+def _iceberg_field(f: T.StructField, ids: _IdGen) -> dict[str, Any]:
+    fid = ids.next()
+    return {
+        "id": fid,
+        "name": f.name,
+        "required": not f.nullable,
+        "type": _iceberg_type(f.dataType, ids),
+    }
+
+
+def schema_to_iceberg(schema: T.StructType, schema_id: int = 0) -> dict[str, Any]:
+    """Assign fresh sequential field IDs (DFS pre-order — any unique
+    assignment is spec-valid; IDs are minted once at export and reused
+    for the partition spec's source-id references)."""
+    ids = _IdGen()
+    doc = {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": [_iceberg_field(f, ids) for f in schema.fields],
+    }
+    doc["_last_column_id"] = ids.last  # stripped before writing
+    return doc
+
+
+# ---------------------------------------------------------------------------
+# Partition spec JSON + partition value encoding
+# ---------------------------------------------------------------------------
+
+_EPOCH = date(1970, 1, 1)
+
+
+def spec_to_iceberg(
+    spec: PartitionSpec, schema_doc: dict[str, Any], spec_id: int = 0
+) -> dict[str, Any]:
+    root_ids = {f["name"]: f["id"] for f in schema_doc["fields"]}
+    fields = []
+    for i, f in enumerate(spec.fields):
+        if f.source_column not in root_ids:
+            raise ValueError(
+                f"partition source {f.source_column!r} not a root column"
+            )
+        fields.append(
+            {
+                "name": f.name,
+                "transform": f.transform,
+                "source-id": root_ids[f.source_column],
+                "field-id": 1000 + i,
+            }
+        )
+    return {"spec-id": spec_id, "fields": fields}
+
+
+def _partition_avro_type(transform: str, source_type: T.DataType) -> Any:
+    if transform in ("year", "month", "day", "hour"):
+        return "int"
+    if isinstance(source_type, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(source_type, T.LongType):
+        return "long"
+    return "string"
+
+
+def encode_partition_value(transform: str, raw: str, source_type: T.DataType):
+    """Hive-dir string -> Iceberg spec partition encoding."""
+    if raw in ("__HIVE_DEFAULT_PARTITION__", "null", ""):
+        return None
+    if transform == "year":
+        return int(raw) - 1970
+    if transform == "month":
+        y, m = raw.split("-")
+        return (int(y) - 1970) * 12 + (int(m) - 1)
+    if transform == "day":
+        return (date.fromisoformat(raw) - _EPOCH).days
+    if transform == "hour":
+        d, h = raw.rsplit("-", 1)
+        return (date.fromisoformat(d) - _EPOCH).days * 24 + int(h)
+    if isinstance(source_type, (T.IntegerType, T.ShortType, T.ByteType, T.LongType)):
+        return int(raw)
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# Manifest / manifest-list Avro schemas (Iceberg spec v1 field IDs)
+# ---------------------------------------------------------------------------
+
+
+def _manifest_entry_schema(partition_fields: list[dict[str, Any]]) -> dict:
+    partition_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", pf["avro_type"]],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {
+            "name": "added_snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 503,
+        },
+        {
+            "name": "added_files_count",
+            "type": ["null", "int"],
+            "default": None,
+            "field-id": 504,
+        },
+        {
+            "name": "existing_files_count",
+            "type": ["null", "int"],
+            "default": None,
+            "field-id": 505,
+        },
+        {
+            "name": "deleted_files_count",
+            "type": ["null", "int"],
+            "default": None,
+            "field-id": 506,
+        },
+        {
+            "name": "added_rows_count",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 512,
+        },
+        {
+            "name": "existing_rows_count",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 513,
+        },
+        {
+            "name": "deleted_rows_count",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 514,
+        },
+    ],
+}
+
+
+def _snapshot_int_id(snap: Snapshot) -> int:
+    """Our snapshot ids are strings; Iceberg requires int64. Derive a
+    stable positive 63-bit id from the string."""
+    import hashlib  # noqa: PLC0415
+
+    digest = hashlib.sha256(snap.snapshot_id.encode()).digest()
+    return int.from_bytes(digest[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+# ---------------------------------------------------------------------------
+# Exporter
+# ---------------------------------------------------------------------------
+
+
+def _list_data_files(
+    table: LakeTable, snap: Snapshot
+) -> list[tuple[str, dict[str, str]]]:
+    """(absolute parquet path, {partition name: raw dir value}) for one
+    snapshot's data directory. Driver-side listing of one snapshot's
+    files — the same metadata-scale work Iceberg itself does at commit."""
+    base = table.location / snap.data_dir
+    out: list[tuple[str, dict[str, str]]] = []
+    for root, _dirs, files in os.walk(base):
+        parts: dict[str, str] = {}
+        rel = os.path.relpath(root, base)
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    parts[k.removeprefix(PARTITION_COL_PREFIX)] = v
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append((os.path.join(root, fn), parts))
+    return sorted(out)
+
+
+def export_to_iceberg(table: LakeTable) -> Path:
+    """Write Iceberg v1 metadata for the table's current state; returns
+    the metadata directory. Repeated exports bump the metadata version
+    (HadoopTables convention) and re-derive everything from the live
+    LakeTable metadata + parquet footers."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    meta_dir = table.location / "metadata"
+    meta_dir.mkdir(parents=True, exist_ok=True)
+
+    schema_doc = schema_to_iceberg(table.schema, schema_id=0)
+    last_column_id = schema_doc.pop("_last_column_id")
+    spec = table.partition_spec
+    spec_doc = spec_to_iceberg(spec, schema_doc, spec_id=0)
+
+    src_types = {f.name: f.dataType for f in table.schema.fields}
+    partition_fields = [
+        {
+            "name": sf["name"],
+            "field-id": sf["field-id"],
+            "transform": sf["transform"],
+            "avro_type": _partition_avro_type(
+                sf["transform"],
+                src_types[pf.source_column],
+            ),
+            "source_column": pf.source_column,
+        }
+        for sf, pf in zip(spec_doc["fields"], spec.fields)
+    ]
+    entry_schema = _manifest_entry_schema(partition_fields)
+
+    # current table state = snapshots since (and including) the last
+    # overwrite; each contributes one manifest of status=added files
+    snaps = table.snapshots
+    live: list[Snapshot] = []
+    for snap in snaps:
+        if snap.operation == "overwrite":
+            live = [snap]
+        else:
+            live.append(snap)
+
+    manifest_entries_meta = {
+        "schema": json.dumps(schema_doc),
+        "partition-spec": json.dumps(spec_doc["fields"]),
+        "partition-spec-id": str(spec_doc["spec-id"]),
+        "format-version": str(FORMAT_VERSION),
+        "content": "data",
+    }
+
+    manifests: list[dict[str, Any]] = []
+    for snap in live:
+        sid = _snapshot_int_id(snap)
+        entries = []
+        for fpath, rawparts in _list_data_files(table, snap):
+            md = pq.ParquetFile(fpath).metadata
+            partition = {
+                pf["name"]: encode_partition_value(
+                    pf["transform"],
+                    rawparts.get(pf["name"], ""),
+                    src_types[pf["source_column"]],
+                )
+                for pf in partition_fields
+            }
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": sid,
+                    "data_file": {
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "block_size_in_bytes": 64 * 1024 * 1024,
+                    },
+                }
+            )
+        mpath = meta_dir / f"manifest-{snap.snapshot_id}.avro"
+        write_ocf(str(mpath), entry_schema, entries, manifest_entries_meta)
+        manifests.append(
+            {
+                "manifest_path": str(mpath),
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_doc["spec-id"],
+                "added_snapshot_id": sid,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    now_ms = int(time.time() * 1000)
+    snapshots_json: list[dict[str, Any]] = []
+    current_id: int | None = None
+    if live:
+        current = live[-1]
+        current_id = _snapshot_int_id(current)
+        list_path = meta_dir / f"snap-{current_id}-1-{uuid.uuid4()}.avro"
+        write_ocf(
+            str(list_path),
+            _MANIFEST_FILE_SCHEMA,
+            manifests,
+            {"format-version": str(FORMAT_VERSION)},
+        )
+        snapshots_json.append(
+            {
+                "snapshot-id": current_id,
+                "timestamp-ms": current.timestamp_ms,
+                "manifest-list": str(list_path),
+                "schema-id": 0,
+                "summary": {
+                    "operation": "append"
+                    if current.operation == "append"
+                    else "overwrite",
+                    "added-data-files": str(
+                        manifests[-1]["added_files_count"]
+                    ),
+                    "total-records": str(
+                        sum(m["added_rows_count"] for m in manifests)
+                    ),
+                },
+            }
+        )
+
+    doc: dict[str, Any] = {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": table.meta.get("table_uuid") or str(uuid.uuid4()),
+        "location": str(table.location),
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "schema": {k: v for k, v in schema_doc.items() if k != "schema-id"},
+        "schemas": [schema_doc],
+        "current-schema-id": 0,
+        "partition-spec": spec_doc["fields"],
+        "partition-specs": [spec_doc],
+        "default-spec-id": 0,
+        "last-partition-id": max(
+            [f["field-id"] for f in spec_doc["fields"]] + [999]
+        ),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": dict(table.meta.get("properties") or {}),
+        "current-snapshot-id": current_id if current_id is not None else -1,
+        "snapshots": snapshots_json,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots_json
+        ],
+        "metadata-log": [],
+    }
+
+    hint_file = meta_dir / "version-hint.text"
+    version = (
+        int(hint_file.read_text().strip()) + 1 if hint_file.exists() else 1
+    )
+    (meta_dir / f"v{version}.metadata.json").write_text(
+        json.dumps(doc, indent=1)
+    )
+    hint_file.write_text(str(version))
+    return meta_dir
+
+
+# ---------------------------------------------------------------------------
+# Independent reader (used by tests as the "second engine"): reconstruct
+# table rows from the exported Iceberg metadata ONLY — metadata.json via
+# version-hint, manifest list + manifests via the JVM's Apache Avro
+# implementation, data via spark.read.parquet on the listed file paths.
+# ---------------------------------------------------------------------------
+
+
+def read_iceberg_table(spark, location: str | Path):
+    """Open an Iceberg v1 table directory the way a HadoopTables reader
+    does. Avro decoding is delegated to org.apache.avro (Spark's JVM) —
+    an implementation this package did not write."""
+    location = Path(location)
+    meta_dir = location / "metadata"
+    version = (meta_dir / "version-hint.text").read_text().strip()
+    doc = json.loads((meta_dir / f"v{version}.metadata.json").read_text())
+    snap = next(
+        s
+        for s in doc["snapshots"]
+        if s["snapshot-id"] == doc["current-snapshot-id"]
+    )
+    files: list[str] = []
+    for m in read_avro_jvm(spark, snap["manifest-list"]):
+        for entry in read_avro_jvm(spark, m["manifest_path"]):
+            if entry["status"] != 2:  # not DELETED
+                files.append(entry["data_file"]["file_path"])
+    # Iceberg readers take file paths from manifests verbatim and never
+    # run directory/partition discovery (partition values live in the
+    # manifest, source columns in the files). Spark's multi-path reader
+    # insists on discovery, so read per-file and union — adequate for
+    # this verification reader; a production engine plans all files in
+    # one FileScan with discovery off.
+    df = None
+    for f in files:
+        part = spark.read.parquet(f)
+        df = part if df is None else df.unionByName(part)
+    return df, doc
+
+
+def read_avro_jvm(spark, path: str) -> list[dict[str, Any]]:
+    """Read an Avro OCF through the bundled Apache Avro Java library
+    (independent of avro_ocf.py), returning records as plain dicts."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(str(path)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    out = []
+    while reader.hasNext():
+        out.append(_jrecord_to_py(reader.next()))
+    reader.close()
+    return out
+
+
+def _jrecord_to_py(obj: Any) -> Any:
+    cls = obj.getClass().getName() if hasattr(obj, "getClass") else None
+    if cls is None:
+        return obj
+    if "GenericData$Record" in cls:
+        schema = obj.getSchema()
+        return {
+            f.name(): _jrecord_to_py(obj.get(f.name()))
+            for f in schema.getFields()
+        }
+    if "Utf8" in cls:
+        return str(obj)
+    if cls in ("java.lang.Long", "java.lang.Integer"):
+        return int(obj.longValue() if cls.endswith("Long") else obj.intValue())
+    return obj

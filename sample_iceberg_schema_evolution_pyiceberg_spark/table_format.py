@@ -660,7 +660,17 @@ class LakeTable:
         for (sv, sid), group in sorted(groups.items()):
             spec = self.spec_at(sid)
             paths = [str(self.location / s.data_dir) for s in group]
-            df = spark.read.parquet(*paths)
+            # one read per snapshot dir: hive-partition extraction needs
+            # each dir as its own discovery root (a multi-path read over
+            # sibling snap-* dirs raises CONFLICTING_DIRECTORY_STRUCTURES
+            # — the kv chain sits below a per-snapshot non-kv segment).
+            # The union is metadata-sized (one arm per snapshot) and
+            # Catalyst folds the arms into one scan stage.
+            df = spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                df = df.unionByName(
+                    spark.read.parquet(p), allowMissingColumns=True
+                )
             # hidden-partition pruning for this group's spec
             for (col, op, lit) in pruning or []:
                 pred = derive_pruning_predicate(spec, col, op, lit)
