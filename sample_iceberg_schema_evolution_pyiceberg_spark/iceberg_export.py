@@ -517,21 +517,29 @@ def read_iceberg_table(spark, location: str | Path):
         for s in doc["snapshots"]
         if s["snapshot-id"] == doc["current-snapshot-id"]
     )
-    files: list[str] = []
-    for m in read_avro_jvm(spark, snap["manifest-list"]):
-        for entry in read_avro_jvm(spark, m["manifest_path"]):
-            if entry["status"] != 2:  # not DELETED
-                files.append(entry["data_file"]["file_path"])
     # Iceberg readers take file paths from manifests verbatim and never
     # run directory/partition discovery (partition values live in the
-    # manifest, source columns in the files). Spark's multi-path reader
-    # insists on discovery, so read per-file and union — adequate for
-    # this verification reader; a production engine plans all files in
-    # one FileScan with discovery off.
+    # manifest, source columns in the files). Spark's reader insists on
+    # discovery, which conflicts across snapshot roots — but within one
+    # manifest all files share a single snapshot root with a consistent
+    # layout, so scan one manifest per read and union the (metadata-
+    # sized) manifest arms.
     df = None
-    for f in files:
-        part = spark.read.parquet(f)
-        df = part if df is None else df.unionByName(part)
+    for m in read_avro_jvm(spark, snap["manifest-list"]):
+        files = [
+            e["data_file"]["file_path"]
+            for e in read_avro_jvm(spark, m["manifest_path"])
+            if e["status"] != 2  # not DELETED
+        ]
+        if not files:
+            continue
+        arm = spark.read.parquet(*files)
+        arm = arm.select(
+            [c for c in arm.columns if not c.startswith(PARTITION_COL_PREFIX)]
+        )
+        df = arm if df is None else df.unionByName(
+            arm, allowMissingColumns=True
+        )
     return df, doc
 
 

@@ -17,11 +17,12 @@ from . import dedup  # noqa: E402
 from . import similarity  # noqa: E402
 from . import text  # noqa: E402
 from . import multimodal  # noqa: E402
+from . import ddl_queries  # noqa: E402
 from ..streaming import queries as streaming_queries  # noqa: E402
 
 _MODULES += [
     "evolution_queries", "dedup", "similarity", "text", "multimodal",
-    "streaming.queries",
+    "ddl_queries", "streaming.queries",
 ]
 
 # ---------------------------------------------------------------------------
@@ -35,13 +36,14 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # Round 3: the 8 keys no driver round has ever checked (r1's window
-    # stopped before them; r2's reorder pushed them past the 50-entry
-    # window) go FIRST so CORRECTNESS_r03 finally has rows for them.
+    # Round 4: new or changed this round — the SQL DDL episode and the
+    # Iceberg export roundtrip (brand new), and c12/c14 whose outputs
+    # were re-shaped for the hash gate — go FIRST for fresh evidence.
+    "a09_sql_ddl_episode", "a10_iceberg_export_roundtrip",
+    "c12_multimodal_decode_features", "c14_multimodal_frame_sample",
+    # Round 3 window (keep driver evidence warm)
     "b42_udtf_explode", "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
     "b48_in_subquery_sql", "b49_cte_sql", "b58_grouped_map_pandas",
-    "c12_multimodal_decode_features", "c14_multimodal_frame_sample",
-    # b13's plan is rewritten in round 3 — needs fresh driver evidence
     "b13_agg_count_distinct",
     # Tier A — the reference's core domain (schema evolution + lake ops)
     "a01_evolution_episode", "a02_partition_transforms", "a03_lake_roundtrip",
