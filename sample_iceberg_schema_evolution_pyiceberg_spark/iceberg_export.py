@@ -504,10 +504,61 @@ def export_to_iceberg(table: LakeTable) -> Path:
 # ---------------------------------------------------------------------------
 
 
+_FROM_ICEBERG: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def iceberg_type_to_spark(t: Any) -> T.DataType:
+    """Inverse of _iceberg_type — lets the external reader project each
+    file by the *table* schema, the way Iceberg readers resolve files
+    written under older schema versions."""
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        return _FROM_ICEBERG[t]
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    iceberg_type_to_spark(f["type"]),
+                    not f["required"],
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            iceberg_type_to_spark(t["element"]), not t["element-required"]
+        )
+    if kind == "map":
+        return T.MapType(
+            iceberg_type_to_spark(t["key"]),
+            iceberg_type_to_spark(t["value"]),
+            not t["value-required"],
+        )
+    raise ValueError(f"unknown iceberg type {t!r}")
+
+
 def read_iceberg_table(spark, location: str | Path):
     """Open an Iceberg v1 table directory the way a HadoopTables reader
     does. Avro decoding is delegated to org.apache.avro (Spark's JVM) —
-    an implementation this package did not write."""
+    an implementation this package did not write. Files written under
+    older schema versions are resolved to the current table schema
+    (null-fill added columns, cast promoted types), matching Iceberg's
+    name/ID-based read-time projection."""
     location = Path(location)
     meta_dir = location / "metadata"
     version = (meta_dir / "version-hint.text").read_text().strip()
@@ -517,13 +568,24 @@ def read_iceberg_table(spark, location: str | Path):
         for s in doc["snapshots"]
         if s["snapshot-id"] == doc["current-snapshot-id"]
     )
+    table_schema = T.StructType(
+        [
+            T.StructField(
+                f["name"], iceberg_type_to_spark(f["type"]), not f["required"]
+            )
+            for f in doc["schemas"][0]["fields"]
+        ]
+    )
     # Iceberg readers take file paths from manifests verbatim and never
     # run directory/partition discovery (partition values live in the
     # manifest, source columns in the files). Spark's reader insists on
     # discovery, which conflicts across snapshot roots — but within one
     # manifest all files share a single snapshot root with a consistent
     # layout, so scan one manifest per read and union the (metadata-
-    # sized) manifest arms.
+    # sized) manifest arms, each aligned to the table schema (the same
+    # recursive null-fill/cast/reorder the engine's own scan uses).
+    from .table_format import _align_df  # noqa: PLC0415
+
     df = None
     for m in read_avro_jvm(spark, snap["manifest-list"]):
         files = [
@@ -533,13 +595,8 @@ def read_iceberg_table(spark, location: str | Path):
         ]
         if not files:
             continue
-        arm = spark.read.parquet(*files)
-        arm = arm.select(
-            [c for c in arm.columns if not c.startswith(PARTITION_COL_PREFIX)]
-        )
-        df = arm if df is None else df.unionByName(
-            arm, allowMissingColumns=True
-        )
+        arm = _align_df(spark.read.parquet(*files), table_schema)
+        df = arm if df is None else df.unionByName(arm)
     return df, doc
 
 

@@ -198,3 +198,97 @@ def test_partition_value_encodings():
         encode_partition_value("day", "__HIVE_DEFAULT_PARTITION__", T.DateType())
         is None
     )
+
+
+def test_export_evolved_table_external_read(spark, catalog):
+    """Files written under schema v1 resolve to the evolved schema on
+    the external read path: added column null-filled, promoted type
+    cast — Iceberg's read-time projection semantics."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.evolution import (
+        evolve_table,
+    )
+
+    v1 = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("qty", T.IntegerType(), True),
+        ]
+    )
+    table = catalog.create_table("db", "evo", v1, PartitionSpec())
+    table.append(spark.createDataFrame([Row(k=1, qty=10)], v1))
+
+    v2 = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("qty", T.LongType(), True),  # int -> long
+            T.StructField("note", T.StringType(), True),  # added
+        ]
+    )
+    res = evolve_table(table, v2)
+    assert not res.has_error
+    table.append(
+        spark.createDataFrame([Row(k=2, qty=20, note="new")], v2)
+    )
+
+    export_to_iceberg(table)
+    got, doc = read_iceberg_table(spark, table.location)
+    assert got.schema["qty"].dataType == T.LongType()
+    rows = {r["k"]: (r["qty"], r["note"]) for r in got.collect()}
+    assert rows == {1: (10, None), 2: (20, "new")}
+    assert doc["schemas"][0]["fields"][1]["type"] == "long"
+
+
+def test_avro_writer_roundtrip_property(spark, tmp_path):
+    """Property-style check of the hand-rolled OCF writer against the
+    JVM's Apache Avro reader: varied record shapes, nullable unions,
+    negative/large zigzag values, empty strings, nested records."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.avro_ocf import write_ocf
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_avro_jvm,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "ob", "type": ["null", "boolean"], "default": None},
+            {"name": "ol", "type": ["null", "long"], "default": None},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [
+                        {"name": "x", "type": "string"},
+                        {"name": "y", "type": ["null", "int"], "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+    records = [
+        {
+            "i": i * (-1) ** i * 1_000_003,
+            "l": (1 << 62) - i if i % 2 else -(1 << 61) - i,
+            "s": "" if i % 3 == 0 else f"val-{i}-é",
+            "ob": None if i % 2 else bool(i % 4),
+            "ol": None if i % 3 else i * 7,
+            "nested": {"x": f"n{i}", "y": None if i % 5 == 0 else i},
+        }
+        for i in range(50)
+    ]
+    path = str(tmp_path / "prop.avro")
+    write_ocf(path, schema, records)
+    got = read_avro_jvm(spark, path)
+    assert len(got) == 50
+    for want, have in zip(records, got):
+        assert have["i"] == want["i"]
+        assert have["l"] == want["l"]
+        assert have["s"] == want["s"]
+        assert have["ob"] == want["ob"]
+        assert have["ol"] == want["ol"]
+        assert have["nested"]["x"] == want["nested"]["x"]
+        assert have["nested"]["y"] == want["nested"]["y"]
