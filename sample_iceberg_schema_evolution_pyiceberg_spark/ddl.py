@@ -161,6 +161,18 @@ _ALTER_RE = re.compile(
     r"(?P<action>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_RE = re.compile(
+    r"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+"
+    r"(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>.*?)\)\s*)?"
+    r"AS\s+(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class DdlFrontend:
@@ -193,14 +205,91 @@ class DdlFrontend:
     # ------------------------------------------------------------------
 
     def _dispatch(self, stmt: str, resp: ProcessSchemaResponse) -> None:
-        if m := _CREATE_RE.match(stmt):
+        if m := _CTAS_RE.match(stmt):
+            self._ctas(m, resp)
+        elif m := _CREATE_RE.match(stmt):
             self._create(m, resp)
         elif m := _DROP_TABLE_RE.match(stmt):
             self._drop_table(m, resp)
         elif m := _ALTER_RE.match(stmt):
             self._alter(m, resp)
+        elif m := _INSERT_RE.match(stmt):
+            self._insert(m, resp)
+        elif re.match(r"^(SELECT|WITH|VALUES)\b", stmt, re.IGNORECASE):
+            raise DdlError(
+                "read queries go through DdlFrontend.query(), which "
+                "returns a DataFrame"
+            )
         else:
             raise DdlError(f"unrecognized statement: {stmt[:80]!r}")
+
+    # -- data plane ----------------------------------------------------
+
+    def query(self, statement: str) -> "DataFrame":
+        """Run a read query (SELECT/WITH/VALUES) against the lake:
+        every ``db.tbl`` identifier that names a catalog table is bound
+        to its current-snapshot scan (schema-aligned, hidden-partition
+        aware) as a temp view, then the statement executes through
+        spark.sql — Catalyst owns the whole data plane."""
+        return self.spark.sql(self._bind_tables(statement))
+
+    def _bind_tables(self, statement: str) -> str:
+        bound = statement
+        for db, tbl in self.catalog.list_tables():
+            pat = re.compile(rf"\b{re.escape(db)}\.{re.escape(tbl)}\b")
+            if not pat.search(bound):
+                continue
+            view = f"lake_{db}_{tbl}_v"
+            table = self.catalog.load_table(db, tbl)
+            table.to_df(self.spark).createOrReplaceTempView(view)
+            bound = pat.sub(view, bound)
+        return bound
+
+    def _insert(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        db, tbl = m.group("db"), m.group("tbl")
+        resp.database_name, resp.table_name = db, tbl
+        resp.change_type = "INSERT"
+        table = self.catalog.load_table(db, tbl)
+        if table is None:
+            raise DdlError(f"table {db}.{tbl} does not exist")
+        df = self.query(m.group("body"))
+        schema = table.schema
+        if len(df.columns) != len(schema.fields):
+            raise DdlError(
+                f"INSERT column count {len(df.columns)} != table arity "
+                f"{len(schema.fields)}"
+            )
+        # positional binding, like SQL INSERT: rename then let the
+        # write path's alignment cast types
+        df = df.toDF(*[f.name for f in schema.fields])
+        if m.group("mode").upper() == "OVERWRITE":
+            snap = table.overwrite(df)
+        else:
+            snap = table.append(df)
+        resp.message_list.append(
+            f"{'Overwrote' if m.group('mode').upper() == 'OVERWRITE' else 'Appended'}"
+            f" snapshot {snap.snapshot_id} into {db}.{tbl}"
+        )
+
+    def _ctas(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        db, tbl = m.group("db"), m.group("tbl")
+        resp.database_name, resp.table_name = db, tbl
+        resp.change_type = "CREATE TABLE"
+        if self.catalog.table_exists(db, tbl):
+            if m.group("ine"):
+                resp.message_list.append(
+                    f"Table {db}.{tbl} already exists (IF NOT EXISTS)"
+                )
+                return
+            raise DdlError(f"table {db}.{tbl} already exists")
+        df = self.query(m.group("body"))
+        spec = self._compile_spec(m.group("parts"), df.schema)
+        table = self.catalog.create_table(db, tbl, df.schema, spec)
+        snap = table.append(df)
+        resp.message_list.append(
+            f"Created table {db}.{tbl} at {table.location} "
+            f"(CTAS snapshot {snap.snapshot_id})"
+        )
 
     def _create(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
         db, tbl = m.group("db"), m.group("tbl")

@@ -302,6 +302,18 @@ class LakeCatalog:
         if loc.exists():
             shutil.rmtree(loc)
 
+    def list_tables(self) -> list[tuple[str, str]]:
+        """All (database, table) identifiers in the warehouse —
+        O(#tables) directory probes, a metadata-plane walk."""
+        out = []
+        for db_dir in sorted(self.warehouse.iterdir()):
+            if not db_dir.is_dir():
+                continue
+            for t_dir in sorted(db_dir.iterdir()):
+                if (t_dir / "_meta" / "version-hint.text").exists():
+                    out.append((db_dir.name, t_dir.name))
+        return out
+
 
 class LakeTable:
     def __init__(self, location: Path, meta: dict[str, Any]):

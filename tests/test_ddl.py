@@ -138,3 +138,57 @@ def test_partition_field_errors_and_tblproperties(ddl):
 def test_unparseable_statement_is_error_not_raise(ddl):
     r = ddl.sql("GRANT ALL ON d.t TO role")
     assert r.has_error and "unrecognized" in r.message_list[0]
+
+
+def test_data_plane_insert_select_ctas(ddl):
+    assert not ddl.sql(
+        "CREATE TABLE shop.sales (sale_id BIGINT, region STRING, amount DOUBLE)"
+    ).has_error
+    r = ddl.sql(
+        "INSERT INTO shop.sales VALUES "
+        "(1, 'east', 10.5), (2, 'west', 20.0), (3, 'east', 4.5)"
+    )
+    assert not r.has_error and r.change_type == "INSERT"
+
+    df = ddl.query(
+        "SELECT region, SUM(amount) AS total FROM shop.sales "
+        "GROUP BY region ORDER BY region"
+    )
+    assert [(r["region"], r["total"]) for r in df.collect()] == [
+        ("east", 15.0),
+        ("west", 20.0),
+    ]
+
+    # CTAS from a lake-table query
+    r = ddl.sql(
+        "CREATE TABLE shop.region_totals AS "
+        "SELECT region, SUM(amount) AS total FROM shop.sales GROUP BY region"
+    )
+    assert not r.has_error, r.message_list
+    got = ddl.query("SELECT * FROM shop.region_totals ORDER BY region")
+    assert [(r["region"], r["total"]) for r in got.collect()] == [
+        ("east", 15.0),
+        ("west", 20.0),
+    ]
+
+    # INSERT OVERWRITE replaces the live set
+    r = ddl.sql("INSERT OVERWRITE shop.sales VALUES (9, 'north', 1.0)")
+    assert not r.has_error
+    assert ddl.query("SELECT COUNT(*) AS n FROM shop.sales").collect()[0]["n"] == 1
+
+    # positional INSERT casts through the write path's alignment
+    r = ddl.sql("INSERT INTO shop.sales SELECT 10, 'south', 2")  # int -> double
+    assert not r.has_error, r.message_list
+    assert ddl.query(
+        "SELECT SUM(amount) AS s FROM shop.sales"
+    ).collect()[0]["s"] == 3.0
+
+    # arity mismatch -> accumulated error, no partial write
+    r = ddl.sql("INSERT INTO shop.sales VALUES (1, 'x')")
+    assert r.has_error
+    assert ddl.query("SELECT COUNT(*) AS n FROM shop.sales").collect()[0]["n"] == 2
+
+
+def test_query_on_sql_is_guided(ddl):
+    r = ddl.sql("SELECT 1")
+    assert r.has_error and "query()" in r.message_list[0]
