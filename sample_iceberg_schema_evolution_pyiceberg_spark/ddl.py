@@ -236,13 +236,26 @@ class DdlFrontend:
     def _bind_tables(self, statement: str) -> str:
         bound = statement
         for db, tbl in self.catalog.list_tables():
-            pat = re.compile(rf"\b{re.escape(db)}\.{re.escape(tbl)}\b")
-            if not pat.search(bound):
+            ident = rf"\b{re.escape(db)}\.{re.escape(tbl)}\b"
+            if not re.search(ident, bound):
                 continue
-            view = f"lake_{db}_{tbl}_v"
             table = self.catalog.load_table(db, tbl)
-            table.to_df(self.spark).createOrReplaceTempView(view)
-            bound = pat.sub(view, bound)
+            # time travel first: db.tbl VERSION AS OF 'snapshot-id'
+            # binds the as-of scan (B49) under its own view name
+            tt = re.compile(ident + r"\s+VERSION\s+AS\s+OF\s+'([^']+)'",
+                            re.IGNORECASE)
+            san = lambda s: re.sub(r"\W", "_", s)[:16]  # noqa: E731
+            for snap_id in set(tt.findall(bound)):
+                view = f"lake_{db}_{tbl}_asof_{san(snap_id)}_v"
+                table.to_df(self.spark, as_of_snapshot=snap_id) \
+                    .createOrReplaceTempView(view)
+            bound = tt.sub(
+                lambda m: f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v", bound
+            )
+            if re.search(ident, bound):
+                view = f"lake_{db}_{tbl}_v"
+                table.to_df(self.spark).createOrReplaceTempView(view)
+                bound = re.sub(ident, view, bound)
         return bound
 
     def _insert(self, m: re.Match, resp: ProcessSchemaResponse) -> None:

@@ -147,5 +147,6 @@ def a10_iceberg_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 ).alias("total"),
             )
         )
+        # materialize before the temp dir vanishes (bounded: grouped agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -192,3 +192,23 @@ def test_data_plane_insert_select_ctas(ddl):
 def test_query_on_sql_is_guided(ddl):
     r = ddl.sql("SELECT 1")
     assert r.has_error and "query()" in r.message_list[0]
+
+
+def test_sql_time_travel_version_as_of(ddl):
+    ddl.sql("CREATE TABLE tt.t (v BIGINT)")
+    ddl.sql("INSERT INTO tt.t VALUES (1)")
+    table = ddl.catalog.load_table("tt", "t")
+    snap1 = table.snapshots[-1].snapshot_id
+    ddl.sql("INSERT INTO tt.t VALUES (2)")
+
+    now = ddl.query("SELECT COUNT(*) AS n FROM tt.t").collect()[0]["n"]
+    then = ddl.query(
+        f"SELECT COUNT(*) AS n FROM tt.t VERSION AS OF '{snap1}'"
+    ).collect()[0]["n"]
+    assert (now, then) == (2, 1)
+    # both bindings usable in one statement
+    both = ddl.query(
+        f"SELECT (SELECT COUNT(*) FROM tt.t) - "
+        f"(SELECT COUNT(*) FROM tt.t VERSION AS OF '{snap1}') AS d"
+    ).collect()[0]["d"]
+    assert both == 1
