@@ -173,6 +173,25 @@ _CTAS_RE = re.compile(
     r"AS\s+(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_RE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+"
+    r"WHERE\s+(?P<cond>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+"
+    r"SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+# constrained MERGE: equality keys in ON (...), the three standard
+# clause forms; update expressions may reference source columns as
+# s_<name> (merge_into's aliasing contract)
+_MERGE_RE = re.compile(
+    r"^MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+"
+    r"USING\s+\((?P<src>.+)\)\s+ON\s+\((?P<keys>[^)]+)\)\s+"
+    r"(?P<clauses>WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class DdlFrontend:
@@ -215,6 +234,12 @@ class DdlFrontend:
             self._alter(m, resp)
         elif m := _INSERT_RE.match(stmt):
             self._insert(m, resp)
+        elif m := _DELETE_RE.match(stmt):
+            self._delete(m, resp)
+        elif m := _UPDATE_RE.match(stmt):
+            self._update(m, resp)
+        elif m := _MERGE_RE.match(stmt):
+            self._merge(m, resp)
         elif re.match(r"^(SELECT|WITH|VALUES)\b", stmt, re.IGNORECASE):
             raise DdlError(
                 "read queries go through DdlFrontend.query(), which "
@@ -282,6 +307,79 @@ class DdlFrontend:
         resp.message_list.append(
             f"{'Overwrote' if m.group('mode').upper() == 'OVERWRITE' else 'Appended'}"
             f" snapshot {snap.snapshot_id} into {db}.{tbl}"
+        )
+
+    def _load_for_dml(self, m: re.Match, resp: ProcessSchemaResponse,
+                      change_type: str) -> LakeTable:
+        db, tbl = m.group("db"), m.group("tbl")
+        resp.database_name, resp.table_name = db, tbl
+        resp.change_type = change_type
+        table = self.catalog.load_table(db, tbl)
+        if table is None:
+            raise DdlError(f"table {db}.{tbl} does not exist")
+        return table
+
+    def _delete(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        table = self._load_for_dml(m, resp, "DELETE")
+        snap = table.delete_where(self.spark, m.group("cond").strip())
+        resp.message_list.append(
+            f"Deleted where {m.group('cond').strip()} "
+            f"(snapshot {snap.snapshot_id})"
+        )
+
+    @staticmethod
+    def _parse_assignments(text: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for part in _split_top_level(text):
+            am = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", part, re.DOTALL)
+            if not am:
+                raise DdlError(f"cannot parse assignment: {part!r}")
+            out[am.group(1)] = am.group(2).strip()
+        return out
+
+    def _update(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        table = self._load_for_dml(m, resp, "UPDATE")
+        cond = (m.group("cond") or "true").strip()
+        snap = table.update_where(
+            self.spark, cond, self._parse_assignments(m.group("sets"))
+        )
+        resp.message_list.append(
+            f"Updated where {cond} (snapshot {snap.snapshot_id})"
+        )
+
+    def _merge(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        table = self._load_for_dml(m, resp, "MERGE")
+        source = self.query(m.group("src"))
+        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        clauses = m.group("clauses")
+        upd = re.search(
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)"
+            r"(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
+            clauses,
+            re.IGNORECASE | re.DOTALL,
+        )
+        delete = re.search(
+            r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses, re.IGNORECASE
+        )
+        insert = re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", clauses, re.IGNORECASE
+        )
+        if upd and delete:
+            raise DdlError("MERGE supports one WHEN MATCHED clause")
+        if not (upd or delete or insert):
+            raise DdlError(f"no recognizable MERGE clause in {clauses[:60]!r}")
+        snap = table.merge_into(
+            self.spark,
+            source,
+            keys,
+            when_matched_update=(
+                self._parse_assignments(upd.group(1)) if upd else None
+            ),
+            when_matched_delete=bool(delete),
+            insert_not_matched=bool(insert),
+        )
+        resp.message_list.append(
+            f"Merged on ({', '.join(keys)}) (snapshot {snap.snapshot_id})"
         )
 
     def _ctas(self, m: re.Match, resp: ProcessSchemaResponse) -> None:

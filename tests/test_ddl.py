@@ -212,3 +212,60 @@ def test_sql_time_travel_version_as_of(ddl):
         f"(SELECT COUNT(*) FROM tt.t VERSION AS OF '{snap1}') AS d"
     ).collect()[0]["d"]
     assert both == 1
+
+
+def test_dml_delete_update_merge(ddl):
+    ddl.sql("CREATE TABLE dml.t (k BIGINT, status STRING, amount DOUBLE)")
+    ddl.sql(
+        "INSERT INTO dml.t VALUES "
+        "(1, 'open', 10.0), (2, 'open', 20.0), (3, 'closed', 30.0)"
+    )
+
+    r = ddl.sql("DELETE FROM dml.t WHERE k = 3")
+    assert not r.has_error and r.change_type == "DELETE"
+    assert ddl.query("SELECT COUNT(*) AS n FROM dml.t").collect()[0]["n"] == 2
+
+    r = ddl.sql("UPDATE dml.t SET amount = amount * 2, status = 'bumped' WHERE k = 2")
+    assert not r.has_error and r.change_type == "UPDATE"
+    rows = {
+        r["k"]: (r["status"], r["amount"])
+        for r in ddl.query("SELECT * FROM dml.t").collect()
+    }
+    assert rows == {1: ("open", 10.0), 2: ("bumped", 40.0)}
+
+    # MERGE: update matched from source (s_ prefix), insert unmatched
+    r = ddl.sql(
+        "MERGE INTO dml.t USING "
+        "(SELECT * FROM VALUES (2, 'merged', 5.0), (9, 'new', 9.0) "
+        " AS s(k, status, amount)) "
+        "ON (k) "
+        "WHEN MATCHED THEN UPDATE SET status = s_status, amount = s_amount "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    assert not r.has_error, r.message_list
+    assert r.change_type == "MERGE"
+    rows = {
+        r["k"]: (r["status"], r["amount"])
+        for r in ddl.query("SELECT * FROM dml.t").collect()
+    }
+    assert rows == {
+        1: ("open", 10.0),
+        2: ("merged", 5.0),
+        9: ("new", 9.0),
+    }
+
+    # MERGE delete clause
+    r = ddl.sql(
+        "MERGE INTO dml.t USING (SELECT 9 AS k) ON (k) "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert not r.has_error, r.message_list
+    assert sorted(
+        r["k"] for r in ddl.query("SELECT k FROM dml.t").collect()
+    ) == [1, 2]
+
+    # errors accumulate, never raise
+    assert ddl.sql("DELETE FROM dml.missing WHERE k = 1").has_error
+    assert ddl.sql(
+        "MERGE INTO dml.t USING (SELECT 1 AS k) ON (k) WHEN SOMETHING"
+    ).has_error
