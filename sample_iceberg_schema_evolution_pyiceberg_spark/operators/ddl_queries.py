@@ -150,3 +150,69 @@ def a10_iceberg_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded: grouped agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a11_sql_dml_episode",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS total
+      FROM orders WHERE o_orderkey <= 1000
+    ), upd AS (
+      SELECT k, status,
+             CASE WHEN status = 'O' THEN total * 1.1 ELSE total END AS total
+      FROM base
+    ), del AS (
+      SELECT * FROM upd WHERE k % 7 <> 0
+    ), merged AS (
+      SELECT k,
+             CASE WHEN k = 1 THEN 'X' ELSE status END AS status,
+             CASE WHEN k = 1 THEN 0.0 ELSE total END AS total
+      FROM del
+      UNION ALL SELECT 1000001, 'N', 42.0
+    )
+    SELECT status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(total AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total
+    FROM merged GROUP BY status
+    """,
+)
+def a11_sql_dml_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Full DML episode through the SQL front-end: CTAS seed, UPDATE
+    with expression, DELETE, MERGE (matched update + unmatched insert),
+    then an aggregated read — the oracle replays the same mutations
+    relationally. Copy-on-write snapshots all the way down."""
+    src = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    src.createOrReplaceTempView("a11_src")
+    with tempfile.TemporaryDirectory(prefix="dml_gate_") as wh:
+        ddl = DdlFrontend(spark, LakeCatalog(wh))
+        stmts = [
+            "CREATE TABLE gate.dml AS SELECT * FROM a11_src",
+            "UPDATE gate.dml SET total = total * 1.1 WHERE status = 'O'",
+            "DELETE FROM gate.dml WHERE k % 7 = 0",
+            "MERGE INTO gate.dml USING "
+            "(SELECT * FROM VALUES (1, 'X', 0.0), (1000001, 'N', 42.0) "
+            " AS m(k, status, total)) ON (k) "
+            "WHEN MATCHED THEN UPDATE SET status = s_status, total = s_total "
+            "WHEN NOT MATCHED THEN INSERT",
+        ]
+        for s in stmts:
+            r = ddl.sql(s)
+            assert not r.has_error, (s, r.message_list)
+        out = ddl.query(
+            "SELECT status, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(total AS DECIMAL(18,6))) AS DOUBLE), 6) "
+            "AS total FROM gate.dml GROUP BY status"
+        )
+        # materialize before the temp dir vanishes (bounded: grouped agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
