@@ -74,9 +74,9 @@ def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "c04_dedup_ngram_jaccard",
-    oracle="""
+# shared by c04 (the pair query) and c18 (cluster resolution over the
+# same pairs)
+_C04_ORACLE = """
     WITH g AS (
       SELECT doc_id,
              UNNEST(LIST_DISTINCT([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -96,8 +96,10 @@ def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = s.doc_a
     JOIN sizes sb ON sb.doc_id = s.doc_b
     WHERE CAST(s.both AS DOUBLE) / (sa.n + sb.n - s.both) >= 0.2
-    """,
-)
+    """
+
+
+@query("c04_dedup_ngram_jaccard", oracle=_C04_ORACLE)
 def c04_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.2): explode
     word-3-grams, equi-join on gram to count intersections, Jaccard =
@@ -294,3 +296,80 @@ def c02b_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """The minhash signature table as a first-class output (join target
     for incremental dedup against an existing corpus)."""
     return minhash_signatures(_grams_df(spark, sf))
+
+
+@query(
+    "c18_dedup_cluster_resolution",
+    # transitive closure over the symmetric pair graph; cluster id =
+    # min doc_id reachable (incl. self), keeper = the min member
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_C04_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS cluster_id,
+           CASE WHEN LEAST(src, MIN(dst)) = src THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY src
+    """,
+)
+def c18_dedup_cluster_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup **cluster resolution**: pairs are not enough for a
+    training pipeline — A~B and B~C must collapse to ONE kept document.
+    Connected components over the c04 pair graph via iterative min-label
+    propagation: each round every node takes the min cluster id among
+    itself and its neighbors; converges in O(cluster diameter) rounds
+    (dup clusters are shallow). Output: (doc_id, cluster_id = min doc in
+    component, keep = 1 for the canonical member).
+
+    Scale posture: every round is one join + one aggregation over the
+    *pair* set (candidate-pair-sized, not corpus-sized); lineage is cut
+    per round with localCheckpoint so the plan stays flat; convergence
+    is detected with a scalar count (no driver data transfer). This is
+    the GraphFrames/Pregel pattern expressed in plain DataFrame ops."""
+    pairs = c04_dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cid", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(25):  # >= max plausible cluster diameter; early-exit below
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cid").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cid"), F.coalesce("nbr_min", F.col("cid"))
+                ).alias("cid"),
+                F.col("cid").alias("old_cid"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter("cid != old_cid").limit(1).count()
+        labels = new_labels.select("doc_id", "cid")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("cid").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cid")).cast("int").alias("keep"),
+    )

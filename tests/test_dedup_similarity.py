@@ -235,3 +235,28 @@ def test_multimodal_decode_stub_schema(spark, planted_docs):
         "struct<doc_id:bigint,feature_idx:int,feature_value:double>"
     )
     assert exploded.count() == 125 * FEATURE_DIM
+
+
+def test_cluster_resolution_transitive(spark, planted_docs):
+    """c18: A~B and B~C collapse into one cluster with exactly one
+    keeper (the min doc_id); cluster ids are fixpoint-stable."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c04_dedup_ngram_jaccard,
+        c18_dedup_cluster_resolution,
+    )
+
+    rows = c18_dedup_cluster_resolution(spark, planted_docs).collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    keeps = {r["doc_id"] for r in rows if r["keep"] == 1}
+    # every cluster id is itself a member and the min of its cluster
+    clusters: dict[int, list[int]] = {}
+    for doc, cid in by_doc.items():
+        clusters.setdefault(cid, []).append(doc)
+    for cid, members in clusters.items():
+        assert cid == min(members)
+        assert len([m for m in members if m in keeps]) == 1
+    # transitivity vs the raw pair graph: both endpoints of every pair
+    # share a cluster id
+    pairs = c04_dedup_ngram_jaccard(spark, planted_docs).collect()
+    for p in pairs:
+        assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]]
