@@ -136,6 +136,95 @@ def schema_to_iceberg(schema: T.StructType, schema_id: int = 0) -> dict[str, Any
     return doc
 
 
+class _StableIds:
+    """Path-keyed ID registry: the same column path keeps the same
+    field ID across every schema version (Iceberg's evolution
+    invariant — type promotion reuses the ID, adds mint new ones)."""
+
+    def __init__(self) -> None:
+        self._by_path: dict[str, int] = {}
+        self.last = 0
+
+    def for_path(self, path: str) -> int:
+        fid = self._by_path.get(path)
+        if fid is None:
+            self.last += 1
+            fid = self._by_path[path] = self.last
+        return fid
+
+
+def _iceberg_type_stable(dt: T.DataType, path: str, ids: _StableIds) -> Any:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                _iceberg_field_stable(f, f"{path}.{f.name}", ids)
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": ids.for_path(f"{path}.element"),
+            "element": _iceberg_type_stable(
+                dt.elementType, f"{path}.element", ids
+            ),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": ids.for_path(f"{path}.key"),
+            "key": _iceberg_type_stable(dt.keyType, f"{path}.key", ids),
+            "value-id": ids.for_path(f"{path}.value"),
+            "value": _iceberg_type_stable(dt.valueType, f"{path}.value", ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    name = dt.typeName()
+    if name in _PRIMITIVES:
+        return _PRIMITIVES[name]
+    raise ValueError(f"no Iceberg mapping for Spark type {dt.simpleString()}")
+
+
+def _iceberg_field_stable(
+    f: T.StructField, path: str, ids: _StableIds
+) -> dict[str, Any]:
+    return {
+        "id": ids.for_path(path),
+        "name": f.name,
+        "required": not f.nullable,
+        "type": _iceberg_type_stable(f.dataType, path, ids),
+    }
+
+
+def schema_history_to_iceberg(
+    table: "LakeTable",
+) -> tuple[list[dict[str, Any]], int, int]:
+    """Convert every stored schema version with STABLE field IDs:
+    versions are walked oldest-first so v1's columns get the low IDs
+    and later adds mint new ones; a path present in several versions
+    (including with a promoted type) keeps one ID throughout. Returns
+    (schemas list, current schema-id, last-column-id)."""
+    ids = _StableIds()
+    versions = sorted(int(v) for v in table.meta["schemas"])
+    docs = []
+    for v in versions:
+        schema = table.schema_at(v)
+        docs.append(
+            {
+                "type": "struct",
+                "schema-id": v,
+                "fields": [
+                    _iceberg_field_stable(f, f.name, ids)
+                    for f in schema.fields
+                ],
+            }
+        )
+    return docs, int(table.meta["current_schema_version"]), ids.last
+
+
 # ---------------------------------------------------------------------------
 # Partition spec JSON + partition value encoding
 # ---------------------------------------------------------------------------
@@ -339,8 +428,12 @@ def export_to_iceberg(table: LakeTable) -> Path:
     meta_dir = table.location / "metadata"
     meta_dir.mkdir(parents=True, exist_ok=True)
 
-    schema_doc = schema_to_iceberg(table.schema, schema_id=0)
-    last_column_id = schema_doc.pop("_last_column_id")
+    schema_docs, current_schema_id, last_column_id = (
+        schema_history_to_iceberg(table)
+    )
+    schema_doc = next(
+        d for d in schema_docs if d["schema-id"] == current_schema_id
+    )
     spec = table.partition_spec
     spec_doc = spec_to_iceberg(spec, schema_doc, spec_id=0)
 
@@ -443,7 +536,7 @@ def export_to_iceberg(table: LakeTable) -> Path:
                 "snapshot-id": current_id,
                 "timestamp-ms": current.timestamp_ms,
                 "manifest-list": str(list_path),
-                "schema-id": 0,
+                "schema-id": current.schema_version,
                 "summary": {
                     "operation": "append"
                     if current.operation == "append"
@@ -465,8 +558,8 @@ def export_to_iceberg(table: LakeTable) -> Path:
         "last-updated-ms": now_ms,
         "last-column-id": last_column_id,
         "schema": {k: v for k, v in schema_doc.items() if k != "schema-id"},
-        "schemas": [schema_doc],
-        "current-schema-id": 0,
+        "schemas": schema_docs,
+        "current-schema-id": current_schema_id,
         "partition-spec": spec_doc["fields"],
         "partition-specs": [spec_doc],
         "default-spec-id": 0,
@@ -568,12 +661,17 @@ def read_iceberg_table(spark, location: str | Path):
         for s in doc["snapshots"]
         if s["snapshot-id"] == doc["current-snapshot-id"]
     )
+    current_schema = next(
+        s
+        for s in doc["schemas"]
+        if s["schema-id"] == doc["current-schema-id"]
+    )
     table_schema = T.StructType(
         [
             T.StructField(
                 f["name"], iceberg_type_to_spark(f["type"]), not f["required"]
             )
-            for f in doc["schemas"][0]["fields"]
+            for f in current_schema["fields"]
         ]
     )
     # Iceberg readers take file paths from manifests verbatim and never

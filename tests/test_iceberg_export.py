@@ -235,7 +235,17 @@ def test_export_evolved_table_external_read(spark, catalog):
     assert got.schema["qty"].dataType == T.LongType()
     rows = {r["k"]: (r["qty"], r["note"]) for r in got.collect()}
     assert rows == {1: (10, None), 2: (20, "new")}
-    assert doc["schemas"][0]["fields"][1]["type"] == "long"
+    # full schema history with STABLE field IDs: the promoted column
+    # keeps its ID across versions, the added column mints a new one
+    cur = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    v1doc = next(s for s in doc["schemas"] if s["schema-id"] == 1)
+    assert v1doc["fields"][1]["type"] == "int"
+    assert cur["fields"][1]["type"] == "long"
+    assert v1doc["fields"][1]["id"] == cur["fields"][1]["id"]
+    new_ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert new_ids["note"] == doc["last-column-id"]
 
 
 def test_avro_writer_roundtrip_property(spark, tmp_path):
