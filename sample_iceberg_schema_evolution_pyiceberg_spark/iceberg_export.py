@@ -201,12 +201,14 @@ def _iceberg_field_stable(
 
 def schema_history_to_iceberg(
     table: "LakeTable",
-) -> tuple[list[dict[str, Any]], int, int]:
+) -> tuple[list[dict[str, Any]], int, _StableIds]:
     """Convert every stored schema version with STABLE field IDs:
     versions are walked oldest-first so v1's columns get the low IDs
     and later adds mint new ones; a path present in several versions
     (including with a promoted type) keeps one ID throughout. Returns
-    (schemas list, current schema-id, last-column-id)."""
+    (schemas list, current schema-id, the id registry — ``.last`` is
+    last-column-id and ``.for_path`` resolves partition source-ids for
+    any column any version ever had)."""
     ids = _StableIds()
     versions = sorted(int(v) for v in table.meta["schemas"])
     docs = []
@@ -222,7 +224,7 @@ def schema_history_to_iceberg(
                 ],
             }
         )
-    return docs, int(table.meta["current_schema_version"]), ids.last
+    return docs, int(table.meta["current_schema_version"]), ids
 
 
 # ---------------------------------------------------------------------------
@@ -233,21 +235,35 @@ _EPOCH = date(1970, 1, 1)
 
 
 def spec_to_iceberg(
-    spec: PartitionSpec, schema_doc: dict[str, Any], spec_id: int = 0
+    spec: PartitionSpec,
+    schema_doc: dict[str, Any] | None = None,
+    spec_id: int = 0,
+    source_ids: "dict[str, int] | _StableIds | None" = None,
 ) -> dict[str, Any]:
-    root_ids = {f["name"]: f["id"] for f in schema_doc["fields"]}
+    """``source_ids`` may be a path->id mapping (covers columns from any
+    schema version); falls back to the given schema doc's root fields.
+    Partition field-ids reuse the engine's real spec_field_id (minted
+    from 1000, unique across spec evolution — the Iceberg convention)."""
+    if source_ids is None:
+        source_ids = {f["name"]: f["id"] for f in schema_doc["fields"]}
+    lookup = (
+        source_ids.for_path if isinstance(source_ids, _StableIds)
+        else source_ids.__getitem__
+    )
     fields = []
-    for i, f in enumerate(spec.fields):
-        if f.source_column not in root_ids:
+    for f in spec.fields:
+        try:
+            sid = lookup(f.source_column)
+        except KeyError:
             raise ValueError(
-                f"partition source {f.source_column!r} not a root column"
-            )
+                f"partition source {f.source_column!r} not a known column"
+            ) from None
         fields.append(
             {
                 "name": f.name,
                 "transform": f.transform,
-                "source-id": root_ids[f.source_column],
-                "field-id": 1000 + i,
+                "source-id": sid,
+                "field-id": f.spec_field_id,
             }
         )
     return {"spec-id": spec_id, "fields": fields}
@@ -428,33 +444,53 @@ def export_to_iceberg(table: LakeTable) -> Path:
     meta_dir = table.location / "metadata"
     meta_dir.mkdir(parents=True, exist_ok=True)
 
-    schema_docs, current_schema_id, last_column_id = (
+    schema_docs, current_schema_id, col_ids = (
         schema_history_to_iceberg(table)
     )
+    last_column_id = col_ids.last
     schema_doc = next(
         d for d in schema_docs if d["schema-id"] == current_schema_id
     )
-    spec = table.partition_spec
-    spec_doc = spec_to_iceberg(spec, schema_doc, spec_id=0)
 
-    src_types = {f.name: f.dataType for f in table.schema.fields}
-    partition_fields = [
-        {
-            "name": sf["name"],
-            "field-id": sf["field-id"],
-            "transform": sf["transform"],
-            "avro_type": _partition_avro_type(
-                sf["transform"],
-                src_types[pf.source_column],
-            ),
-            "source_column": pf.source_column,
-        }
-        for sf, pf in zip(spec_doc["fields"], spec.fields)
-    ]
-    entry_schema = _manifest_entry_schema(partition_fields)
+    # full partition-spec history with real spec ids; source-ids come
+    # from the stable column-id registry so a spec referencing a column
+    # only present in an older schema version still resolves
+    current_spec_id = int(table.meta["current_spec_id"])
+    spec_docs = {
+        sid: spec_to_iceberg(
+            table.spec_at(sid), spec_id=sid, source_ids=col_ids
+        )
+        for sid in sorted(int(s) for s in table.meta["specs"])
+    }
+
+    # source column types across all versions (later versions win) for
+    # identity-partition value decoding
+    src_types: dict[str, T.DataType] = {}
+    for d in schema_docs:
+        v_schema = table.schema_at(d["schema-id"])
+        for f in v_schema.fields:
+            src_types[f.name] = f.dataType
+
+    def partition_fields_for(sid: int) -> list[dict[str, Any]]:
+        spec = table.spec_at(sid)
+        doc = spec_docs[sid]
+        return [
+            {
+                "name": sf["name"],
+                "field-id": sf["field-id"],
+                "transform": sf["transform"],
+                "avro_type": _partition_avro_type(
+                    sf["transform"], src_types[pf.source_column]
+                ),
+                "source_column": pf.source_column,
+            }
+            for sf, pf in zip(doc["fields"], spec.fields)
+        ]
 
     # current table state = snapshots since (and including) the last
-    # overwrite; each contributes one manifest of status=added files
+    # overwrite; each contributes one manifest of status=added files,
+    # written under the snapshot's OWN partition spec (manifests carry
+    # a per-manifest spec — how Iceberg represents spec evolution)
     snaps = table.snapshots
     live: list[Snapshot] = []
     for snap in snaps:
@@ -463,17 +499,11 @@ def export_to_iceberg(table: LakeTable) -> Path:
         else:
             live.append(snap)
 
-    manifest_entries_meta = {
-        "schema": json.dumps(schema_doc),
-        "partition-spec": json.dumps(spec_doc["fields"]),
-        "partition-spec-id": str(spec_doc["spec-id"]),
-        "format-version": str(FORMAT_VERSION),
-        "content": "data",
-    }
-
     manifests: list[dict[str, Any]] = []
     for snap in live:
         sid = _snapshot_int_id(snap)
+        p_fields = partition_fields_for(snap.spec_id)
+        entry_schema = _manifest_entry_schema(p_fields)
         entries = []
         for fpath, rawparts in _list_data_files(table, snap):
             md = pq.ParquetFile(fpath).metadata
@@ -483,7 +513,7 @@ def export_to_iceberg(table: LakeTable) -> Path:
                     rawparts.get(pf["name"], ""),
                     src_types[pf["source_column"]],
                 )
-                for pf in partition_fields
+                for pf in p_fields
             }
             entries.append(
                 {
@@ -500,12 +530,25 @@ def export_to_iceberg(table: LakeTable) -> Path:
                 }
             )
         mpath = meta_dir / f"manifest-{snap.snapshot_id}.avro"
-        write_ocf(str(mpath), entry_schema, entries, manifest_entries_meta)
+        write_ocf(
+            str(mpath),
+            entry_schema,
+            entries,
+            {
+                "schema": json.dumps(schema_doc),
+                "partition-spec": json.dumps(
+                    spec_docs[snap.spec_id]["fields"]
+                ),
+                "partition-spec-id": str(snap.spec_id),
+                "format-version": str(FORMAT_VERSION),
+                "content": "data",
+            },
+        )
         manifests.append(
             {
                 "manifest_path": str(mpath),
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": spec_doc["spec-id"],
+                "partition_spec_id": snap.spec_id,
                 "added_snapshot_id": sid,
                 "added_files_count": len(entries),
                 "existing_files_count": 0,
@@ -560,11 +603,16 @@ def export_to_iceberg(table: LakeTable) -> Path:
         "schema": {k: v for k, v in schema_doc.items() if k != "schema-id"},
         "schemas": schema_docs,
         "current-schema-id": current_schema_id,
-        "partition-spec": spec_doc["fields"],
-        "partition-specs": [spec_doc],
-        "default-spec-id": 0,
+        "partition-spec": spec_docs[current_spec_id]["fields"],
+        "partition-specs": list(spec_docs.values()),
+        "default-spec-id": current_spec_id,
         "last-partition-id": max(
-            [f["field-id"] for f in spec_doc["fields"]] + [999]
+            [
+                f["field-id"]
+                for d in spec_docs.values()
+                for f in d["fields"]
+            ]
+            + [999]
         ),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,

@@ -302,3 +302,50 @@ def test_avro_writer_roundtrip_property(spark, tmp_path):
         assert have["ol"] == want["ol"]
         assert have["nested"]["x"] == want["nested"]["x"]
         assert have["nested"]["y"] == want["nested"]["y"]
+
+
+def test_export_partition_spec_evolution(spark, catalog):
+    """year -> month spec evolution: each snapshot's manifest carries
+    its own spec id and spec-encoded partition values; metadata lists
+    the full spec history."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.evolution import (
+        evolve_table,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("ts", T.TimestampNTZType(), True),
+        ]
+    )
+    year_spec = PartitionSpec((PartitionField("ts", "year", "ts_year", 1000),))
+    table = catalog.create_table("db", "spev", schema, year_spec)
+    table.append(
+        spark.createDataFrame([Row(k=1, ts=datetime(2023, 5, 1))], schema)
+    )
+    month_spec = PartitionSpec(
+        (PartitionField("ts", "month", "ts_month", 1000),)
+    )
+    res = evolve_table(table, schema, month_spec)
+    assert not res.has_error and res.new_spec_id == 1
+    table.append(
+        spark.createDataFrame([Row(k=2, ts=datetime(2024, 2, 1))], schema)
+    )
+
+    export_to_iceberg(table)
+    got, doc = read_iceberg_table(spark, table.location)
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+    assert doc["default-spec-id"] == 1
+    assert [s["spec-id"] for s in doc["partition-specs"]] == [0, 1]
+    assert doc["partition-specs"][0]["fields"][0]["transform"] == "year"
+    assert doc["partition-specs"][1]["fields"][0]["transform"] == "month"
+
+    manifests = read_avro_jvm(spark, doc["snapshots"][-1]["manifest-list"])
+    by_spec = {m["partition_spec_id"]: m for m in manifests}
+    assert set(by_spec) == {0, 1}
+    e0 = read_avro_jvm(spark, by_spec[0]["manifest_path"])
+    e1 = read_avro_jvm(spark, by_spec[1]["manifest_path"])
+    assert e0[0]["data_file"]["partition"]["ts_year"] == 2023 - 1970
+    assert e1[0]["data_file"]["partition"]["ts_month"] == (
+        (2024 - 1970) * 12 + 1
+    )
