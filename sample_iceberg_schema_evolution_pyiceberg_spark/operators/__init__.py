@@ -41,6 +41,7 @@ _PRIORITY = [
     # were re-shaped for the hash gate — go FIRST for fresh evidence.
     "a09_sql_ddl_episode", "a10_iceberg_export_roundtrip",
     "a11_sql_dml_episode", "c18_dedup_cluster_resolution",
+    "s08_stream_lake_sink",
     "c12_multimodal_decode_features", "c14_multimodal_frame_sample",
     # Round 3 window (keep driver evidence warm)
     "b42_udtf_explode", "b46_exists_subquery_sql", "b47_scalar_subquery_sql",

@@ -281,3 +281,59 @@ def s05_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return spark.table(_run_to_memory(agg, mode="append"))
+
+
+@query(
+    "s08_stream_lake_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s08_stream_lake_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming -> lake integration (B39's sink half, hash-gated):
+    every micro-batch lands in a lake table as one snapshot append via
+    foreachBatch, then the aggregate runs over the LAKE table — the
+    gate proves the streaming sink writes a lossless, queryable table.
+    availableNow replays the file source deterministically; the same
+    pipeline pointed at kafka is a production CDC landing zone."""
+    import tempfile  # noqa: PLC0415
+
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    ev = _stream_events(spark, sf)
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    with tempfile.TemporaryDirectory(prefix="stream_lake_") as wh:
+        table = LakeCatalog(wh).create_table("stream", "events_sink", ev.schema)
+        spark.conf.set(key, "8")
+        try:
+            q = (
+                ev.writeStream.foreachBatch(
+                    lambda bdf, _bid: (table.append(bdf), None)[1]
+                )
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", f"{wh}/_chk"
+                )
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set(key, old)
+        out = (
+            table.to_df(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                    6,
+                ).alias("sum_value"),
+            )
+        )
+        # materialize before the temp dir vanishes (bounded: grouped agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
