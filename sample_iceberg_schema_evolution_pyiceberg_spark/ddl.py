@@ -251,12 +251,42 @@ class DdlFrontend:
     # -- data plane ----------------------------------------------------
 
     def query(self, statement: str) -> "DataFrame":
-        """Run a read query (SELECT/WITH/VALUES) against the lake:
-        every ``db.tbl`` identifier that names a catalog table is bound
-        to its current-snapshot scan (schema-aligned, hidden-partition
+        """Run a read query (SELECT/WITH/VALUES, plus SHOW TABLES and
+        DESCRIBE db.tbl metadata reads) against the lake: every
+        ``db.tbl`` identifier that names a catalog table is bound to
+        its current-snapshot scan (schema-aligned, hidden-partition
         aware) as a temp view, then the statement executes through
         spark.sql — Catalyst owns the whole data plane."""
-        return self.spark.sql(self._bind_tables(statement))
+        stmt = statement.strip().rstrip(";").strip()
+        if re.match(r"^SHOW\s+TABLES$", stmt, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                self.catalog.list_tables() or [("", "")],
+                "database string, table string",
+            ).filter("database != ''")
+        if dm := re.match(
+            r"^DESCRIBE\s+(?:TABLE\s+)?"
+            r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)$",
+            stmt,
+            re.IGNORECASE,
+        ):
+            table = self.catalog.load_table(dm.group(1), dm.group(2))
+            if table is None:
+                raise DdlError(f"table {dm.group(1)}.{dm.group(2)} does not exist")
+            rows = [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in table.schema.fields
+            ] + [
+                (
+                    f"# partition: {f.name}",
+                    f"{f.transform}({f.source_column})",
+                    True,
+                )
+                for f in table.partition_spec.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, nullable boolean"
+            )
+        return self.spark.sql(self._bind_tables(stmt))
 
     def _bind_tables(self, statement: str) -> str:
         bound = statement

@@ -269,3 +269,20 @@ def test_dml_delete_update_merge(ddl):
     assert ddl.sql(
         "MERGE INTO dml.t USING (SELECT 1 AS k) ON (k) WHEN SOMETHING"
     ).has_error
+
+
+def test_show_tables_and_describe(ddl):
+    assert ddl.query("SHOW TABLES").count() == 0
+    ddl.sql("CREATE TABLE m.a (x INT)")
+    ddl.sql(
+        "CREATE TABLE m.b (k BIGINT, ts TIMESTAMP_NTZ) "
+        "PARTITIONED BY (months(ts))"
+    )
+    tables = {(r["database"], r["table"]) for r in ddl.query("SHOW TABLES").collect()}
+    assert tables == {("m", "a"), ("m", "b")}
+    desc = ddl.query("DESCRIBE m.b").collect()
+    assert [(r["col_name"], r["data_type"]) for r in desc] == [
+        ("k", "bigint"),
+        ("ts", "timestamp_ntz"),
+        ("# partition: ts_month", "month(ts)"),
+    ]
