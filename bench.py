@@ -69,6 +69,11 @@ def plan_fingerprint(df) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # optional subset (comma-separated) for large-sf runs where a
+    # deliberately stress-shaped query would dominate the wall clock
+    global HEADLINE  # noqa: PLW0603
+    if sub := os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        HEADLINE = [q for q in HEADLINE if q in set(sub.split(","))]
 
     from sample_iceberg_schema_evolution_pyiceberg_spark.operators import (
         ORACLES,
