@@ -349,3 +349,55 @@ def test_export_partition_spec_evolution(spark, catalog):
     assert e1[0]["data_file"]["partition"]["ts_month"] == (
         (2024 - 1970) * 12 + 1
     )
+
+
+def test_avro_writer_hypothesis_vs_jvm(spark, tmp_path):
+    """Randomized writer-vs-JVM-reader agreement: ints/longs across the
+    zigzag range, arbitrary unicode strings, null unions. Bounded
+    example count — every example is a py4j round-trip."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.avro_ocf import write_ocf
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_avro_jvm,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "h",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "ol", "type": ["null", "long"], "default": None},
+        ],
+    }
+    rec = st.fixed_dictionaries(
+        {
+            "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "s": st.text(max_size=40),
+            "ol": st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        }
+    )
+    counter = iter(range(10**6))
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(rec, min_size=0, max_size=8))
+    def roundtrip(records):
+        path = str(tmp_path / f"hyp-{next(counter)}.avro")
+        write_ocf(path, schema, records)
+        got = read_avro_jvm(spark, path)
+        assert len(got) == len(records)
+        for want, have in zip(records, got):
+            assert have["i"] == want["i"]
+            assert have["l"] == want["l"]
+            assert have["s"] == want["s"]
+            assert have["ol"] == want["ol"]
+
+    roundtrip()
