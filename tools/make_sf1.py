@@ -1,6 +1,7 @@
-"""Scale the driver's sf0.1 testdata 10x to a local sf1 directory for
-large-scale bench evidence (/root/testdata is read-only, so sf1 lives
-under the repo in a gitignored dir).
+"""Scale a testdata directory 10x for large-scale bench evidence
+(/root/testdata is read-only, so derived scales live under the repo in
+a gitignored dir). Composes: sf0.1 -> sf1 -> sf10 by pointing --src at
+the previous output.
 
 Replication strategy: 10 key-shifted copies of every fact/dim that
 scales with sf (region/nation stay fixed, like TPC-H). Foreign keys are
