@@ -60,7 +60,7 @@ def plan_fingerprint(df) -> str:
     s = re.sub(r"#\d+L?", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"\[id=#?\d*\]", "", s)
-    s = re.sub(r"/[^\s,)\]]*testdata[^\s,)\]]*", "<path>", s)
+    s = re.sub(r"/[^\s,)\]]*(?:testdata|benchdata)[^\s,)\]]*", "<path>", s)
     s = re.sub(r"/tmp/[^\s,)\]]*", "<tmp>", s)
     s = re.sub(r"\s+", " ", s)
     return hashlib.sha256(s.encode()).hexdigest()[:12]

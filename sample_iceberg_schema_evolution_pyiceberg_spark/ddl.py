@@ -289,29 +289,48 @@ class DdlFrontend:
         return self.spark.sql(self._bind_tables(stmt))
 
     def _bind_tables(self, statement: str) -> str:
-        bound = statement
+        # split out single-quoted string literals so identifier
+        # substitution can never rewrite text inside them
+        segments = re.split(r"('(?:[^']|'')*')", statement)
+
+        def sub_code(pattern: re.Pattern, repl) -> None:
+            for i in range(0, len(segments), 2):  # even = outside quotes
+                segments[i] = pattern.sub(repl, segments[i])
+
+        def code_search(pattern: re.Pattern) -> bool:
+            return any(
+                pattern.search(segments[i])
+                for i in range(0, len(segments), 2)
+            )
+
         for db, tbl in self.catalog.list_tables():
-            ident = rf"\b{re.escape(db)}\.{re.escape(tbl)}\b"
-            if not re.search(ident, bound):
+            ident = re.compile(rf"\b{re.escape(db)}\.{re.escape(tbl)}\b")
+            if not code_search(ident):
                 continue
             table = self.catalog.load_table(db, tbl)
             # time travel first: db.tbl VERSION AS OF 'snapshot-id'
-            # binds the as-of scan (B49) under its own view name
-            tt = re.compile(ident + r"\s+VERSION\s+AS\s+OF\s+'([^']+)'",
-                            re.IGNORECASE)
+            # binds the as-of scan (B49) under its own view name. The
+            # snapshot id is a quoted literal, so match across the
+            # segment boundary on the rejoined text, then re-split.
+            joined = "".join(segments)
+            tt = re.compile(
+                ident.pattern + r"\s+VERSION\s+AS\s+OF\s+'([^']+)'",
+                re.IGNORECASE,
+            )
             san = lambda s: re.sub(r"\W", "_", s)[:16]  # noqa: E731
-            for snap_id in set(tt.findall(bound)):
+            for snap_id in set(tt.findall(joined)):
                 view = f"lake_{db}_{tbl}_asof_{san(snap_id)}_v"
                 table.to_df(self.spark, as_of_snapshot=snap_id) \
                     .createOrReplaceTempView(view)
-            bound = tt.sub(
-                lambda m: f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v", bound
+            joined = tt.sub(
+                lambda m: f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v", joined
             )
-            if re.search(ident, bound):
+            segments = re.split(r"('(?:[^']|'')*')", joined)
+            if code_search(ident):
                 view = f"lake_{db}_{tbl}_v"
                 table.to_df(self.spark).createOrReplaceTempView(view)
-                bound = re.sub(ident, view, bound)
-        return bound
+                sub_code(ident, view)
+        return "".join(segments)
 
     def _insert(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
         db, tbl = m.group("db"), m.group("tbl")
@@ -628,6 +647,10 @@ class DdlFrontend:
         name = alias or f"{col}_{transform}"
         live = table.partition_spec
         if add:
+            if col not in {f.name for f in table.schema.fields}:
+                raise DdlError(
+                    f"partition source column {col!r} not in schema"
+                )
             if any(f.name == name for f in live.fields):
                 raise DdlError(f"partition field {name!r} already exists")
             target = PartitionSpec(
@@ -637,11 +660,16 @@ class DdlFrontend:
                 )
             )
         else:
-            keep = [
-                f
-                for f in live.fields
-                if not (f.name == name or (f.source_column == col and f.transform == transform))
-            ]
+            # a bare identifier may be the FIELD NAME rather than an
+            # identity-transform source column — match either form
+            def hit(f: PartitionField) -> bool:
+                return (
+                    f.name == name
+                    or (f.source_column == col and f.transform == transform)
+                    or (transform == "identity" and alias is None and f.name == col)
+                )
+
+            keep = [f for f in live.fields if not hit(f)]
             if len(keep) == len(live.fields):
                 raise DdlError(f"partition field {entry.strip()!r} not found")
             target = PartitionSpec(tuple(keep))

@@ -274,13 +274,17 @@ def _partition_avro_type(transform: str, source_type: T.DataType) -> Any:
         return "int"
     if isinstance(source_type, (T.IntegerType, T.ShortType, T.ByteType)):
         return "int"
-    if isinstance(source_type, T.LongType):
-        return "long"
+    if isinstance(source_type, T.DateType):
+        return "int"  # spec: identity date = days since epoch
+    if isinstance(source_type, (T.LongType, T.TimestampType, T.TimestampNTZType)):
+        return "long"  # spec: identity timestamp = micros since epoch
     return "string"
 
 
 def encode_partition_value(transform: str, raw: str, source_type: T.DataType):
-    """Hive-dir string -> Iceberg spec partition encoding."""
+    """Hive-dir string -> Iceberg spec partition encoding (the spec's
+    integer encodings for time transforms AND for identity over
+    date/timestamp sources)."""
     if raw in ("__HIVE_DEFAULT_PARTITION__", "null", ""):
         return None
     if transform == "year":
@@ -295,6 +299,14 @@ def encode_partition_value(transform: str, raw: str, source_type: T.DataType):
         return (date.fromisoformat(d) - _EPOCH).days * 24 + int(h)
     if isinstance(source_type, (T.IntegerType, T.ShortType, T.ByteType, T.LongType)):
         return int(raw)
+    if isinstance(source_type, T.DateType):
+        return (date.fromisoformat(raw) - _EPOCH).days
+    if isinstance(source_type, (T.TimestampType, T.TimestampNTZType)):
+        # hive dirs encode timestamps as 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+        dt = datetime.fromisoformat(raw.replace("%3A", ":"))
+        return int(dt.timestamp() * 1_000_000) if dt.tzinfo else int(
+            (dt - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
     return raw
 
 
@@ -705,9 +717,12 @@ def read_iceberg_table(spark, location: str | Path):
     version = (meta_dir / "version-hint.text").read_text().strip()
     doc = json.loads((meta_dir / f"v{version}.metadata.json").read_text())
     snap = next(
-        s
-        for s in doc["snapshots"]
-        if s["snapshot-id"] == doc["current-snapshot-id"]
+        (
+            s
+            for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        ),
+        None,
     )
     current_schema = next(
         s
@@ -733,7 +748,8 @@ def read_iceberg_table(spark, location: str | Path):
     from .table_format import _align_df  # noqa: PLC0415
 
     df = None
-    for m in read_avro_jvm(spark, snap["manifest-list"]):
+    manifest_list = snap["manifest-list"] if snap is not None else None
+    for m in read_avro_jvm(spark, manifest_list) if manifest_list else []:
         files = [
             e["data_file"]["file_path"]
             for e in read_avro_jvm(spark, m["manifest_path"])
@@ -743,6 +759,10 @@ def read_iceberg_table(spark, location: str | Path):
             continue
         arm = _align_df(spark.read.parquet(*files), table_schema)
         df = arm if df is None else df.unionByName(arm)
+    if df is None:
+        # empty live set (never written, or everything deleted):
+        # an empty frame with the table schema, like any SQL engine
+        df = spark.createDataFrame([], table_schema)
     return df, doc
 
 

@@ -18,7 +18,7 @@ from ..partitioning import PartitionField, PartitionSpec
 from .evolution_queries import _type_name
 from .registry import query, t
 
-_CREATE_V1 = """
+GOLDEN_CREATE_V1 = """
 CREATE TABLE customer_order.orders (
     order_time TIMESTAMP_NTZ,
     customer_name STRING,
@@ -28,7 +28,7 @@ CREATE TABLE customer_order.orders (
 ) PARTITIONED BY (year(order_time))
 """
 
-_ALTER_V2 = [
+GOLDEN_ALTER_V2 = [
     "ALTER TABLE customer_order.orders ADD COLUMN order_id STRING",
     "ALTER TABLE customer_order.orders ALTER COLUMN order_id FIRST",
     "ALTER TABLE customer_order.orders ADD COLUMN address.address_line STRING",
@@ -72,7 +72,7 @@ def a09_sql_ddl_episode(spark: SparkSession, sf: str) -> DataFrame:
     schema paths plus a `_partition` row carrying the evolved spec."""
     with tempfile.TemporaryDirectory(prefix="ddl_gate_") as wh:
         ddl = DdlFrontend(spark, LakeCatalog(wh))
-        for stmt in [_CREATE_V1, *_ALTER_V2]:
+        for stmt in [GOLDEN_CREATE_V1, *GOLDEN_ALTER_V2]:
             r = ddl.sql(stmt)
             assert not r.has_error, (stmt, r.message_list)
         table = ddl.catalog.load_table("customer_order", "orders")

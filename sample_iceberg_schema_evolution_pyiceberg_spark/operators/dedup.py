@@ -347,7 +347,8 @@ def c18_dedup_cluster_resolution(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("cid", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(25):  # >= max plausible cluster diameter; early-exit below
+    converged = False
+    for _ in range(64):  # cap >> any plausible dup-chain diameter
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -367,7 +368,15 @@ def c18_dedup_cluster_resolution(spark: SparkSession, sf: str) -> DataFrame:
         changed = new_labels.filter("cid != old_cid").limit(1).count()
         labels = new_labels.select("doc_id", "cid")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # unconverged labels are silently WRONG (one component, many
+        # cluster ids) — fail loudly rather than emit them
+        raise RuntimeError(
+            "cluster resolution did not converge within 64 rounds "
+            "(pathological pair-graph diameter)"
+        )
     return labels.select(
         "doc_id",
         F.col("cid").alias("cluster_id"),

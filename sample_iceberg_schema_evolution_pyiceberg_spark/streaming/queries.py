@@ -320,7 +320,12 @@ def s08_stream_lake_sink(spark: SparkSession, sf: str) -> DataFrame:
                 )
                 .start()
             )
-            q.awaitTermination(300)
+            # awaitTermination(timeout) returns False on timeout — a
+            # partial table would silently undercount, and the live
+            # stream would keep writing into the vanishing tempdir
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("stream-to-lake sink timed out")
         finally:
             spark.conf.set(key, old)
         out = (

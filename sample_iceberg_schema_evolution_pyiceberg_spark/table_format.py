@@ -467,16 +467,25 @@ class LakeTable:
         self, spark: SparkSession, condition: str, assignments: dict[str, str]
     ) -> Snapshot:
         """Row-level UPDATE, copy-on-write: SET col = expr for rows
-        matching ``condition``."""
+        matching ``condition``. All assignment expressions read the
+        PRE-update row (one select, not a withColumn chain) — SQL's
+        simultaneous-assignment semantics, so ``SET a = b, b = a``
+        swaps."""
         df = self.to_df(spark)
         cond = F.expr(condition)
-        for col, expr in assignments.items():
-            df = df.withColumn(
-                col,
-                F.when(cond, F.expr(expr).cast(self.schema[col].dataType)).otherwise(
-                    F.col(col)
-                ),
-            )
+        df = df.select(
+            *[
+                F.when(
+                    cond,
+                    F.expr(assignments[f.name]).cast(f.dataType),
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in self.schema.fields
+            ]
+        )
         return self._replace_live(spark, df, "update")
 
     def merge_into(
@@ -517,14 +526,23 @@ class LakeTable:
         if when_matched_delete:
             kept = joined.filter(~matched).select(*cols)
         elif when_matched_update:
-            upd = joined
-            for col, expr in when_matched_update.items():
-                upd = upd.withColumn(
-                    col,
-                    F.when(matched, F.expr(expr).cast(self.schema[col].dataType))
-                    .otherwise(F.col(col)),
-                )
-            kept = upd.select(*cols)
+            # one select: every SET expression reads the pre-update row
+            # (simultaneous assignment, same contract as update_where)
+            kept = joined.select(
+                *[
+                    F.when(
+                        matched,
+                        F.expr(when_matched_update[c]).cast(
+                            self.schema[c].dataType
+                        ),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in when_matched_update
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
         else:
             kept = joined.select(*cols)
         result = kept

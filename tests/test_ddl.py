@@ -40,32 +40,12 @@ def _norm(dt: T.DataType) -> T.DataType:
     return dt
 
 
-CREATE_V1 = """
-CREATE TABLE customer_order.orders (
-    order_time TIMESTAMP_NTZ,
-    customer_name STRING,
-    address STRUCT<city: STRING, state: STRING>,
-    order_items ARRAY<STRUCT<item_id: STRING NOT NULL,
-                             price: FLOAT NOT NULL>> NOT NULL
-) PARTITIONED BY (year(order_time))
-"""
-
-# the v2 delta, each as its own statement (reference episode §1.3:
-# add root order_id; add address.address_line + address.zip; add
-# order_items.element.item_count; partition year -> month)
-ALTER_V2 = [
-    "ALTER TABLE customer_order.orders ADD COLUMN order_id STRING",
-    "ALTER TABLE customer_order.orders ALTER COLUMN order_id FIRST",
-    "ALTER TABLE customer_order.orders ADD COLUMN address.address_line STRING",
-    "ALTER TABLE customer_order.orders ALTER COLUMN address.address_line FIRST",
-    "ALTER TABLE customer_order.orders ADD COLUMN address.zip STRING",
-    "ALTER TABLE customer_order.orders "
-    "ADD COLUMN order_items.element.item_count INT NOT NULL",
-    "ALTER TABLE customer_order.orders "
-    "ALTER COLUMN order_items.element.item_count AFTER item_id",
-    "ALTER TABLE customer_order.orders DROP PARTITION FIELD year(order_time)",
-    "ALTER TABLE customer_order.orders ADD PARTITION FIELD month(order_time)",
-]
+# single source of truth for the golden episode statements — the
+# driver-gate query (a09) runs the same list
+from sample_iceberg_schema_evolution_pyiceberg_spark.operators.ddl_queries import (  # noqa: E402
+    GOLDEN_ALTER_V2 as ALTER_V2,
+    GOLDEN_CREATE_V1 as CREATE_V1,
+)
 
 
 def test_golden_episode_via_sql(ddl):
@@ -286,3 +266,40 @@ def test_show_tables_and_describe(ddl):
         ("ts", "timestamp_ntz"),
         ("# partition: ts_month", "month(ts)"),
     ]
+
+
+def test_drop_partition_field_by_name(ddl):
+    ddl.sql(
+        "CREATE TABLE pf.t (k BIGINT, ts TIMESTAMP_NTZ) "
+        "PARTITIONED BY (days(ts))"
+    )
+    r = ddl.sql("ALTER TABLE pf.t DROP PARTITION FIELD ts_day")  # by NAME
+    assert not r.has_error, r.message_list
+    assert ddl.catalog.load_table("pf", "t").partition_spec.fields == ()
+
+
+def test_add_partition_field_validates_source(ddl):
+    ddl.sql("CREATE TABLE pf.v (k BIGINT, ts TIMESTAMP_NTZ)")
+    r = ddl.sql("ALTER TABLE pf.v ADD PARTITION FIELD days(typo_col)")
+    assert r.has_error  # bad source rejected, spec NOT committed
+    assert ddl.catalog.load_table("pf", "v").partition_spec.fields == ()
+    # table remains writable
+    assert not ddl.sql("INSERT INTO pf.v VALUES (1, TIMESTAMP '2024-01-01')").has_error
+
+
+def test_bind_tables_ignores_string_literals(ddl):
+    ddl.sql("CREATE TABLE lit.t (k BIGINT, note STRING)")
+    ddl.sql("INSERT INTO lit.t VALUES (1, 'moved to lit.t yesterday')")
+    rows = ddl.query(
+        "SELECT k FROM lit.t WHERE note = 'moved to lit.t yesterday'"
+    ).collect()
+    assert [r["k"] for r in rows] == [1]
+
+
+def test_update_simultaneous_assignment_swaps(ddl):
+    ddl.sql("CREATE TABLE sw.t (a BIGINT, b BIGINT)")
+    ddl.sql("INSERT INTO sw.t VALUES (1, 2)")
+    r = ddl.sql("UPDATE sw.t SET a = b, b = a")
+    assert not r.has_error, r.message_list
+    row = ddl.query("SELECT * FROM sw.t").collect()[0]
+    assert (row["a"], row["b"]) == (2, 1)  # swapped, not both old-b

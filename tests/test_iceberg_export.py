@@ -401,3 +401,26 @@ def test_avro_writer_hypothesis_vs_jvm(spark, tmp_path):
             assert have["ol"] == want["ol"]
 
     roundtrip()
+
+
+def test_identity_partition_spec_encodings():
+    from datetime import date as _date
+
+    assert encode_partition_value(
+        "identity", "2024-03-01", T.DateType()
+    ) == (_date(2024, 3, 1) - _date(1970, 1, 1)).days
+    assert encode_partition_value(
+        "identity", "2024-03-01 00:00:00", T.TimestampNTZType()
+    ) == int(
+        (datetime(2024, 3, 1) - datetime(1970, 1, 1)).total_seconds() * 1e6
+    )
+
+
+def test_read_empty_exported_table(spark, catalog):
+    schema = T.StructType([T.StructField("v", T.LongType(), True)])
+    table = catalog.create_table("db", "empty", schema, PartitionSpec())
+    export_to_iceberg(table)
+    got, doc = read_iceberg_table(spark, table.location)
+    assert got.count() == 0
+    assert got.schema == schema
+    assert doc["current-snapshot-id"] == -1
