@@ -546,6 +546,31 @@ class DdlFrontend:
         ):
             self._reorder(table, am.group(1), am.group(2), resp)
         elif am := re.match(
+            r"^SET\s+TBLPROPERTIES\s*\((.+)\)\s*$",
+            action,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            props = _parse_properties(am.group(1))
+            table.meta["properties"].update(props)
+            table._commit()
+            resp.message_list.append(
+                f"Set properties {sorted(props)} on {db}.{tbl}"
+            )
+        elif am := re.match(
+            r"^UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$",
+            action,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            keys = [
+                k.strip().strip("'") for k in _split_top_level(am.group(1))
+            ]
+            for k in keys:
+                table.meta["properties"].pop(k, None)
+            table._commit()
+            resp.message_list.append(
+                f"Unset properties {sorted(keys)} on {db}.{tbl}"
+            )
+        elif am := re.match(
             r"^ADD\s+PARTITION\s+FIELD\s+(.+)$", action, re.IGNORECASE
         ):
             self._alter_spec(table, am.group(1), add=True, resp=resp)

@@ -303,3 +303,20 @@ def test_update_simultaneous_assignment_swaps(ddl):
     assert not r.has_error, r.message_list
     row = ddl.query("SELECT * FROM sw.t").collect()[0]
     assert (row["a"], row["b"]) == (2, 1)  # swapped, not both old-b
+
+
+def test_set_unset_tblproperties(ddl):
+    ddl.sql("CREATE TABLE pr.t (k BIGINT) TBLPROPERTIES ('owner' = 'me')")
+    r = ddl.sql(
+        "ALTER TABLE pr.t SET TBLPROPERTIES "
+        "('retention' = '30d', 'owner' = 'you')"
+    )
+    assert not r.has_error, r.message_list
+    t = ddl.catalog.load_table("pr", "t")
+    assert t.properties == {"owner": "you", "retention": "30d"}
+    assert not ddl.sql(
+        "ALTER TABLE pr.t UNSET TBLPROPERTIES ('owner')"
+    ).has_error
+    assert ddl.catalog.load_table("pr", "t").properties == {
+        "retention": "30d"
+    }
