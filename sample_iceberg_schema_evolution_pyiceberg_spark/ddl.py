@@ -16,6 +16,7 @@ array-element structs, matching schema_diff path addressing):
     CREATE TABLE [IF NOT EXISTS] db.tbl ( col TYPE [NOT NULL], ... )
         [PARTITIONED BY ( years(c) | months(c) | days(c) | hours(c) | c, ... )]
         [TBLPROPERTIES ( 'k' = 'v', ... )]
+    CREATE TABLE [IF NOT EXISTS] db.tbl [PARTITIONED BY (...)] AS <select>
     ALTER TABLE db.tbl ADD COLUMN  path TYPE [NOT NULL]
     ALTER TABLE db.tbl ADD COLUMNS ( path TYPE [NOT NULL], ... )
     ALTER TABLE db.tbl DROP COLUMN path
@@ -23,7 +24,20 @@ array-element structs, matching schema_diff path addressing):
     ALTER TABLE db.tbl ALTER COLUMN path FIRST | AFTER other
     ALTER TABLE db.tbl ADD PARTITION FIELD years(c)|... [AS name]
     ALTER TABLE db.tbl DROP PARTITION FIELD years(c)|...|name
+    ALTER TABLE db.tbl SET TBLPROPERTIES ( 'k' = 'v', ... )
+    ALTER TABLE db.tbl UNSET TBLPROPERTIES ( 'k', ... )
     DROP TABLE [IF EXISTS] db.tbl
+    INSERT INTO | OVERWRITE db.tbl <select | VALUES ...>
+    DELETE FROM db.tbl WHERE <cond>
+    UPDATE db.tbl SET col = expr, ... [WHERE <cond>]
+    MERGE INTO db.tbl USING (<select>) ON (k, ...)
+        [WHEN MATCHED THEN UPDATE SET col = expr, ... | DELETE]
+        [WHEN NOT MATCHED THEN INSERT]
+
+Reads go through ``query()`` (returns a DataFrame): SELECT/WITH/VALUES
+with ``db.tbl`` identifiers bound to current-snapshot scans,
+``db.tbl VERSION AS OF '<snapshot>'`` time travel, SHOW TABLES, and
+DESCRIBE db.tbl.
 
 Errors never raise: they accumulate in ``ProcessSchemaResponse``
 (``message_list`` + ``has_error``), the reference's observable contract
