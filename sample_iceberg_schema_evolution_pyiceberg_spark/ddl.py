@@ -194,9 +194,23 @@ _DELETE_RE = re.compile(
 )
 _UPDATE_RE = re.compile(
     r"^UPDATE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+"
-    r"SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<cond>.+))?$",
+    r"SET\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_where(body: str) -> tuple[str, str | None]:
+    """Split ``<assignments> [WHERE <cond>]`` on the first WHERE that
+    sits OUTSIDE single-quoted literals (so ``SET note = 'where x'``
+    stays intact)."""
+    for i, seg in enumerate(parts := re.split(r"('(?:[^']|'')*')", body)):
+        if i % 2:
+            continue
+        if m := re.search(r"\bWHERE\b", seg, re.IGNORECASE):
+            head = "".join(parts[:i]) + seg[: m.start()]
+            tail = seg[m.end():] + "".join(parts[i + 1:])
+            return head.strip(), tail.strip()
+    return body.strip(), None
 # constrained MERGE: equality keys in ON (...), the three standard
 # clause forms; update expressions may reference source columns as
 # s_<name> (merge_into's aliasing contract)
@@ -402,9 +416,10 @@ class DdlFrontend:
 
     def _update(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
         table = self._load_for_dml(m, resp, "UPDATE")
-        cond = (m.group("cond") or "true").strip()
+        sets, cond = _split_where(m.group("body"))
+        cond = cond or "true"
         snap = table.update_where(
-            self.spark, cond, self._parse_assignments(m.group("sets"))
+            self.spark, cond, self._parse_assignments(sets)
         )
         resp.message_list.append(
             f"Updated where {cond} (snapshot {snap.snapshot_id})"

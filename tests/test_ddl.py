@@ -320,3 +320,15 @@ def test_set_unset_tblproperties(ddl):
     assert ddl.catalog.load_table("pr", "t").properties == {
         "retention": "30d"
     }
+
+
+def test_update_where_inside_literal(ddl):
+    ddl.sql("CREATE TABLE ql.t (k BIGINT, note STRING)")
+    ddl.sql("INSERT INTO ql.t VALUES (1, 'x'), (2, 'y')")
+    r = ddl.sql("UPDATE ql.t SET note = 'where it was' WHERE k = 1")
+    assert not r.has_error, r.message_list
+    rows = {r["k"]: r["note"] for r in ddl.query("SELECT * FROM ql.t").collect()}
+    assert rows == {1: "where it was", 2: "y"}
+    # no WHERE at all -> updates every row
+    assert not ddl.sql("UPDATE ql.t SET note = 'all'").has_error
+    assert {r["note"] for r in ddl.query("SELECT note FROM ql.t").collect()} == {"all"}
