@@ -74,8 +74,13 @@ class DdlError(ValueError):
     pass
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas not nested inside (), <>, or quotes."""
+def _split_top_level(s: str, angles: bool = True) -> list[str]:
+    """Split on commas not nested inside (), quotes, or — when
+    ``angles`` (the type-DDL context: ``STRUCT<a: INT, b: INT>``) —
+    <>. Expression contexts (SET assignments) pass ``angles=False``
+    because ``<``/``>`` there are comparison operators, and any commas
+    inside a nested type always sit inside a CAST(...) paren anyway."""
+    open_ch, close_ch = ("(<", ")>") if angles else ("(", ")")
     parts, depth, buf, quote = [], 0, [], None
     for ch in s:
         if quote:
@@ -86,10 +91,10 @@ def _split_top_level(s: str) -> list[str]:
         if ch in "'\"":
             quote = ch
             buf.append(ch)
-        elif ch in "(<":
+        elif ch in open_ch:
             depth += 1
             buf.append(ch)
-        elif ch in ")>":
+        elif ch in close_ch:
             depth -= 1
             buf.append(ch)
         elif ch == "," and depth == 0:
@@ -199,11 +204,16 @@ _UPDATE_RE = re.compile(
 )
 
 
+# matches one single- OR double-quoted SQL string literal (Spark
+# accepts both by default); '' / "" are the escaped-quote forms
+_LITERAL_RE = r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")"
+
+
 def _split_where(body: str) -> tuple[str, str | None]:
     """Split ``<assignments> [WHERE <cond>]`` on the first WHERE that
-    sits OUTSIDE single-quoted literals (so ``SET note = 'where x'``
-    stays intact)."""
-    for i, seg in enumerate(parts := re.split(r"('(?:[^']|'')*')", body)):
+    sits OUTSIDE string literals (so ``SET note = 'where x'`` stays
+    intact)."""
+    for i, seg in enumerate(parts := re.split(_LITERAL_RE, body)):
         if i % 2:
             continue
         if m := re.search(r"\bWHERE\b", seg, re.IGNORECASE):
@@ -317,9 +327,9 @@ class DdlFrontend:
         return self.spark.sql(self._bind_tables(stmt))
 
     def _bind_tables(self, statement: str) -> str:
-        # split out single-quoted string literals so identifier
-        # substitution can never rewrite text inside them
-        segments = re.split(r"('(?:[^']|'')*')", statement)
+        # split out string literals (single- or double-quoted) so
+        # identifier substitution can never rewrite text inside them
+        segments = re.split(_LITERAL_RE, statement)
 
         def sub_code(pattern: re.Pattern, repl) -> None:
             for i in range(0, len(segments), 2):  # even = outside quotes
@@ -353,7 +363,7 @@ class DdlFrontend:
             joined = tt.sub(
                 lambda m: f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v", joined
             )
-            segments = re.split(r"('(?:[^']|'')*')", joined)
+            segments = re.split(_LITERAL_RE, joined)
             if code_search(ident):
                 view = f"lake_{db}_{tbl}_v"
                 table.to_df(self.spark).createOrReplaceTempView(view)
@@ -407,7 +417,8 @@ class DdlFrontend:
     @staticmethod
     def _parse_assignments(text: str) -> dict[str, str]:
         out: dict[str, str] = {}
-        for part in _split_top_level(text):
+        # angles=False: '<'/'>' in a SET expression are comparisons
+        for part in _split_top_level(text, angles=False):
             am = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", part, re.DOTALL)
             if not am:
                 raise DdlError(f"cannot parse assignment: {part!r}")
@@ -555,12 +566,14 @@ class DdlFrontend:
         elif am := re.match(
             r"^DROP\s+COLUMN\s+([A-Za-z_][\w.]*)\s*$", action, re.IGNORECASE
         ):
+            self._require_path(table, am.group(1))
             self._evolve(table, _drop_path(table.schema, am.group(1)), resp)
         elif am := re.match(
             r"^ALTER\s+COLUMN\s+([A-Za-z_][\w.]*)\s+TYPE\s+(.+)$",
             action,
             re.IGNORECASE | re.DOTALL,
         ):
+            self._require_path(table, am.group(1))
             new_type = _parse_type(self.spark, am.group(2))
             self._evolve(
                 table,
@@ -609,6 +622,16 @@ class DdlFrontend:
             self._alter_spec(table, am.group(1), add=False, resp=resp)
         else:
             raise DdlError(f"unrecognized ALTER action: {action[:80]!r}")
+
+    @staticmethod
+    def _require_path(table: LakeTable, path: str) -> None:
+        """DROP/ALTER on a path the schema doesn't have must error —
+        the underlying schema editors are silent no-ops for a missing
+        leaf, which would mask typos as 'No schema changes detected'."""
+        from .schema_diff import flatten  # noqa: PLC0415
+
+        if path not in flatten(table.schema):
+            raise DdlError(f"column {path!r} not found in {table.identifier}")
 
     def _add_columns(
         self, table: LakeTable, defs: list[str], resp: ProcessSchemaResponse

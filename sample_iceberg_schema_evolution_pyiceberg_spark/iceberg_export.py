@@ -246,8 +246,12 @@ def spec_to_iceberg(
     from 1000, unique across spec evolution — the Iceberg convention)."""
     if source_ids is None:
         source_ids = {f["name"]: f["id"] for f in schema_doc["fields"]}
+    # a _StableIds registry must NOT mint here — an unknown partition
+    # source means invalid metadata, so raise instead (for_path would
+    # silently allocate an id beyond last-column-id)
     lookup = (
-        source_ids.for_path if isinstance(source_ids, _StableIds)
+        source_ids._by_path.__getitem__
+        if isinstance(source_ids, _StableIds)
         else source_ids.__getitem__
     )
     fields = []
@@ -499,17 +503,13 @@ def export_to_iceberg(table: LakeTable) -> Path:
             for sf, pf in zip(doc["fields"], spec.fields)
         ]
 
-    # current table state = snapshots since (and including) the last
-    # overwrite; each contributes one manifest of status=added files,
-    # written under the snapshot's OWN partition spec (manifests carry
-    # a per-manifest spec — how Iceberg represents spec evolution)
-    snaps = table.snapshots
-    live: list[Snapshot] = []
-    for snap in snaps:
-        if snap.operation == "overwrite":
-            live = [snap]
-        else:
-            live.append(snap)
+    # the snapshot list IS the live set: _write/_replace_live collapse
+    # it to one entry on every overwrite/update/delete/merge, so no
+    # mid-list overwrite can exist here. Each snapshot contributes one
+    # manifest of status=added files, written under the snapshot's OWN
+    # partition spec (per-manifest specs — how Iceberg represents spec
+    # evolution).
+    live: list[Snapshot] = list(table.snapshots)
 
     manifests: list[dict[str, Any]] = []
     for snap in live:

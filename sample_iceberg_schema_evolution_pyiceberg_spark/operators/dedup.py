@@ -105,6 +105,15 @@ def c04_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     word-3-grams, equi-join on gram to count intersections, Jaccard =
     |A∩B| / (|A|+|B|-|A∩B|). Deterministic and SQL-expressible — the
     exactness oracle for the MinHash approximation (c02)."""
+    pairs, _g = _jaccard_pairs(spark, sf)
+    return pairs
+
+
+def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """(pair DataFrame, the persisted gram DataFrame backing it) — the
+    caller that materializes the pairs into its own storage (c18's
+    localCheckpoint) unpersists the grams afterwards; c04 keeps the
+    cache for the life of its lazy result."""
     # persist: three downstream branches (sizes, both join sides) would
     # otherwise re-run the shingling expression three times
     g = _grams_df(spark, sf).persist()
@@ -124,12 +133,13 @@ def c04_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
     # sizes is per-doc (NOT broadcastable at corpus scale) — AQE picks
     # the strategy; at sf0.1 it broadcasts on its own
-    return (
+    pairs = (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return pairs, g
 
 
 def minhash_signatures(grams: DataFrame) -> DataFrame:
@@ -335,12 +345,16 @@ def c18_dedup_cluster_resolution(spark: SparkSession, sf: str) -> DataFrame:
     per round with localCheckpoint so the plan stays flat; convergence
     is detected with a scalar count (no driver data transfer). This is
     the GraphFrames/Pregel pattern expressed in plain DataFrame ops."""
-    pairs = c04_dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    pairs, grams = _jaccard_pairs(spark, sf)
+    pairs = pairs.select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
+    # edges are materialized — release the gram cache instead of
+    # pinning a second copy next to c04's own run for the session life
+    grams.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

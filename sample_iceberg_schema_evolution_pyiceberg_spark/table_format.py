@@ -471,6 +471,7 @@ class LakeTable:
         PRE-update row (one select, not a withColumn chain) — SQL's
         simultaneous-assignment semantics, so ``SET a = b, b = a``
         swaps."""
+        self._check_assignment_targets(assignments)
         df = self.to_df(spark)
         cond = F.expr(condition)
         df = df.select(
@@ -487,6 +488,13 @@ class LakeTable:
             ]
         )
         return self._replace_live(spark, df, "update")
+
+    def _check_assignment_targets(self, assignments: dict[str, str]) -> None:
+        unknown = set(assignments) - {f.name for f in self.schema.fields}
+        if unknown:
+            raise TableFormatError(
+                f"SET targets not in schema: {sorted(unknown)}"
+            )
 
     def merge_into(
         self,
@@ -510,6 +518,8 @@ class LakeTable:
         target->source for the update/delete side, anti join
         source->target for inserts.
         """
+        if when_matched_update:
+            self._check_assignment_targets(when_matched_update)
         target = self.to_df(spark)
         cols = [f.name for f in self.schema.fields]
         src = source.select(

@@ -332,3 +332,43 @@ def test_update_where_inside_literal(ddl):
     # no WHERE at all -> updates every row
     assert not ddl.sql("UPDATE ql.t SET note = 'all'").has_error
     assert {r["note"] for r in ddl.query("SELECT note FROM ql.t").collect()} == {"all"}
+
+
+def test_update_unknown_column_errors(ddl):
+    ddl.sql("CREATE TABLE uk.t (k BIGINT)")
+    ddl.sql("INSERT INTO uk.t VALUES (1)")
+    r = ddl.sql("UPDATE uk.t SET nope = 5 WHERE k = 1")
+    assert r.has_error and "nope" in " ".join(r.message_list)
+    # no snapshot was committed for the bad statement
+    assert len(ddl.catalog.load_table("uk", "t").snapshots) == 1
+
+
+def test_set_expression_with_comparison_operator(ddl):
+    ddl.sql("CREATE TABLE cmp.t (price DOUBLE, flag BOOLEAN, touched BIGINT)")
+    ddl.sql("INSERT INTO cmp.t VALUES (150.0, false, 0), (50.0, false, 0)")
+    r = ddl.sql("UPDATE cmp.t SET flag = price > 100, touched = 1")
+    assert not r.has_error, r.message_list
+    rows = sorted(
+        (r["price"], r["flag"], r["touched"])
+        for r in ddl.query("SELECT * FROM cmp.t").collect()
+    )
+    assert rows == [(50.0, False, 1), (150.0, True, 1)]
+
+
+def test_drop_or_retype_missing_column_errors(ddl):
+    ddl.sql("CREATE TABLE mc.t (customer_name STRING)")
+    r = ddl.sql("ALTER TABLE mc.t DROP COLUMN cusomer_name")  # typo
+    assert r.has_error and "not found" in r.message_list[0]
+    r = ddl.sql("ALTER TABLE mc.t ALTER COLUMN cusomer_name TYPE INT")
+    assert r.has_error and "not found" in r.message_list[0]
+
+
+def test_double_quoted_literals_protected(ddl):
+    ddl.sql("CREATE TABLE dq.t (k BIGINT, note STRING)")
+    ddl.sql('INSERT INTO dq.t VALUES (1, "see where dq.t lives")')
+    r = ddl.sql('UPDATE dq.t SET note = "where clause" WHERE k = 1')
+    assert not r.has_error, r.message_list
+    rows = ddl.query(
+        'SELECT k FROM dq.t WHERE note = "where clause"'
+    ).collect()
+    assert [r["k"] for r in rows] == [1]
