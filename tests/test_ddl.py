@@ -372,3 +372,24 @@ def test_double_quoted_literals_protected(ddl):
         'SELECT k FROM dq.t WHERE note = "where clause"'
     ).collect()
     assert [r["k"] for r in rows] == [1]
+
+
+def test_insert_select_and_merge_across_lake_tables(ddl):
+    """INSERT and MERGE bodies routed through query() can reference
+    other lake tables (identifier binding inside DML sources)."""
+    ddl.sql("CREATE TABLE x.src (k BIGINT, v DOUBLE)")
+    ddl.sql("INSERT INTO x.src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    ddl.sql("CREATE TABLE x.dst (k BIGINT, v DOUBLE)")
+
+    r = ddl.sql("INSERT INTO x.dst SELECT k, v FROM x.src WHERE k <= 2")
+    assert not r.has_error, r.message_list
+    assert ddl.query("SELECT COUNT(*) AS n FROM x.dst").collect()[0]["n"] == 2
+
+    r = ddl.sql(
+        "MERGE INTO x.dst USING (SELECT k, v * 10 AS v FROM x.src) ON (k) "
+        "WHEN MATCHED THEN UPDATE SET v = s_v "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    assert not r.has_error, r.message_list
+    rows = {r["k"]: r["v"] for r in ddl.query("SELECT * FROM x.dst").collect()}
+    assert rows == {1: 15.0, 2: 25.0, 3: 35.0}
