@@ -209,6 +209,15 @@ _UPDATE_RE = re.compile(
 _LITERAL_RE = r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")"
 
 
+def _mask_literals(text: str) -> str:
+    """Same-length copy with string-literal contents blanked, so
+    keyword regexes can compute positions on the mask and slice the
+    original without ever matching inside a literal."""
+    return re.sub(
+        _LITERAL_RE, lambda m: m.group(0)[0] + " " * (len(m.group(0)) - 2) + m.group(0)[-1], text
+    )
+
+
 def _split_where(body: str) -> tuple[str, str | None]:
     """Split ``<assignments> [WHERE <cond>]`` on the first WHERE that
     sits OUTSIDE string literals (so ``SET note = 'where x'`` stays
@@ -441,17 +450,21 @@ class DdlFrontend:
         source = self.query(m.group("src"))
         keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
         clauses = m.group("clauses")
+        # detect clause keywords on a literal-masked copy (a SET value
+        # like 'WHEN NOT MATCHED' must not register as a clause), then
+        # slice the ORIGINAL text by the mask's match positions
+        masked = _mask_literals(clauses)
         upd = re.search(
             r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)"
             r"(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
-            clauses,
+            masked,
             re.IGNORECASE | re.DOTALL,
         )
         delete = re.search(
-            r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses, re.IGNORECASE
+            r"WHEN\s+MATCHED\s+THEN\s+DELETE", masked, re.IGNORECASE
         )
         insert = re.search(
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", clauses, re.IGNORECASE
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", masked, re.IGNORECASE
         )
         if upd and delete:
             raise DdlError("MERGE supports one WHEN MATCHED clause")
@@ -462,7 +475,11 @@ class DdlFrontend:
             source,
             keys,
             when_matched_update=(
-                self._parse_assignments(upd.group(1)) if upd else None
+                # slice the ORIGINAL clauses text by the masked match's
+                # span — group(1) itself comes from the blanked copy
+                self._parse_assignments(clauses[upd.start(1):upd.end(1)])
+                if upd
+                else None
             ),
             when_matched_delete=bool(delete),
             insert_not_matched=bool(insert),

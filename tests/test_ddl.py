@@ -393,3 +393,18 @@ def test_insert_select_and_merge_across_lake_tables(ddl):
     assert not r.has_error, r.message_list
     rows = {r["k"]: r["v"] for r in ddl.query("SELECT * FROM x.dst").collect()}
     assert rows == {1: 15.0, 2: 25.0, 3: 35.0}
+
+
+def test_merge_clause_keyword_inside_literal(ddl):
+    ddl.sql("CREATE TABLE mk.t (k BIGINT, note STRING)")
+    ddl.sql("INSERT INTO mk.t VALUES (1, 'old')")
+    # the literal contains a clause keyword; no INSERT clause is given,
+    # so the unmatched source row (k=2) must NOT be inserted
+    r = ddl.sql(
+        "MERGE INTO mk.t USING (SELECT * FROM VALUES (1), (2) AS s(k)) "
+        "ON (k) WHEN MATCHED THEN UPDATE SET "
+        "note = 'WHEN NOT MATCHED THEN INSERT'"
+    )
+    assert not r.has_error, r.message_list
+    rows = {r["k"]: r["note"] for r in ddl.query("SELECT * FROM mk.t").collect()}
+    assert rows == {1: "WHEN NOT MATCHED THEN INSERT"}
