@@ -58,6 +58,9 @@ def plan_fingerprint(df) -> str:
     box was noisy' when a query's time moves between rounds."""
     s = df._jdf.queryExecution().executedPlan().toString()
     s = re.sub(r"#\d+L?", "#", s)
+    # higher-order-function lambda variables (zip_with/aggregate/...)
+    # mint fresh names per query construction: x_123 -> x_
+    s = re.sub(r"\b([A-Za-z]+)_(\d+)\b", r"\1_", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"\[id=#?\d*\]", "", s)
     s = re.sub(r"/[^\s,)\]]*(?:testdata|benchdata)[^\s,)\]]*", "<path>", s)
