@@ -59,8 +59,11 @@ def plan_fingerprint(df) -> str:
     s = df._jdf.queryExecution().executedPlan().toString()
     s = re.sub(r"#\d+L?", "#", s)
     # higher-order-function lambda variables (zip_with/aggregate/...)
-    # mint fresh names per query construction: x_123 -> x_
-    s = re.sub(r"\b([A-Za-z]+)_(\d+)\b", r"\1_", s)
+    # mint fresh names per query construction: x_123 -> x_. Anchored to
+    # the short lambda-arg names this codebase actually uses, so real
+    # identifiers that merely end in digits (col_1 vs col_2) keep
+    # distinct fingerprints.
+    s = re.sub(r"\b(x|y|z|w|v|s|m|k|e|kv|tr|acc)_(\d+)\b", r"\1_", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"\[id=#?\d*\]", "", s)
     s = re.sub(r"/[^\s,)\]]*(?:testdata|benchdata)[^\s,)\]]*", "<path>", s)

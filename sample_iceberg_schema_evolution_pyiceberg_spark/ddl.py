@@ -220,15 +220,24 @@ def _mask_literals(text: str) -> str:
 
 def _split_where(body: str) -> tuple[str, str | None]:
     """Split ``<assignments> [WHERE <cond>]`` on the first WHERE that
-    sits OUTSIDE string literals (so ``SET note = 'where x'`` stays
-    intact)."""
-    for i, seg in enumerate(parts := re.split(_LITERAL_RE, body)):
-        if i % 2:
+    sits OUTSIDE string literals and at paren depth 0 (so both
+    ``SET note = 'where x'`` and ``SET x = (SELECT ... WHERE ...)``
+    stay intact)."""
+    parts = re.split(_LITERAL_RE, body)
+    depth = 0
+    for i, seg in enumerate(parts):
+        if i % 2:  # literal segment — opaque
             continue
-        if m := re.search(r"\bWHERE\b", seg, re.IGNORECASE):
-            head = "".join(parts[:i]) + seg[: m.start()]
-            tail = seg[m.end():] + "".join(parts[i + 1:])
-            return head.strip(), tail.strip()
+        for m in re.finditer(r"[()]|\bWHERE\b", seg, re.IGNORECASE):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                head = "".join(parts[:i]) + seg[: m.start()]
+                tail = seg[m.end():] + "".join(parts[i + 1:])
+                return head.strip(), tail.strip()
     return body.strip(), None
 # constrained MERGE: equality keys in ON (...), the three standard
 # clause forms; update expressions may reference source columns as

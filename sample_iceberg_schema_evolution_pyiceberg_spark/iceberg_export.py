@@ -288,9 +288,14 @@ def _partition_avro_type(transform: str, source_type: T.DataType) -> Any:
 def encode_partition_value(transform: str, raw: str, source_type: T.DataType):
     """Hive-dir string -> Iceberg spec partition encoding (the spec's
     integer encodings for time transforms AND for identity over
-    date/timestamp sources)."""
+    date/timestamp sources). Directory values arrive hive-escaped
+    (%3A, %20, %2F, ...; Spark escapes them on write), so unescape
+    once up front — manifests store real values, not path encodings."""
     if raw in ("__HIVE_DEFAULT_PARTITION__", "null", ""):
         return None
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    raw = unquote(raw)
     if transform == "year":
         return int(raw) - 1970
     if transform == "month":
@@ -307,7 +312,7 @@ def encode_partition_value(transform: str, raw: str, source_type: T.DataType):
         return (date.fromisoformat(raw) - _EPOCH).days
     if isinstance(source_type, (T.TimestampType, T.TimestampNTZType)):
         # hive dirs encode timestamps as 'YYYY-MM-DD HH:MM:SS[.ffffff]'
-        dt = datetime.fromisoformat(raw.replace("%3A", ":"))
+        dt = datetime.fromisoformat(raw)
         return int(dt.timestamp() * 1_000_000) if dt.tzinfo else int(
             (dt - datetime(1970, 1, 1)).total_seconds() * 1_000_000
         )
@@ -368,12 +373,9 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
-        {
-            "name": "added_snapshot_id",
-            "type": ["null", "long"],
-            "default": None,
-            "field-id": 503,
-        },
+        # spec v1 marks added_snapshot_id REQUIRED — plain long, not a
+        # nullable union a reader would need schema resolution to accept
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
         {
             "name": "added_files_count",
             "type": ["null", "int"],
@@ -574,37 +576,45 @@ def export_to_iceberg(table: LakeTable) -> Path:
         )
 
     now_ms = int(time.time() * 1000)
+    # one `snapshots` entry per contributing live snapshot, chained via
+    # parent-snapshot-id, so every manifest's added_snapshot_id resolves
+    # to a snapshot a reader can see (expire-snapshots / incremental
+    # reads reject dangling references). Snapshot i's manifest list is
+    # the cumulative prefix manifests[0..i] — the state of the table as
+    # of that snapshot, which is what time-traveling Iceberg readers
+    # resolve.
     snapshots_json: list[dict[str, Any]] = []
     current_id: int | None = None
-    if live:
-        current = live[-1]
-        current_id = _snapshot_int_id(current)
-        list_path = meta_dir / f"snap-{current_id}-1-{uuid.uuid4()}.avro"
+    parent_id: int | None = None
+    for i, snap in enumerate(live):
+        sid = _snapshot_int_id(snap)
+        list_path = meta_dir / f"snap-{sid}-1-{uuid.uuid4()}.avro"
         write_ocf(
             str(list_path),
             _MANIFEST_FILE_SCHEMA,
-            manifests,
+            manifests[: i + 1],
             {"format-version": str(FORMAT_VERSION)},
         )
-        snapshots_json.append(
-            {
-                "snapshot-id": current_id,
-                "timestamp-ms": current.timestamp_ms,
-                "manifest-list": str(list_path),
-                "schema-id": current.schema_version,
-                "summary": {
-                    "operation": "append"
-                    if current.operation == "append"
-                    else "overwrite",
-                    "added-data-files": str(
-                        manifests[-1]["added_files_count"]
-                    ),
-                    "total-records": str(
-                        sum(m["added_rows_count"] for m in manifests)
-                    ),
-                },
-            }
-        )
+        entry: dict[str, Any] = {
+            "snapshot-id": sid,
+            "timestamp-ms": snap.timestamp_ms,
+            "manifest-list": str(list_path),
+            "schema-id": snap.schema_version,
+            "summary": {
+                "operation": "append"
+                if snap.operation == "append"
+                else "overwrite",
+                "added-data-files": str(manifests[i]["added_files_count"]),
+                "total-records": str(
+                    sum(m["added_rows_count"] for m in manifests[: i + 1])
+                ),
+            },
+        }
+        if parent_id is not None:
+            entry["parent-snapshot-id"] = parent_id
+        snapshots_json.append(entry)
+        parent_id = sid
+    current_id = parent_id
 
     doc: dict[str, Any] = {
         "format-version": FORMAT_VERSION,

@@ -408,3 +408,22 @@ def test_merge_clause_keyword_inside_literal(ddl):
     assert not r.has_error, r.message_list
     rows = {r["k"]: r["note"] for r in ddl.query("SELECT * FROM mk.t").collect()}
     assert rows == {1: "WHEN NOT MATCHED THEN INSERT"}
+
+
+def test_split_where_paren_depth():
+    from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import _split_where
+
+    # WHERE inside a parenthesized subquery must not split the body
+    head, cond = _split_where(
+        "x = (SELECT MAX(y) FROM t WHERE z = 1) WHERE id = 2"
+    )
+    assert head == "x = (SELECT MAX(y) FROM t WHERE z = 1)"
+    assert cond == "id = 2"
+    # WHERE inside a literal still protected
+    head, cond = _split_where("note = 'where x' WHERE k = 3")
+    assert head == "note = 'where x'"
+    assert cond == "k = 3"
+    # no WHERE at all
+    head, cond = _split_where("a = 1, b = 2")
+    assert head == "a = 1, b = 2"
+    assert cond is None

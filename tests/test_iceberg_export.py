@@ -416,6 +416,19 @@ def test_identity_partition_spec_encodings():
     )
 
 
+def test_partition_value_hive_unescape():
+    # hive-escaped directory values decode to real values in manifests
+    assert (
+        encode_partition_value("identity", "a%20b%2Fc", T.StringType())
+        == "a b/c"
+    )
+    assert encode_partition_value(
+        "identity", "2024-03-01%2000%3A00%3A00", T.TimestampNTZType()
+    ) == int(
+        (datetime(2024, 3, 1) - datetime(1970, 1, 1)).total_seconds() * 1e6
+    )
+
+
 def test_read_empty_exported_table(spark, catalog):
     schema = T.StructType([T.StructField("v", T.LongType(), True)])
     table = catalog.create_table("db", "empty", schema, PartitionSpec())
