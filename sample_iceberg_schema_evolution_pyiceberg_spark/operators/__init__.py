@@ -36,50 +36,39 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # Round 4: new or changed this round — the SQL DDL episode and the
-    # Iceberg export roundtrip (brand new), and c12/c14 whose outputs
-    # were re-shaped for the hash gate — go FIRST for fresh evidence.
+    # Round 5: queries whose code paths changed this round (c09's
+    # Arrow/RE2 token counter; ddl.py + iceberg_export.py fixes behind
+    # a09/a10/a11; b03/b12/b13/b18/b21 perf work) go FIRST.
     "a09_sql_ddl_episode", "a10_iceberg_export_roundtrip",
-    "a11_sql_dml_episode", "c18_dedup_cluster_resolution",
-    "s08_stream_lake_sink",
-    "c12_multimodal_decode_features", "c14_multimodal_frame_sample",
-    # Round 3 window (keep driver evidence warm)
-    "b42_udtf_explode", "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
-    "b48_in_subquery_sql", "b49_cte_sql", "b58_grouped_map_pandas",
+    "a11_sql_dml_episode", "c09_token_count",
+    "b03_join_inner_3way", "b12_agg_pricing_summary",
     "b13_agg_count_distinct",
-    # Tier A — the reference's core domain (schema evolution + lake ops)
-    "a01_evolution_episode", "a02_partition_transforms", "a03_lake_roundtrip",
-    "a04_schema_diff_report", "a05_merge_upsert", "a06_delete_update_where",
-    "a07_time_travel", "a08_compaction_invariance",
-    # Tier C with oracles — LLM-pipeline headline capabilities
-    "c01_dedup_exact", "c04_dedup_ngram_jaccard", "c05_cosine_topk_brute",
-    "c06b_knn_join_sampled", "c07_text_langid", "c08_text_quality",
-    "c09_token_count", "c10_text_fingerprint", "c11_multimodal_binary_meta",
-    "c13_dedup_embedding_cosine", "c15_tfidf_top_terms",
-    "c16_salted_hot_key_agg", "c17_corpus_prep_pipeline",
-    # Streaming with oracles
-    "s01_stream_tumbling_window", "s02_stream_sliding_window",
-    "s03_stream_dedup",
-    # Output-type-canonicalized queries (hash-FAIL in round 1, fixed)
-    "b03_join_inner_3way", "b10_join_broadcast_hint", "b11_join_range",
-    "b12_agg_pricing_summary", "b16_agg_having", "b20_window_running_frame",
-    "b33_json_funcs", "b35_cast_promotion", "b52_grouping_sets",
-    "b54_sessionize_batch",
-    # SURVEY rows with no round-1 driver row: pivot/unpivot, string_agg,
-    # JSON/CSV scans, lake overwrite sink
-    "b55_pivot", "b56_unpivot", "b57_string_agg",
+    # Stale r1 evidence band (latest CORRECTNESS row is round 1 —
+    # VERDICT r4 item 4): rotate the whole band through the driver's
+    # bounded window so no query's evidence is >2 rounds old.
+    "b01_scan_projection", "b02_filter_predicates",
+    "b04_join_left_outer", "b05_join_right_outer", "b06_join_full_outer",
+    "b07_join_left_semi", "b08_join_left_anti", "b09_join_cross",
+    "b14_agg_rollup", "b15_agg_cube", "b17_agg_minmax_stats",
+    "b18_window_ranking", "b19_window_lag_lead", "b21_topk",
+    "b22_sort_nulls", "b23_union_all", "b24_union_distinct",
+    "b25_intersect", "b26_except", "b27_string_funcs", "b28_date_funcs",
+    "b29_math_funcs", "b30_conditional_null", "b31_array_funcs",
+    "b32_map_struct_funcs", "b34_from_json_schema", "b36_dedup_keep_first",
+    "b39_python_udf", "b40_pandas_udf", "b41_grouped_agg_pandas_udf",
+    "b50_python_udtf", "b51_window_first_last", "b53_percentile_median",
+    "b59_map_hof", "b61_null_safe_join",
+    # r1 rows-only (weaker checks, still refreshed)
+    "b37_sample", "b38_approx_count_distinct", "b60_approx_percentile",
+    # r2 band (behavioral rows-only; oldest after the r1 block)
+    "c02_dedup_minhash_lsh", "c02b_minhash_signatures", "c03_dedup_simhash",
+    "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
+    "s05_stream_late_data_drop", "s06_stream_stateful_counter",
+    "s07_stream_stream_join",
+    # r3 band (2 rounds old at r5 — within policy, refresh if budget)
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
-    "b45_lake_overwrite_sink",
-    # Streaming rows-only (session window, watermark, custom state, SS join)
-    "s04_stream_session_window", "s05_stream_late_data_drop",
-    "s06_stream_stateful_counter", "s07_stream_stream_join",
-    # Tier C rows-only (approximate / recall-tested; r2 recorded no_oracle
-    # rows for these — may fall outside the r3 window, acceptable)
-    "c02_dedup_minhash_lsh", "c03_dedup_simhash", "c06_ann_lsh_topk",
-    "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
-    "c02b_minhash_signatures",
-    # Previously driver-green queries (re-verify after the window above)
-    # ... everything unlisted keeps its registration order, rows-only last.
+    "b45_lake_overwrite_sink", "b57_string_agg", "s04_stream_session_window",
+    # Everything unlisted (r4-green) keeps registration order after this.
 ]
 
 _ROWS_ONLY_TAIL = ["b37_sample", "b38_approx_count_distinct",
