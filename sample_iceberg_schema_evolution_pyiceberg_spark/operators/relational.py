@@ -91,11 +91,18 @@ def b02_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b03_join_inner_3way(spark: SparkSession, sf: str) -> DataFrame:
-    """Fact-to-dim star join. lineitem⋈orders shuffles on orderkey;
-    customer/nation are broadcast by Catalyst (small side under the
+    """Fact-to-dim star join. The fact-fact arm (lineitem⋈orders on
+    orderkey) reads both facts from a bucketed-by-orderkey storage
+    layout (sources.bucketed_table), so the join needs NO exchange on
+    either side at any scale — the Iceberg bucket[N]-transform layout a
+    100 TB deployment would write at ingest. customer/nation are
+    broadcast by Catalyst (small side under the
     autoBroadcastJoinThreshold) so the big fact never reshuffles for
-    them — the 100 TB-correct shape."""
-    l, o = t(spark, sf, "lineitem"), t(spark, sf, "orders")
+    them either."""
+    from ..sources import bucketed_table  # noqa: PLC0415
+
+    l = bucketed_table(spark, sf, "lineitem", "l_orderkey")
+    o = bucketed_table(spark, sf, "orders", "o_orderkey")
     c, n = t(spark, sf, "customer"), t(spark, sf, "nation")
     rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
     return (

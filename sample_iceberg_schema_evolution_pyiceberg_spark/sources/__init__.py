@@ -114,6 +114,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
         # dims under 64 MB broadcast (the 100 TB fact side never
         # qualifies); kills the orders-side shuffle in the star joins
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        # bucketed fact scans (bucketed_table below) are written one
+        # sorted file per bucket; expose that ordering so sort-merge
+        # joins on the bucket key skip both the exchange AND the sort
+        ("spark.sql.legacy.bucketedTableScan.outputOrdering", "true"),
     ):
         try:
             spark.conf.set(k, v)
@@ -171,6 +175,63 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = normalize_events_ts(df, target="timestamp_ntz")
     per_session[(sf_dir, name)] = df
     return df
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (storage-partitioned) fact layout
+#
+# A fact-fact equi-join (lineitem ⋈ orders on orderkey) shuffles BOTH
+# sides on every query unless the storage layout already co-locates the
+# keys. At 100 TB the layout is the fix, not the plan: write each fact
+# bucketed by its join key (Iceberg's bucket[N] partition transform /
+# Spark bucketed tables, applied at ingest or compaction), and every
+# downstream join on that key runs shuffle-free at any scale. We mirror
+# that here: first use writes a bucketed catalog copy of the table
+# (one-time, ingest-shaped cost, like the split cache above), and the
+# returned catalog table carries the bucket spec Catalyst needs to
+# eliminate the Exchange on both sides. Falls back to the plain scan on
+# any failure; disable with SPARK_GRAFT_BUCKETED=0.
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 32  # matches local core count; a cluster would size by data
+
+
+def bucketed_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Catalog-registered bucketed copy of a testdata table, keyed on
+    (sf_dir, table, key). ``repartition(buckets, key)`` before the
+    bucketed write aligns write tasks with bucket ids (same murmur3
+    pmod), yielding one file per bucket so sort-merge join can also
+    skip the per-partition sort (buckets are written sorted by key)."""
+    if os.environ.get("SPARK_GRAFT_BUCKETED", "1") == "0":
+        return load_table(spark, sf_dir, name)
+    base = load_table(spark, sf_dir, name)
+    safe = "".join(
+        ch if ch.isalnum() else "_" for ch in os.path.abspath(sf_dir)
+    ).strip("_").lower()
+    tbl = f"bkt_{safe}_{name}_{key}_{buckets}".lower()
+    try:
+        if not spark.catalog.tableExists(tbl):
+            # a prior session (in-memory catalog, nothing persisted) may
+            # have left the warehouse path behind: clear before writing
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            stale = os.path.join(wh, tbl)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            (
+                base.repartition(buckets, F.col(key))
+                .write.format("parquet")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+        return spark.table(tbl)
+    except Exception:  # noqa: BLE001 — layout is an optimization only
+        return base
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:

@@ -41,6 +41,17 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_star_join_fact_scans_are_bucketed(spark, sf_dir):
+    """b03's fact tables must come from the bucketed-by-orderkey
+    layout: the scans carry the bucket spec, so at any scale where
+    neither fact broadcasts, the orderkey join plans zero exchanges
+    (test_bucketed_join_needs_no_shuffle proves the join shape; this
+    proves b03 actually reads that layout)."""
+    df = QUERIES["b03_join_inner_3way"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Bucketed: true") == 2, plan
+
+
 def test_broadcast_hint_respected(spark, sf_dir):
     df = QUERIES["b10_join_broadcast_hint"](spark, sf_dir)
     df.collect()
