@@ -1,0 +1,425 @@
+"""Iceberg v1 spec conformance: goldens + spec-table assertions that do
+NOT go through the writer's code path.
+
+The exporter (iceberg_export.py) is verified elsewhere by a JVM-Avro
+round-trip and an in-repo external reader; both share authorship with
+the writer. This module closes the remaining gap the way available in a
+container with no Iceberg runtime and no network:
+
+- every spec constant asserted here (Avro field-id tables, required
+  metadata keys, partition field-id floor, OCF magic) is written out
+  LITERALLY in this file from the public Iceberg table spec v1
+  (https://iceberg.apache.org/spec/) — nothing is imported from the
+  writer module except the entry point under test;
+- the Avro *writer schemas* embedded in the exported files are decoded
+  by the Apache Avro Java implementation and their declared ``field-id``
+  properties are compared against the spec's tables — this is what a
+  real Iceberg reader keys its projection on, so drift here is exactly
+  the bug class an external engine would hit;
+- canonicalized goldens (tests/goldens/iceberg/) pin the full exported
+  structure — metadata.json and decoded manifest chain — for a fixed
+  two-append partitioned table, so any unintended change to the layout
+  fails loudly. Regenerate with SPARK_GRAFT_REGEN_GOLDENS=1 after an
+  intended change and review the diff.
+
+ICEBERG_CONFORMANCE.md maps each spec rule to the assertion that checks
+it. Reference capability parity: the reference's tables are opened by
+external engines through a real catalog
+(/root/reference/lambda/iceberg_helper.py:104-122); this is the
+offline-verifiable equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+    export_to_iceberg,
+    read_avro_jvm,
+)
+from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+    PartitionField,
+    PartitionSpec,
+)
+from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+    LakeCatalog,
+)
+
+GOLDEN_DIR = Path(__file__).parent / "goldens" / "iceberg"
+
+# ---------------------------------------------------------------------------
+# Spec constants — transcribed from the public Iceberg table spec v1,
+# NOT imported from the writer.
+# ---------------------------------------------------------------------------
+
+OCF_MAGIC = b"Obj\x01"  # Avro 1.x object container file magic
+
+# spec "Manifest Lists": manifest_file fields (v1 subset this export
+# writes; 504-506/512-514 are optional in v1, required in v2)
+MANIFEST_FILE_FIELD_IDS = {
+    "manifest_path": 500,
+    "manifest_length": 501,
+    "partition_spec_id": 502,
+    "added_snapshot_id": 503,
+    "added_files_count": 504,
+    "existing_files_count": 505,
+    "deleted_files_count": 506,
+    "added_rows_count": 512,
+    "existing_rows_count": 513,
+    "deleted_rows_count": 514,
+}
+# v1 requires these to be present and non-null
+MANIFEST_FILE_REQUIRED = {
+    "manifest_path",
+    "manifest_length",
+    "partition_spec_id",
+    "added_snapshot_id",
+}
+
+# spec "Manifests": manifest_entry / data_file fields (v1 subset)
+MANIFEST_ENTRY_FIELD_IDS = {"status": 0, "snapshot_id": 1, "data_file": 2}
+DATA_FILE_FIELD_IDS = {
+    "file_path": 100,
+    "file_format": 101,
+    "partition": 102,
+    "record_count": 103,
+    "file_size_in_bytes": 104,
+    "block_size_in_bytes": 105,  # v1 only; removed in v2
+}
+
+# spec "Partition Evolution": partition field IDs start at 1000
+PARTITION_FIELD_ID_FLOOR = 1000
+
+# spec "Table Metadata": required v1 fields
+METADATA_REQUIRED_V1 = {
+    "format-version",
+    "location",
+    "last-updated-ms",
+    "last-column-id",
+    "schema",
+    "partition-spec",
+}
+
+
+@pytest.fixture()
+def exported(spark, tmp_path):
+    """Deterministic two-append table: day(ts) + identity(region)
+    partitioning, nested struct, decimal, date — the type/layout
+    surface the goldens pin."""
+    catalog = LakeCatalog(tmp_path / "wh")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampNTZType(), True),
+            T.StructField("region", T.StringType(), True),
+            T.StructField("amount", T.DecimalType(10, 2), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("src", T.StringType(), True),
+                        T.StructField(
+                            "tags", T.ArrayType(T.StringType(), True), True
+                        ),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    spec = PartitionSpec(
+        (
+            PartitionField("ts", "day", "ts_day", 1000),
+            PartitionField("region", "identity", "region", 1001),
+        )
+    )
+    table = catalog.create_table("db", "conf", schema, spec)
+    from decimal import Decimal
+
+    rows1 = [
+        Row(
+            id=1,
+            ts=datetime(2024, 3, 1, 10),
+            region="us east",
+            amount=Decimal("10.50"),
+            meta=Row(src="a", tags=["x", "y"]),
+        ),
+        Row(
+            id=2,
+            ts=datetime(2024, 3, 2, 11),
+            region="eu",
+            amount=Decimal("20.00"),
+            meta=Row(src="b", tags=[]),
+        ),
+    ]
+    rows2 = [
+        Row(
+            id=3,
+            ts=datetime(2024, 3, 2, 12),
+            region="us east",
+            amount=Decimal("30.25"),
+            meta=Row(src="c", tags=["z"]),
+        ),
+    ]
+    table.append(spark.createDataFrame(rows1, schema))
+    table.append(spark.createDataFrame(rows2, schema))
+    export_to_iceberg(table)
+    return table
+
+
+def _metadata_doc(table):
+    meta_dir = table.location / "metadata"
+    version = (meta_dir / "version-hint.text").read_text().strip()
+    return json.loads((meta_dir / f"v{version}.metadata.json").read_text())
+
+
+# ---------------------------------------------------------------------------
+# Byte-level and Avro-schema-level conformance
+# ---------------------------------------------------------------------------
+
+
+def test_avro_files_carry_ocf_magic(exported):
+    avro_files = sorted((exported.location / "metadata").glob("*.avro"))
+    assert avro_files, "export produced no Avro files"
+    for f in avro_files:
+        assert f.read_bytes()[:4] == OCF_MAGIC, f
+
+
+def _writer_schema(spark, path: str) -> dict:
+    """Decode the embedded writer schema with Apache Avro (Java) — the
+    schema an external reader would resolve against."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(str(path)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    doc = json.loads(reader.getSchema().toString())
+    reader.close()
+    return doc
+
+
+def _field_ids(schema_doc: dict) -> dict[str, int]:
+    return {
+        f["name"]: f.get("field-id") for f in schema_doc["fields"]
+    }
+
+
+def test_manifest_list_writer_schema_field_ids(spark, exported):
+    doc = _metadata_doc(exported)
+    mlist = doc["snapshots"][-1]["manifest-list"]
+    ws = _writer_schema(spark, mlist)
+    ids = _field_ids(ws)
+    for name, fid in MANIFEST_FILE_FIELD_IDS.items():
+        assert ids.get(name) == fid, (name, ids)
+    # v1-required fields must be non-union (no schema-resolution crutch)
+    by_name = {f["name"]: f for f in ws["fields"]}
+    for name in MANIFEST_FILE_REQUIRED:
+        assert not isinstance(by_name[name]["type"], list), name
+
+
+def test_manifest_writer_schema_field_ids(spark, exported):
+    doc = _metadata_doc(exported)
+    mlist = doc["snapshots"][-1]["manifest-list"]
+    for m in read_avro_jvm(spark, mlist):
+        ws = _writer_schema(spark, m["manifest_path"])
+        ids = _field_ids(ws)
+        for name, fid in MANIFEST_ENTRY_FIELD_IDS.items():
+            assert ids.get(name) == fid, (name, ids)
+        data_file = next(
+            f for f in ws["fields"] if f["name"] == "data_file"
+        )["type"]
+        dids = _field_ids(data_file)
+        for name, fid in DATA_FILE_FIELD_IDS.items():
+            assert dids.get(name) == fid, (name, dids)
+        # partition record: field-ids match the table's partition spec
+        part = next(
+            f for f in data_file["fields"] if f["name"] == "partition"
+        )["type"]
+        spec_fields = {
+            f["name"]: f["field-id"]
+            for spec in doc["partition-specs"]
+            for f in spec["fields"]
+        }
+        for pf in part["fields"]:
+            assert pf.get("field-id") == spec_fields[pf["name"]], pf
+            assert pf["field-id"] >= PARTITION_FIELD_ID_FLOOR
+
+
+# ---------------------------------------------------------------------------
+# metadata.json structural conformance
+# ---------------------------------------------------------------------------
+
+
+def _walk_field_ids(type_doc, out: list[int]):
+    if isinstance(type_doc, dict):
+        kind = type_doc.get("type")
+        if kind == "struct":
+            for f in type_doc["fields"]:
+                out.append(f["id"])
+                _walk_field_ids(f["type"], out)
+        elif kind == "list":
+            out.append(type_doc["element-id"])
+            _walk_field_ids(type_doc["element"], out)
+        elif kind == "map":
+            out.append(type_doc["key-id"])
+            out.append(type_doc["value-id"])
+            _walk_field_ids(type_doc["key"], out)
+            _walk_field_ids(type_doc["value"], out)
+
+
+def test_metadata_required_fields_and_referential_integrity(spark, exported):
+    doc = _metadata_doc(exported)
+    assert METADATA_REQUIRED_V1 <= set(doc)
+    assert doc["format-version"] == 1
+
+    # schema field IDs: unique; last-column-id covers the maximum
+    for schema in doc["schemas"]:
+        ids: list[int] = []
+        _walk_field_ids(schema, ids)
+        assert len(ids) == len(set(ids)), "duplicate field ids"
+        assert max(ids) <= doc["last-column-id"]
+    assert doc["current-schema-id"] in {
+        s["schema-id"] for s in doc["schemas"]
+    }
+
+    # partition specs: source-ids resolve, field-ids above the floor,
+    # last-partition-id covers the maximum
+    all_column_ids: list[int] = []
+    for schema in doc["schemas"]:
+        _walk_field_ids(schema, all_column_ids)
+    for spec in doc["partition-specs"]:
+        for f in spec["fields"]:
+            assert f["source-id"] in all_column_ids, f
+            assert f["field-id"] >= PARTITION_FIELD_ID_FLOOR
+            assert f["field-id"] <= doc["last-partition-id"]
+    assert doc["default-spec-id"] in {
+        s["spec-id"] for s in doc["partition-specs"]
+    }
+
+    # snapshot chain: every manifest's added_snapshot_id resolves to a
+    # listed snapshot; parents chain in order; log timestamps ascend
+    snap_ids = [s["snapshot-id"] for s in doc["snapshots"]]
+    assert doc["current-snapshot-id"] == snap_ids[-1]
+    for i, s in enumerate(doc["snapshots"]):
+        if i == 0:
+            assert "parent-snapshot-id" not in s
+        else:
+            assert s["parent-snapshot-id"] == snap_ids[i - 1]
+        for m in read_avro_jvm(spark, s["manifest-list"]):
+            assert m["added_snapshot_id"] in snap_ids
+    ts = [e["timestamp-ms"] for e in doc["snapshot-log"]]
+    assert ts == sorted(ts)
+
+
+# ---------------------------------------------------------------------------
+# Canonicalized goldens
+# ---------------------------------------------------------------------------
+
+_HEX16 = re.compile(r"[0-9a-f]{16}")
+_UUID = re.compile(
+    r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+)
+
+
+def _canon_path(p: str, location: str, snap_ords: dict[int, int]) -> str:
+    p = p.replace(location, "<table>")
+    for sid, i in snap_ords.items():
+        p = p.replace(str(sid), f"S{i}")
+    p = _UUID.sub("<uuid>", p)
+    p = _HEX16.sub("<hex16>", p)
+    return p
+
+
+def _canon_metadata(doc: dict) -> dict:
+    d = json.loads(json.dumps(doc))
+    location = d["location"]
+    snap_ords = {
+        s["snapshot-id"]: i + 1 for i, s in enumerate(d["snapshots"])
+    }
+    d["location"] = "<table>"
+    d["table-uuid"] = "<uuid>"
+    d["last-updated-ms"] = 0
+    d["current-snapshot-id"] = snap_ords.get(d["current-snapshot-id"], -1)
+    for s in d["snapshots"]:
+        s["snapshot-id"] = snap_ords[s["snapshot-id"]]
+        if "parent-snapshot-id" in s:
+            s["parent-snapshot-id"] = snap_ords[s["parent-snapshot-id"]]
+        s["timestamp-ms"] = 0
+        s["manifest-list"] = _canon_path(
+            s["manifest-list"], location, snap_ords
+        )
+    for e in d["snapshot-log"]:
+        e["snapshot-id"] = snap_ords[e["snapshot-id"]]
+        e["timestamp-ms"] = 0
+    return d
+
+
+def _canon_manifest_chain(spark, doc: dict) -> list:
+    location = doc["location"]
+    snap_ords = {
+        s["snapshot-id"]: i + 1 for i, s in enumerate(doc["snapshots"])
+    }
+    out = []
+    for m in read_avro_jvm(spark, doc["snapshots"][-1]["manifest-list"]):
+        entries = []
+        for e in read_avro_jvm(spark, m["manifest_path"]):
+            df = e["data_file"]
+            entries.append(
+                {
+                    "status": e["status"],
+                    "snapshot_id": snap_ords[e["snapshot_id"]],
+                    "file_path": _canon_path(
+                        df["file_path"], location, snap_ords
+                    ),
+                    "file_format": df["file_format"],
+                    "partition": df["partition"],
+                    "record_count": df["record_count"],
+                }
+            )
+        entries.sort(key=lambda x: x["file_path"])
+        out.append(
+            {
+                "manifest_path": _canon_path(
+                    m["manifest_path"], location, snap_ords
+                ),
+                "partition_spec_id": m["partition_spec_id"],
+                "added_snapshot_id": snap_ords[m["added_snapshot_id"]],
+                "added_files_count": m["added_files_count"],
+                "added_rows_count": m["added_rows_count"],
+                "entries": entries,
+            }
+        )
+    return out
+
+
+def _check_golden(name: str, got) -> None:
+    path = GOLDEN_DIR / name
+    if os.environ.get("SPARK_GRAFT_REGEN_GOLDENS") == "1":
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(got, indent=1, sort_keys=True) + "\n")
+    want = json.loads(path.read_text())
+    assert got == want, f"golden mismatch: {name}"
+
+
+def test_golden_metadata_json(exported):
+    got = json.loads(
+        json.dumps(_canon_metadata(_metadata_doc(exported)), sort_keys=True)
+    )
+    _check_golden("metadata.json", got)
+
+
+def test_golden_manifest_chain(spark, exported):
+    doc = _metadata_doc(exported)
+    got = json.loads(
+        json.dumps(_canon_manifest_chain(spark, doc), sort_keys=True)
+    )
+    _check_golden("manifest_chain.json", got)
