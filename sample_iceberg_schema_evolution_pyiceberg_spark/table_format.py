@@ -75,7 +75,6 @@ metadata JSON.
 from __future__ import annotations
 
 import json
-import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -86,6 +85,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .fileio import FileIO, LocalFileIO
 from .partitioning import (
     PARTITION_COL_PREFIX,
     PartitionSpec,
@@ -244,22 +244,29 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
 
 
 class LakeCatalog:
-    """Filesystem catalog: ``{warehouse}/{db}/{table}`` (the reference
-    derives ``s3://{bucket}/{database}/{table}``,
-    iceberg_helper.py:81-95)."""
+    """Catalog over a warehouse namespace: ``{warehouse}/{db}/{table}``
+    (the reference derives ``s3://{bucket}/{database}/{table}``,
+    iceberg_helper.py:81-95). All metadata IO goes through ``io``
+    (fileio.FileIO) — the Glue/S3 posture's seam: an object-store
+    metadata backend is a different ``io`` plus a location scheme,
+    while data files stay on Spark's own (already pluggable) Hadoop
+    FileSystem layer."""
 
-    def __init__(self, warehouse: str | Path):
+    def __init__(self, warehouse: str | Path, io: FileIO | None = None):
+        self.io = io or LocalFileIO()
         self.warehouse = Path(warehouse)
-        self.warehouse.mkdir(parents=True, exist_ok=True)
+        self.io.mkdirs(str(self.warehouse))
 
     def _table_dir(self, database: str, table: str) -> Path:
         return self.warehouse / database / table
 
     def create_namespace_if_not_exists(self, database: str) -> None:
-        (self.warehouse / database).mkdir(parents=True, exist_ok=True)
+        self.io.mkdirs(str(self.warehouse / database))
 
     def table_exists(self, database: str, table: str) -> bool:
-        return (self._table_dir(database, table) / "_meta" / "version-hint.text").exists()
+        return self.io.exists(
+            str(self._table_dir(database, table) / "_meta" / "version-hint.text")
+        )
 
     def create_table(
         self,
@@ -286,7 +293,7 @@ class LakeCatalog:
             "properties": dict(properties or {}),
             "snapshots": [],
         }
-        t = LakeTable(loc, meta)
+        t = LakeTable(loc, meta, io=self.io)
         t._commit(version=1)
         return t
 
@@ -295,58 +302,65 @@ class LakeCatalog:
         (iceberg_helper.py:180-185)."""
         if not self.table_exists(database, table):
             return None
-        return LakeTable.load(self._table_dir(database, table))
+        return LakeTable.load(self._table_dir(database, table), io=self.io)
 
     def drop_table(self, database: str, table: str) -> None:
-        loc = self._table_dir(database, table)
-        if loc.exists():
-            shutil.rmtree(loc)
+        self.io.delete_recursive(str(self._table_dir(database, table)))
 
     def list_tables(self) -> list[tuple[str, str]]:
         """All (database, table) identifiers in the warehouse —
-        O(#tables) directory probes, a metadata-plane walk."""
+        O(#tables) existence probes, a metadata-plane walk."""
         out = []
-        for db_dir in sorted(self.warehouse.iterdir()):
-            if not db_dir.is_dir():
-                continue
-            for t_dir in sorted(db_dir.iterdir()):
-                if (t_dir / "_meta" / "version-hint.text").exists():
-                    out.append((db_dir.name, t_dir.name))
+        for db in self.io.list_subdirs(str(self.warehouse)):
+            for tb in self.io.list_subdirs(str(self.warehouse / db)):
+                if self.table_exists(db, tb):
+                    out.append((db, tb))
         return out
 
 
 class LakeTable:
-    def __init__(self, location: Path, meta: dict[str, Any]):
+    def __init__(
+        self, location: Path, meta: dict[str, Any], io: FileIO | None = None
+    ):
         self.location = Path(location)
         self.meta = meta
+        self.io = io or LocalFileIO()
 
     # -- metadata ----------------------------------------------------------
 
     @staticmethod
-    def load(location: str | Path) -> "LakeTable":
+    def load(location: str | Path, io: FileIO | None = None) -> "LakeTable":
+        io = io or LocalFileIO()
         location = Path(location)
-        hint = (location / "_meta" / "version-hint.text").read_text().strip()
-        meta_file = location / "_meta" / f"v{hint}.metadata.json"
-        return LakeTable(location, _meta_from_spec(json.loads(meta_file.read_text())))
+        hint = io.read_text(
+            str(location / "_meta" / "version-hint.text")
+        ).strip()
+        meta_file = str(location / "_meta" / f"v{hint}.metadata.json")
+        return LakeTable(
+            location, _meta_from_spec(json.loads(io.read_text(meta_file))),
+            io=io,
+        )
 
     def refresh(self) -> "LakeTable":
         """Re-read committed metadata (reference: table.refresh(),
         iceberg_helper.py:365,384)."""
-        self.meta = LakeTable.load(self.location).meta
+        self.meta = LakeTable.load(self.location, io=self.io).meta
         return self
 
     def _commit(self, version: int | None = None) -> None:
         meta_dir = self.location / "_meta"
-        meta_dir.mkdir(parents=True, exist_ok=True)
         if version is None:
-            hint_file = meta_dir / "version-hint.text"
+            hint_file = str(meta_dir / "version-hint.text")
             version = (
-                int(hint_file.read_text().strip()) + 1 if hint_file.exists() else 1
+                int(self.io.read_text(hint_file).strip()) + 1
+                if self.io.exists(hint_file)
+                else 1
             )
-        (meta_dir / f"v{version}.metadata.json").write_text(
-            json.dumps(_meta_to_spec(self.meta), indent=1)
+        self.io.write_text(
+            str(meta_dir / f"v{version}.metadata.json"),
+            json.dumps(_meta_to_spec(self.meta), indent=1),
         )
-        (meta_dir / "version-hint.text").write_text(str(version))
+        self.io.write_text(str(meta_dir / "version-hint.text"), str(version))
 
     @property
     def identifier(self) -> str:
