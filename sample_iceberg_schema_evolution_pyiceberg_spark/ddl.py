@@ -31,8 +31,14 @@ array-element structs, matching schema_diff path addressing):
     DELETE FROM db.tbl WHERE <cond>
     UPDATE db.tbl SET col = expr, ... [WHERE <cond>]
     MERGE INTO db.tbl USING (<select>) ON (k, ...)
-        [WHEN MATCHED THEN UPDATE SET col = expr, ... | DELETE]
-        [WHEN NOT MATCHED THEN INSERT]
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...
+         | WHEN MATCHED [AND <cond>] THEN DELETE] ...
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT
+         [(col, ...) VALUES (expr, ...)]]
+    -- multiple WHEN MATCHED clauses run first-match-wins; clause
+    -- conditions/SET exprs see source columns as s_<name>; INSERT
+    -- VALUES exprs see plain source columns; conditions must not
+    -- contain the token THEN (no CASE expressions there)
 
 Reads go through ``query()`` (returns a DataFrame): SELECT/WITH/VALUES
 with ``db.tbl`` identifiers bound to current-snapshot scans,
@@ -239,9 +245,10 @@ def _split_where(body: str) -> tuple[str, str | None]:
                 tail = seg[m.end():] + "".join(parts[i + 1:])
                 return head.strip(), tail.strip()
     return body.strip(), None
-# constrained MERGE: equality keys in ON (...), the three standard
-# clause forms; update expressions may reference source columns as
-# s_<name> (merge_into's aliasing contract)
+# constrained MERGE: equality keys in ON (...); clause grammar parsed
+# per-clause in _merge (multiple conditional WHEN MATCHED, one WHEN NOT
+# MATCHED with optional column-list INSERT); update expressions may
+# reference source columns as s_<name> (merge_into's aliasing contract)
 _MERGE_RE = re.compile(
     r"^MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+"
     r"USING\s+\((?P<src>.+)\)\s+ON\s+\((?P<keys>[^)]+)\)\s+"
@@ -454,44 +461,124 @@ class DdlFrontend:
             f"Updated where {cond} (snapshot {snap.snapshot_id})"
         )
 
+    # one WHEN clause head on a literal-masked copy; cond/rest spans are
+    # sliced from the ORIGINAL text. Conditions must not themselves
+    # contain the token THEN (i.e. no CASE expressions there) — a
+    # documented grammar restriction.
+    _MERGE_CLAUSE_RE = re.compile(
+        r"^WHEN\s+(?P<not>NOT\s+)?MATCHED"
+        r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+(?P<rest>.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MERGE_INSERT_RE = re.compile(
+        r"^INSERT\s*(?:\(\s*(?P<cols>[^)]*?)\s*\)\s*"
+        r"VALUES\s*\(\s*(?P<vals>.*)\s*\))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def _merge(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
         table = self._load_for_dml(m, resp, "MERGE")
         source = self.query(m.group("src"))
         keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
         clauses = m.group("clauses")
-        # detect clause keywords on a literal-masked copy (a SET value
-        # like 'WHEN NOT MATCHED' must not register as a clause), then
-        # slice the ORIGINAL text by the mask's match positions
+        # find clause starts on a literal-masked copy (a SET value like
+        # 'WHEN NOT MATCHED' must not register as a clause), then slice
+        # the ORIGINAL text by the mask's positions
         masked = _mask_literals(clauses)
-        upd = re.search(
-            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)"
-            r"(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
-            masked,
-            re.IGNORECASE | re.DOTALL,
-        )
-        delete = re.search(
-            r"WHEN\s+MATCHED\s+THEN\s+DELETE", masked, re.IGNORECASE
-        )
-        insert = re.search(
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", masked, re.IGNORECASE
-        )
-        if upd and delete:
-            raise DdlError("MERGE supports one WHEN MATCHED clause")
-        if not (upd or delete or insert):
+        starts = [
+            mm.start()
+            for mm in re.finditer(
+                r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", masked, re.IGNORECASE
+            )
+        ]
+        if not starts:
             raise DdlError(f"no recognizable MERGE clause in {clauses[:60]!r}")
+        bounds = list(zip(starts, [*starts[1:], len(clauses)]))
+        when_matched: list[tuple[str | None, str, dict | None]] = []
+        insert_seen = False
+        insert_assignments = None
+        insert_condition = None
+        for s, e in bounds:
+            head = self._MERGE_CLAUSE_RE.match(masked[s:e].strip())
+            if not head:
+                raise DdlError(
+                    f"cannot parse MERGE clause: {clauses[s:e][:60]!r}"
+                )
+            off = s + (len(masked[s:e]) - len(masked[s:e].lstrip()))
+            cond = (
+                clauses[off + head.start("cond"): off + head.end("cond")]
+                if head.group("cond")
+                else None
+            )
+            rest_masked = head.group("rest").strip()
+            rest = clauses[off + head.start("rest"): off + head.end("rest")].strip()
+            if head.group("not"):
+                ins = self._MERGE_INSERT_RE.match(rest_masked)
+                if not ins:
+                    raise DdlError(
+                        "WHEN NOT MATCHED supports only THEN INSERT "
+                        "[(cols) VALUES (exprs)]"
+                    )
+                if insert_seen:
+                    raise DdlError(
+                        "MERGE supports one WHEN NOT MATCHED clause"
+                    )
+                insert_seen = True
+                insert_condition = cond
+                if ins.group("cols") is not None:
+                    # masking preserves length and quote chars, so the
+                    # masked-match spans slice the original text exactly
+                    cols = _split_top_level(
+                        rest[ins.start("cols"):ins.end("cols")],
+                        angles=False,
+                    )
+                    vals = _split_top_level(
+                        rest[ins.start("vals"):ins.end("vals")],
+                        angles=False,
+                    )
+                    if len(cols) != len(vals):
+                        raise DdlError(
+                            f"INSERT column/value count mismatch: "
+                            f"{len(cols)} vs {len(vals)}"
+                        )
+                    insert_assignments = {
+                        c.strip(): v.strip() for c, v in zip(cols, vals)
+                    }
+            else:
+                upd = re.match(
+                    r"^UPDATE\s+SET\s+", rest_masked, re.IGNORECASE
+                )
+                if upd:
+                    body = rest[upd.end():]
+                    when_matched.append(
+                        ("update", cond, self._parse_assignments(body))
+                    )
+                elif re.match(r"^DELETE\s*$", rest_masked, re.IGNORECASE):
+                    when_matched.append(("delete", cond, None))
+                else:
+                    raise DdlError(
+                        "WHEN MATCHED supports THEN UPDATE SET ... or "
+                        f"THEN DELETE, got {rest[:40]!r}"
+                    )
+        # unconditional clauses shadow everything after them — reject
+        # unreachable clauses instead of silently ignoring them
+        for i, (_a, cond, _x) in enumerate(when_matched[:-1]):
+            if cond is None:
+                raise DdlError(
+                    "unconditional WHEN MATCHED clause makes later "
+                    "WHEN MATCHED clauses unreachable"
+                )
         snap = table.merge_into(
             self.spark,
             source,
             keys,
-            when_matched_update=(
-                # slice the ORIGINAL clauses text by the masked match's
-                # span — group(1) itself comes from the blanked copy
-                self._parse_assignments(clauses[upd.start(1):upd.end(1)])
-                if upd
-                else None
-            ),
-            when_matched_delete=bool(delete),
-            insert_not_matched=bool(insert),
+            when_matched=[
+                (cond, action, assigns)
+                for action, cond, assigns in when_matched
+            ],
+            insert_not_matched=insert_seen,
+            insert_assignments=insert_assignments,
+            insert_condition=insert_condition,
         )
         resp.message_list.append(
             f"Merged on ({', '.join(keys)}) (snapshot {snap.snapshot_id})"

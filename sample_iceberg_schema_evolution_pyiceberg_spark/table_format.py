@@ -518,22 +518,52 @@ class LakeTable:
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: bool = False,
         insert_not_matched: bool = True,
+        when_matched: list[tuple[str | None, str, dict[str, str] | None]]
+        | None = None,
+        insert_assignments: dict[str, str] | None = None,
+        insert_condition: str | None = None,
     ) -> Snapshot:
         """MERGE INTO, copy-on-write: upsert ``source`` into the table
         on ``key_cols``.
 
-        matched + update  -> SET col = expr (exprs see source columns
-                             as ``s_<name>``)
-        matched + delete  -> drop the target row
-        not matched       -> insert the source row (when enabled)
+        ``when_matched`` is an ordered clause list
+        ``[(condition | None, "update" | "delete", assignments)]`` with
+        SQL MERGE first-match-wins semantics: for each matched row the
+        first clause whose condition holds (None = always) applies and
+        later clauses are skipped. Conditions and update expressions
+        see target columns by name and source columns as ``s_<name>``.
+        The legacy kwargs (``when_matched_update`` /
+        ``when_matched_delete``) remain as shorthand for a single
+        unconditional clause.
+
+        not matched -> insert the source row (when enabled);
+        ``insert_assignments`` maps target columns to expressions over
+        the *source* columns (standard ``INSERT (cols) VALUES (...)``),
+        unset target columns null-fill; ``insert_condition`` gates the
+        insert (``WHEN NOT MATCHED AND <cond>``), also over source
+        columns.
 
         One shuffle on the merge keys; the rewrite is one overwrite
         snapshot. This is the canonical distributed upsert: left join
         target->source for the update/delete side, anti join
-        source->target for inserts.
+        source->target for inserts — clause conditions add CASE
+        branches, never extra joins, so the plan shape is scale-stable.
         """
-        if when_matched_update:
-            self._check_assignment_targets(when_matched_update)
+        if when_matched is None:
+            when_matched = []
+            if when_matched_update:
+                when_matched.append((None, "update", when_matched_update))
+            if when_matched_delete:
+                when_matched.append((None, "delete", None))
+        for _cond, action, assigns in when_matched:
+            if action == "update":
+                self._check_assignment_targets(assigns or {})
+            elif action != "delete":
+                raise TableFormatError(
+                    f"unknown WHEN MATCHED action {action!r}"
+                )
+        if insert_assignments:
+            self._check_assignment_targets(insert_assignments)
         target = self.to_df(spark)
         cols = [f.name for f in self.schema.fields]
         src = source.select(
@@ -547,41 +577,66 @@ class LakeTable:
             "left",
         )
         matched = F.col(f"s_{key_cols[0]}").isNotNull()
-        if when_matched_delete:
-            kept = joined.filter(~matched).select(*cols)
-        elif when_matched_update:
-            # one select: every SET expression reads the pre-update row
-            # (simultaneous assignment, same contract as update_where)
-            kept = joined.select(
-                *[
-                    F.when(
-                        matched,
-                        F.expr(when_matched_update[c]).cast(
-                            self.schema[c].dataType
-                        ),
-                    )
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in when_matched_update
-                    else F.col(c)
-                    for c in cols
-                ]
+        # first-match-wins: clause i fires when matched AND no earlier
+        # clause's condition held AND its own condition holds. Branch
+        # conditions are disjoint, so per-column CASE nesting order
+        # doesn't matter. All SET expressions read the PRE-update row
+        # (simultaneous assignment, same contract as update_where).
+        col_expr: dict[str, Column] = {c: F.col(c) for c in cols}
+        drop = F.lit(False)
+        prior = F.lit(False)
+        for cond_s, action, assigns in when_matched:
+            # NULL condition = not satisfied (SQL three-valued logic);
+            # coalesce keeps `prior` two-valued so later clauses still
+            # get their chance when an earlier condition was UNKNOWN
+            this = (
+                F.coalesce(F.expr(cond_s), F.lit(False))
+                if cond_s
+                else F.lit(True)
             )
-        else:
-            kept = joined.select(*cols)
+            fires = matched & ~prior & this
+            if action == "update":
+                for c, e in (assigns or {}).items():
+                    col_expr[c] = F.when(
+                        fires, F.expr(e).cast(self.schema[c].dataType)
+                    ).otherwise(col_expr[c])
+            else:  # delete
+                drop = drop | fires
+            prior = prior | this
+        kept = joined.filter(~drop).select(
+            *[col_expr[c].alias(c) for c in cols]
+        )
         result = kept
         if insert_not_matched:
             inserts = source.join(
                 target.select(*key_cols).distinct(), key_cols, "left_anti"
             )
-            aligned = inserts.select(
-                *[
-                    F.col(c).cast(self.schema[c].dataType).alias(c)
-                    if c in inserts.columns
-                    else F.lit(None).cast(self.schema[c].dataType).alias(c)
-                    for c in cols
-                ]
-            )
+            if insert_condition:
+                inserts = inserts.filter(insert_condition)
+            if insert_assignments:
+                aligned = inserts.select(
+                    *[
+                        F.expr(insert_assignments[c])
+                        .cast(self.schema[c].dataType)
+                        .alias(c)
+                        if c in insert_assignments
+                        else F.lit(None)
+                        .cast(self.schema[c].dataType)
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
+            else:
+                aligned = inserts.select(
+                    *[
+                        F.col(c).cast(self.schema[c].dataType).alias(c)
+                        if c in inserts.columns
+                        else F.lit(None)
+                        .cast(self.schema[c].dataType)
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
             result = kept.unionByName(aligned)
         return self._replace_live(spark, result, "merge")
 

@@ -427,3 +427,74 @@ def test_split_where_paren_depth():
     head, cond = _split_where("a = 1, b = 2")
     assert head == "a = 1, b = 2"
     assert cond is None
+
+
+def test_merge_conditional_matched_clauses(ddl):
+    ddl.sql("CREATE TABLE mc.t (k BIGINT, v DOUBLE, status STRING)")
+    ddl.sql(
+        "INSERT INTO mc.t VALUES (1, 5.0, 'ok'), (2, 50.0, 'ok'), "
+        "(3, 500.0, 'ok')"
+    )
+    # first-match-wins: big rows deleted, mid rows flagged, small rows
+    # updated by the terminal unconditional clause
+    r = ddl.sql(
+        "MERGE INTO mc.t USING (SELECT * FROM VALUES (1), (2), (3), (4) "
+        "AS s(k)) ON (k) "
+        "WHEN MATCHED AND v >= 100 THEN DELETE "
+        "WHEN MATCHED AND v >= 10 THEN UPDATE SET status = 'flagged' "
+        "WHEN MATCHED THEN UPDATE SET v = v * 2 "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    assert not r.has_error, r.message_list
+    rows = {
+        r["k"]: (r["v"], r["status"])
+        for r in ddl.query("SELECT * FROM mc.t").collect()
+    }
+    assert rows == {
+        1: (10.0, "ok"),        # v*2
+        2: (50.0, "flagged"),   # flag only
+        4: (None, None),        # inserted, no source cols beyond k
+    }
+    assert 3 not in rows        # deleted
+
+
+def test_merge_insert_column_list(ddl):
+    ddl.sql("CREATE TABLE mi.t (k BIGINT, v DOUBLE, note STRING)")
+    ddl.sql("INSERT INTO mi.t VALUES (1, 1.0, 'old')")
+    r = ddl.sql(
+        "MERGE INTO mi.t USING (SELECT * FROM VALUES (1, 10.0), (2, 20.0) "
+        "AS s(k, amount)) ON (k) "
+        "WHEN MATCHED THEN UPDATE SET v = s_amount "
+        "WHEN NOT MATCHED AND amount > 15 THEN INSERT (k, v, note) "
+        "VALUES (k, amount / 2, 'from merge')"
+    )
+    assert not r.has_error, r.message_list
+    rows = {
+        r["k"]: (r["v"], r["note"])
+        for r in ddl.query("SELECT * FROM mi.t").collect()
+    }
+    assert rows == {1: (10.0, "old"), 2: (10.0, "from merge")}
+
+
+def test_merge_insert_condition_filters(ddl):
+    ddl.sql("CREATE TABLE mf.t (k BIGINT, v DOUBLE)")
+    r = ddl.sql(
+        "MERGE INTO mf.t USING (SELECT * FROM VALUES (1, 1.0), (2, 99.0) "
+        "AS s(k, v)) ON (k) "
+        "WHEN NOT MATCHED AND v < 10 THEN INSERT"
+    )
+    assert not r.has_error, r.message_list
+    rows = [r["k"] for r in ddl.query("SELECT * FROM mf.t").collect()]
+    assert rows == [1]
+
+
+def test_merge_rejects_unreachable_clause(ddl):
+    ddl.sql("CREATE TABLE mu.t (k BIGINT, v DOUBLE)")
+    r = ddl.sql(
+        "MERGE INTO mu.t USING (SELECT * FROM VALUES (1, 1.0) AS s(k, v)) "
+        "ON (k) "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN MATCHED AND v > 5 THEN UPDATE SET v = 0"
+    )
+    assert r.has_error
+    assert any("unreachable" in m for m in r.message_list)
