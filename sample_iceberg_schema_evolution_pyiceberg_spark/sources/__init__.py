@@ -118,6 +118,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
         # sorted file per bucket; expose that ordering so sort-merge
         # joins on the bucket key skip both the exchange AND the sort
         ("spark.sql.legacy.bucketedTableScan.outputOrdering", "true"),
+        # 4x the default vectorized-reader batch: fewer per-batch
+        # transitions in wide aggregates (measured ~5% on the Q1-shaped
+        # b12 at sf10; neutral elsewhere — see SCALE.md b12 profile)
+        ("spark.sql.parquet.columnarReaderBatchSize", "16384"),
     ):
         try:
             spark.conf.set(k, v)

@@ -60,6 +60,8 @@ def pow10_stride(con: duckdb.DuckDBPyConnection, src: str, table: str,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--copies", type=int, default=COPIES,
+                    help="replication factor (default 10; e.g. 3 for a sf30 point from sf10)")
     ap.add_argument("--dst", default=str(Path(__file__).parent.parent
                                         / "benchdata" / "sf1"))
     args = ap.parse_args()
@@ -107,7 +109,7 @@ def main() -> None:
         con.execute(
             f"COPY (SELECT {', '.join(exprs)} "
             f"FROM read_parquet('{args.src}/{t}.parquet') "
-            f"CROSS JOIN range({COPIES}) k(g)) "
+            f"CROSS JOIN range({args.copies}) k(g)) "
             f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
         )
         n = con.sql(
