@@ -218,21 +218,36 @@ def bucketed_table(
     tbl = f"bkt_{safe}_{name}_{key}_{buckets}".lower()
     try:
         if not spark.catalog.tableExists(tbl):
-            # a prior session (in-memory catalog, nothing persisted) may
-            # have left the warehouse path behind: clear before writing
+            # the in-memory catalog persists nothing across sessions,
+            # but the warehouse files survive: a COMPLETE prior build
+            # (_SUCCESS present) is adopted by re-declaring the same
+            # bucket spec over its location — never rewritten, and
+            # never deleted out from under a concurrent session using
+            # it. Only an incomplete leftover is cleared and rebuilt.
             wh = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
-            stale = os.path.join(wh, tbl)
-            if os.path.isdir(stale):
-                shutil.rmtree(stale, ignore_errors=True)
-            (
-                base.repartition(buckets, F.col(key))
-                .write.format("parquet")
-                .bucketBy(buckets, key)
-                .sortBy(key)
-                .saveAsTable(tbl)
-            )
+            path = os.path.join(wh, tbl)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in base.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE `{tbl}` ({cols}) USING parquet "
+                    f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+                    f"INTO {buckets} BUCKETS LOCATION '{path}'"
+                )
+            else:
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                (
+                    base.repartition(buckets, F.col(key))
+                    .write.format("parquet")
+                    .bucketBy(buckets, key)
+                    .sortBy(key)
+                    .saveAsTable(tbl)
+                )
         return spark.table(tbl)
     except Exception:  # noqa: BLE001 — layout is an optimization only
         return base
