@@ -71,8 +71,10 @@ _PRIORITY = [
     # Everything unlisted (r4-green) keeps registration order after this.
 ]
 
-_ROWS_ONLY_TAIL = ["b37_sample", "b38_approx_count_distinct",
-                   "b60_approx_percentile"]
+# (b37/b38/b60 moved into _PRIORITY's r1 band this round — the tail
+# list must not double-list them or its "rows-only last" placement
+# would silently lose to the head's first-occurrence-wins)
+_ROWS_ONLY_TAIL: list[str] = []
 
 
 def _reorder(d: dict) -> None:

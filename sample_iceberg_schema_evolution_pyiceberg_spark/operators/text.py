@@ -28,7 +28,10 @@ def _bpe_segment_count(col):  # type: ignore[no-untyped-def]
     """Count BPE-ish segments (letter runs / digit runs / single
     punctuation) per document via PyArrow's RE2 regex kernel — see
     c09_token_count for the measured rationale. Null text stays null
-    (matches size(regexp_extract_all) semantics under sum())."""
+    (matches size(regexp_extract_all) semantics under sum()). The
+    DuckDB oracle is RE2-backed too, so \\s semantics now agree with it
+    exactly — the old java.util.regex path was the divergent one
+    (java's \\s includes \\x0B, RE2's does not)."""
     global _BPE_UDF  # noqa: PLW0603
     if _BPE_UDF is None:
 

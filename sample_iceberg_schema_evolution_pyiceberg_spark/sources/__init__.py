@@ -215,7 +215,15 @@ def bucketed_table(
     safe = "".join(
         ch if ch.isalnum() else "_" for ch in os.path.abspath(sf_dir)
     ).strip("_").lower()
-    tbl = f"bkt_{safe}_{name}_{key}_{buckets}".lower()
+    # source fingerprint in the name (like the split cache's key): a
+    # regenerated source file gets a fresh layout instead of silently
+    # serving the old rows through the _SUCCESS adoption path below
+    try:
+        st = os.stat(f"{sf_dir}/{name}.parquet")
+        stamp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        stamp = "0"
+    tbl = f"bkt_{safe}_{name}_{key}_{buckets}_{stamp}".lower()
     try:
         if not spark.catalog.tableExists(tbl):
             # the in-memory catalog persists nothing across sessions,

@@ -550,11 +550,14 @@ class LakeTable:
         branches, never extra joins, so the plan shape is scale-stable.
         """
         if when_matched is None:
+            # legacy-kwargs precedence: delete first, preserving the old
+            # if/elif behavior where when_matched_delete=True dropped
+            # matched rows even if an update dict was also passed
             when_matched = []
-            if when_matched_update:
-                when_matched.append((None, "update", when_matched_update))
             if when_matched_delete:
                 when_matched.append((None, "delete", None))
+            if when_matched_update:
+                when_matched.append((None, "update", when_matched_update))
         for _cond, action, assigns in when_matched:
             if action == "update":
                 self._check_assignment_targets(assigns or {})

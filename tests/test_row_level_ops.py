@@ -60,6 +60,24 @@ def test_merge_matched_delete(spark, table):
     assert table.to_df(spark).count() == 70
 
 
+def test_merge_legacy_delete_takes_precedence_over_update(spark, table):
+    """Old if/elif contract: when both legacy kwargs are passed, delete
+    wins and the update dict is ignored — preserved by ordering the
+    delete clause first in the legacy translation."""
+    src = spark.range(0, 30).select(F.col("id"))
+    table.merge_into(
+        spark,
+        src,
+        ["id"],
+        when_matched_update={"tag": "'upd'"},
+        when_matched_delete=True,
+        insert_not_matched=False,
+    )
+    df = table.to_df(spark)
+    assert df.count() == 70
+    assert df.filter("tag = 'upd'").count() == 0
+
+
 def test_time_travel_across_row_ops(spark, table):
     s0 = table.snapshots[0]
     table.delete_where(spark, "id < 50")
