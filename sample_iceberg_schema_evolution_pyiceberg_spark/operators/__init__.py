@@ -40,7 +40,7 @@ _PRIORITY = [
     # Arrow/RE2 token counter; ddl.py + iceberg_export.py fixes behind
     # a09/a10/a11; b03/b12/b13/b18/b21 perf work) go FIRST.
     "a09_sql_ddl_episode", "a10_iceberg_export_roundtrip",
-    "a11_sql_dml_episode", "c09_token_count",
+    "a11_sql_dml_episode", "a12_sql_merge_conditional", "c09_token_count",
     "b03_join_inner_3way", "b12_agg_pricing_summary",
     "b13_agg_count_distinct",
     # Stale r1 evidence band (latest CORRECTNESS row is round 1 —

@@ -216,3 +216,90 @@ def a11_sql_dml_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded: grouped agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a12_sql_merge_conditional",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS total
+      FROM orders WHERE o_orderkey <= 600
+    ), src AS (
+      SELECT o_orderkey AS k, o_totalprice * 2 AS amount
+      FROM orders WHERE o_orderkey BETWEEN 301 AND 900
+    ), m AS (
+      SELECT t.k, t.status, t.total, s.amount,
+             s.k IS NOT NULL AS hit
+      FROM tgt t LEFT JOIN src s ON t.k = s.k
+    ), kept AS (
+      /* first-match-wins replay: c1 delete (total >= 300000),
+         c2 update total (status = 'O'), c3 update status (else) */
+      SELECT k,
+             CASE WHEN hit AND NOT (total >= 300000)
+                       AND NOT (status = 'O') THEN 'M'
+                  ELSE status END AS status,
+             CASE WHEN hit AND NOT (total >= 300000)
+                       AND status = 'O' THEN amount
+                  ELSE total END AS total
+      FROM m WHERE NOT (hit AND total >= 300000)
+    ), ins AS (
+      SELECT s.k, 'I' AS status, s.amount / 2 AS total
+      FROM src s LEFT JOIN tgt t ON s.k = t.k
+      WHERE t.k IS NULL AND s.amount < 400000
+    ), final AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins
+    )
+    SELECT status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(total AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total
+    FROM final GROUP BY status
+    """,
+)
+def a12_sql_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional MERGE surface end-to-end (round-5 grammar): multiple
+    WHEN MATCHED [AND cond] clauses with first-match-wins, plus a
+    conditional column-list INSERT ... VALUES with null-free mapping.
+    The oracle replays the same clause cascade relationally (CASE over
+    disjoint branch conditions + filtered anti-join insert)."""
+    tgt = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 600)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    src = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey").between(301, 900))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 2).alias("amount"),
+        )
+    )
+    tgt.createOrReplaceTempView("a12_tgt")
+    src.createOrReplaceTempView("a12_src")
+    with tempfile.TemporaryDirectory(prefix="merge_gate_") as wh:
+        ddl = DdlFrontend(spark, LakeCatalog(wh))
+        stmts = [
+            "CREATE TABLE gate.m AS SELECT * FROM a12_tgt",
+            "MERGE INTO gate.m USING (SELECT * FROM a12_src) ON (k) "
+            "WHEN MATCHED AND total >= 300000 THEN DELETE "
+            "WHEN MATCHED AND status = 'O' THEN UPDATE SET total = s_amount "
+            "WHEN MATCHED THEN UPDATE SET status = 'M' "
+            "WHEN NOT MATCHED AND amount < 400000 THEN INSERT "
+            "(k, status, total) VALUES (k, 'I', amount / 2)",
+        ]
+        for s in stmts:
+            r = ddl.sql(s)
+            assert not r.has_error, (s, r.message_list)
+        out = ddl.query(
+            "SELECT status, COUNT(*) AS n, "
+            "ROUND(CAST(SUM(CAST(total AS DECIMAL(18,6))) AS DOUBLE), 6) "
+            "AS total FROM gate.m GROUP BY status"
+        )
+        # materialize before the temp dir vanishes (bounded: grouped agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
