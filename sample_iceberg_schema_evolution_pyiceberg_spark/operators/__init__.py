@@ -41,6 +41,7 @@ _PRIORITY = [
     # a09/a10/a11; b03/b12/b13/b18/b21 perf work) go FIRST.
     "a09_sql_ddl_episode", "a10_iceberg_export_roundtrip",
     "a11_sql_dml_episode", "a12_sql_merge_conditional", "c09_token_count",
+    "s07_stream_stream_join",  # upgraded rows-only -> hash-gated in r5
     "b03_join_inner_3way", "b12_agg_pricing_summary",
     "b13_agg_count_distinct",
     # Stale r1 evidence band (latest CORRECTNESS row is round 1 —
@@ -64,7 +65,6 @@ _PRIORITY = [
     "c02_dedup_minhash_lsh", "c02b_minhash_signatures", "c03_dedup_simhash",
     "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
     "s05_stream_late_data_drop", "s06_stream_stateful_counter",
-    "s07_stream_stream_join",
     # r3 band (2 rounds old at r5 — within policy, refresh if budget)
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
     "b45_lake_overwrite_sink", "b57_string_agg", "s04_stream_session_window",

@@ -219,14 +219,33 @@ def s06_stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(_run_to_memory(out, mode="update"))
 
 
-@query("s07_stream_stream_join")  # interval join semantics: behavioral
+@query(
+    "s07_stream_stream_join",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
 def s07_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream inner join with an event-time interval condition:
     each purchase joins the same user's clicks in the preceding 30
     minutes. Both sides carry watermarks so Spark can bound the join
     state (clicks older than the watermark + interval are evicted) —
-    the canonical funnel/attribution shape. Checked behaviorally
-    against the identical batch join in tests."""
+    the canonical funnel/attribution shape.
+
+    Hash-gated (upgraded from rows-only in round 5): the replay is a
+    single file -> one availableNow micro-batch, so no state eviction
+    can drop a match and the INNER join's complete output equals the
+    batch interval join the oracle runs (events carry no sub-microsecond
+    precision, so the ns->us ts normalization can't shift a boundary)."""
     clicks = (
         _stream_events(spark, sf)
         .filter(F.col("event_type") == "click")
