@@ -38,6 +38,15 @@ _SPLIT_FILES = 32  # target files per table (matches local core count)
 _MIN_SPLIT_ROWS = 20_000  # below this a single task is already optimal
 
 
+def _source_stamp(path: str) -> str:
+    """Single definition of the source-file staleness fingerprint used
+    by BOTH derived-layout caches (split cache + bucketed layout):
+    byte size + nanosecond mtime, so a same-second same-size
+    regeneration still changes the key."""
+    st = os.stat(path)
+    return f"{st.st_size}-{st.st_mtime_ns}"
+
+
 def _split_cached_path(src: str) -> str:
     """Return a path to a multi-file copy of ``src``, building it on
     first use; falls back to ``src`` itself on any failure (the cache
@@ -47,11 +56,10 @@ def _split_cached_path(src: str) -> str:
     try:
         import pyarrow.parquet as pq  # noqa: PLC0415
 
-        st = os.stat(src)
         # "t" prefix: Spark's file listing skips '_'-prefixed paths
         # (hidden-path convention), and src is absolute so replace()
         # would otherwise start the dir name with '_'
-        key = f"t{src.replace('/', '_')}-{st.st_size}-{int(st.st_mtime)}"
+        key = f"t{src.replace('/', '_')}-{_source_stamp(src)}"
         dst = os.path.join(_SPLIT_CACHE_DIR, key)
         if os.path.isdir(dst):
             return dst
@@ -215,15 +223,17 @@ def bucketed_table(
     safe = "".join(
         ch if ch.isalnum() else "_" for ch in os.path.abspath(sf_dir)
     ).strip("_").lower()
-    # source fingerprint in the name (like the split cache's key): a
-    # regenerated source file gets a fresh layout instead of silently
-    # serving the old rows through the _SUCCESS adoption path below
+    # source fingerprint in the name (same _source_stamp the split
+    # cache keys on): a regenerated source file gets a fresh layout
+    # instead of silently serving the old rows through the _SUCCESS
+    # adoption path below. Unfingerprintable source -> no layout cache
+    # at all (never a degraded always-matching stamp).
     try:
-        st = os.stat(f"{sf_dir}/{name}.parquet")
-        stamp = f"{st.st_size}_{int(st.st_mtime)}"
+        stamp = _source_stamp(f"{sf_dir}/{name}.parquet").replace("-", "_")
     except OSError:
-        stamp = "0"
-    tbl = f"bkt_{safe}_{name}_{key}_{buckets}_{stamp}".lower()
+        return base
+    prefix = f"bkt_{safe}_{name}_{key}_{buckets}_".lower()
+    tbl = prefix + stamp
     try:
         if not spark.catalog.tableExists(tbl):
             # the in-memory catalog persists nothing across sessions,
@@ -236,6 +246,16 @@ def bucketed_table(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
             path = os.path.join(wh, tbl)
+            # reap orphaned older-stamp layouts of this same table: no
+            # future session can reference them (the name embeds the
+            # now-changed stat), and at fact-table sizes they add up.
+            # Same-stamp dirs — the only ones a live concurrent session
+            # on current data can be using — are never touched.
+            import glob as _glob  # noqa: PLC0415
+
+            for old in _glob.glob(os.path.join(wh, prefix + "*")):
+                if os.path.basename(old) != tbl:
+                    shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(os.path.join(path, "_SUCCESS")):
                 cols = ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}"
