@@ -105,3 +105,38 @@ def test_data_plane_still_works_with_explicit_local_io(spark, tmp_path):
     )
     got = sorted(r["v"] for r in table.to_df(spark).collect())
     assert got == ["a", "b"]
+
+
+def test_ddl_control_plane_over_memory_io(spark, tmp_path):
+    """The SQL control plane (CREATE/ALTER/DROP — metadata-only
+    statements) must run entirely against the object-store-model
+    backend: schema evolution through DDL strings with not one byte on
+    the local filesystem."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import DdlFrontend
+
+    io = InMemoryFileIO()
+    catalog = LakeCatalog(tmp_path / "mem_wh", io=io)
+    ddl = DdlFrontend(spark, catalog)
+    for stmt in [
+        "CREATE TABLE db.t (id BIGINT NOT NULL, v STRING, "
+        "meta STRUCT<src: STRING>) PARTITIONED BY (id)",
+        "ALTER TABLE db.t ADD COLUMN added DOUBLE",
+        "ALTER TABLE db.t ADD COLUMN meta.tag STRING",
+        "ALTER TABLE db.t ALTER COLUMN added FIRST",
+        "ALTER TABLE db.t DROP COLUMN v",
+    ]:
+        r = ddl.sql(stmt)
+        assert not r.has_error, (stmt, r.message_list)
+    table = catalog.load_table("db", "t")
+    names = [f.name for f in table.schema.fields]
+    assert names == ["added", "id", "meta"]
+    assert [f.name for f in table.schema["meta"].dataType.fields] == [
+        "src", "tag",
+    ]
+    # five metadata versions committed (create + 4 alters), all in the
+    # fake, nothing on disk
+    assert io.read_text(str(table.location / "_meta" / "version-hint.text"))
+    assert not (tmp_path / "mem_wh").exists()
+    r = ddl.sql("DROP TABLE db.t")
+    assert not r.has_error
+    assert catalog.list_tables() == []
