@@ -106,3 +106,66 @@ def salted_agg(df, keys: list[str], aggs: dict[str, str], salt: int = 16):
         merge[fn](f"_p_{col}").alias(f"{fn}_{col}") for col, fn in aggs.items()
     ]
     return p1.groupBy(*keys).agg(*phase2_aggs)
+
+
+# ---------------------------------------------------------------------------
+# Temporal as-of join (union-merge plan)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(left, right, on, left_time: str, right_time: str,
+              *, tolerance_seconds: float | None = None):
+    """Backward-inclusive as-of join: each left row picks the LATEST
+    right row with the same key whose ``right_time`` <= the left row's
+    ``left_time`` (optionally within ``tolerance_seconds``). Right
+    columns other than key/time are appended; unmatched left rows get
+    NULLs, every left row survives (left-join semantics).
+
+    Plan shape (the reason this exists instead of join+filter+argmax):
+    tag both sides, union them, and resolve the match with ONE
+    ``last(payload_struct, ignorenulls=True)`` running window over
+    (key) ordered by (time, side). That is a single hash partition on
+    the key plus a within-partition sort — linear in rows, never
+    quadratic in per-key fan-out, and exactly the shuffle a 100 TB
+    merge join would do. Right rows sort before left rows at equal
+    times (inclusive semantics). The payload travels as one struct so a
+    legitimately-NULL right field can't fall through to an older row.
+
+    Determinism contract: (key, right_time) must be unique on the right
+    side — pre-dedup with a row_number if it isn't (equal-time right
+    rows would otherwise tie on sort order).
+    """
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    payload = [c for c in right.columns if c not in (rkey, right_time)]
+    lt = left.select(
+        "*",
+        F.col(lkey).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+    )
+    rt = right.select(
+        F.col(rkey).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_time).alias("__rt"), *[F.col(c) for c in payload]
+        ).alias("__p"),
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__t").cast("double")
+            - F.col("__p.__rt").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        u = u.withColumn("__p", F.when(in_tol, F.col("__p")))
+    return u.filter(F.col("__side") == 1).select(
+        *left.columns, *[F.col(f"__p.{c}").alias(c) for c in payload]
+    )

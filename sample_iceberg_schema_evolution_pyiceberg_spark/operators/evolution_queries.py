@@ -349,3 +349,62 @@ def a04_schema_diff_report(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_path string, change string, is_nested int"
     )
+
+
+@query(
+    "a13_incremental_read",
+    oracle="""
+    SELECT 'batch2' AS batch, 'insert' AS change_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total
+    FROM orders WHERE o_orderkey BETWEEN 1001 AND 2000
+    UNION ALL
+    SELECT 'batch3', 'insert', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+    FROM orders WHERE o_orderkey BETWEEN 2001 AND 3000
+    """,
+)
+def a13_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental append scan / CDC (LakeTable.changes_between — the
+    Iceberg appendsBetween analog): three appends, then read the delta
+    (s1, s3] — exactly batches 2 and 3, tagged per snapshot, batch 1
+    invisible. The scan reads only the range's snapshot directories, so
+    incremental cost tracks the delta, not table size. Oracle computes
+    the two batch aggregates relationally from the source parquet."""
+    o = t(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") <= 1000)
+    b2 = o.filter(F.col("o_orderkey").between(1001, 2000))
+    b3 = o.filter(F.col("o_orderkey").between(2001, 3000))
+    with tempfile.TemporaryDirectory(prefix="inc_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "orders_inc", b1.schema)
+        s1 = table.append(b1)
+        s2 = table.append(b2)
+        s3 = table.append(b3)
+        inc = table.changes_between(
+            spark, from_snapshot=s1.snapshot_id, to_snapshot=s3.snapshot_id
+        )
+        out = (
+            inc.groupBy("_snapshot_id", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("total"),
+            )
+            .select(
+                F.when(F.col("_snapshot_id") == s2.snapshot_id, "batch2")
+                .when(F.col("_snapshot_id") == s3.snapshot_id, "batch3")
+                .otherwise("UNEXPECTED")
+                .alias("batch"),
+                F.col("_change_type").alias("change_type"),
+                "n",
+                "total",
+            )
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

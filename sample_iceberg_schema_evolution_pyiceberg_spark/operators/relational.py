@@ -1542,3 +1542,56 @@ def b42_udtf_explode(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "b62_asof_join",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey < 100
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           dim.o_orderkey AS asof_orderkey,
+           dim.o_totalprice AS asof_totalprice
+    FROM events e ASOF LEFT JOIN dim
+      ON e.user_id = dim.o_custkey AND e.ts >= dim.o_orderdate
+    """,
+)
+def b62_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal as-of join (functions.asof_join): each event picks the
+    latest order of the same user at-or-before its timestamp — the
+    point-in-time dimension lookup every feature/training pipeline
+    needs. The union-merge plan is one shuffle on the key + a running
+    window, linear in rows (join+argmax would fan out per-key
+    quadratically). The dimension keeps only o_custkey < 100 so events
+    from users 100-149 exercise the unmatched-NULL path; equal-time
+    right rows are pre-deduped to max orderkey (the determinism
+    contract), mirrored by the oracle's QUALIFY + ASOF LEFT JOIN."""
+    from ..functions import asof_join  # noqa: PLC0415
+
+    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    dim = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    res = asof_join(
+        ev, dim, on=("user_id", "o_custkey"),
+        left_time="ts", right_time="o_orderdate",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )

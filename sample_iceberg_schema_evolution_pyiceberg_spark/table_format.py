@@ -801,6 +801,89 @@ class LakeTable:
             out = out.filter(f"{col} {'=' if op == '==' else op} '{lit}'")
         return out
 
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_snapshot: str | None = None,
+        to_snapshot: str | None = None,
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's ``appendsBetween`` /
+        Spark's ``start-snapshot-id``/``end-snapshot-id`` read options):
+        rows committed strictly AFTER ``from_snapshot`` up to AND
+        INCLUDING ``to_snapshot``, aligned to the current schema and
+        tagged with ``_snapshot_id`` and ``_change_type`` ('insert')
+        metadata columns — the CDC shape downstream incremental
+        pipelines consume. Defaults span table-begin to current.
+
+        Only append snapshots have a row-level insert delta; a range
+        crossing an overwrite-family snapshot (``overwrite()``,
+        ``compact()``, row-level DELETE/UPDATE/MERGE rewrites) raises
+        ``TableFormatError`` — the same contract as Iceberg's
+        incremental append scan. Snapshots expired from the live list
+        by compaction remain servable from ``snapshot_history`` as long
+        as both endpoints predate the overwrite.
+
+        Scale: the scan reads ONLY the range's snapshot directories —
+        incremental cost is proportional to the delta, never to table
+        size (the point of CDC at 100 TB).
+        """
+        hist = [
+            Snapshot.from_json(s)
+            for s in self.meta.get("snapshot_history", [])
+        ] + self.snapshots
+        hist.sort(key=lambda s: s.timestamp_ms)
+        ids = [s.snapshot_id for s in hist]
+
+        def _index(sid: str | None, default: int, what: str) -> int:
+            if sid is None:
+                return default
+            if sid not in ids:
+                raise TableFormatError(
+                    f"unknown {what} snapshot {sid!r} for {self.identifier}"
+                )
+            return ids.index(sid)
+
+        lo = _index(from_snapshot, -1, "from")
+        hi = _index(to_snapshot, len(hist) - 1, "to")
+        if hi < lo:
+            raise TableFormatError(
+                f"to_snapshot {to_snapshot!r} precedes "
+                f"from_snapshot {from_snapshot!r}"
+            )
+        rng = hist[lo + 1: hi + 1]
+        bad = [s.snapshot_id for s in rng if s.operation != "append"]
+        if bad:
+            raise TableFormatError(
+                "incremental read range crosses non-append snapshot(s) "
+                f"{bad} (operation rewrites the live set; no append-only "
+                "row delta exists) — read a full snapshot instead"
+            )
+        cur = self.schema
+        tagged = T.StructType(
+            list(cur.fields)
+            + [
+                T.StructField("_snapshot_id", T.StringType()),
+                T.StructField("_change_type", T.StringType()),
+            ]
+        )
+        if not rng:
+            return spark.createDataFrame([], tagged)
+        parts: list[DataFrame] = []
+        for s in rng:
+            df = spark.read.parquet(str(self.location / s.data_dir))
+            df = df.drop(
+                *[c for c in df.columns if c.startswith(PARTITION_COL_PREFIX)]
+            )
+            parts.append(
+                _align_df(df, cur)
+                .withColumn("_snapshot_id", F.lit(s.snapshot_id))
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Schema alignment: reconcile a file-schema DataFrame to the current schema

@@ -112,3 +112,62 @@ def test_stream_merge_sink_upserts(spark, sf_dir, tmp_path):
     out = cat.load_table("stream", "events_merge").to_df(spark)
     assert out.count() == batch_count  # no duplicates after replay
     assert out.select("event_id").distinct().count() == batch_count
+
+
+def test_asof_join_semantics(spark):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (1, 10.0), (1, 20.0), (2, 7.0), (3, 1.0)],
+        "k long, t double",
+    )
+    right = spark.createDataFrame(
+        # (key, time, price): key 1 has rows at t=5 (equal-time ->
+        # inclusive match) and t=12; key 2 at t=8 (after the probe ->
+        # no match); key 3 absent; price NULL at (1,12) must NOT fall
+        # through to the older row (struct payload atomicity)
+        [(1, 5.0, 100.0), (1, 12.0, None), (2, 8.0, 300.0)],
+        "k long, rt double, price double",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    got = {(r.k, r.t): (r.price,) for r in out.collect()}
+    assert got == {
+        (1, 5.0): (100.0,),   # equal-time inclusive
+        (1, 10.0): (100.0,),
+        (1, 20.0): (None,),   # matched (1,12) whose price IS NULL
+        (2, 7.0): (None,),    # right row is in the future
+        (3, 1.0): (None,),    # key absent from right
+    }
+    assert out.count() == 5  # left-join: every left row survives
+
+
+def test_asof_join_tolerance(spark):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import asof_join
+
+    left = spark.createDataFrame([(1, 100.0), (1, 200.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 95.0, 7.0)], "k long, rt double, v double")
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        tolerance_seconds=10,
+    )
+    got = {r.t: r.v for r in out.collect()}
+    assert got == {100.0: 7.0, 200.0: None}  # 105s gap exceeds tolerance
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The union-merge as-of join must plan ONE exchange (hash on the
+    key for the window) — no join operator, no per-key fan-out."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").cast("double").alias("t")
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 3).cast("double").alias("rt"),
+        F.col("id").alias("payload"),
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -105,3 +105,55 @@ def test_scan_after_refresh_sees_other_writer(spark, catalog):
     # stale handle still sees 100; refresh picks up the commit
     assert table.to_df(spark).count() == 100
     assert table.refresh().to_df(spark).count() == 105
+
+
+def test_changes_between_appends(spark, catalog):
+    table, df = _mk(spark, catalog, "inc1")
+    s1 = table.append(df.filter("id < 30"))
+    s2 = table.append(df.filter("id >= 30 AND id < 60"))
+    s3 = table.append(df.filter("id >= 60"))
+    # (s1, s3] = batches 2+3, tagged per snapshot
+    inc = table.changes_between(
+        spark, from_snapshot=s1.snapshot_id, to_snapshot=s3.snapshot_id
+    )
+    assert sorted(r.id for r in inc.collect()) == list(range(30, 100))
+    tags = {
+        (r._snapshot_id, r._change_type) for r in inc.select(
+            "_snapshot_id", "_change_type").distinct().collect()
+    }
+    assert tags == {(s2.snapshot_id, "insert"), (s3.snapshot_id, "insert")}
+    # default range = whole history; empty range = zero rows, same schema
+    assert table.changes_between(spark).count() == 100
+    empty = table.changes_between(
+        spark, from_snapshot=s3.snapshot_id, to_snapshot=s3.snapshot_id
+    )
+    assert empty.count() == 0
+    assert empty.columns == inc.columns
+
+
+def test_changes_between_rejects_overwrite_crossing(spark, catalog):
+    table, df = _mk(spark, catalog, "inc2")
+    s1 = table.append(df.filter("id < 50"))
+    table.append(df.filter("id >= 50"))
+    table.compact(spark)
+    with pytest.raises(TableFormatError, match="non-append"):
+        table.changes_between(spark, from_snapshot=s1.snapshot_id)
+    # both endpoints before the overwrite still work (history-served)
+    pre = table.changes_between(
+        spark,
+        from_snapshot=s1.snapshot_id,
+        to_snapshot=table.meta["snapshot_history"][-1]["snapshot_id"],
+    )
+    assert sorted(r.id for r in pre.collect()) == list(range(50, 100))
+    with pytest.raises(TableFormatError, match="unknown from"):
+        table.changes_between(spark, from_snapshot="nope")
+
+
+def test_changes_between_ordering_guard(spark, catalog):
+    table, df = _mk(spark, catalog, "inc3")
+    s1 = table.append(df.filter("id < 10"))
+    s2 = table.append(df.filter("id >= 10 AND id < 20"))
+    with pytest.raises(TableFormatError, match="precedes"):
+        table.changes_between(
+            spark, from_snapshot=s2.snapshot_id, to_snapshot=s1.snapshot_id
+        )
