@@ -139,27 +139,87 @@ def c06_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 N_CENTROIDS = 16  # IVF codebook size
 N_PROBE = 4  # centroids probed per query (the recall knob)
-# deterministic "trained" codebook: fixed-seed gaussian centroids.
-# A real deployment trains these with KMeans on a sample; the index
-# structure and query path below are identical either way.
+# deterministic fixed-seed codebook (c06c's structural twin); the
+# trained path is train_ivf_codebook + c06d — same index structure
+# and query path, data-fitted centroids.
 _CENTROIDS = np.random.RandomState(23).standard_normal((N_CENTROIDS, _DIM))
 _CENTROIDS /= np.linalg.norm(_CENTROIDS, axis=1, keepdims=True)
 
 
-def ivf_assign_udf(n_nearest: int):
+def ivf_assign_udf(n_nearest: int, centroids: np.ndarray | None = None):
     """pandas UDF: embedding batch -> array of the ``n_nearest``
-    centroid ids by cosine (one numpy matmul per Arrow batch)."""
+    centroid ids by cosine (one numpy matmul per Arrow batch).
+    ``centroids`` defaults to the fixed-seed codebook; pass a trained
+    one (train_ivf_codebook) for the production path. The codebook
+    rides into executors as a closure constant — model parameters, not
+    data."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cents = _CENTROIDS if centroids is None else centroids
 
     def _assign(emb):
         m = np.stack(emb.apply(lambda v: np.asarray(v, dtype=np.float64)))
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ _CENTROIDS.T  # (batch, N_CENTROIDS)
+        sims = m @ cents.T  # (batch, k)
         top = np.argsort(-sims, axis=1)[:, :n_nearest]
         return pd.Series(top.tolist())
 
     _assign.__annotations__ = {"emb": pd.Series, "return": pd.Series}
     return pandas_udf(_assign, "array<int>")
+
+
+def train_ivf_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = N_CENTROIDS,
+    iters: int = 3,
+) -> np.ndarray:
+    """Spherical-KMeans training for the IVF codebook, as DataFrame
+    ops (Lloyd's iterations): the assignment step is the same
+    Arrow-batched matmul the index uses (map-side only, no shuffle);
+    the update step is ``posexplode -> groupBy(cell, pos).avg`` — the
+    exchange carries k×dim averaged cells, never rows. The only driver
+    materialization is the k×dim centroid matrix per iteration (model
+    parameters, the same tiny-aggregate exemption as c18's convergence
+    probe). Init is the first ``k`` vectors by ``id_col`` (deterministic;
+    KMeans++ on a sample is the quality upgrade, not a structure
+    change). Empty cells keep their previous centroid. Returns a
+    unit-norm (k, dim) codebook.
+
+    At 100 TB: train on a bounded sample (``df.sample(...)``) — one
+    pass per iteration over the sample, centroids stay a broadcast
+    closure; the corpus itself is only ever touched by the final
+    assignment pass that writes the partition-key cell column.
+    """
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in init_rows]
+    )
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assigned = df.withColumn(
+            "__cell", F.element_at(ivf_assign_udf(1, cents)(vec_col), 1)
+        )
+        means = (
+            assigned.select(
+                "__cell", F.posexplode(vec_col).alias("__pos", "__val")
+            )
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__val").alias("__m"))
+            .collect()
+        )
+        new = cents.copy()
+        byc: dict[int, dict[int, float]] = {}
+        for r in means:
+            byc.setdefault(r["__cell"], {})[r["__pos"]] = r["__m"]
+        for cell, dims in byc.items():
+            v = np.array([dims[p] for p in range(len(dims))])
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                new[cell] = v / n
+        cents = new
+    return cents
 
 
 @query("c06c_ann_ivf_topk")  # approximate by design -> rows-only check
@@ -180,6 +240,34 @@ def c06c_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.col("embedding").alias("qvec"),
             F.explode(ivf_assign_udf(N_PROBE)("embedding")).alias("cell"),
         )
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(q), "cell")
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@query("c06d_ann_ivf_trained_topk")  # approximate by design -> rows-only
+def c06d_ann_ivf_trained_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """c06c's IVF query path with a TRAINED codebook: spherical KMeans
+    (train_ivf_codebook, 2 Lloyd's iterations as DataFrame ops)
+    replaces the fixed-seed centroids, so posting lists follow the
+    data's actual cluster structure — the production IVF recipe. Index
+    build and probe are identical to c06c; only the model differs."""
+    e = t(spark, sf, "embeddings")
+    cb = train_ivf_codebook(e, iters=2)
+    e = e.withColumn(
+        "cell", F.element_at(ivf_assign_udf(1, cb)("embedding"), 1)
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"),
+        F.explode(ivf_assign_udf(N_PROBE, cb)("embedding")).alias("cell"),
     )
     cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(q), "cell")
     return (

@@ -260,3 +260,37 @@ def test_cluster_resolution_transitive(spark, planted_docs):
     pairs = c04_dedup_ngram_jaccard(spark, planted_docs).collect()
     for p in pairs:
         assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]]
+
+
+def test_ivf_trained_codebook_improves_objective(spark, planted_vectors):
+    """Lloyd's iterations must not worsen the spherical-KMeans
+    objective (mean max-cosine to the nearest centroid), and the
+    trained index must keep planted recall."""
+    import numpy as np
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        c06d_ann_ivf_trained_topk,
+        train_ivf_codebook,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+
+    e = t(spark, planted_vectors, "embeddings")
+    emb = np.stack([
+        np.asarray(r[0], dtype=np.float64)
+        for r in e.select("embedding").collect()
+    ])
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+
+    def objective(cents):
+        return float((emb @ cents.T).max(axis=1).mean())
+
+    cb0 = train_ivf_codebook(e, iters=0)  # init only
+    cb3 = train_ivf_codebook(e, iters=3)
+    assert objective(cb3) >= objective(cb0) - 1e-9, (
+        f"training worsened the objective: {objective(cb0)} -> {objective(cb3)}"
+    )
+    # unit-norm invariant
+    assert np.allclose(np.linalg.norm(cb3, axis=1), 1.0, atol=1e-9)
+
+    got = {r["vec_id"] for r in c06d_ann_ivf_trained_topk(spark, planted_vectors).collect()}
+    recall = len(got & {900, 901, 902, 903, 904}) / 5
+    assert recall >= 0.8, f"trained-IVF recall {recall} on planted near-copies"
