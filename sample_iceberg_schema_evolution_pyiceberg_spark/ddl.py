@@ -249,6 +249,14 @@ def _split_where(body: str) -> tuple[str, str | None]:
 # per-clause in _merge (multiple conditional WHEN MATCHED, one WHEN NOT
 # MATCHED with optional column-list INSERT); update expressions may
 # reference source columns as s_<name> (merge_into's aliasing contract)
+# maintenance procedures — the Iceberg Spark-procedure surface
+# (CALL catalog.system.expire_snapshots / remove_orphan_files /
+# rewrite_data_files); args: positional 'db.tbl' + name => value pairs
+_CALL_RE = re.compile(
+    r"^CALL\s+system\.(?P<proc>\w+)\s*\((?P<args>.*)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _MERGE_RE = re.compile(
     r"^MERGE\s+INTO\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+"
     r"USING\s+\((?P<src>.+)\)\s+ON\s+\((?P<keys>[^)]+)\)\s+"
@@ -303,6 +311,8 @@ class DdlFrontend:
             self._update(m, resp)
         elif m := _MERGE_RE.match(stmt):
             self._merge(m, resp)
+        elif m := _CALL_RE.match(stmt):
+            self._call(m, resp)
         elif re.match(r"^(SELECT|WITH|VALUES)\b", stmt, re.IGNORECASE):
             raise DdlError(
                 "read queries go through DdlFrontend.query(), which "
@@ -657,6 +667,79 @@ class DdlFrontend:
             raise DdlError(f"table {db}.{tbl} does not exist")
         self.catalog.drop_table(db, tbl)
         resp.message_list.append(f"Dropped table {db}.{tbl}")
+
+    # ------------------------------------------------------------------
+
+    _CALL_PROCS = {
+        "expire_snapshots": {"retain_last", "older_than_ms"},
+        "remove_orphan_files": set(),
+        "rewrite_data_files": {"sort_by"},
+    }
+
+    def _call(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        """Maintenance procedures, mirroring Iceberg's Spark SQL
+        extension: ``CALL system.expire_snapshots('db.tbl',
+        retain_last => 1)``, ``CALL system.remove_orphan_files(
+        'db.tbl')``, ``CALL system.rewrite_data_files('db.tbl'
+        [, sort_by => 'c1,c2'])`` (compaction, optionally sorted)."""
+        proc = m.group("proc").lower()
+        if proc not in self._CALL_PROCS:
+            raise DdlError(
+                f"unknown procedure system.{proc}; supported: "
+                f"{sorted(self._CALL_PROCS)}"
+            )
+        parts = [
+            p for p in _split_top_level(m.group("args"), angles=False) if p
+        ]
+        if not parts or not re.fullmatch(r"'[^']+\.[^']+'", parts[0]):
+            raise DdlError(
+                "CALL requires a positional 'db.tbl' first argument"
+            )
+        db, tbl = parts[0][1:-1].split(".", 1)
+        resp.database_name, resp.table_name = db, tbl
+        resp.change_type = f"CALL {proc}"
+        table = self.catalog.load_table(db, tbl)
+        if table is None:
+            raise DdlError(f"table {db}.{tbl} does not exist")
+        kwargs: dict[str, object] = {}
+        for p in parts[1:]:
+            km = re.fullmatch(r"(\w+)\s*=>\s*('[^']*'|\d+)", p)
+            if not km:
+                raise DdlError(f"bad CALL argument {p!r} (name => value)")
+            k, v = km.group(1).lower(), km.group(2)
+            if k not in self._CALL_PROCS[proc]:
+                raise DdlError(
+                    f"system.{proc} does not accept {k!r}; allowed: "
+                    f"{sorted(self._CALL_PROCS[proc])}"
+                )
+            kwargs[k] = v[1:-1] if v.startswith("'") else int(v)
+        if proc == "expire_snapshots":
+            ids = table.expire_snapshots(
+                older_than_ms=kwargs.get("older_than_ms"),
+                retain_last=int(kwargs.get("retain_last", 0)),
+            )
+            resp.message_list.append(
+                f"expire_snapshots {db}.{tbl}: expired {len(ids)} "
+                f"snapshot(s){': ' + ', '.join(ids) if ids else ''}"
+            )
+        elif proc == "remove_orphan_files":
+            removed = table.remove_orphan_files()
+            resp.message_list.append(
+                f"remove_orphan_files {db}.{tbl}: removed "
+                f"{len(removed)} orphan dir(s)"
+            )
+        else:  # rewrite_data_files
+            sort_by = kwargs.get("sort_by")
+            table.compact(
+                self.spark,
+                sort_by=[c.strip() for c in str(sort_by).split(",")]
+                if sort_by
+                else None,
+            )
+            resp.message_list.append(
+                f"rewrite_data_files {db}.{tbl}: compacted live set to "
+                "1 snapshot"
+            )
 
     # ------------------------------------------------------------------
 

@@ -108,6 +108,12 @@ class Snapshot:
     spec_id: int
     data_dir: str  # relative to table location
     sequence_number: int = 0  # Iceberg sequence-number: commit order
+    # expire_snapshots tombstone: no longer addressable for time travel,
+    # but its data dir still composes the state of a LATER retained
+    # history snapshot (this format's snapshots are log-structured, so
+    # descendants depend on ancestor dirs — Iceberg's manifest lists
+    # make each snapshot self-contained; the tombstone is our analog)
+    expired: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -120,7 +126,7 @@ class Snapshot:
 # -- on-disk <-> in-memory metadata translation (module docstring table) ----
 
 def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
-    return {
+    out = {
         "snapshot-id": d["snapshot_id"],
         "sequence-number": d.get("sequence_number", 0),
         "timestamp-ms": d["timestamp_ms"],
@@ -129,10 +135,13 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
         "partition-spec-id": d["spec_id"],
         "data-dir": d["data_dir"],
     }
+    if d.get("expired"):
+        out["expired"] = True  # ext field; absent = live (stable docs)
+    return out
 
 
 def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
-    return {
+    out = {
         "snapshot_id": d["snapshot-id"],
         "sequence_number": d.get("sequence-number", 0),
         "timestamp_ms": d["timestamp-ms"],
@@ -141,6 +150,9 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
         "spec_id": d["partition-spec-id"],
         "data_dir": d["data-dir"],
     }
+    if d.get("expired"):
+        out["expired"] = True
+    return out
 
 
 def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
@@ -722,6 +734,116 @@ class LakeTable:
         self._commit()
         return snap
 
+    def expire_snapshots(
+        self,
+        older_than_ms: int | None = None,
+        retain_last: int = 0,
+    ) -> list[str]:
+        """Iceberg ``expire_snapshots`` analog: expire snapshots from
+        the time-travel HISTORY (``snapshot_history`` — the tail kept
+        by compaction/overwrite). The live set is never touched:
+        expiration bounds how far back time travel reaches, current
+        reads are unaffected. ``older_than_ms`` expires only history
+        entries committed before the cutoff (None = age-blind);
+        ``retain_last`` keeps the newest N non-expired history entries
+        regardless. Returns the newly expired snapshot ids.
+
+        An expired id is no longer addressable: ``to_df(as_of=...)``
+        and ``changes_between`` endpoints naming it raise — the
+        Iceberg contract (expired means unreadable, loudly). Because
+        this format is log-structured (a history snapshot's state is
+        the union of its segment's ancestor dirs — Iceberg's
+        self-contained manifest lists are per-snapshot, ours are not),
+        an expired ancestor that a RETAINED later snapshot still needs
+        stays behind as a metadata tombstone and keeps its data dir;
+        dirs are physically deleted only once no retained snapshot's
+        reconstruction uses them, at which point the tombstone is
+        dropped too. Interior tombstones remain valid delta
+        contributors for ``changes_between`` ranges with retained
+        endpoints.
+
+        Scale: metadata-plane — one metadata commit plus directory
+        deletes for fully-unreferenced snapshots; data is never
+        rewritten.
+        """
+        hist = [
+            Snapshot.from_json(s)
+            for s in self.meta.get("snapshot_history", [])
+        ]
+        hist.sort(key=lambda s: s.timestamp_ms)
+        alive = [s for s in hist if not s.expired]
+        keep_tail = alive[len(alive) - retain_last:] if retain_last else []
+        keep_ids = {s.snapshot_id for s in keep_tail}
+        expired_now = [
+            s
+            for s in alive
+            if s.snapshot_id not in keep_ids
+            and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+        ]
+        if not expired_now:
+            return []
+        expired_ids = {s.snapshot_id for s in expired_now}
+        for s in self.meta.get("snapshot_history", []):
+            if s["snapshot_id"] in expired_ids:
+                s["expired"] = True
+        # A retained snapshot's state is the union of its segment's
+        # ancestor dirs (log-structured format): compute every dir some
+        # retained snapshot still needs; tombstoned ancestors inside a
+        # retained lineage keep their dirs, fully-unneeded ones are
+        # dropped outright and their dirs deleted.
+        chain = [
+            Snapshot.from_json(s)
+            for s in self.meta.get("snapshot_history", [])
+        ] + self.snapshots
+        chain.sort(key=lambda s: s.timestamp_ms)
+        needed: set[str] = set()
+        seg: list[Snapshot] = []
+        for s in chain:
+            seg = [s] if s.operation == "overwrite" else seg + [s]
+            if not s.expired:
+                needed.update(x.data_dir for x in seg)
+        drop = [
+            s
+            for s in self.meta.get("snapshot_history", [])
+            if s.get("expired") and s["data_dir"] not in needed
+        ]
+        drop_ids = {s["snapshot_id"] for s in drop}
+        self.meta["snapshot_history"] = [
+            s
+            for s in self.meta.get("snapshot_history", [])
+            if s["snapshot_id"] not in drop_ids
+        ]
+        self._commit()  # metadata first: a crash leaves orphans, not
+        # dangling references (remove_orphan_files reaps them)
+        for s in drop:
+            self.io.delete_recursive(str(self.location / s["data_dir"]))
+        return sorted(expired_ids)
+
+    def remove_orphan_files(self) -> list[str]:
+        """Iceberg ``remove_orphan_files`` analog: delete
+        ``data/snap-*`` directories referenced by NO snapshot in the
+        committed metadata (live or history) — debris from writes whose
+        metadata commit never landed, or from an expire_snapshots
+        interrupted between commit and delete. Committed metadata is
+        the source of truth, exactly as in Iceberg. Run it only with no
+        writer in flight (the reference's Lambda is single-writer —
+        handler.py orchestration; a production deployment adds an
+        age filter before deleting). Returns removed relative paths.
+        """
+        referenced = {
+            s["data_dir"]
+            for s in self.meta["snapshots"]
+            + self.meta.get("snapshot_history", [])
+        }
+        removed: list[str] = []
+        data_root = self.location / "data"
+        for child in self.io.list_subdirs(str(data_root)):
+            rel = f"data/{child}"
+            if rel not in referenced:
+                self.io.delete_recursive(str(data_root / child))
+                removed.append(rel)
+        return sorted(removed)
+
     # -- read path ---------------------------------------------------------
 
     def to_df(
@@ -756,6 +878,12 @@ class LakeTable:
                 else:
                     upto.append(s)
                 if s.snapshot_id == as_of_snapshot:
+                    if s.expired:
+                        raise TableFormatError(
+                            f"expired snapshot {as_of_snapshot!r} for "
+                            f"{self.identifier}: removed by "
+                            "expire_snapshots, no longer readable"
+                        )
                     found = True
                     break
             if not found:
@@ -841,7 +969,13 @@ class LakeTable:
                 raise TableFormatError(
                     f"unknown {what} snapshot {sid!r} for {self.identifier}"
                 )
-            return ids.index(sid)
+            i = ids.index(sid)
+            if hist[i].expired:
+                raise TableFormatError(
+                    f"expired {what} snapshot {sid!r} for {self.identifier}: "
+                    "removed by expire_snapshots, not addressable"
+                )
+            return i
 
         lo = _index(from_snapshot, -1, "from")
         hi = _index(to_snapshot, len(hist) - 1, "to")

@@ -498,3 +498,40 @@ def test_merge_rejects_unreachable_clause(ddl):
     )
     assert r.has_error
     assert any("unreachable" in m for m in r.message_list)
+
+
+def test_call_maintenance_procedures(ddl):
+    r = ddl.sql("CREATE TABLE db.m (id BIGINT, v STRING)")
+    assert not r.has_error
+    for i in range(3):
+        assert not ddl.sql(
+            f"INSERT INTO db.m VALUES ({i}, 'x{i}')"
+        ).has_error
+    tbl = ddl.catalog.load_table("db", "m")
+    assert len(tbl.snapshots) == 3
+    # rewrite_data_files = compaction; history keeps the old snapshots
+    r = ddl.sql("CALL system.rewrite_data_files('db.m')")
+    assert not r.has_error and "compacted" in r.message_list[-1]
+    tbl = ddl.catalog.load_table("db", "m")
+    assert len(tbl.snapshots) == 1
+    assert len(tbl.meta["snapshot_history"]) == 3
+    # expire everything: history gone, current read intact
+    r = ddl.sql("CALL system.expire_snapshots('db.m', retain_last => 1)")
+    assert not r.has_error and "expired 2" in r.message_list[-1]
+    r = ddl.sql("CALL system.expire_snapshots('db.m')")
+    assert not r.has_error and "expired 1" in r.message_list[-1]
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.m").collect()[0].n == 3
+    r = ddl.sql("CALL system.remove_orphan_files('db.m')")
+    assert not r.has_error and "removed 0" in r.message_list[-1]
+
+
+def test_call_error_contract(ddl):
+    ddl.sql("CREATE TABLE db.e (id BIGINT)")
+    r = ddl.sql("CALL system.nope('db.e')")
+    assert r.has_error and "unknown procedure" in r.message_list[-1]
+    r = ddl.sql("CALL system.expire_snapshots('db.e', frobnicate => 1)")
+    assert r.has_error and "does not accept" in r.message_list[-1]
+    r = ddl.sql("CALL system.expire_snapshots(retain_last => 1)")
+    assert r.has_error and "positional" in r.message_list[-1]
+    r = ddl.sql("CALL system.expire_snapshots('db.missing')")
+    assert r.has_error and "does not exist" in r.message_list[-1]

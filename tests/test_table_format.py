@@ -157,3 +157,78 @@ def test_changes_between_ordering_guard(spark, catalog):
         table.changes_between(
             spark, from_snapshot=s2.snapshot_id, to_snapshot=s1.snapshot_id
         )
+
+
+def test_expire_snapshots_bounds_time_travel(spark, catalog):
+    table, df = _mk(spark, catalog, "exp1")
+    s1 = table.append(df.filter("id < 50"))
+    s2 = table.append(df.filter("id >= 50"))
+    table.compact(spark)  # s1, s2 move to history; live = 1 overwrite
+    # both historical reads work pre-expiry
+    assert table.to_df(spark, as_of_snapshot=s1.snapshot_id).count() == 50
+    expired = table.expire_snapshots(retain_last=1)
+    assert expired == [s1.snapshot_id]  # newest history entry retained
+    # expired id is now unreadable, loudly...
+    with pytest.raises(TableFormatError, match="expired snapshot"):
+        table.to_df(spark, as_of_snapshot=s1.snapshot_id)
+    # ...but the retained s2's state still NEEDS s1's rows (log-
+    # structured lineage), so s1 survives as a tombstone with its dir
+    assert table.to_df(spark, as_of_snapshot=s2.snapshot_id).count() == 100
+    assert (table.location / s1.data_dir).exists()
+    assert table.to_df(spark).count() == 100
+    # expiring s2 as well releases the whole segment: dirs deleted,
+    # tombstones dropped, fresh load sees empty history
+    assert table.expire_snapshots() == [s2.snapshot_id]
+    assert not (table.location / s1.data_dir).exists()
+    assert not (table.location / s2.data_dir).exists()
+    assert table.to_df(spark).count() == 100  # live set untouched
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeTable
+    # empty history serializes as an absent key
+    assert not LakeTable.load(table.location).meta.get("snapshot_history")
+
+
+def test_expire_snapshots_tombstone_serves_changes_between(spark, catalog):
+    """An interior tombstone stays a valid delta contributor; expired
+    ENDPOINTS are refused."""
+    table, df = _mk(spark, catalog, "exp3")
+    s1 = table.append(df.filter("id < 30"))
+    s2 = table.append(df.filter("id >= 30 AND id < 60"))
+    s3 = table.append(df.filter("id >= 60"))
+    table.compact(spark)
+    table.expire_snapshots(retain_last=2)  # s1 tombstoned, s2/s3 kept
+    with pytest.raises(TableFormatError, match="expired from snapshot"):
+        table.changes_between(spark, from_snapshot=s1.snapshot_id,
+                              to_snapshot=s3.snapshot_id)
+    # interior s2 (retained here) range works; s2..s3 delta intact
+    got = table.changes_between(
+        spark, from_snapshot=s2.snapshot_id, to_snapshot=s3.snapshot_id
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(60, 100))
+
+
+def test_expire_snapshots_age_cutoff(spark, catalog):
+    table, df = _mk(spark, catalog, "exp2")
+    table.append(df.filter("id < 50"))
+    table.append(df.filter("id >= 50"))
+    table.compact(spark)
+    hist = table.meta["snapshot_history"]
+    cutoff = hist[0]["timestamp_ms"] + 1  # only the first entry is older
+    expired = table.expire_snapshots(older_than_ms=cutoff)
+    assert expired == [hist[0]["snapshot_id"]]
+    # first entry tombstoned (the retained second still needs its dir)
+    assert [bool(s.get("expired")) for s in table.meta["snapshot_history"]] \
+        == [True, False]
+
+
+def test_remove_orphan_files(spark, catalog):
+    table, df = _mk(spark, catalog, "orph1")
+    table.append(df)
+    # simulate a failed write: a data dir with no metadata commit
+    stray = table.location / "data" / "snap-deadbeef00000000"
+    df.limit(3).write.parquet(str(stray))
+    removed = table.remove_orphan_files()
+    assert removed == ["data/snap-deadbeef00000000"]
+    assert not stray.exists()
+    # committed data untouched
+    assert table.to_df(spark).count() == 100
+    assert table.remove_orphan_files() == []  # idempotent
