@@ -33,6 +33,7 @@ HEADLINE = [
     "b36_dedup_keep_first",
     "b42_udtf_explode",
     "b54_sessionize_batch",
+    "b62_asof_join",
     "c01_dedup_exact",
     "c02_dedup_minhash_lsh",
     "c04_dedup_ngram_jaccard",

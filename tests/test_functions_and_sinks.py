@@ -3,6 +3,10 @@ table sink (B39's Iceberg-sink analog)."""
 
 from __future__ import annotations
 
+import hypothesis.strategies as st
+import pandas as pd
+from hypothesis import given, settings
+
 from pyspark.sql import functions as F
 
 
@@ -171,3 +175,58 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 50), st.integers(-99, 99)
+        ),
+        min_size=0, max_size=25,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Property: asof_join == pandas.merge_asof (backward, inclusive,
+    by-key) on arbitrary inputs — an independent reference
+    implementation of the same semantics."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import asof_join
+
+    # determinism contract: unique (key, time) on the right
+    rdict = {}
+    for k, rt, v in right:
+        rdict[(k, rt)] = max(v, rdict.get((k, rt), -(10 ** 9)))
+    rr = [(k, rt, v) for (k, rt), v in sorted(rdict.items())]
+
+    ldf = spark.createDataFrame(left, "k long, t long")
+    rdf = spark.createDataFrame(
+        rr, "k long, rt long, v long"
+    ) if rr else spark.createDataFrame([], "k long, rt long, v long")
+    got = sorted(
+        (r.k, r.t, r.v) for r in
+        asof_join(ldf, rdf, on="k", left_time="t", right_time="rt").collect()
+    )
+
+    lpd = (
+        pd.DataFrame(left, columns=["k", "t"])
+        .astype("int64")
+        .sort_values("t", kind="stable")
+    )
+    rpd = (
+        pd.DataFrame(rr, columns=["k", "rt", "v"])
+        .astype("int64")
+        .sort_values("rt", kind="stable")
+    )
+    m = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="rt", by="k",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = sorted(
+        (int(r.k), int(r.t), None if pd.isna(r.v) else int(r.v))
+        for r in m.itertuples()
+    )
+    assert got == want
