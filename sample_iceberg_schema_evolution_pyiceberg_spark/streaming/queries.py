@@ -361,3 +361,67 @@ def s08_stream_lake_sink(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded: grouped agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "s09_stream_lake_source",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderstatus
+    """,
+)
+def s09_stream_lake_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Lake -> stream (the source half of s08's sink, hash-gated):
+    three snapshot appends land in a lake table, then
+    LakeTable.stream_changes replays it as a file-source stream
+    (availableNow) into an in-memory sink; the gate aggregates the
+    streamed rows and must equal the relational aggregate over the
+    source parquet — proving the streaming read is lossless and
+    duplicate-free across snapshots."""
+    import tempfile  # noqa: PLC0415
+
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 3000)
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    with tempfile.TemporaryDirectory(prefix="stream_src_") as wh:
+        table = LakeCatalog(wh).create_table("stream", "orders_src", o.schema)
+        for lo, hi in ((0, 1000), (1001, 2000), (2001, 3000)):
+            table.append(o.filter(F.col("o_orderkey").between(lo, hi)))
+        name = f"s09_{uuid.uuid4().hex[:8]}"
+        spark.conf.set(key, "8")
+        try:
+            q = (
+                table.stream_changes(spark)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{wh}/_chk")
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("lake streaming source timed out")
+        finally:
+            spark.conf.set(key, old)
+        out = (
+            spark.table(name)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("total"),
+            )
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes (bounded: grouped agg)
+        return spark.createDataFrame(rows, out.schema)

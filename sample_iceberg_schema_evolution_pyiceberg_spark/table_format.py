@@ -844,6 +844,38 @@ class LakeTable:
                 removed.append(rel)
         return sorted(removed)
 
+    def stream_changes(self, spark: SparkSession) -> DataFrame:
+        """Streaming incremental read (Iceberg's streaming-read analog
+        — the source half of the s08 sink): a Structured Streaming
+        file source over the table's data directory, so each append's
+        files surface in the next micro-batch and
+        ``table.stream_changes(spark) >> writeStream`` turns a lake
+        table into a CDC feed with no message bus. Contract matches
+        ``changes_between``: append-only tables — an overwrite or
+        compaction re-lands rewritten files as if new, so run
+        maintenance on streamed tables only with downstream
+        replay-dedup in place (Iceberg's streaming read carries the
+        same restriction).
+
+        Schema is the CURRENT table schema: files from older schema
+        versions surface missing columns as NULLs (the file source's
+        parquet schema reconciliation), mirroring the batch scan's
+        add-column alignment. ``recursiveFileLookup`` skips hive-dir
+        discovery; hidden partition columns are derived transforms of
+        source columns still present in the data, so nothing is lost.
+
+        Scale: the file source tracks seen files in the checkpoint and
+        lists only for new ones — per-batch cost follows the delta,
+        and ``maxFilesPerTrigger`` bounds batch size on backfill.
+        """
+        self.io.mkdirs(str(self.location / "data"))
+        return (
+            spark.readStream.schema(self.schema)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(self.location / "data"))
+        )
+
     # -- read path ---------------------------------------------------------
 
     def to_df(

@@ -277,3 +277,38 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert stream == batch
+
+
+def test_stream_changes_picks_up_new_appends(spark, tmp_path):
+    """stream_changes must deliver rows append-by-append: a running
+    stream sees files from snapshots committed AFTER it started."""
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeCatalog
+
+    df = spark.range(0, 60).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    )
+    table = LakeCatalog(tmp_path / "wh").create_table(
+        "stream", "src_inc", df.schema
+    )
+    table.append(df.filter("id < 20"))
+    q = (
+        table.stream_changes(spark)
+        .writeStream.format("memory")
+        .queryName("src_inc_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("src_inc_sink").count() == 20
+        table.append(df.filter("id >= 20 AND id < 50"))
+        q.processAllAvailable()
+        assert spark.table("src_inc_sink").count() == 50
+        table.append(df.filter("id >= 50"))
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table("src_inc_sink").collect())
+        assert got == list(range(60))  # lossless, duplicate-free
+    finally:
+        q.stop()
