@@ -398,6 +398,33 @@ class DdlFrontend:
             joined = tt.sub(
                 lambda m: f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v", joined
             )
+            # CDC read: db.tbl CHANGES BETWEEN 'sid' AND 'sid' (or
+            # CHANGES SINCE 'sid') binds changes_between — the
+            # incremental delta with _snapshot_id/_change_type columns
+            ch = re.compile(
+                ident.pattern
+                + r"\s+CHANGES\s+(?:BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'"
+                + r"|SINCE\s+'([^']+)')",
+                re.IGNORECASE,
+            )
+
+            def chg_view(frm: str | None, to: str | None) -> str:
+                return (
+                    f"lake_{db}_{tbl}_chg_{san(frm or 'begin')}_"
+                    f"{san(to or 'head')}_v"
+                )
+
+            for a, b, since in set(ch.findall(joined)):
+                frm, to = (a or since or None), (b or None)
+                table.changes_between(
+                    self.spark, from_snapshot=frm, to_snapshot=to
+                ).createOrReplaceTempView(chg_view(frm, to))
+            joined = ch.sub(
+                lambda m: chg_view(
+                    m.group(1) or m.group(3), m.group(2)
+                ),
+                joined,
+            )
             segments = re.split(_LITERAL_RE, joined)
             if code_search(ident):
                 view = f"lake_{db}_{tbl}_v"

@@ -535,3 +535,26 @@ def test_call_error_contract(ddl):
     assert r.has_error and "positional" in r.message_list[-1]
     r = ddl.sql("CALL system.expire_snapshots('db.missing')")
     assert r.has_error and "does not exist" in r.message_list[-1]
+
+
+def test_sql_changes_cdc_read(ddl):
+    ddl.sql("CREATE TABLE db.c (id BIGINT, v STRING)")
+    for i in range(3):
+        ddl.sql(f"INSERT INTO db.c VALUES ({i}, 'x{i}')")
+    tbl = ddl.catalog.load_table("db", "c")
+    s1, s2, s3 = [s.snapshot_id for s in tbl.snapshots]
+    # (s1, s3] = rows 1 and 2, with CDC metadata columns
+    rows = ddl.query(
+        f"SELECT id, _snapshot_id, _change_type FROM db.c "
+        f"CHANGES BETWEEN '{s1}' AND '{s3}' ORDER BY id"
+    ).collect()
+    assert [r.id for r in rows] == [1, 2]
+    assert [r._snapshot_id for r in rows] == [s2, s3]
+    assert {r._change_type for r in rows} == {"insert"}
+    # SINCE = to current head; aggregates compose as plain SQL
+    n = ddl.query(
+        f"SELECT COUNT(*) AS n FROM db.c CHANGES SINCE '{s1}'"
+    ).collect()[0].n
+    assert n == 2
+    # plain reads are unaffected by the CHANGES grammar
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.c").collect()[0].n == 3
