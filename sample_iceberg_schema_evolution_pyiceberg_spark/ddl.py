@@ -224,6 +224,29 @@ def _mask_literals(text: str) -> str:
     )
 
 
+def _sub_outside_literals(pattern: re.Pattern, repl, text: str) -> str:
+    """``pattern.sub(repl, text)`` that skips matches STARTING inside a
+    string literal (a kept match may legitimately *end* inside one —
+    the quoted snapshot id is part of the syntax). Used for the
+    VERSION AS OF / CHANGES rewrites, whose side-effecting ``repl``
+    must never fire on literal text that merely mentions the syntax."""
+    spans = [m.span() for m in re.finditer(_LITERAL_RE, text)]
+
+    def in_literal(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(text):
+        if in_literal(m.start()):
+            continue
+        out.append(text[last: m.start()])
+        out.append(repl(m))
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _split_where(body: str) -> tuple[str, str | None]:
     """Split ``<assignments> [WHERE <cond>]`` on the first WHERE that
     sits OUTSIDE string literals and at paren depth 0 (so both
@@ -391,13 +414,15 @@ class DdlFrontend:
                 re.IGNORECASE,
             )
             san = lambda s: re.sub(r"\W", "_", s)[:16]  # noqa: E731
-            for snap_id in set(tt.findall(joined)):
-                view = f"lake_{db}_{tbl}_asof_{san(snap_id)}_v"
-                table.to_df(self.spark, as_of_snapshot=snap_id) \
-                    .createOrReplaceTempView(view)
-            joined = tt.sub(
-                lambda m: f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v", joined
-            )
+
+            def tt_repl(m: re.Match) -> str:
+                view = f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v"
+                table.to_df(
+                    self.spark, as_of_snapshot=m.group(1)
+                ).createOrReplaceTempView(view)
+                return view
+
+            joined = _sub_outside_literals(tt, tt_repl, joined)
             # CDC read: db.tbl CHANGES BETWEEN 'sid' AND 'sid' (or
             # CHANGES SINCE 'sid') binds changes_between — the
             # incremental delta with _snapshot_id/_change_type columns
@@ -408,23 +433,19 @@ class DdlFrontend:
                 re.IGNORECASE,
             )
 
-            def chg_view(frm: str | None, to: str | None) -> str:
-                return (
+            def ch_repl(m: re.Match) -> str:
+                frm = m.group(1) or m.group(3) or None
+                to = m.group(2) or None
+                view = (
                     f"lake_{db}_{tbl}_chg_{san(frm or 'begin')}_"
                     f"{san(to or 'head')}_v"
                 )
-
-            for a, b, since in set(ch.findall(joined)):
-                frm, to = (a or since or None), (b or None)
                 table.changes_between(
                     self.spark, from_snapshot=frm, to_snapshot=to
-                ).createOrReplaceTempView(chg_view(frm, to))
-            joined = ch.sub(
-                lambda m: chg_view(
-                    m.group(1) or m.group(3), m.group(2)
-                ),
-                joined,
-            )
+                ).createOrReplaceTempView(view)
+                return view
+
+            joined = _sub_outside_literals(ch, ch_repl, joined)
             segments = re.split(_LITERAL_RE, joined)
             if code_search(ident):
                 view = f"lake_{db}_{tbl}_v"

@@ -137,6 +137,15 @@ def asof_join(left, right, on, left_time: str, right_time: str,
     """
     lkey, rkey = (on, on) if isinstance(on, str) else on
     payload = [c for c in right.columns if c not in (rkey, right_time)]
+    reserved = {"__k", "__t", "__side", "__p"}
+    if bad := reserved & set(left.columns) | reserved & set(right.columns):
+        raise ValueError(f"asof_join reserves column names {sorted(bad)}")
+    if clash := set(payload) & set(left.columns):
+        raise ValueError(
+            f"right payload column(s) {sorted(clash)} collide with left "
+            "columns — rename one side before joining (the output keeps "
+            "all left columns and appends the right payload)"
+        )
     lt = left.select(
         "*",
         F.col(lkey).alias("__k"),

@@ -332,11 +332,22 @@ class LakeCatalog:
 
 class LakeTable:
     def __init__(
-        self, location: Path, meta: dict[str, Any], io: FileIO | None = None
+        self,
+        location: Path,
+        meta: dict[str, Any],
+        io: FileIO | None = None,
+        data_io: FileIO | None = None,
     ):
         self.location = Path(location)
         self.meta = meta
         self.io = io or LocalFileIO()
+        # DATA-plane namespace ops (maintenance deletes/listings,
+        # stream source dir). Data files are written by Spark's Hadoop
+        # FS layer — local in this container — so this defaults to
+        # LocalFileIO even when table METADATA lives behind an
+        # object-store backend; a cloud deployment passes the FileIO
+        # that fronts the same store Spark writes to.
+        self.data_io = data_io or LocalFileIO()
 
     # -- metadata ----------------------------------------------------------
 
@@ -677,34 +688,12 @@ class LakeTable:
     ) -> DataFrame:
         """Incremental consumption: rows appended strictly after the
         given snapshot (CDC-lite for append-only tables; raises if a
-        rewrite intervened, where row-level diffing would be needed)."""
-        snaps = self.snapshots
-        ids = [s.snapshot_id for s in snaps]
-        if snapshot_id not in ids:
-            raise TableFormatError(
-                f"snapshot {snapshot_id!r} is not in the live log "
-                "(rewritten by overwrite/merge? incremental read needs "
-                "an append-only history)"
-            )
-        newer = snaps[ids.index(snapshot_id) + 1 :]
-        if any(s.operation != "append" for s in newer):
-            raise TableFormatError(
-                "non-append snapshot in the incremental range"
-            )
-        if not newer:
-            return spark.createDataFrame([], self.schema)
-        cur = self.schema
-        parts = []
-        for s in newer:
-            df = spark.read.parquet(str(self.location / s.data_dir))
-            df = df.drop(
-                *[c for c in df.columns if c.startswith(PARTITION_COL_PREFIX)]
-            )
-            parts.append(_align_df(df, cur))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        rewrite intervened, where row-level diffing would be needed).
+        Thin wrapper over ``changes_between`` — same scan, minus the
+        CDC metadata columns."""
+        return self.changes_between(spark, from_snapshot=snapshot_id).drop(
+            "_snapshot_id", "_change_type"
+        )
 
     # -- maintenance -------------------------------------------------------
 
@@ -799,7 +788,10 @@ class LakeTable:
         needed: set[str] = set()
         seg: list[Snapshot] = []
         for s in chain:
-            seg = [s] if s.operation == "overwrite" else seg + [s]
+            # any non-append snapshot (overwrite/compact/delete/update/
+            # merge — _replace_live relabels but all are full live-set
+            # rewrites) starts a fresh lineage segment
+            seg = [s] if s.operation != "append" else seg + [s]
             if not s.expired:
                 needed.update(x.data_dir for x in seg)
         drop = [
@@ -816,7 +808,7 @@ class LakeTable:
         self._commit()  # metadata first: a crash leaves orphans, not
         # dangling references (remove_orphan_files reaps them)
         for s in drop:
-            self.io.delete_recursive(str(self.location / s["data_dir"]))
+            self.data_io.delete_recursive(str(self.location / s["data_dir"]))
         return sorted(expired_ids)
 
     def remove_orphan_files(self) -> list[str]:
@@ -837,10 +829,10 @@ class LakeTable:
         }
         removed: list[str] = []
         data_root = self.location / "data"
-        for child in self.io.list_subdirs(str(data_root)):
+        for child in self.data_io.list_subdirs(str(data_root)):
             rel = f"data/{child}"
             if rel not in referenced:
-                self.io.delete_recursive(str(data_root / child))
+                self.data_io.delete_recursive(str(data_root / child))
                 removed.append(rel)
         return sorted(removed)
 
@@ -860,15 +852,28 @@ class LakeTable:
         Schema is the CURRENT table schema: files from older schema
         versions surface missing columns as NULLs (the file source's
         parquet schema reconciliation), mirroring the batch scan's
-        add-column alignment. ``recursiveFileLookup`` skips hive-dir
+        add-column alignment. Type-PROMOTED history (int->bigint etc.)
+        is the limit of file-source reconciliation: compact first
+        (``rewrite_data_files``) so all files carry the current types —
+        the batch paths (``to_df``/``changes_between``) align per-file
+        and don't need this. ``recursiveFileLookup`` skips hive-dir
         discovery; hidden partition columns are derived transforms of
         source columns still present in the data, so nothing is lost.
+
+        Trust boundary: the file source lists the filesystem, not the
+        snapshot log, so data-dir debris from a write that crashed
+        before its metadata commit WOULD be streamed — run
+        ``remove_orphan_files`` before starting a stream (never while
+        one is running: deleting a listed file fails its in-flight
+        batch). The batch paths read only committed metadata and are
+        immune. A log-driven source (the Python Data Source API) is
+        the upgrade path that closes this gap.
 
         Scale: the file source tracks seen files in the checkpoint and
         lists only for new ones — per-batch cost follows the delta,
         and ``maxFilesPerTrigger`` bounds batch size on backfill.
         """
-        self.io.mkdirs(str(self.location / "data"))
+        self.data_io.mkdirs(str(self.location / "data"))
         return (
             spark.readStream.schema(self.schema)
             .option("recursiveFileLookup", "true")
@@ -905,7 +910,12 @@ class LakeTable:
             upto: list[Snapshot] = []
             found = False
             for s in sorted(hist, key=lambda s: s.timestamp_ms):
-                if s.operation == "overwrite":
+                # non-append = full live-set rewrite (overwrite/compact
+                # and _replace_live's delete/update/merge relabels) —
+                # it starts a fresh lineage segment; treating only
+                # "overwrite" as a reset would resurrect pre-DML rows
+                # in time-travel reads
+                if s.operation != "append":
                     upto = [s]
                 else:
                     upto.append(s)

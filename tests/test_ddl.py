@@ -558,3 +558,19 @@ def test_sql_changes_cdc_read(ddl):
     assert n == 2
     # plain reads are unaffected by the CHANGES grammar
     assert ddl.query("SELECT COUNT(*) AS n FROM db.c").collect()[0].n == 3
+
+
+def test_changes_and_version_syntax_inside_literals_ignored(ddl):
+    """Literal text that merely MENTIONS the CHANGES / VERSION AS OF
+    syntax must not trigger the side-effecting rewrites."""
+    ddl.sql("CREATE TABLE db.lit (id BIGINT, v STRING)")
+    ddl.sql("INSERT INTO db.lit VALUES (1, 'db.lit CHANGES SINCE ''zzz''')")
+    rows = ddl.query(
+        "SELECT id FROM db.lit WHERE v = 'db.lit CHANGES SINCE ''zzz'''"
+    ).collect()
+    assert [r.id for r in rows] == [1]
+    rows = ddl.query(
+        "SELECT id FROM db.lit "
+        "WHERE v <> 'db.lit VERSION AS OF ''nope'' docs'"
+    ).collect()
+    assert [r.id for r in rows] == [1]

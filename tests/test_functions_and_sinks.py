@@ -230,3 +230,17 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in m.itertuples()
     )
     assert got == want
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    import pytest
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import asof_join
+
+    left = spark.createDataFrame([(1, 1.0, 5.0)], "k long, t double, price double")
+    right = spark.createDataFrame([(1, 0.5, 9.0)], "k long, rt double, price double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt")
+    left2 = spark.createDataFrame([(1, 1.0, 0)], "k long, t double, __p int")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(left2, right.drop("price"), on="k",
+                  left_time="t", right_time="rt")

@@ -98,3 +98,33 @@ def test_incremental_append_read(spark, table):
     table.delete_where(spark, "grp = 0")
     with pytest.raises(TableFormatError):
         table.read_appends_since(spark, s0.snapshot_id)
+
+
+def test_time_travel_to_row_level_rewrite_snapshot(spark, table):
+    """A delete/update/merge snapshot is a full live-set rewrite:
+    time travel TO it must see exactly the post-DML state, never a
+    union with pre-DML ancestors (which would resurrect deleted
+    rows)."""
+    assert table.to_df(spark).count() == 100
+    sd = table.delete_where(spark, "grp = 0")  # 10 rows gone
+    assert sd.operation == "delete"
+    tt = table.to_df(spark, as_of_snapshot=sd.snapshot_id)
+    assert tt.count() == 90
+    assert tt.filter("grp = 0").count() == 0
+    # travel BEFORE the delete still sees the original state
+    s0 = table.meta["snapshot_history"][0]["snapshot_id"]
+    assert table.to_df(spark, as_of_snapshot=s0).count() == 100
+
+
+def test_expire_reaps_after_row_level_rewrite(spark, table):
+    """expire_snapshots must treat DML rewrites as segment starts:
+    pre-DML history dirs are reapable once expired (nothing retained
+    depends on them through a full-rewrite boundary)."""
+    table.delete_where(spark, "grp = 1")
+    pre_dirs = [s["data_dir"] for s in table.meta["snapshot_history"]]
+    expired = table.expire_snapshots()
+    assert len(expired) == len(pre_dirs)
+    for d in pre_dirs:
+        assert not (table.location / d).exists()
+    assert table.meta.get("snapshot_history") == []
+    assert table.to_df(spark).count() == 90  # live set intact
