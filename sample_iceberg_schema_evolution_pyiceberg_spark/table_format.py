@@ -836,43 +836,49 @@ class LakeTable:
                 removed.append(rel)
         return sorted(removed)
 
-    def stream_changes(self, spark: SparkSession) -> DataFrame:
+    def stream_changes(
+        self, spark: SparkSession, source: str = "log"
+    ) -> DataFrame:
         """Streaming incremental read (Iceberg's streaming-read analog
-        — the source half of the s08 sink): a Structured Streaming
-        file source over the table's data directory, so each append's
-        files surface in the next micro-batch and
-        ``table.stream_changes(spark) >> writeStream`` turns a lake
-        table into a CDC feed with no message bus. Contract matches
-        ``changes_between``: append-only tables — an overwrite or
-        compaction re-lands rewritten files as if new, so run
-        maintenance on streamed tables only with downstream
-        replay-dedup in place (Iceberg's streaming read carries the
-        same restriction).
+        — the source half of the s08 sink): each append surfaces in
+        the next micro-batch, so ``table.stream_changes(spark) >>
+        writeStream`` turns a lake table into a CDC feed with no
+        message bus. Contract matches ``changes_between``: append-only
+        ranges; a rewrite (overwrite/compaction/row-level DML) in the
+        consumed range fails the stream loudly.
 
-        Schema is the CURRENT table schema: files from older schema
-        versions surface missing columns as NULLs (the file source's
-        parquet schema reconciliation), mirroring the batch scan's
-        add-column alignment. Type-PROMOTED history (int->bigint etc.)
-        is the limit of file-source reconciliation: compact first
-        (``rewrite_data_files``) so all files carry the current types —
-        the batch paths (``to_df``/``changes_between``) align per-file
-        and don't need this. ``recursiveFileLookup`` skips hive-dir
-        discovery; hidden partition columns are derived transforms of
-        source columns still present in the data, so nothing is lost.
+        ``source="log"`` (default) drives micro-batches from the
+        COMMITTED snapshot log via the Python Data Source API
+        (streaming/lake_source.py): offsets are snapshot sequence
+        numbers, so uncommitted data-dir debris can never be streamed,
+        rows carry ``_snapshot_id``/``_change_type`` CDC columns, and
+        per-file Arrow alignment handles add-column AND type-promoted
+        history. Scan parallelism is one executor task per data file;
+        per-batch planning cost is metadata-priced (the delta's file
+        list).
 
-        Trust boundary: the file source lists the filesystem, not the
-        snapshot log, so data-dir debris from a write that crashed
-        before its metadata commit WOULD be streamed — run
-        ``remove_orphan_files`` before starting a stream (never while
-        one is running: deleting a listed file fails its in-flight
-        batch). The batch paths read only committed metadata and are
-        immune. A log-driven source (the Python Data Source API) is
-        the upgrade path that closes this gap.
-
-        Scale: the file source tracks seen files in the checkpoint and
-        lists only for new ones — per-batch cost follows the delta,
-        and ``maxFilesPerTrigger`` bounds batch size on backfill.
+        ``source="files"`` is Spark's built-in parquet file source
+        over the data directory — fewer moving parts (no Python
+        data-source workers) when the trust boundary is acceptable:
+        it lists the FILESYSTEM, so crashed-write debris would stream
+        (run ``remove_orphan_files`` first, never mid-stream), no CDC
+        columns, and type-promoted history needs a compaction before
+        streaming (the fixed file-source schema can't cast per file).
         """
+        if source == "log":
+            from .streaming.lake_source import (  # noqa: PLC0415
+                SOURCE_NAME,
+                register_lake_stream,
+            )
+
+            register_lake_stream(spark)
+            return (
+                spark.readStream.format(SOURCE_NAME)
+                .option("path", str(self.location))
+                .load()
+            )
+        if source != "files":
+            raise ValueError(f"unknown stream source {source!r}")
         self.data_io.mkdirs(str(self.location / "data"))
         return (
             spark.readStream.schema(self.schema)

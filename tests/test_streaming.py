@@ -312,3 +312,108 @@ def test_stream_changes_picks_up_new_appends(spark, tmp_path):
         assert got == list(range(60))  # lossless, duplicate-free
     finally:
         q.stop()
+
+
+def test_lake_stream_log_source_excludes_uncommitted(spark, tmp_path):
+    """The log-driven source streams COMMITTED snapshots only: orphan
+    data dirs (crashed writes) never reach the sink, and rows carry
+    CDC metadata columns — the properties the file source can't give."""
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeCatalog
+
+    df = spark.range(0, 40).select(F.col("id"), (F.col("id") % 4).alias("k"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "lg", df.schema)
+    s1 = table.append(df.filter("id < 15"))
+    # crashed write: data landed, metadata commit never happened
+    df.limit(7).write.parquet(str(table.location / "data" / "snap-orphan0000"))
+    q = (
+        table.stream_changes(spark)  # default source="log"
+        .writeStream.format("memory")
+        .queryName("lg_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("lg_sink").count() == 15  # orphan excluded
+        s2 = table.append(df.filter("id >= 15"))
+        q.processAllAvailable()
+        out = spark.table("lg_sink")
+        assert sorted(r.id for r in out.collect()) == list(range(40))
+        tags = {
+            (r._snapshot_id, r._change_type)
+            for r in out.select("_snapshot_id", "_change_type")
+            .distinct().collect()
+        }
+        assert tags == {
+            (s1.snapshot_id, "insert"), (s2.snapshot_id, "insert")
+        }
+    finally:
+        q.stop()
+
+
+def test_lake_stream_log_source_aligns_promoted_types(spark, tmp_path):
+    """Per-file Arrow alignment: history written as INT streams
+    correctly after an int->bigint type promotion plus an added
+    column — the case the fixed-schema file source cannot read."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeCatalog
+
+    df = spark.range(0, 10).select(F.col("id").cast("int").alias("n"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "pr", df.schema)
+    table.append(df)
+    evolved = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    table.commit_schema(evolved)
+    table.append(
+        spark.range(10, 15).select(
+            F.col("id").alias("n"), F.lit("new").alias("tag")
+        )
+    )
+    q = (
+        table.stream_changes(spark)
+        .writeStream.format("memory")
+        .queryName("pr_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.table("pr_sink")
+        assert out.schema["n"].dataType == T.LongType()
+        assert sorted(r.n for r in out.collect()) == list(range(15))
+        assert out.filter("tag IS NULL").count() == 10  # pre-evolution
+    finally:
+        q.stop()
+
+
+def test_lake_stream_log_source_refuses_rewrites(spark, tmp_path):
+    """A rewrite snapshot inside the consumed range fails the stream
+    loudly (no append-only delta exists), not silently re-streams."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import StreamingQueryException
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeCatalog
+
+    df = spark.range(0, 30).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "rw", df.schema)
+    table.append(df)
+    q = (
+        table.stream_changes(spark)
+        .writeStream.format("memory")
+        .queryName("rw_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("rw_sink").count() == 30
+        table.delete_where(spark, "k = 0")  # rewrite: live set replaced
+        with pytest.raises(StreamingQueryException, match="non-append"):
+            q.processAllAvailable()
+            q.awaitTermination(60)
+    finally:
+        q.stop()
