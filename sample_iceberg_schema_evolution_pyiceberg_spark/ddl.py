@@ -414,6 +414,25 @@ class DdlFrontend:
                 re.IGNORECASE,
             )
             san = lambda s: re.sub(r"\W", "_", s)[:16]  # noqa: E731
+            # metadata tables FIRST — db.tbl.snapshots / db.tbl.files
+            # must bind before the plain-identifier rewrite sees its
+            # db.tbl prefix
+            meta_re = re.compile(
+                ident.pattern + r"\.(snapshots|files)\b", re.IGNORECASE
+            )
+
+            def meta_repl(m: re.Match) -> str:
+                kind = m.group(1).lower()
+                view = f"lake_{db}_{tbl}_meta_{kind}_v"
+                df = (
+                    table.snapshots_df(self.spark)
+                    if kind == "snapshots"
+                    else table.files_df(self.spark)
+                )
+                df.createOrReplaceTempView(view)
+                return view
+
+            joined = _sub_outside_literals(meta_re, meta_repl, joined)
 
             def tt_repl(m: re.Match) -> str:
                 view = f"lake_{db}_{tbl}_asof_{san(m.group(1))}_v"

@@ -44,6 +44,7 @@ _PRIORITY = [
     "b62_asof_join", "a13_incremental_read",  # NEW in r5 (asof, CDC)
     "c06d_ann_ivf_trained_topk",  # NEW in r5 (trained IVF codebook)
     "s09_stream_lake_source",  # NEW in r5 (lake as streaming source)
+    "a14_metadata_tables",  # NEW in r5 (snapshots/files metadata SQL)
     "s07_stream_stream_join",  # upgraded rows-only -> hash-gated in r5
     "b03_join_inner_3way", "b12_agg_pricing_summary",
     "b13_agg_count_distinct",

@@ -303,3 +303,44 @@ def a12_sql_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded: grouped agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a14_metadata_tables",
+    oracle="""
+    SELECT 'append' AS metric, 3 AS val
+    UNION ALL SELECT 'overwrite', 1
+    UNION ALL SELECT 'files_records',
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1500)
+    """,
+)
+def a14_metadata_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg-style metadata tables through the SQL surface:
+    ``db.tbl.snapshots`` (the commit log, liveness + tombstones) and
+    ``db.tbl.files`` (live file inventory with footer row counts).
+    Three appends then a compaction: the snapshot log must show 3
+    history appends + 1 live overwrite, and the file inventory's
+    record_count sum must equal the table's rows — tying the
+    metadata-table view to the data it describes."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1500)
+    with tempfile.TemporaryDirectory(prefix="meta_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "md", o.schema)
+        for lo, hi in ((0, 500), (501, 1000), (1001, 1500)):
+            table.append(o.filter(F.col("o_orderkey").between(lo, hi)))
+        table.compact(spark)
+        fe = DdlFrontend(spark, cat)
+        snaps = fe.query(
+            "SELECT operation AS metric, COUNT(*) AS val "
+            "FROM gate.md.snapshots GROUP BY operation"
+        )
+        files = fe.query(
+            "SELECT 'files_records' AS metric, SUM(record_count) AS val "
+            "FROM gate.md.files"
+        )
+        out = snaps.unionByName(files).select(
+            "metric", F.col("val").cast("long").alias("val")
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

@@ -887,6 +887,66 @@ class LakeTable:
             .parquet(str(self.location / "data"))
         )
 
+    # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The snapshot log as a queryable DataFrame (Iceberg's
+        ``db.tbl.snapshots`` metadata table): live + history entries
+        in commit order, with liveness and tombstone flags. Metadata-
+        sized by construction — one row per snapshot."""
+        live_ids = {s.snapshot_id for s in self.snapshots}
+        hist = [
+            Snapshot.from_json(s)
+            for s in self.meta.get("snapshot_history", [])
+        ] + self.snapshots
+        hist.sort(key=lambda s: (s.sequence_number, s.timestamp_ms))
+        rows = [
+            (
+                s.snapshot_id,
+                s.sequence_number,
+                s.timestamp_ms,
+                s.operation,
+                s.schema_version,
+                s.spec_id,
+                s.snapshot_id in live_ids,
+                s.expired,
+            )
+            for s in hist
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id string, sequence_number long, committed_at_ms "
+            "long, operation string, schema_version int, spec_id int, "
+            "is_live boolean, expired boolean",
+        )
+
+    def files_df(self, spark: SparkSession) -> DataFrame:
+        """The live data-file inventory (Iceberg's ``db.tbl.files``):
+        one row per parquet file with its owning snapshot, byte size,
+        and footer row count. Listing and footer reads are
+        metadata-priced (file count, not row count) and run on the
+        driver like every other metadata operation — at lake scale
+        this is the manifest scan Iceberg serves from Avro manifests."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        rows = []
+        for s in self.snapshots:
+            root = self.location / s.data_dir
+            for p in sorted(root.rglob("*.parquet")):
+                rows.append(
+                    (
+                        str(p.relative_to(self.location)),
+                        s.snapshot_id,
+                        p.stat().st_size,
+                        pq.read_metadata(p).num_rows,
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "file_path string, snapshot_id string, size_bytes long, "
+            "record_count long",
+        )
+
     # -- read path ---------------------------------------------------------
 
     def to_df(

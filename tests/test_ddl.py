@@ -574,3 +574,35 @@ def test_changes_and_version_syntax_inside_literals_ignored(ddl):
         "WHERE v <> 'db.lit VERSION AS OF ''nope'' docs'"
     ).collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_metadata_tables_sql(ddl):
+    ddl.sql("CREATE TABLE db.mt (id BIGINT, v STRING)")
+    for i in range(2):
+        ddl.sql(f"INSERT INTO db.mt VALUES ({i}, 'x{i}')")
+    snaps = ddl.query(
+        "SELECT snapshot_id, operation, is_live, expired "
+        "FROM db.mt.snapshots ORDER BY sequence_number"
+    ).collect()
+    assert [s.operation for s in snaps] == ["append", "append"]
+    assert all(s.is_live and not s.expired for s in snaps)
+    files = ddl.query(
+        "SELECT SUM(record_count) AS rc, COUNT(*) AS nf, "
+        "SUM(size_bytes) AS sb FROM db.mt.files"
+    ).collect()[0]
+    assert files.rc == 2 and files.nf >= 1 and files.sb > 0
+    # metadata tables compose with data reads in one statement
+    joined = ddl.query(
+        "SELECT (SELECT COUNT(*) FROM db.mt) AS rows, "
+        "(SELECT SUM(record_count) FROM db.mt.files) AS meta_rows"
+    ).collect()[0]
+    assert joined.rows == joined.meta_rows == 2
+    # compaction flips liveness: history appends + one live overwrite
+    ddl.sql("CALL system.rewrite_data_files('db.mt')")
+    ops = {
+        (r.operation, r.is_live)
+        for r in ddl.query(
+            "SELECT operation, is_live FROM db.mt.snapshots"
+        ).collect()
+    }
+    assert ops == {("append", False), ("overwrite", True)}
