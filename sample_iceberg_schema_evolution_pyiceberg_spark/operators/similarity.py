@@ -192,6 +192,7 @@ def train_ivf_codebook(
     closure; the corpus itself is only ever touched by the final
     assignment pass that writes the partition-key cell column.
     """
+    # bounded: model parameters (k init vectors), not data
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = np.stack(
         [np.asarray(r[0], dtype=np.float64) for r in init_rows]
@@ -207,7 +208,7 @@ def train_ivf_codebook(
             )
             .groupBy("__cell", "__pos")
             .agg(F.avg("__val").alias("__m"))
-            .collect()
+            .collect()  # bounded: model parameters (k x dim), not data
         )
         new = cents.copy()
         byc: dict[int, dict[int, float]] = {}

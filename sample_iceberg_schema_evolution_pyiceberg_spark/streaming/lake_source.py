@@ -1,27 +1,44 @@
 """Log-driven streaming source for lake tables (Spark 4 Python Data
 Source API): the snapshot log IS the offset log.
 
-``LakeTable.stream_changes`` (table_format.py) streams via Spark's
-file source, which trusts the *filesystem* — uncommitted debris from a
-crashed write would be streamed, and type-promoted history can fail
-the fixed file-source schema. This source closes both gaps by driving
-micro-batches from the COMMITTED metadata instead, the way Iceberg's
-own streaming read walks its snapshot log:
+``LakeTable.stream_changes`` (table_format.py) can also stream via
+Spark's file source, which trusts the *filesystem* — uncommitted
+debris from a crashed write would be streamed, and type-promoted
+history can fail the fixed file-source schema. This source closes
+both gaps by driving micro-batches from the COMMITTED metadata, the
+way Iceberg's own streaming read walks its snapshot log:
 
 - offsets are snapshot sequence numbers (``{"seq": N}``): a
   micro-batch is exactly the append snapshots committed in
   ``(start.seq, end.seq]`` — a file that never got a metadata commit
   can never be streamed;
+- a FRESH stream on a table whose history contains rewrites
+  (overwrite/compact/DML) starts at the LATEST rewrite: that
+  snapshot's full state is the base load, then appends stream
+  incrementally. A rewrite landing inside an already-running (or
+  checkpoint-recovered) stream's range fails loudly — the consumer
+  holds pre-rewrite rows, so no append-only delta exists
+  (``changes_between``'s contract);
 - ``partitions()`` lists each snapshot's parquet files (driver-side,
   metadata-priced); ``read()`` runs ON EXECUTORS and yields Arrow
   record batches — one task per data file, scan parallelism = file
   count, same as the batch path;
-- schema alignment happens per file in Arrow (missing columns ->
-  nulls, promoted types -> cast), so add-column AND type-promotion
-  history both stream correctly;
-- a non-append snapshot inside the consumed range raises loudly
-  (``changes_between``'s contract: rewrites have no append-only
-  delta).
+- schema alignment happens per file in Arrow and is RECURSIVE
+  (missing columns/struct fields -> nulls, promoted types -> cast,
+  incl. structs and arrays-of-structs), mirroring the batch scan's
+  ``_align_df``;
+- no per-batch admission control: ``latestOffset`` has no start
+  argument and the Python runner may use separate reader instances
+  per call, so a rate cap can't be tracked reliably — backfill
+  arrives as one batch (the same shape as the availableNow
+  fallback). Bound backfills operationally by starting streams
+  before large histories accumulate, or compact first.
+
+Requires table metadata on the local filesystem (the reader runs in
+its own worker process and re-reads the log each batch; a
+non-filesystem metadata backend can't be shared with it —
+``stream_changes`` raises before starting in that case and points at
+``source="files"``).
 
 Usage::
 
@@ -30,7 +47,11 @@ Usage::
           .option("path", str(table.location)).load())
 
 Rows carry the CDC metadata columns ``_snapshot_id`` and
-``_change_type`` ('insert'), like ``changes_between``.
+``_change_type`` ('insert'), like ``changes_between``. Triggers:
+micro-batch and availableNow both work; Spark runs availableNow for
+Python data sources as a single catch-up batch (no
+SupportsTriggerAvailableNow in the Python bridge), which preserves
+its process-everything-then-stop semantics coarsely.
 """
 
 from __future__ import annotations
@@ -59,26 +80,72 @@ class _FilePartition(InputPartition):
     snapshot_id: str
 
 
+def _align_arrow(arr, target):
+    """Recursive Arrow alignment to a target type: struct fields are
+    matched by name (missing -> nulls, extra -> dropped), lists recurse
+    into their element type, everything else casts. The Arrow twin of
+    table_format._align_expr — a plain ``cast`` throws on structs whose
+    field sets differ, which is exactly the add-nested-field evolution
+    this format supports."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type.equals(target):
+        return arr
+    if pa.types.is_struct(target) and pa.types.is_struct(arr.type):
+        children = []
+        for i in range(target.num_fields):
+            f = target.field(i)
+            if arr.type.get_field_index(f.name) >= 0:
+                children.append(_align_arrow(arr.field(f.name), f.type))
+            else:
+                children.append(pa.nulls(len(arr), type=f.type))
+        return pa.StructArray.from_arrays(
+            children,
+            fields=[target.field(i) for i in range(target.num_fields)],
+            mask=arr.is_null(),
+        )
+    if (
+        pa.types.is_list(target) or pa.types.is_large_list(target)
+    ) and (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        values = _align_arrow(arr.values, target.value_type)
+        return pa.ListArray.from_arrays(
+            arr.offsets.cast(pa.int32()), values, mask=arr.is_null()
+        )
+    return arr.cast(target)
+
+
 class LakeStreamReader(DataSourceStreamReader):
     def __init__(self, location: str, schema: T.StructType):
         self.location = location
         self.schema = schema
 
-    # -- metadata-plane (driver) ---------------------------------------
+    # -- metadata-plane (driver-side worker) ---------------------------
 
     def _snapshots(self):
         """Committed snapshots, live + history, in commit order."""
-        from ..table_format import LakeTable, Snapshot  # noqa: PLC0415
+        from ..table_format import LakeTable  # noqa: PLC0415
 
-        table = LakeTable.load(self.location)
-        snaps = [
-            Snapshot.from_json(s)
-            for s in table.meta.get("snapshot_history", [])
-        ] + table.snapshots
-        snaps.sort(key=lambda s: s.sequence_number)
-        return snaps
+        return LakeTable.load(self.location).all_snapshots()
 
     def initialOffset(self) -> dict:
+        """Fresh stream: start at the latest rewrite boundary — the
+        rewrite snapshot itself becomes the base load (its dir IS the
+        table state), then appends stream incrementally. The base-load
+        grant rides IN the offset (``base``): offsets are durable and
+        replayed verbatim from the checkpoint, and the Python runner
+        may use separate reader instances per call, so instance state
+        would be neither shared nor recoverable — the offset is the
+        only reliable carrier."""
+        rewrites = [
+            s for s in self._snapshots() if s.operation != "append"
+        ]
+        if rewrites:
+            base = rewrites[-1].sequence_number
+            return {"seq": base - 1, "base": base}
         return {"seq": 0}
 
     def latestOffset(self) -> dict:
@@ -93,12 +160,21 @@ class LakeStreamReader(DataSourceStreamReader):
             for s in self._snapshots()
             if start["seq"] < s.sequence_number <= end["seq"]
         ]
-        bad = [s.snapshot_id for s in rng if s.operation != "append"]
+        # a non-append snapshot streams ONLY as the base load its own
+        # initial offset granted (start.base) — any other rewrite in
+        # range means the consumer holds pre-rewrite rows
+        bad = [
+            s.snapshot_id
+            for s in rng
+            if s.operation != "append"
+            and s.sequence_number != start.get("base")
+        ]
         if bad:
             raise TableFormatError(
                 f"streaming read range crosses non-append snapshot(s) "
-                f"{bad}: rewrites have no append-only delta — restart "
-                "the stream from a full snapshot"
+                f"{bad}: the consumer holds pre-rewrite rows, no "
+                "append-only delta exists — start a NEW stream (a fresh "
+                "stream base-loads from the latest rewrite)"
             )
         parts: list[InputPartition] = []
         for s in rng:
@@ -118,9 +194,9 @@ class LakeStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition):
         """Executor-side: one parquet file -> aligned Arrow batches.
-        Alignment mirrors the batch scan's ``_align_df``: missing
-        columns null-fill, promoted types cast, hidden ``_p_*``
-        partition columns drop, CDC metadata columns append."""
+        Alignment mirrors the batch scan's ``_align_df`` (recursive —
+        see ``_align_arrow``); hidden ``_p_*`` partition columns drop,
+        CDC metadata columns append."""
         import pyarrow as pa  # noqa: PLC0415
         import pyarrow.parquet as pq  # noqa: PLC0415
         from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
@@ -137,7 +213,7 @@ class LakeStreamReader(DataSourceStreamReader):
         cols = []
         for field in target:
             if field.name in src.column_names:
-                cols.append(src[field.name].cast(field.type))
+                cols.append(_align_arrow(src[field.name], field.type))
             else:
                 cols.append(pa.nulls(n, type=field.type))
         cols.append(pa.array([partition.snapshot_id] * n, type=pa.string()))

@@ -376,11 +376,13 @@ def s08_stream_lake_sink(spark: SparkSession, sf: str) -> DataFrame:
 def s09_stream_lake_source(spark: SparkSession, sf: str) -> DataFrame:
     """Lake -> stream (the source half of s08's sink, hash-gated):
     three snapshot appends land in a lake table, then
-    LakeTable.stream_changes replays it as a file-source stream
-    (availableNow) into an in-memory sink; the gate aggregates the
-    streamed rows and must equal the relational aggregate over the
-    source parquet — proving the streaming read is lossless and
-    duplicate-free across snapshots."""
+    LakeTable.stream_changes replays it through the LOG-DRIVEN
+    streaming source (streaming/lake_source.py — offsets are snapshot
+    sequence numbers, committed snapshots only; availableNow runs as
+    one catch-up batch for Python sources) into an in-memory sink;
+    the gate aggregates the streamed rows and must equal the
+    relational aggregate over the source parquet — proving the
+    streaming read is lossless and duplicate-free across snapshots."""
     import tempfile  # noqa: PLC0415
 
     from ..table_format import LakeCatalog  # noqa: PLC0415

@@ -413,6 +413,20 @@ class LakeTable:
     def snapshots(self) -> list[Snapshot]:
         return [Snapshot.from_json(s) for s in self.meta["snapshots"]]
 
+    def all_snapshots(self) -> list[Snapshot]:
+        """History + live snapshots in canonical commit order —
+        (sequence_number, timestamp_ms); seq is the real commit order,
+        the timestamp tiebreak covers pre-sequence-number metadata
+        where every seq is 0. THE one merge every consumer of the full
+        log uses (time travel, CDC range resolution, expiration,
+        metadata tables, the streaming source)."""
+        snaps = [
+            Snapshot.from_json(s)
+            for s in self.meta.get("snapshot_history", [])
+        ] + self.snapshots
+        snaps.sort(key=lambda s: (s.sequence_number, s.timestamp_ms))
+        return snaps
+
     # -- evolution (metadata-only commits) ---------------------------------
 
     def commit_schema(self, new_schema: T.StructType) -> int:
@@ -484,6 +498,12 @@ class LakeTable:
             sequence_number=seq,
         )
         if operation == "overwrite":
+            # old live set moves to history (time travel keeps working
+            # across every rewrite flavor — overwrite()/compact()/DML
+            # all funnel through here)
+            self.meta.setdefault("snapshot_history", []).extend(
+                self.meta["snapshots"]
+            )
             self.meta["snapshots"] = [snap.to_json()]
         else:
             self.meta["snapshots"].append(snap.to_json())
@@ -673,11 +693,9 @@ class LakeTable:
         live snapshot (old snapshots move to history for time travel).
         The staging write IS the materialization — no driver round-trip.
         """
-        old = list(self.meta["snapshots"])
-        snap = self._write(df, "overwrite")
+        snap = self._write(df, "overwrite")  # moves old live to history
         snap.operation = operation
         self.meta["snapshots"] = [snap.to_json()]
-        self.meta.setdefault("snapshot_history", []).extend(old)
         self._commit()
         return snap
 
@@ -714,10 +732,7 @@ class LakeTable:
         df = self.to_df(spark)
         if sort_by:
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
-        old = self.meta["snapshots"]
-        snap = self._write(df, "overwrite")
-        # overwrite replaced the live list; keep the old ones in history
-        self.meta.setdefault("snapshot_history", []).extend(old)
+        snap = self._write(df, "overwrite")  # moves old live to history
         if sort_by:
             self.meta["sort_order"] = list(sort_by)
         self._commit()
@@ -759,7 +774,7 @@ class LakeTable:
             Snapshot.from_json(s)
             for s in self.meta.get("snapshot_history", [])
         ]
-        hist.sort(key=lambda s: s.timestamp_ms)
+        hist.sort(key=lambda s: (s.sequence_number, s.timestamp_ms))
         alive = [s for s in hist if not s.expired]
         keep_tail = alive[len(alive) - retain_last:] if retain_last else []
         keep_ids = {s.snapshot_id for s in keep_tail}
@@ -780,11 +795,7 @@ class LakeTable:
         # retained snapshot still needs; tombstoned ancestors inside a
         # retained lineage keep their dirs, fully-unneeded ones are
         # dropped outright and their dirs deleted.
-        chain = [
-            Snapshot.from_json(s)
-            for s in self.meta.get("snapshot_history", [])
-        ] + self.snapshots
-        chain.sort(key=lambda s: s.timestamp_ms)
+        chain = self.all_snapshots()
         needed: set[str] = set()
         seg: list[Snapshot] = []
         for s in chain:
@@ -866,6 +877,17 @@ class LakeTable:
         streaming (the fixed file-source schema can't cast per file).
         """
         if source == "log":
+            if not isinstance(self.io, LocalFileIO):
+                # the reader runs in its own worker process and re-reads
+                # the snapshot log each batch; a non-filesystem metadata
+                # backend (e.g. the in-memory object-store model) can't
+                # be shared with it
+                raise TableFormatError(
+                    "log-driven streaming needs filesystem-reachable "
+                    "table metadata; this table's metadata backend is "
+                    f"{type(self.io).__name__} — use "
+                    "stream_changes(spark, source='files')"
+                )
             from .streaming.lake_source import (  # noqa: PLC0415
                 SOURCE_NAME,
                 register_lake_stream,
@@ -895,11 +917,7 @@ class LakeTable:
         in commit order, with liveness and tombstone flags. Metadata-
         sized by construction — one row per snapshot."""
         live_ids = {s.snapshot_id for s in self.snapshots}
-        hist = [
-            Snapshot.from_json(s)
-            for s in self.meta.get("snapshot_history", [])
-        ] + self.snapshots
-        hist.sort(key=lambda s: (s.sequence_number, s.timestamp_ms))
+        hist = self.all_snapshots()
         rows = [
             (
                 s.snapshot_id,
@@ -926,7 +944,11 @@ class LakeTable:
         and footer row count. Listing and footer reads are
         metadata-priced (file count, not row count) and run on the
         driver like every other metadata operation — at lake scale
-        this is the manifest scan Iceberg serves from Avro manifests."""
+        this is the manifest scan Iceberg serves from Avro manifests.
+        Listing walks the local data plane (where Spark writes);
+        a deployment with non-local data needs a listing-capable
+        data-plane FileIO here, same note as the constructor's
+        ``data_io``."""
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         rows = []
@@ -969,13 +991,9 @@ class LakeTable:
         cur = self.schema
         snaps = self.snapshots
         if as_of_snapshot is not None:
-            hist = [
-                Snapshot.from_json(s)
-                for s in self.meta.get("snapshot_history", [])
-            ] + snaps
             upto: list[Snapshot] = []
             found = False
-            for s in sorted(hist, key=lambda s: s.timestamp_ms):
+            for s in self.all_snapshots():
                 # non-append = full live-set rewrite (overwrite/compact
                 # and _replace_live's delete/update/merge relabels) —
                 # it starts a fresh lineage segment; treating only
@@ -1063,11 +1081,7 @@ class LakeTable:
         incremental cost is proportional to the delta, never to table
         size (the point of CDC at 100 TB).
         """
-        hist = [
-            Snapshot.from_json(s)
-            for s in self.meta.get("snapshot_history", [])
-        ] + self.snapshots
-        hist.sort(key=lambda s: s.timestamp_ms)
+        hist = self.all_snapshots()
         ids = [s.snapshot_id for s in hist]
 
         def _index(sid: str | None, default: int, what: str) -> int:

@@ -99,9 +99,14 @@ def test_no_driver_collect_in_operators():
         for i, line in enumerate(lines):
             if ".collect()" in line or ".toPandas()" in line:
                 window = "\n".join(lines[max(0, i - 2) : i + 2])
-                assert "materialize before the temp dir" in window, (
-                    f"driver-side collect at {mod}:{i + 1}"
-                )
+                # two allowed collect shapes, each marked at the call
+                # site: a final tiny aggregate of a gate episode, and
+                # model-parameter materialization (k-row init / k x dim
+                # centroid pulls in train_ivf_codebook)
+                assert (
+                    "materialize before the temp dir" in window
+                    or "model parameters" in window
+                ), f"driver-side collect at {mod}:{i + 1}"
 
 
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):

@@ -232,3 +232,18 @@ def test_remove_orphan_files(spark, catalog):
     # committed data untouched
     assert table.to_df(spark).count() == 100
     assert table.remove_orphan_files() == []  # idempotent
+
+
+def test_plain_overwrite_keeps_history(spark, catalog):
+    """overwrite()'s docstring promise: old snapshots move to history
+    (time travel + the snapshots metadata table keep working), same as
+    compact and row-level DML."""
+    table, df = _mk(spark, catalog, "ow1")
+    s1 = table.append(df.filter("id < 40"))
+    table.overwrite(df.filter("id >= 40"))
+    assert [s["snapshot_id"] for s in table.meta["snapshot_history"]] \
+        == [s1.snapshot_id]
+    assert table.to_df(spark, as_of_snapshot=s1.snapshot_id).count() == 40
+    assert table.to_df(spark).count() == 60
+    ops = {(r.operation, r.is_live) for r in table.snapshots_df(spark).collect()}
+    assert ops == {("append", False), ("overwrite", True)}
