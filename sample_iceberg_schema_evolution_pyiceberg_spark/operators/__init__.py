@@ -45,6 +45,7 @@ _PRIORITY = [
     "c06d_ann_ivf_trained_topk",  # NEW in r5 (trained IVF codebook)
     "s09_stream_lake_source",  # NEW in r5 (lake as streaming source)
     "a14_metadata_tables",  # NEW in r5 (snapshots/files metadata SQL)
+    "s04_stream_session_window",  # UPGRADED in r5: rows-only -> hash
     "s07_stream_stream_join",  # upgraded rows-only -> hash-gated in r5
     "b03_join_inner_3way", "b12_agg_pricing_summary",
     "b13_agg_count_distinct",
@@ -71,7 +72,7 @@ _PRIORITY = [
     "s05_stream_late_data_drop", "s06_stream_stateful_counter",
     # r3 band (2 rounds old at r5 — within policy, refresh if budget)
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
-    "b45_lake_overwrite_sink", "b57_string_agg", "s04_stream_session_window",
+    "b45_lake_overwrite_sink", "b57_string_agg",
     # Everything unlisted (r4-green) keeps registration order after this.
 ]
 

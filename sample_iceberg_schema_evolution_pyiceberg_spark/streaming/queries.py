@@ -158,12 +158,40 @@ def s03_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(_run_to_memory(agg))
 
 
-@query("s04_stream_session_window")  # gap-session semantics: behavioral
+@query(
+    "s04_stream_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, t, us, event_id,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w >= 300000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT STRFTIME(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def s04_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
-    """Session windows (B42): 5-minute-gap sessions per user. Checked
-    behaviorally in tests against a batch islands computation (oracle
-    SQL for merged gap-sessions is engine-specific; SURVEY flags B42 as
-    a behavioral check)."""
+    """Session windows (B42): 5-minute-gap sessions per user —
+    UPGRADED from rows-only to hash-gated: Spark's session_window
+    half-open [start, last+gap) merge rule is exactly a
+    gaps-and-islands split at inter-event gap >= 5 min, so the DuckDB
+    oracle computes the same sessions relationally (the s04 twin of
+    b54's 30-min batch sessionization; session_start = the session's
+    first event timestamp on both sides)."""
     ev = _stream_events(spark, sf).withWatermark("ts", "1 hour")
     agg = (
         ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
