@@ -741,6 +741,7 @@ class DdlFrontend:
         "expire_snapshots": {"retain_last", "older_than_ms"},
         "remove_orphan_files": set(),
         "rewrite_data_files": {"sort_by"},
+        "rollback_to_snapshot": {"snapshot_id"},
     }
 
     def _call(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
@@ -794,6 +795,17 @@ class DdlFrontend:
             resp.message_list.append(
                 f"remove_orphan_files {db}.{tbl}: removed "
                 f"{len(removed)} orphan dir(s)"
+            )
+        elif proc == "rollback_to_snapshot":
+            sid = kwargs.get("snapshot_id")
+            if not sid:
+                raise DdlError(
+                    "rollback_to_snapshot requires snapshot_id => '...'"
+                )
+            table.rollback_to_snapshot(str(sid))
+            resp.message_list.append(
+                f"rollback_to_snapshot {db}.{tbl}: live state restored "
+                f"to {sid}"
             )
         else:  # rewrite_data_files
             sort_by = kwargs.get("sort_by")

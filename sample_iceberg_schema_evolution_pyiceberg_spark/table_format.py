@@ -909,6 +909,64 @@ class LakeTable:
             .parquet(str(self.location / "data"))
         )
 
+    def rollback_to_snapshot(self, snapshot_id: str) -> None:
+        """Iceberg ``rollback_to_snapshot`` analog: make the table's
+        CURRENT state the state as of ``snapshot_id``. Metadata-only
+        for the restored state (the target's lineage segment becomes
+        the live list again; no data is copied or rewritten), but
+        DESTRUCTIVE for the abandoned fork: every snapshot committed
+        AFTER the target is removed from the log and its data dir
+        deleted. A linear snapshot log cannot represent the fork a
+        kept-but-abandoned branch would need (Iceberg keeps displaced
+        snapshots addressable via parent pointers until
+        expire-snapshots; we document the divergence and fail loudly
+        on later reads of the removed ids). Metadata commits BEFORE
+        dir deletes — a crash leaves orphans for
+        ``remove_orphan_files``, never dangling references.
+
+        The target must be a non-expired snapshot whose lineage
+        segment is intact — exactly the set time travel can read.
+        """
+        seg: list[Snapshot] = []
+        found = False
+        for s in self.all_snapshots():
+            seg = [s] if s.operation != "append" else seg + [s]
+            if s.snapshot_id == snapshot_id:
+                if s.expired:
+                    raise TableFormatError(
+                        f"expired snapshot {snapshot_id!r} for "
+                        f"{self.identifier}: removed by expire_snapshots, "
+                        "cannot roll back to it"
+                    )
+                found = True
+                break
+        if not found:
+            raise TableFormatError(
+                f"unknown snapshot {snapshot_id!r} for {self.identifier}"
+            )
+        if any(x.expired for x in seg):
+            raise TableFormatError(
+                f"cannot roll back to {snapshot_id!r}: its lineage "
+                "segment contains expired ancestors"
+            )
+        target_seq = seg[-1].sequence_number
+        displaced = [
+            s for s in self.all_snapshots() if s.sequence_number > target_seq
+        ]
+        live_ids = {x.snapshot_id for x in seg}
+        # restored segment becomes live; earlier intact segments stay
+        # in history; the abandoned fork (> target) is dropped outright
+        self.meta["snapshot_history"] = [
+            s
+            for s in self.meta.get("snapshot_history", [])
+            if s["snapshot_id"] not in live_ids
+            and Snapshot.from_json(s).sequence_number <= target_seq
+        ]
+        self.meta["snapshots"] = [x.to_json() for x in seg]
+        self._commit()
+        for s in displaced:
+            self.data_io.delete_recursive(str(self.location / s.data_dir))
+
     # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:

@@ -606,3 +606,17 @@ def test_metadata_tables_sql(ddl):
         ).collect()
     }
     assert ops == {("append", False), ("overwrite", True)}
+
+
+def test_call_rollback_to_snapshot(ddl):
+    ddl.sql("CREATE TABLE db.rb (id BIGINT)")
+    for i in range(3):
+        ddl.sql(f"INSERT INTO db.rb VALUES ({i})")
+    sid = ddl.catalog.load_table("db", "rb").snapshots[1].snapshot_id
+    r = ddl.sql(
+        f"CALL system.rollback_to_snapshot('db.rb', snapshot_id => '{sid}')"
+    )
+    assert not r.has_error and "restored" in r.message_list[-1]
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.rb").collect()[0].n == 2
+    r = ddl.sql("CALL system.rollback_to_snapshot('db.rb')")
+    assert r.has_error and "requires snapshot_id" in r.message_list[-1]

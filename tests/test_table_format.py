@@ -247,3 +247,41 @@ def test_plain_overwrite_keeps_history(spark, catalog):
     assert table.to_df(spark).count() == 60
     ops = {(r.operation, r.is_live) for r in table.snapshots_df(spark).collect()}
     assert ops == {("append", False), ("overwrite", True)}
+
+
+def test_rollback_to_snapshot(spark, catalog):
+    table, df = _mk(spark, catalog, "rb1")
+    s1 = table.append(df.filter("id < 30"))
+    s2 = table.append(df.filter("id >= 30 AND id < 60"))
+    s3 = table.append(df.filter("id >= 60"))
+    table.rollback_to_snapshot(s2.snapshot_id)
+    # current state restored to s2; the abandoned fork (s3) is GONE
+    assert sorted(r.id for r in table.to_df(spark).collect()) \
+        == list(range(60))
+    assert [s.snapshot_id for s in table.snapshots] \
+        == [s1.snapshot_id, s2.snapshot_id]
+    assert not (table.location / s3.data_dir).exists()
+    with pytest.raises(TableFormatError, match="unknown snapshot"):
+        table.to_df(spark, as_of_snapshot=s3.snapshot_id)
+    # new lineage continues cleanly from the restored state
+    table.append(df.filter("id >= 90"))
+    assert table.to_df(spark).count() == 70
+    assert table.to_df(spark, as_of_snapshot=s2.snapshot_id).count() == 60
+
+
+def test_rollback_across_compaction(spark, catalog):
+    table, df = _mk(spark, catalog, "rb2")
+    s1 = table.append(df.filter("id < 50"))
+    table.append(df.filter("id >= 50"))
+    c = table.compact(spark)
+    # roll back past the compaction to the first append
+    table.rollback_to_snapshot(s1.snapshot_id)
+    assert table.to_df(spark).count() == 50
+    assert not (table.location / c.data_dir).exists()
+    assert table.meta.get("snapshot_history") == []
+    # rollback target must be readable: tombstoned targets refuse
+    table.append(df.filter("id >= 50"))
+    table.compact(spark)
+    expired = table.expire_snapshots(retain_last=1)  # older -> tombstone
+    with pytest.raises(TableFormatError, match="expired"):
+        table.rollback_to_snapshot(expired[0])
