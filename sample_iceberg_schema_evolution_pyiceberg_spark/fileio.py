@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from abc import ABC, abstractmethod
 
 
@@ -67,9 +68,16 @@ class LocalFileIO(FileIO):
             return f.read()
 
     def write_text(self, path: str, text: str) -> None:
+        """Atomic: write a sibling temp file, then rename over the
+        target. A truncate-in-place write lets a concurrent reader
+        (another handle, the streaming source's worker process)
+        observe an EMPTY version-hint mid-commit — the torn read
+        Iceberg's metadata protocol avoids the same way."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w", encoding="utf-8") as f:
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)
+        os.replace(tmp, path)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)

@@ -140,3 +140,19 @@ def test_ddl_control_plane_over_memory_io(spark, tmp_path):
     r = ddl.sql("DROP TABLE db.t")
     assert not r.has_error
     assert catalog.list_tables() == []
+
+
+def test_local_write_text_is_atomic_overwrite(tmp_path):
+    """Metadata writes must never be observable half-written: the
+    version-hint torn-read race (streaming source worker reading an
+    empty hint mid-commit) is prevented by temp-file + rename."""
+    import os
+    from sample_iceberg_schema_evolution_pyiceberg_spark.fileio import LocalFileIO
+
+    io = LocalFileIO()
+    p = str(tmp_path / "ns" / "version-hint.text")
+    io.write_text(p, "1")
+    io.write_text(p, "2")
+    assert io.read_text(p) == "2"
+    # no temp debris left beside the target
+    assert os.listdir(tmp_path / "ns") == ["version-hint.text"]
