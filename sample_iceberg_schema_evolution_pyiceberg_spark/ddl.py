@@ -442,6 +442,33 @@ class DdlFrontend:
                 return view
 
             joined = _sub_outside_literals(tt, tt_repl, joined)
+            # timestamp travel: db.tbl TIMESTAMP AS OF '<iso|epoch-ms>'
+            ts_re = re.compile(
+                ident.pattern + r"\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+                re.IGNORECASE,
+            )
+
+            def ts_repl(m: re.Match) -> str:
+                from datetime import datetime, timezone  # noqa: PLC0415
+
+                lit = m.group(1)
+                ms = (
+                    int(lit)
+                    if lit.isdigit()
+                    else int(
+                        datetime.fromisoformat(lit)
+                        .replace(tzinfo=timezone.utc)
+                        .timestamp()
+                        * 1000
+                    )
+                )
+                view = f"lake_{db}_{tbl}_tsof_{san(lit)}_v"
+                table.to_df(
+                    self.spark, as_of_timestamp_ms=ms
+                ).createOrReplaceTempView(view)
+                return view
+
+            joined = _sub_outside_literals(ts_re, ts_repl, joined)
             # CDC read: db.tbl CHANGES BETWEEN 'sid' AND 'sid' (or
             # CHANGES SINCE 'sid') binds changes_between — the
             # incremental delta with _snapshot_id/_change_type columns

@@ -1034,6 +1034,7 @@ class LakeTable:
         spark: SparkSession,
         pruning: list[tuple[str, str, Any]] | None = None,
         as_of_snapshot: str | None = None,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Scan the table aligned to the current schema.
 
@@ -1044,8 +1045,28 @@ class LakeTable:
 
         ``as_of_snapshot`` time-travels: scan the table as of (and
         including) that snapshot id, in commit order — Iceberg's
-        snapshot-id read, over our snapshot log.
+        snapshot-id read, over our snapshot log. ``as_of_timestamp_ms``
+        is the TIMESTAMP AS OF form: the state as of the LAST readable
+        snapshot committed at-or-before the instant (Iceberg's
+        timestamp travel); raises if no snapshot is that old or the
+        resolved snapshot is an expired tombstone.
         """
+        if as_of_timestamp_ms is not None:
+            if as_of_snapshot is not None:
+                raise TableFormatError(
+                    "pass as_of_snapshot OR as_of_timestamp_ms, not both"
+                )
+            cands = [
+                s
+                for s in self.all_snapshots()
+                if s.timestamp_ms <= as_of_timestamp_ms
+            ]
+            if not cands:
+                raise TableFormatError(
+                    f"no snapshot at or before timestamp "
+                    f"{as_of_timestamp_ms} for {self.identifier}"
+                )
+            as_of_snapshot = cands[-1].snapshot_id
         cur = self.schema
         snaps = self.snapshots
         if as_of_snapshot is not None:

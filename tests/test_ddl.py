@@ -620,3 +620,26 @@ def test_call_rollback_to_snapshot(ddl):
     assert ddl.query("SELECT COUNT(*) AS n FROM db.rb").collect()[0].n == 2
     r = ddl.sql("CALL system.rollback_to_snapshot('db.rb')")
     assert r.has_error and "requires snapshot_id" in r.message_list[-1]
+
+
+def test_sql_timestamp_as_of(ddl):
+    import datetime as dt
+
+    ddl.sql("CREATE TABLE db.ts (id BIGINT)")
+    ddl.sql("INSERT INTO db.ts VALUES (1)")
+    tbl = ddl.catalog.load_table("db", "ts")
+    t1 = tbl.snapshots[0].timestamp_ms
+    ddl.sql("INSERT INTO db.ts VALUES (2)")
+    # epoch-ms literal
+    n = ddl.query(
+        f"SELECT COUNT(*) AS n FROM db.ts TIMESTAMP AS OF '{t1}'"
+    ).collect()[0].n
+    assert n == 1
+    # ISO literal resolving after both commits
+    iso = dt.datetime.fromtimestamp(
+        (t1 + 60_000) / 1000, tz=dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    n = ddl.query(
+        f"SELECT COUNT(*) AS n FROM db.ts TIMESTAMP AS OF '{iso}'"
+    ).collect()[0].n
+    assert n == 2

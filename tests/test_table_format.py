@@ -285,3 +285,24 @@ def test_rollback_across_compaction(spark, catalog):
     expired = table.expire_snapshots(retain_last=1)  # older -> tombstone
     with pytest.raises(TableFormatError, match="expired"):
         table.rollback_to_snapshot(expired[0])
+
+
+def test_time_travel_by_timestamp(spark, catalog):
+    table, df = _mk(spark, catalog, "ts1")
+    s1 = table.append(df.filter("id < 30"))
+    s2 = table.append(df.filter("id >= 30"))
+    # at s1's commit instant -> s1's state; at s2's -> full state
+    assert table.to_df(
+        spark, as_of_timestamp_ms=s1.timestamp_ms
+    ).count() == 30
+    assert table.to_df(
+        spark, as_of_timestamp_ms=s2.timestamp_ms + 10_000
+    ).count() == 100
+    with pytest.raises(TableFormatError, match="no snapshot at or before"):
+        table.to_df(spark, as_of_timestamp_ms=s1.timestamp_ms - 10_000)
+    with pytest.raises(TableFormatError, match="not both"):
+        table.to_df(
+            spark,
+            as_of_snapshot=s1.snapshot_id,
+            as_of_timestamp_ms=s1.timestamp_ms,
+        )
