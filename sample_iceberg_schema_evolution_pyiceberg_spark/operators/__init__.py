@@ -46,6 +46,7 @@ _PRIORITY = [
     "s09_stream_lake_source",  # NEW in r5 (lake as streaming source)
     "a14_metadata_tables",  # NEW in r5 (snapshots/files metadata SQL)
     "s04_stream_session_window",  # UPGRADED in r5: rows-only -> hash
+    "a15_sql_rollback_episode",  # NEW in r5 (rollback + ts travel)
     "s07_stream_stream_join",  # upgraded rows-only -> hash-gated in r5
     "b03_join_inner_3way", "b12_agg_pricing_summary",
     "b13_agg_count_distinct",

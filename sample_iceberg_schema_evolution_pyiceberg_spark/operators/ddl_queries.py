@@ -344,3 +344,54 @@ def a14_metadata_tables(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a15_sql_rollback_episode",
+    oracle="""
+    SELECT 'ts_of_first' AS step, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT 'after_rollback', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def a15_sql_rollback_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollback + timestamp travel through the SQL surface: three
+    INSERT batches, read the first batch back via TIMESTAMP AS OF its
+    commit instant, then CALL system.rollback_to_snapshot to batch 2 —
+    the current read must equal batches 1+2 exactly (batch 3's fork
+    destroyed, per the documented destructive-rollback semantics).
+    Oracle computes both states relationally from the source parquet."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1500)
+    with tempfile.TemporaryDirectory(prefix="rb_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "rb", o.schema)
+        for lo, hi in ((0, 500), (501, 1000), (1001, 1500)):
+            table.append(o.filter(F.col("o_orderkey").between(lo, hi)))
+        fe = DdlFrontend(spark, cat)
+        s = cat.load_table("gate", "rb").snapshots
+
+        def agg(from_clause: str, step: str) -> DataFrame:
+            return fe.query(
+                f"SELECT '{step}' AS step, COUNT(*) AS n, "
+                "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) "
+                "AS DOUBLE), 6) AS total "
+                f"FROM {from_clause}"
+            )
+
+        ts_read = agg(
+            f"gate.rb TIMESTAMP AS OF '{s[0].timestamp_ms}'", "ts_of_first"
+        )
+        r = fe.sql(
+            "CALL system.rollback_to_snapshot('gate.rb', "
+            f"snapshot_id => '{s[1].snapshot_id}')"
+        )
+        assert not r.has_error, r.message_list
+        out = ts_read.unionByName(agg("gate.rb", "after_rollback"))
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
