@@ -537,10 +537,19 @@ class DdlFrontend:
 
     def _delete(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
         table = self._load_for_dml(m, resp, "DELETE")
-        snap = table.delete_where(self.spark, m.group("cond").strip())
+        # Iceberg's write.delete.mode table property selects the
+        # strategy: 'merge-on-read' commits a predicate snapshot
+        # (O(metadata)); default is copy-on-write
+        mode = table.properties.get("write.delete.mode", "copy-on-write")
+        strategy = (
+            "merge_on_read" if mode == "merge-on-read" else "copy_on_write"
+        )
+        snap = table.delete_where(
+            self.spark, m.group("cond").strip(), strategy=strategy
+        )
         resp.message_list.append(
             f"Deleted where {m.group('cond').strip()} "
-            f"(snapshot {snap.snapshot_id})"
+            f"({strategy}, snapshot {snap.snapshot_id})"
         )
 
     @staticmethod

@@ -47,6 +47,7 @@ _PRIORITY = [
     "a14_metadata_tables",  # NEW in r5 (snapshots/files metadata SQL)
     "s04_stream_session_window",  # UPGRADED in r5: rows-only -> hash
     "a15_sql_rollback_episode",  # NEW in r5 (rollback + ts travel)
+    "a16_merge_on_read_delete",  # NEW in r5 (predicate-delete path)
     "s07_stream_stream_join",  # upgraded rows-only -> hash-gated in r5
     "b03_join_inner_3way", "b12_agg_pricing_summary",
     "b13_agg_count_distinct",

@@ -395,3 +395,72 @@ def a15_sql_rollback_episode(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a16_merge_on_read_delete",
+    oracle="""
+    WITH b12 AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+         d AS (SELECT * FROM b12 WHERE NOT (o_orderstatus = 'F')),
+         b3 AS (SELECT * FROM orders
+                WHERE o_orderkey BETWEEN 1001 AND 1500),
+         a AS (SELECT * FROM d UNION ALL SELECT * FROM b3)
+    SELECT 'after_delete' AS step, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total
+    FROM d
+    UNION ALL SELECT 'after_append', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+    FROM a
+    UNION ALL SELECT 'after_compact', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+    FROM a
+    """,
+)
+def a16_merge_on_read_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read DELETE episode through the SQL surface: two
+    INSERT batches, write.delete.mode flipped to merge-on-read, a
+    predicate DELETE (O(metadata) — nothing rewritten), an append the
+    predicate must NOT touch, then compact() folding the predicate
+    into data. All three reads hash-match a relational replay — the
+    delete-without-rewrite path is exactly as correct as the
+    copy-on-write one."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1500)
+    with tempfile.TemporaryDirectory(prefix="mor_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "mor", o.schema)
+        table.append(o.filter(F.col("o_orderkey") <= 500))
+        table.append(o.filter(F.col("o_orderkey").between(501, 1000)))
+        fe = DdlFrontend(spark, cat)
+        r = fe.sql(
+            "ALTER TABLE gate.mor SET TBLPROPERTIES "
+            "('write.delete.mode' = 'merge-on-read')"
+        )
+        assert not r.has_error, r.message_list
+        r = fe.sql("DELETE FROM gate.mor WHERE o_orderstatus = 'F'")
+        assert not r.has_error and "merge_on_read" in r.message_list[-1]
+        table = cat.load_table("gate", "mor")
+        assert any(s.delete_predicate for s in table.snapshots)
+
+        def agg(step: str) -> DataFrame:
+            return fe.query(
+                f"SELECT '{step}' AS step, COUNT(*) AS n, "
+                "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) "
+                "AS DOUBLE), 6) AS total FROM gate.mor"
+            )
+
+        steps = [agg("after_delete")]
+        table.append(o.filter(F.col("o_orderkey").between(1001, 1500)))
+        steps.append(agg("after_append"))
+        fe.sql("CALL system.rewrite_data_files('gate.mor')")
+        assert all(
+            s.delete_predicate is None
+            for s in cat.load_table("gate", "mor").snapshots
+        )
+        steps.append(agg("after_compact"))
+        out = steps[0]
+        for s_df in steps[1:]:
+            out = out.unionByName(s_df)
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

@@ -140,9 +140,10 @@ class LakeStreamReader(DataSourceStreamReader):
         may use separate reader instances per call, so instance state
         would be neither shared nor recoverable — the offset is the
         only reliable carrier."""
-        rewrites = [
-            s for s in self._snapshots() if s.operation != "append"
-        ]
+        # full-state rewrites only: a predicate-delete snapshot has no
+        # data dir and cannot serve as a base load (tables carrying
+        # live delete predicates need a compact() before streaming)
+        rewrites = [s for s in self._snapshots() if s.is_rewrite]
         if rewrites:
             base = rewrites[-1].sequence_number
             return {"seq": base - 1, "base": base}

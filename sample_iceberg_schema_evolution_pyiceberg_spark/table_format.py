@@ -114,6 +114,19 @@ class Snapshot:
     # descendants depend on ancestor dirs — Iceberg's manifest lists
     # make each snapshot self-contained; the tombstone is our analog)
     expired: bool = False
+    # merge-on-read DELETE (Iceberg v2 delete-file analog, predicate
+    # granularity): a snapshot carrying a predicate instead of data —
+    # rows from EARLIER snapshots in the segment are filtered at scan
+    # time, nothing is rewritten. data_dir is "" for these.
+    delete_predicate: str | None = None
+
+    @property
+    def is_rewrite(self) -> bool:
+        """True for snapshots that REPLACE the live state (overwrite /
+        compact / copy-on-write DML) and therefore start a fresh
+        lineage segment. Predicate deletes are non-append but NOT
+        rewrites — they compose within a segment."""
+        return self.operation != "append" and self.delete_predicate is None
 
     def to_json(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -137,6 +150,8 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
     }
     if d.get("expired"):
         out["expired"] = True  # ext field; absent = live (stable docs)
+    if d.get("delete_predicate"):
+        out["delete-predicate"] = d["delete_predicate"]  # ext field
     return out
 
 
@@ -152,6 +167,8 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
     }
     if d.get("expired"):
         out["expired"] = True
+    if d.get("delete-predicate"):
+        out["delete_predicate"] = d["delete-predicate"]
     return out
 
 
@@ -512,11 +529,45 @@ class LakeTable:
 
     # -- row-level operations (copy-on-write) ------------------------------
 
-    def delete_where(self, spark: SparkSession, condition: str) -> Snapshot:
-        """Row-level DELETE, copy-on-write: rewrite the live set minus
-        matching rows as one overwrite snapshot (Iceberg's
-        copy-on-write delete strategy; merge-on-read is a format-v2
-        refinement out of scope here)."""
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        strategy: str = "copy_on_write",
+    ) -> Snapshot:
+        """Row-level DELETE. ``strategy="copy_on_write"`` (default)
+        rewrites the live set minus matching rows as one overwrite
+        snapshot — read-optimal, write cost proportional to table
+        size. ``strategy="merge_on_read"`` commits a PREDICATE
+        snapshot instead (the Iceberg v2 delete-file analog at
+        predicate granularity): O(metadata) commit, nothing rewritten
+        — the scan filters earlier snapshots' rows at read time, and
+        ``compact()`` later folds the predicates away (Iceberg's
+        rewrite_position_delete_files analog). At 100 TB a
+        one-partition delete must not rewrite the table; this is that
+        path. Both strategies share the engine's DELETE semantics
+        (kept = rows where ``NOT (condition)`` is true)."""
+        if strategy == "merge_on_read":
+            # validate the predicate against the current schema before
+            # committing metadata (a typo must fail now, not at scan)
+            self.to_df(spark).filter(f"NOT ({condition})").schema  # noqa: B018
+            seq = int(self.meta.get("last_sequence_number", 0)) + 1
+            self.meta["last_sequence_number"] = seq
+            snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                schema_version=int(self.meta["current_schema_version"]),
+                spec_id=int(self.meta["current_spec_id"]),
+                data_dir="",
+                sequence_number=seq,
+                delete_predicate=condition,
+            )
+            self.meta["snapshots"].append(snap.to_json())
+            self._commit()
+            return snap
+        if strategy != "copy_on_write":
+            raise TableFormatError(f"unknown delete strategy {strategy!r}")
         kept = self.to_df(spark).filter(f"NOT ({condition})")
         return self._replace_live(spark, kept, "delete")
 
@@ -799,12 +850,11 @@ class LakeTable:
         needed: set[str] = set()
         seg: list[Snapshot] = []
         for s in chain:
-            # any non-append snapshot (overwrite/compact/delete/update/
-            # merge — _replace_live relabels but all are full live-set
-            # rewrites) starts a fresh lineage segment
-            seg = [s] if s.operation != "append" else seg + [s]
+            # rewrites (overwrite/compact/copy-on-write DML) start a
+            # fresh lineage segment; predicate deletes compose inside it
+            seg = [s] if s.is_rewrite else seg + [s]
             if not s.expired:
-                needed.update(x.data_dir for x in seg)
+                needed.update(x.data_dir for x in seg if x.data_dir)
         drop = [
             s
             for s in self.meta.get("snapshot_history", [])
@@ -819,7 +869,10 @@ class LakeTable:
         self._commit()  # metadata first: a crash leaves orphans, not
         # dangling references (remove_orphan_files reaps them)
         for s in drop:
-            self.data_io.delete_recursive(str(self.location / s["data_dir"]))
+            if s["data_dir"]:  # predicate deletes carry no dir
+                self.data_io.delete_recursive(
+                    str(self.location / s["data_dir"])
+                )
         return sorted(expired_ids)
 
     def remove_orphan_files(self) -> list[str]:
@@ -901,6 +954,12 @@ class LakeTable:
             )
         if source != "files":
             raise ValueError(f"unknown stream source {source!r}")
+        if any(s.delete_predicate for s in self.snapshots):
+            raise TableFormatError(
+                "live merge-on-read delete predicates are invisible to "
+                "the file source (it lists the filesystem) — compact() "
+                "first or use the log-driven source"
+            )
         self.data_io.mkdirs(str(self.location / "data"))
         return (
             spark.readStream.schema(self.schema)
@@ -930,7 +989,7 @@ class LakeTable:
         seg: list[Snapshot] = []
         found = False
         for s in self.all_snapshots():
-            seg = [s] if s.operation != "append" else seg + [s]
+            seg = [s] if s.is_rewrite else seg + [s]
             if s.snapshot_id == snapshot_id:
                 if s.expired:
                     raise TableFormatError(
@@ -965,7 +1024,10 @@ class LakeTable:
         self.meta["snapshots"] = [x.to_json() for x in seg]
         self._commit()
         for s in displaced:
-            self.data_io.delete_recursive(str(self.location / s.data_dir))
+            if s.data_dir:  # predicate-delete snapshots carry no dir
+                self.data_io.delete_recursive(
+                    str(self.location / s.data_dir)
+                )
 
     # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
 
@@ -1011,6 +1073,8 @@ class LakeTable:
 
         rows = []
         for s in self.snapshots:
+            if not s.data_dir:  # predicate-delete snapshot: no files
+                continue
             root = self.location / s.data_dir
             for p in sorted(root.rglob("*.parquet")):
                 rows.append(
@@ -1073,12 +1137,11 @@ class LakeTable:
             upto: list[Snapshot] = []
             found = False
             for s in self.all_snapshots():
-                # non-append = full live-set rewrite (overwrite/compact
-                # and _replace_live's delete/update/merge relabels) —
-                # it starts a fresh lineage segment; treating only
-                # "overwrite" as a reset would resurrect pre-DML rows
-                # in time-travel reads
-                if s.operation != "append":
+                # rewrites (overwrite/compact/copy-on-write DML) start
+                # a fresh lineage segment — treating only "overwrite"
+                # as a reset would resurrect pre-DML rows; predicate
+                # deletes stay IN the segment (scan-time filters)
+                if s.is_rewrite:
                     upto = [s]
                 else:
                     upto.append(s)
@@ -1096,35 +1159,47 @@ class LakeTable:
                     f"unknown snapshot {as_of_snapshot!r} for {self.identifier}"
                 )
             snaps = upto
-        if not snaps:
+        # merge-on-read deletes: predicate snapshots carry no data; each
+        # filters the rows of EARLIER data snapshots at scan time
+        deletes = [s for s in snaps if s.delete_predicate]
+        datas = [s for s in snaps if not s.delete_predicate]
+        if not datas:
             return spark.createDataFrame([], cur)
         groups: dict[tuple[int, int], list[Snapshot]] = {}
-        for s in snaps:
+        for s in datas:
             groups.setdefault((s.schema_version, s.spec_id), []).append(s)
         parts: list[DataFrame] = []
         for (sv, sid), group in sorted(groups.items()):
             spec = self.spec_at(sid)
-            paths = [str(self.location / s.data_dir) for s in group]
-            # one read per snapshot dir: hive-partition extraction needs
-            # each dir as its own discovery root (a multi-path read over
-            # sibling snap-* dirs raises CONFLICTING_DIRECTORY_STRUCTURES
-            # — the kv chain sits below a per-snapshot non-kv segment).
-            # The union is metadata-sized (one arm per snapshot) and
-            # Catalyst folds the arms into one scan stage.
-            df = spark.read.parquet(paths[0])
-            for p in paths[1:]:
-                df = df.unionByName(
-                    spark.read.parquet(p), allowMissingColumns=True
+            for s in group:
+                # one read per snapshot dir: hive-partition extraction
+                # needs each dir as its own discovery root (a multi-path
+                # read over sibling snap-* dirs raises
+                # CONFLICTING_DIRECTORY_STRUCTURES). The union is
+                # metadata-sized (one arm per snapshot) and Catalyst
+                # folds the arms into one scan stage.
+                df = spark.read.parquet(str(self.location / s.data_dir))
+                # hidden-partition pruning for this group's spec
+                for (col, op, lit) in pruning or []:
+                    pred = derive_pruning_predicate(spec, col, op, lit)
+                    if pred is not None:
+                        df = df.filter(pred)
+                df = df.drop(
+                    *[
+                        c
+                        for c in df.columns
+                        if c.startswith(PARTITION_COL_PREFIX)
+                    ]
                 )
-            # hidden-partition pruning for this group's spec
-            for (col, op, lit) in pruning or []:
-                pred = derive_pruning_predicate(spec, col, op, lit)
-                if pred is not None:
-                    df = df.filter(pred)
-            df = df.drop(
-                *[c for c in df.columns if c.startswith(PARTITION_COL_PREFIX)]
-            )
-            parts.append(_align_df(df, cur))
+                df = _align_df(df, cur)
+                # predicates from LATER delete snapshots apply to this
+                # snapshot's rows (post-alignment: the predicate names
+                # current-schema columns); appends after a delete are
+                # untouched — standard SQL DELETE visibility
+                for d in deletes:
+                    if d.sequence_number > s.sequence_number:
+                        df = df.filter(f"NOT ({d.delete_predicate})")
+                parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -643,3 +643,23 @@ def test_sql_timestamp_as_of(ddl):
         f"SELECT COUNT(*) AS n FROM db.ts TIMESTAMP AS OF '{iso}'"
     ).collect()[0].n
     assert n == 2
+
+
+def test_delete_mode_table_property(ddl):
+    """write.delete.mode = merge-on-read routes SQL DELETE to the
+    predicate-snapshot path (Iceberg's table-property contract)."""
+    ddl.sql("CREATE TABLE db.md (id BIGINT, g BIGINT)")
+    for i in range(8):
+        ddl.sql(f"INSERT INTO db.md VALUES ({i}, {i % 4})")
+    ddl.sql("ALTER TABLE db.md SET TBLPROPERTIES "
+            "('write.delete.mode' = 'merge-on-read')")
+    r = ddl.sql("DELETE FROM db.md WHERE g = 0")
+    assert not r.has_error and "merge_on_read" in r.message_list[-1]
+    tbl = ddl.catalog.load_table("db", "md")
+    assert any(s.delete_predicate == "g = 0" for s in tbl.snapshots)
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.md").collect()[0].n == 6
+    # compaction folds it; default mode is copy-on-write
+    ddl.sql("CALL system.rewrite_data_files('db.md')")
+    tbl = ddl.catalog.load_table("db", "md")
+    assert all(s.delete_predicate is None for s in tbl.snapshots)
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.md").collect()[0].n == 6

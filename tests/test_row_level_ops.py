@@ -128,3 +128,62 @@ def test_expire_reaps_after_row_level_rewrite(spark, table):
         assert not (table.location / d).exists()
     assert table.meta.get("snapshot_history") == []
     assert table.to_df(spark).count() == 90  # live set intact
+
+
+def test_merge_on_read_delete(spark, table):
+    """Predicate-delete snapshot: O(metadata) DELETE — no rewrite, the
+    scan filters earlier rows; later appends unaffected; compact folds
+    the predicate away."""
+    s1 = table.snapshots[0]
+    d = table.delete_where(spark, "grp = 3", strategy="merge_on_read")
+    assert d.delete_predicate == "grp = 3" and d.data_dir == ""
+    out = table.to_df(spark)
+    assert out.count() == 90 and out.filter("grp = 3").count() == 0
+    # the original data dir was NOT rewritten
+    assert (table.location / s1.data_dir).exists()
+    # appends after the delete are untouched by it
+    inc = spark.range(1000, 1010).select(
+        F.col("id"), F.lit(3).alias("grp"), F.lit("new").alias("tag")
+    )
+    table.append(inc)
+    assert table.to_df(spark).filter("grp = 3").count() == 10
+    # time travel: before the delete, and exactly AT it
+    assert table.to_df(spark, as_of_snapshot=s1.snapshot_id).count() == 100
+    assert table.to_df(spark, as_of_snapshot=d.snapshot_id).count() == 90
+    # predicate round-trips through metadata reload
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeTable
+    re = LakeTable.load(table.location)
+    assert [s.delete_predicate for s in re.snapshots if s.delete_predicate] \
+        == ["grp = 3"]
+    assert re.to_df(spark).count() == 100
+    # compact materializes: predicates gone, results identical
+    table.compact(spark)
+    assert len(table.snapshots) == 1
+    assert table.snapshots[0].delete_predicate is None
+    assert table.to_df(spark).count() == 100
+    assert table.to_df(spark).filter("grp = 3 AND tag = 'old'").count() == 0
+
+
+def test_merge_on_read_delete_guards(spark, table):
+    """Surfaces that cannot honor a live predicate delete refuse it
+    loudly instead of resurrecting rows."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+    )
+
+    # an invalid predicate fails at commit time, not at scan time
+    with pytest.raises(Exception):
+        table.delete_where(spark, "no_such_col = 1", strategy="merge_on_read")
+    s0 = table.snapshots[0]
+    table.delete_where(spark, "grp = 1", strategy="merge_on_read")
+    with pytest.raises(RuntimeError, match="compact"):
+        export_to_iceberg(table)
+    with pytest.raises(TableFormatError, match="compact"):
+        table.stream_changes(spark, source="files")
+    with pytest.raises(TableFormatError, match="non-append"):
+        table.changes_between(spark, from_snapshot=s0.snapshot_id)
+    # stacked predicates compose
+    table.delete_where(spark, "grp = 2", strategy="merge_on_read")
+    out = table.to_df(spark)
+    assert out.count() == 80
+    assert out.filter("grp IN (1, 2)").count() == 0
