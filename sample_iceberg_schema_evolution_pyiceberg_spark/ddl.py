@@ -413,7 +413,17 @@ class DdlFrontend:
                 ident.pattern + r"\s+VERSION\s+AS\s+OF\s+'([^']+)'",
                 re.IGNORECASE,
             )
-            san = lambda s: re.sub(r"\W", "_", s)[:16]  # noqa: E731
+            def san(lit: str) -> str:
+                # readable prefix + content hash: two literals sharing
+                # a 16-char prefix (ISO timestamps differing in
+                # seconds) must NOT collide on one temp view
+                import hashlib  # noqa: PLC0415
+
+                return (
+                    re.sub(r"\W", "_", lit)[:16]
+                    + "_"
+                    + hashlib.md5(lit.encode()).hexdigest()[:8]
+                )
             # metadata tables FIRST — db.tbl.snapshots / db.tbl.files
             # must bind before the plain-identifier rewrite sees its
             # db.tbl prefix
@@ -452,16 +462,21 @@ class DdlFrontend:
                 from datetime import datetime, timezone  # noqa: PLC0415
 
                 lit = m.group(1)
-                ms = (
-                    int(lit)
-                    if lit.isdigit()
-                    else int(
-                        datetime.fromisoformat(lit)
-                        .replace(tzinfo=timezone.utc)
-                        .timestamp()
-                        * 1000
-                    )
-                )
+                if lit.isdigit():
+                    ms = int(lit)
+                else:
+                    try:
+                        dt = datetime.fromisoformat(lit)
+                    except ValueError as e:
+                        raise DdlError(
+                            f"TIMESTAMP AS OF {lit!r}: not an ISO "
+                            f"datetime or epoch-ms integer ({e})"
+                        ) from e
+                    # naive literals are UTC; an explicit offset is
+                    # honored, never reinterpreted
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=timezone.utc)
+                    ms = int(dt.timestamp() * 1000)
                 view = f"lake_{db}_{tbl}_tsof_{san(lit)}_v"
                 table.to_df(
                     self.spark, as_of_timestamp_ms=ms
@@ -541,6 +556,12 @@ class DdlFrontend:
         # strategy: 'merge-on-read' commits a predicate snapshot
         # (O(metadata)); default is copy-on-write
         mode = table.properties.get("write.delete.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise DdlError(
+                f"write.delete.mode={mode!r}: expected 'copy-on-write' "
+                "or 'merge-on-read' (a silent fallback could turn an "
+                "O(metadata) delete into a full rewrite)"
+            )
         strategy = (
             "merge_on_read" if mode == "merge-on-read" else "copy_on_write"
         )

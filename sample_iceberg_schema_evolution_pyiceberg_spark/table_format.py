@@ -430,6 +430,22 @@ class LakeTable:
     def snapshots(self) -> list[Snapshot]:
         return [Snapshot.from_json(s) for s in self.meta["snapshots"]]
 
+    def _segment_ending_at(self, snapshot_id: str) -> list[Snapshot]:
+        """The lineage segment whose last element is the target —
+        rewrites reset the fold, predicate deletes compose inside it.
+        THE state-reconstruction walk time travel and rollback share
+        (expire_snapshots runs the same fold over every retained
+        snapshot). Raises on unknown ids; expired-target policy is the
+        caller's."""
+        seg: list[Snapshot] = []
+        for s in self.all_snapshots():
+            seg = [s] if s.is_rewrite else seg + [s]
+            if s.snapshot_id == snapshot_id:
+                return seg
+        raise TableFormatError(
+            f"unknown snapshot {snapshot_id!r} for {self.identifier}"
+        )
+
     def all_snapshots(self) -> list[Snapshot]:
         """History + live snapshots in canonical commit order —
         (sequence_number, timestamp_ms); seq is the real commit order,
@@ -449,6 +465,20 @@ class LakeTable:
     def commit_schema(self, new_schema: T.StructType) -> int:
         """Install a new schema version; data files are untouched
         (Iceberg's metadata-only evolution contract)."""
+        if any(s.delete_predicate for s in self.snapshots):
+            removed = {f.name for f in self.schema.fields} - {
+                f.name for f in new_schema.fields
+            }
+            if removed:
+                # a live merge-on-read predicate referencing a dropped
+                # column would make EVERY scan (including the compact()
+                # recovery path) unresolvable — refuse while predicates
+                # are live; conservatively blocks any top-level drop
+                raise TableFormatError(
+                    f"cannot drop column(s) {sorted(removed)} while "
+                    "merge-on-read delete predicates are live — run "
+                    "compact() first to fold them into data"
+                )
         v = int(self.meta["current_schema_version"]) + 1
         self.meta["schemas"][str(v)] = json.loads(new_schema.json())
         self.meta["current_schema_version"] = v
@@ -842,23 +872,26 @@ class LakeTable:
             if s["snapshot_id"] in expired_ids:
                 s["expired"] = True
         # A retained snapshot's state is the union of its segment's
-        # ancestor dirs (log-structured format): compute every dir some
-        # retained snapshot still needs; tombstoned ancestors inside a
-        # retained lineage keep their dirs, fully-unneeded ones are
-        # dropped outright and their dirs deleted.
+        # ancestors (log-structured format) — data dirs AND predicate
+        # deletes alike: compute every snapshot ID some retained
+        # snapshot still needs; tombstoned ancestors inside a retained
+        # lineage stay (a dropped interior predicate delete would
+        # RESURRECT its deleted rows in later reads), fully-unneeded
+        # ones are dropped outright and their dirs deleted.
         chain = self.all_snapshots()
-        needed: set[str] = set()
+        needed_ids: set[str] = set()
         seg: list[Snapshot] = []
         for s in chain:
             # rewrites (overwrite/compact/copy-on-write DML) start a
-            # fresh lineage segment; predicate deletes compose inside it
+            # fresh lineage segment; predicate deletes compose inside
+            # it (same fold as _segment_ending_at)
             seg = [s] if s.is_rewrite else seg + [s]
             if not s.expired:
-                needed.update(x.data_dir for x in seg if x.data_dir)
+                needed_ids.update(x.snapshot_id for x in seg)
         drop = [
             s
             for s in self.meta.get("snapshot_history", [])
-            if s.get("expired") and s["data_dir"] not in needed
+            if s.get("expired") and s["snapshot_id"] not in needed_ids
         ]
         drop_ids = {s["snapshot_id"] for s in drop}
         self.meta["snapshot_history"] = [
@@ -930,6 +963,12 @@ class LakeTable:
         streaming (the fixed file-source schema can't cast per file).
         """
         if source == "log":
+            if any(s.delete_predicate for s in self.snapshots):
+                raise TableFormatError(
+                    "live merge-on-read delete predicates have no "
+                    "append-only streaming representation — compact() "
+                    "first to fold them into data"
+                )
             if not isinstance(self.io, LocalFileIO):
                 # the reader runs in its own worker process and re-reads
                 # the snapshot log each batch; a non-filesystem metadata
@@ -986,22 +1025,12 @@ class LakeTable:
         The target must be a non-expired snapshot whose lineage
         segment is intact — exactly the set time travel can read.
         """
-        seg: list[Snapshot] = []
-        found = False
-        for s in self.all_snapshots():
-            seg = [s] if s.is_rewrite else seg + [s]
-            if s.snapshot_id == snapshot_id:
-                if s.expired:
-                    raise TableFormatError(
-                        f"expired snapshot {snapshot_id!r} for "
-                        f"{self.identifier}: removed by expire_snapshots, "
-                        "cannot roll back to it"
-                    )
-                found = True
-                break
-        if not found:
+        seg = self._segment_ending_at(snapshot_id)
+        if seg[-1].expired:
             raise TableFormatError(
-                f"unknown snapshot {snapshot_id!r} for {self.identifier}"
+                f"expired snapshot {snapshot_id!r} for "
+                f"{self.identifier}: removed by expire_snapshots, "
+                "cannot roll back to it"
             )
         if any(x.expired for x in seg):
             raise TableFormatError(
@@ -1134,29 +1163,12 @@ class LakeTable:
         cur = self.schema
         snaps = self.snapshots
         if as_of_snapshot is not None:
-            upto: list[Snapshot] = []
-            found = False
-            for s in self.all_snapshots():
-                # rewrites (overwrite/compact/copy-on-write DML) start
-                # a fresh lineage segment — treating only "overwrite"
-                # as a reset would resurrect pre-DML rows; predicate
-                # deletes stay IN the segment (scan-time filters)
-                if s.is_rewrite:
-                    upto = [s]
-                else:
-                    upto.append(s)
-                if s.snapshot_id == as_of_snapshot:
-                    if s.expired:
-                        raise TableFormatError(
-                            f"expired snapshot {as_of_snapshot!r} for "
-                            f"{self.identifier}: removed by "
-                            "expire_snapshots, no longer readable"
-                        )
-                    found = True
-                    break
-            if not found:
+            upto = self._segment_ending_at(as_of_snapshot)
+            if upto[-1].expired:
                 raise TableFormatError(
-                    f"unknown snapshot {as_of_snapshot!r} for {self.identifier}"
+                    f"expired snapshot {as_of_snapshot!r} for "
+                    f"{self.identifier}: removed by expire_snapshots, "
+                    "no longer readable"
                 )
             snaps = upto
         # merge-on-read deletes: predicate snapshots carry no data; each

@@ -663,3 +663,53 @@ def test_delete_mode_table_property(ddl):
     tbl = ddl.catalog.load_table("db", "md")
     assert all(s.delete_predicate is None for s in tbl.snapshots)
     assert ddl.query("SELECT COUNT(*) AS n FROM db.md").collect()[0].n == 6
+
+
+def test_timestamp_as_of_two_instants_one_query(ddl):
+    """Two ISO literals differing only in seconds must bind distinct
+    views (regression: 16-char-truncated view names collided)."""
+    import datetime as dt
+
+    ddl.sql("CREATE TABLE db.t2 (id BIGINT)")
+    ddl.sql("INSERT INTO db.t2 VALUES (1)")
+    t1 = ddl.catalog.load_table("db", "t2").snapshots[0].timestamp_ms
+    import time as _t; _t.sleep(1.1)
+    ddl.sql("INSERT INTO db.t2 VALUES (2)")
+    t2 = ddl.catalog.load_table("db", "t2").snapshots[1].timestamp_ms
+
+    def iso(ms):
+        return dt.datetime.fromtimestamp(
+            ms / 1000, tz=dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    # +1000ms: strftime truncates to the second, which must still land
+    # at-or-after t1 and strictly before t2 (the 1.1s sleep guarantees)
+    row = ddl.query(
+        f"SELECT (SELECT COUNT(*) FROM db.t2 TIMESTAMP AS OF "
+        f"'{iso(t1 + 1000)}') AS a, (SELECT COUNT(*) FROM db.t2 "
+        f"TIMESTAMP AS OF '{iso(t2 + 1000)}') AS b"
+    ).collect()[0]
+    assert (row.a, row.b) == (1, 2)
+    # explicit timezone offsets are honored, not reinterpreted as UTC
+    plus2 = dt.datetime.fromtimestamp(
+        (t2 + 1000) / 1000, tz=dt.timezone(dt.timedelta(hours=2))
+    ).strftime("%Y-%m-%dT%H:%M:%S+02:00")
+    n = ddl.query(
+        f"SELECT COUNT(*) AS n FROM db.t2 TIMESTAMP AS OF '{plus2}'"
+    ).collect()[0].n
+    assert n == 2
+    # malformed literals surface as DdlError text, not raw ValueError
+    try:
+        ddl.query("SELECT * FROM db.t2 TIMESTAMP AS OF 'not-a-date'")
+        raise AssertionError("expected DdlError")
+    except Exception as e:
+        assert "TIMESTAMP AS OF" in str(e)
+
+
+def test_unknown_delete_mode_errors(ddl):
+    ddl.sql("CREATE TABLE db.dm (id BIGINT)")
+    ddl.sql("INSERT INTO db.dm VALUES (1)")
+    ddl.sql("ALTER TABLE db.dm SET TBLPROPERTIES "
+            "('write.delete.mode' = 'merge_on_read')")  # underscore typo
+    r = ddl.sql("DELETE FROM db.dm WHERE id = 1")
+    assert r.has_error and "write.delete.mode" in r.message_list[-1]

@@ -187,3 +187,42 @@ def test_merge_on_read_delete_guards(spark, table):
     out = table.to_df(spark)
     assert out.count() == 80
     assert out.filter("grp IN (1, 2)").count() == 0
+
+
+def test_expire_keeps_interior_predicate_tombstone(spark, table):
+    """An expired interior predicate delete that a retained later
+    snapshot still needs must survive as a tombstone — dropping it
+    would resurrect the deleted rows in time travel and CDC."""
+    table.delete_where(spark, "grp = 3", strategy="merge_on_read")
+    a2 = table.append(
+        spark.range(1000, 1005).select(
+            F.col("id"), F.lit(9).alias("grp"), F.lit("new").alias("tag")
+        )
+    )
+    table.compact(spark)  # a1, d, a2 -> history
+    table.expire_snapshots(retain_last=1)  # a1 + d tombstoned, a2 kept
+    hist = table.meta["snapshot_history"]
+    assert [bool(s.get("expired")) for s in hist] == [True, True, False]
+    # a2's reconstruction still applies the delete: no grp=3 rows
+    tt = table.to_df(spark, as_of_snapshot=a2.snapshot_id)
+    assert tt.count() == 95 and tt.filter("grp = 3").count() == 0
+
+
+def test_drop_column_refused_under_live_predicate(spark, table):
+    from pyspark.sql import types as T
+
+    table.delete_where(spark, "grp = 1", strategy="merge_on_read")
+    narrower = T.StructType(
+        [f for f in table.schema.fields if f.name != "grp"]
+    )
+    with pytest.raises(TableFormatError, match="compact"):
+        table.commit_schema(narrower)
+    # adding a column is fine while predicates are live
+    wider = T.StructType(
+        list(table.schema.fields) + [T.StructField("note", T.StringType())]
+    )
+    table.commit_schema(wider)
+    assert table.to_df(spark).count() == 90
+    # log-source streaming refuses live predicates at start
+    with pytest.raises(TableFormatError, match="compact"):
+        table.stream_changes(spark)
