@@ -588,8 +588,19 @@ class DdlFrontend:
         table = self._load_for_dml(m, resp, "UPDATE")
         sets, cond = _split_where(m.group("body"))
         cond = cond or "true"
+        mode = table.properties.get("write.update.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise DdlError(
+                f"write.update.mode={mode!r}: expected 'copy-on-write' "
+                "or 'merge-on-read'"
+            )
         snap = table.update_where(
-            self.spark, cond, self._parse_assignments(sets)
+            self.spark,
+            cond,
+            self._parse_assignments(sets),
+            strategy="merge_on_read"
+            if mode == "merge-on-read"
+            else "copy_on_write",
         )
         resp.message_list.append(
             f"Updated where {cond} (snapshot {snap.snapshot_id})"

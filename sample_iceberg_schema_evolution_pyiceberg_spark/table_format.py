@@ -602,16 +602,71 @@ class LakeTable:
         return self._replace_live(spark, kept, "delete")
 
     def update_where(
-        self, spark: SparkSession, condition: str, assignments: dict[str, str]
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict[str, str],
+        strategy: str = "copy_on_write",
     ) -> Snapshot:
-        """Row-level UPDATE, copy-on-write: SET col = expr for rows
-        matching ``condition``. All assignment expressions read the
-        PRE-update row (one select, not a withColumn chain) — SQL's
+        """Row-level UPDATE: SET col = expr for rows matching
+        ``condition``. All assignment expressions read the PRE-update
+        row (one select, not a withColumn chain) — SQL's
         simultaneous-assignment semantics, so ``SET a = b, b = a``
-        swaps."""
+        swaps.
+
+        ``strategy="copy_on_write"`` (default) rewrites the live set.
+        ``strategy="merge_on_read"`` writes ONLY the changed rows:
+        one append dir holding the post-update matching rows plus a
+        predicate-delete entry masking their pre-update versions, both
+        in a SINGLE metadata commit (no torn intermediate state) —
+        write cost proportional to the matched rows, not the table.
+        The delete predicate carries the same guards as
+        ``delete_where(strategy="merge_on_read")``.
+        """
         self._check_assignment_targets(assignments)
-        df = self.to_df(spark)
         cond = F.expr(condition)
+        if strategy == "merge_on_read":
+            changed = self.to_df(spark).filter(cond).select(
+                *[
+                    F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+            # predicate first (higher rows mask), then data — committed
+            # together: stage the append WITHOUT committing, then write
+            # one metadata version containing both entries
+            seq_del = int(self.meta.get("last_sequence_number", 0)) + 1
+            del_snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                schema_version=int(self.meta["current_schema_version"]),
+                spec_id=int(self.meta["current_spec_id"]),
+                data_dir="",
+                sequence_number=seq_del,
+                delete_predicate=condition,
+            )
+            self.meta["last_sequence_number"] = seq_del
+            # _write appends the data snapshot and commits; insert the
+            # predicate entry just before it in the same committed
+            # version by prepending to the live list pre-commit
+            self.meta["snapshots"].append(del_snap.to_json())
+            try:
+                return self._write(changed, "append")
+            except Exception:
+                # the staged predicate entry must not survive a failed
+                # data write (no commit happened for it on its own)
+                self.meta["snapshots"] = [
+                    s
+                    for s in self.meta["snapshots"]
+                    if s["snapshot_id"] != del_snap.snapshot_id
+                ]
+                raise
+        if strategy != "copy_on_write":
+            raise TableFormatError(f"unknown update strategy {strategy!r}")
+        df = self.to_df(spark)
         df = df.select(
             *[
                 F.when(

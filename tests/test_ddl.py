@@ -713,3 +713,20 @@ def test_unknown_delete_mode_errors(ddl):
             "('write.delete.mode' = 'merge_on_read')")  # underscore typo
     r = ddl.sql("DELETE FROM db.dm WHERE id = 1")
     assert r.has_error and "write.delete.mode" in r.message_list[-1]
+
+
+def test_update_mode_table_property(ddl):
+    ddl.sql("CREATE TABLE db.um (id BIGINT, v STRING)")
+    for i in range(6):
+        ddl.sql(f"INSERT INTO db.um VALUES ({i}, 'x')")
+    ddl.sql("ALTER TABLE db.um SET TBLPROPERTIES "
+            "('write.update.mode' = 'merge-on-read')")
+    r = ddl.sql("UPDATE db.um SET v = 'y' WHERE id < 2")
+    assert not r.has_error, r.message_list
+    tbl = ddl.catalog.load_table("db", "um")
+    assert any(s.delete_predicate == "id < 2" for s in tbl.snapshots)
+    got = {
+        (r.id, r.v)
+        for r in ddl.query("SELECT id, v FROM db.um").collect()
+    }
+    assert got == {(0, "y"), (1, "y")} | {(i, "x") for i in range(2, 6)}

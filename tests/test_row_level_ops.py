@@ -226,3 +226,42 @@ def test_drop_column_refused_under_live_predicate(spark, table):
     # log-source streaming refuses live predicates at start
     with pytest.raises(TableFormatError, match="compact"):
         table.stream_changes(spark)
+
+
+def test_merge_on_read_update(spark, table):
+    """MOR UPDATE: one append of the changed rows + a predicate mask,
+    committed atomically — write cost follows the matched rows."""
+    snap = table.update_where(
+        spark, "grp = 3", {"tag": "'bumped'"}, strategy="merge_on_read"
+    )
+    assert snap.operation == "append"  # the data half of the pair
+    live = table.snapshots
+    # one predicate entry + one append entry landed in ONE commit
+    assert [s.delete_predicate for s in live[-2:]] == ["grp = 3", None]
+    out = table.to_df(spark)
+    assert out.count() == 100  # row count preserved
+    assert out.filter("grp = 3 AND tag = 'bumped'").count() == 10
+    assert out.filter("grp = 3 AND tag = 'old'").count() == 0
+    assert out.filter("grp <> 3 AND tag = 'old'").count() == 90
+    # equivalent to the copy-on-write result after compaction
+    table.compact(spark)
+    out = table.to_df(spark)
+    assert out.count() == 100
+    assert out.filter("tag = 'bumped'").count() == 10
+
+
+def test_merge_on_read_update_simultaneous_assignment(spark, table):
+    """SET id = grp, grp = id must swap (simultaneous semantics), same
+    as copy-on-write."""
+    table.update_where(
+        spark, "id = 5", {"id": "grp", "grp": "id"},
+        strategy="merge_on_read",
+    )
+    row = table.to_df(spark).filter("grp = 5 AND tag = 'old' AND id = 5")
+    # original row: id=5, grp=5 -> swap is identity here; use id=13
+    table.update_where(
+        spark, "id = 13", {"id": "grp", "grp": "id"},
+        strategy="merge_on_read",
+    )
+    swapped = table.to_df(spark).filter("id = 3 AND grp = 13").collect()
+    assert len(swapped) == 1
