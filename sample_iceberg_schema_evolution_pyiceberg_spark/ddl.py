@@ -550,21 +550,22 @@ class DdlFrontend:
             raise DdlError(f"table {db}.{tbl} does not exist")
         return table
 
-    def _delete(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
-        table = self._load_for_dml(m, resp, "DELETE")
-        # Iceberg's write.delete.mode table property selects the
-        # strategy: 'merge-on-read' commits a predicate snapshot
-        # (O(metadata)); default is copy-on-write
-        mode = table.properties.get("write.delete.mode", "copy-on-write")
+    @staticmethod
+    def _write_mode_strategy(table: LakeTable, prop: str) -> str:
+        """Iceberg's write.<op>.mode table property -> engine strategy;
+        unknown values error — a silent copy-on-write fallback could
+        turn an O(metadata) operation into a full rewrite."""
+        mode = table.properties.get(prop, "copy-on-write")
         if mode not in ("copy-on-write", "merge-on-read"):
             raise DdlError(
-                f"write.delete.mode={mode!r}: expected 'copy-on-write' "
-                "or 'merge-on-read' (a silent fallback could turn an "
-                "O(metadata) delete into a full rewrite)"
+                f"{prop}={mode!r}: expected 'copy-on-write' or "
+                "'merge-on-read'"
             )
-        strategy = (
-            "merge_on_read" if mode == "merge-on-read" else "copy_on_write"
-        )
+        return "merge_on_read" if mode == "merge-on-read" else "copy_on_write"
+
+    def _delete(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        table = self._load_for_dml(m, resp, "DELETE")
+        strategy = self._write_mode_strategy(table, "write.delete.mode")
         snap = table.delete_where(
             self.spark, m.group("cond").strip(), strategy=strategy
         )
@@ -588,19 +589,10 @@ class DdlFrontend:
         table = self._load_for_dml(m, resp, "UPDATE")
         sets, cond = _split_where(m.group("body"))
         cond = cond or "true"
-        mode = table.properties.get("write.update.mode", "copy-on-write")
-        if mode not in ("copy-on-write", "merge-on-read"):
-            raise DdlError(
-                f"write.update.mode={mode!r}: expected 'copy-on-write' "
-                "or 'merge-on-read'"
-            )
+        strategy = self._write_mode_strategy(table, "write.update.mode")
         snap = table.update_where(
-            self.spark,
-            cond,
-            self._parse_assignments(sets),
-            strategy="merge_on_read"
-            if mode == "merge-on-read"
-            else "copy_on_write",
+            self.spark, cond, self._parse_assignments(sets),
+            strategy=strategy,
         )
         resp.message_list.append(
             f"Updated where {cond} (snapshot {snap.snapshot_id})"

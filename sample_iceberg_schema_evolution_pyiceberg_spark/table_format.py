@@ -524,15 +524,21 @@ class LakeTable:
         snap = self._write(df, "overwrite")
         return snap
 
-    def _write(self, df: DataFrame, operation: str) -> Snapshot:
+    def _write_files(self, df: DataFrame) -> str:
+        """Write a new snapshot directory WITHOUT touching metadata;
+        returns the relative dir. Crash-safe by construction: a dir no
+        commit ever references is an orphan remove_orphan_files reaps."""
         aligned, pcols = self._prepare_write(df)
-        snap_id = uuid.uuid4().hex[:16]
-        rel = f"data/snap-{snap_id}"
-        out = self.location / rel
+        rel = f"data/snap-{uuid.uuid4().hex[:16]}"
         writer = aligned.write.mode("error")
         if pcols:
             writer = writer.partitionBy(*pcols)
-        writer.parquet(str(out))
+        writer.parquet(str(self.location / rel))
+        return rel
+
+    def _write(self, df: DataFrame, operation: str) -> Snapshot:
+        rel = self._write_files(df)
+        snap_id = rel.rsplit("snap-", 1)[1]
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
         self.meta["last_sequence_number"] = seq
         snap = Snapshot(
@@ -557,6 +563,27 @@ class LakeTable:
         self._commit()
         return snap
 
+    def _validate_predicate(self, spark: SparkSession, condition: str) -> None:
+        """Validate a merge-on-read predicate in the EXACT string form
+        every future scan will use — an expr-valid-but-NOT()-broken
+        predicate (e.g. one ending in a line comment) must fail at
+        commit time, never wedge reads."""
+        self.to_df(spark).filter(f"NOT ({condition})").schema  # noqa: B018
+
+    def _predicate_snapshot(
+        self, condition: str, sequence_number: int, timestamp_ms: int
+    ) -> Snapshot:
+        return Snapshot(
+            snapshot_id=uuid.uuid4().hex[:16],
+            timestamp_ms=timestamp_ms,
+            operation="delete",
+            schema_version=int(self.meta["current_schema_version"]),
+            spec_id=int(self.meta["current_spec_id"]),
+            data_dir="",
+            sequence_number=sequence_number,
+            delete_predicate=condition,
+        )
+
     # -- row-level operations (copy-on-write) ------------------------------
 
     def delete_where(
@@ -578,20 +605,11 @@ class LakeTable:
         path. Both strategies share the engine's DELETE semantics
         (kept = rows where ``NOT (condition)`` is true)."""
         if strategy == "merge_on_read":
-            # validate the predicate against the current schema before
-            # committing metadata (a typo must fail now, not at scan)
-            self.to_df(spark).filter(f"NOT ({condition})").schema  # noqa: B018
+            self._validate_predicate(spark, condition)
             seq = int(self.meta.get("last_sequence_number", 0)) + 1
             self.meta["last_sequence_number"] = seq
-            snap = Snapshot(
-                snapshot_id=uuid.uuid4().hex[:16],
-                timestamp_ms=int(time.time() * 1000),
-                operation="delete",
-                schema_version=int(self.meta["current_schema_version"]),
-                spec_id=int(self.meta["current_spec_id"]),
-                data_dir="",
-                sequence_number=seq,
-                delete_predicate=condition,
+            snap = self._predicate_snapshot(
+                condition, seq, int(time.time() * 1000)
             )
             self.meta["snapshots"].append(snap.to_json())
             self._commit()
@@ -626,6 +644,7 @@ class LakeTable:
         self._check_assignment_targets(assignments)
         cond = F.expr(condition)
         if strategy == "merge_on_read":
+            self._validate_predicate(spark, condition)
             changed = self.to_df(spark).filter(cond).select(
                 *[
                     F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
@@ -634,35 +653,40 @@ class LakeTable:
                     for f in self.schema.fields
                 ]
             )
-            # predicate first (higher rows mask), then data — committed
-            # together: stage the append WITHOUT committing, then write
-            # one metadata version containing both entries
-            seq_del = int(self.meta.get("last_sequence_number", 0)) + 1
-            del_snap = Snapshot(
-                snapshot_id=uuid.uuid4().hex[:16],
-                timestamp_ms=int(time.time() * 1000),
-                operation="delete",
-                schema_version=int(self.meta["current_schema_version"]),
-                spec_id=int(self.meta["current_spec_id"]),
-                data_dir="",
-                sequence_number=seq_del,
-                delete_predicate=condition,
-            )
-            self.meta["last_sequence_number"] = seq_del
-            # _write appends the data snapshot and commits; insert the
-            # predicate entry just before it in the same committed
-            # version by prepending to the live list pre-commit
-            self.meta["snapshots"].append(del_snap.to_json())
+            # the pair (predicate mask + post-update rows) shares ONE
+            # timestamp and lands in ONE metadata commit, so timestamp
+            # travel can never observe the torn delete-only state; on
+            # any failure the whole in-memory meta reverts (files
+            # already written become reapable orphans)
+            import copy  # noqa: PLC0415
+
+            backup = copy.deepcopy(self.meta)
             try:
-                return self._write(changed, "append")
+                rel = self._write_files(changed)
+                now = int(time.time() * 1000)
+                seq0 = int(self.meta.get("last_sequence_number", 0))
+                del_snap = self._predicate_snapshot(
+                    condition, seq0 + 1, now
+                )
+                app_snap = Snapshot(
+                    snapshot_id=rel.rsplit("snap-", 1)[1],
+                    timestamp_ms=now,
+                    operation="append",
+                    schema_version=int(
+                        self.meta["current_schema_version"]
+                    ),
+                    spec_id=int(self.meta["current_spec_id"]),
+                    data_dir=rel,
+                    sequence_number=seq0 + 2,
+                )
+                self.meta["last_sequence_number"] = seq0 + 2
+                self.meta["snapshots"].extend(
+                    [del_snap.to_json(), app_snap.to_json()]
+                )
+                self._commit()
+                return app_snap
             except Exception:
-                # the staged predicate entry must not survive a failed
-                # data write (no commit happened for it on its own)
-                self.meta["snapshots"] = [
-                    s
-                    for s in self.meta["snapshots"]
-                    if s["snapshot_id"] != del_snap.snapshot_id
-                ]
+                self.meta = backup
                 raise
         if strategy != "copy_on_write":
             raise TableFormatError(f"unknown update strategy {strategy!r}")
@@ -1081,6 +1105,12 @@ class LakeTable:
         segment is intact — exactly the set time travel can read.
         """
         seg = self._segment_ending_at(snapshot_id)
+        if seg[-1].delete_predicate:
+            raise TableFormatError(
+                f"snapshot {snapshot_id!r} is a merge-on-read predicate "
+                "entry — roll back to a data snapshot (a predicate "
+                "commit is half of an atomic pair, not a restore target)"
+            )
         if seg[-1].expired:
             raise TableFormatError(
                 f"expired snapshot {snapshot_id!r} for "

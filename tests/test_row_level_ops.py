@@ -254,14 +254,41 @@ def test_merge_on_read_update_simultaneous_assignment(spark, table):
     """SET id = grp, grp = id must swap (simultaneous semantics), same
     as copy-on-write."""
     table.update_where(
-        spark, "id = 5", {"id": "grp", "grp": "id"},
-        strategy="merge_on_read",
-    )
-    row = table.to_df(spark).filter("grp = 5 AND tag = 'old' AND id = 5")
-    # original row: id=5, grp=5 -> swap is identity here; use id=13
-    table.update_where(
         spark, "id = 13", {"id": "grp", "grp": "id"},
         strategy="merge_on_read",
     )
     swapped = table.to_df(spark).filter("id = 3 AND grp = 13").collect()
     assert len(swapped) == 1
+    assert table.to_df(spark).filter("id = 13").count() == 0  # swapped away
+
+
+def test_merge_on_read_update_predicate_validated_in_scan_form(spark, table):
+    """The predicate must be validated in the exact NOT(...) string
+    form the scan uses: an expr-valid predicate ending in a line
+    comment (which swallows the closing paren) must fail at commit
+    time, never wedge reads."""
+    with pytest.raises(Exception):
+        table.update_where(
+            spark, "id = 1 -- x", {"tag": "'new'"},
+            strategy="merge_on_read",
+        )
+    # nothing was committed; table still reads fine
+    assert table.to_df(spark).count() == 100
+    assert len(table.snapshots) == 1
+
+
+def test_rollback_refuses_predicate_half_of_update_pair(spark, table):
+    table.update_where(
+        spark, "grp = 3", {"tag": "'bumped'"}, strategy="merge_on_read"
+    )
+    del_snap, app_snap = table.snapshots[-2], table.snapshots[-1]
+    assert del_snap.delete_predicate and not app_snap.delete_predicate
+    # same commit instant: timestamp travel can't observe the torn state
+    assert del_snap.timestamp_ms == app_snap.timestamp_ms
+    with pytest.raises(TableFormatError, match="atomic pair"):
+        table.rollback_to_snapshot(del_snap.snapshot_id)
+    # rolling back to the append half keeps the whole pair
+    table.rollback_to_snapshot(app_snap.snapshot_id)
+    out = table.to_df(spark)
+    assert out.count() == 100
+    assert out.filter("grp = 3 AND tag = 'bumped'").count() == 10
