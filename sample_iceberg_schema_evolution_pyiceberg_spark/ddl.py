@@ -797,11 +797,15 @@ class DdlFrontend:
 
     # ------------------------------------------------------------------
 
-    _CALL_PROCS = {
-        "expire_snapshots": {"retain_last", "older_than_ms"},
-        "remove_orphan_files": set(),
-        "rewrite_data_files": {"sort_by"},
-        "rollback_to_snapshot": {"snapshot_id"},
+    # per-procedure argument name -> required Python type; coercion is
+    # semantic, not syntactic: `older_than_ms => '123'` (quoted digits)
+    # coerces cleanly, `retain_last => 'x'` raises DdlError naming the
+    # argument instead of an opaque TypeError downstream
+    _CALL_PROCS: dict[str, dict[str, type]] = {
+        "expire_snapshots": {"retain_last": int, "older_than_ms": int},
+        "remove_orphan_files": {},
+        "rewrite_data_files": {"sort_by": str},
+        "rollback_to_snapshot": {"snapshot_id": str},
     }
 
     def _call(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
@@ -840,7 +844,18 @@ class DdlFrontend:
                     f"system.{proc} does not accept {k!r}; allowed: "
                     f"{sorted(self._CALL_PROCS[proc])}"
                 )
-            kwargs[k] = v[1:-1] if v.startswith("'") else int(v)
+            raw = v[1:-1] if v.startswith("'") else v
+            want = self._CALL_PROCS[proc][k]
+            if want is int:
+                try:
+                    kwargs[k] = int(raw)
+                except ValueError:
+                    raise DdlError(
+                        f"system.{proc} argument {k!r} must be an "
+                        f"integer, got {raw!r}"
+                    ) from None
+            else:
+                kwargs[k] = raw
         if proc == "expire_snapshots":
             ids = table.expire_snapshots(
                 older_than_ms=kwargs.get("older_than_ms"),

@@ -143,10 +143,17 @@ class LakeStreamReader(DataSourceStreamReader):
         # full-state rewrites only: a predicate-delete snapshot has no
         # data dir and cannot serve as a base load (tables carrying
         # live delete predicates need a compact() before streaming)
-        rewrites = [s for s in self._snapshots() if s.is_rewrite]
+        snaps = self._snapshots()
+        rewrites = [s for s in snaps if s.is_rewrite]
         if rewrites:
             base = rewrites[-1].sequence_number
             return {"seq": base - 1, "base": base}
+        # legacy pre-sequence-number metadata: every snapshot carries
+        # sequence_number 0 — starting at seq 0 would place ALL existing
+        # rows outside the half-open (start, end] range and silently
+        # never stream them; start below the log instead
+        if snaps and all(s.sequence_number == 0 for s in snaps):
+            return {"seq": -1}
         return {"seq": 0}
 
     def latestOffset(self) -> dict:

@@ -563,12 +563,25 @@ class LakeTable:
         self._commit()
         return snap
 
+    @staticmethod
+    def _null_safe(condition: str) -> str:
+        """SQL DML three-valued-logic wrapper: DELETE/UPDATE act only
+        on rows where the predicate is TRUE; FALSE **and NULL** rows
+        survive. The stored predicate is pre-wrapped so every scan-time
+        mask ``NOT (pred)`` keeps NULL-condition rows — without this,
+        ``NOT (col = 'v')`` is NULL for NULL ``col`` and the filter
+        silently destroys those rows (they'd be dropped by the mask
+        yet absent from the re-appended TRUE set)."""
+        return f"coalesce(({condition}), false)"
+
     def _validate_predicate(self, spark: SparkSession, condition: str) -> None:
         """Validate a merge-on-read predicate in the EXACT string form
         every future scan will use — an expr-valid-but-NOT()-broken
         predicate (e.g. one ending in a line comment) must fail at
         commit time, never wedge reads."""
-        self.to_df(spark).filter(f"NOT ({condition})").schema  # noqa: B018
+        self.to_df(spark).filter(
+            f"NOT ({self._null_safe(condition)})"
+        ).schema  # noqa: B018
 
     def _predicate_snapshot(
         self, condition: str, sequence_number: int, timestamp_ms: int
@@ -581,7 +594,8 @@ class LakeTable:
             spec_id=int(self.meta["current_spec_id"]),
             data_dir="",
             sequence_number=sequence_number,
-            delete_predicate=condition,
+            # stored null-safe: scans apply NOT(pred) verbatim
+            delete_predicate=self._null_safe(condition),
         )
 
     # -- row-level operations (copy-on-write) ------------------------------
@@ -602,21 +616,32 @@ class LakeTable:
         ``compact()`` later folds the predicates away (Iceberg's
         rewrite_position_delete_files analog). At 100 TB a
         one-partition delete must not rewrite the table; this is that
-        path. Both strategies share the engine's DELETE semantics
-        (kept = rows where ``NOT (condition)`` is true)."""
+        path. Both strategies share SQL DELETE semantics: removed =
+        rows where ``condition`` IS TRUE; FALSE and NULL rows are
+        kept (three-valued logic, see ``_null_safe``)."""
         if strategy == "merge_on_read":
             self._validate_predicate(spark, condition)
-            seq = int(self.meta.get("last_sequence_number", 0)) + 1
-            self.meta["last_sequence_number"] = seq
-            snap = self._predicate_snapshot(
-                condition, seq, int(time.time() * 1000)
-            )
-            self.meta["snapshots"].append(snap.to_json())
-            self._commit()
-            return snap
+            import copy  # noqa: PLC0415
+
+            backup = copy.deepcopy(self.meta)
+            try:
+                seq = int(self.meta.get("last_sequence_number", 0)) + 1
+                self.meta["last_sequence_number"] = seq
+                snap = self._predicate_snapshot(
+                    condition, seq, int(time.time() * 1000)
+                )
+                self.meta["snapshots"].append(snap.to_json())
+                self._commit()
+                return snap
+            except Exception:
+                # a failed _commit must not leave in-memory meta ahead
+                # of disk (a retry would double-bump the sequence) —
+                # same guard as update_where's merge-on-read branch
+                self.meta = backup
+                raise
         if strategy != "copy_on_write":
             raise TableFormatError(f"unknown delete strategy {strategy!r}")
-        kept = self.to_df(spark).filter(f"NOT ({condition})")
+        kept = self.to_df(spark).filter(f"NOT ({self._null_safe(condition)})")
         return self._replace_live(spark, kept, "delete")
 
     def update_where(
@@ -912,6 +937,12 @@ class LakeTable:
         ``retain_last`` keeps the newest N non-expired history entries
         regardless. Returns the newly expired snapshot ids.
 
+        Safe by default, mirroring Iceberg's procedure: a bare call
+        (no ``older_than_ms``, no ``retain_last``) would expire the
+        ENTIRE time-travel history age-blind, so it raises — callers
+        must state a retention policy (an age cutoff and/or a
+        retain-last count) explicitly.
+
         An expired id is no longer addressable: ``to_df(as_of=...)``
         and ``changes_between`` endpoints naming it raise — the
         Iceberg contract (expired means unreadable, loudly). Because
@@ -930,6 +961,12 @@ class LakeTable:
         deletes for fully-unreferenced snapshots; data is never
         rewritten.
         """
+        if older_than_ms is None and retain_last < 1:
+            raise TableFormatError(
+                "expire_snapshots requires a retention policy: pass "
+                "older_than_ms and/or retain_last >= 1 (a bare call "
+                "would silently expire the entire time-travel history)"
+            )
         hist = [
             Snapshot.from_json(s)
             for s in self.meta.get("snapshot_history", [])

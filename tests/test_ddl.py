@@ -518,7 +518,10 @@ def test_call_maintenance_procedures(ddl):
     # expire everything: history gone, current read intact
     r = ddl.sql("CALL system.expire_snapshots('db.m', retain_last => 1)")
     assert not r.has_error and "expired 2" in r.message_list[-1]
-    r = ddl.sql("CALL system.expire_snapshots('db.m')")
+    # quoted digits coerce cleanly (semantic, not syntactic, typing)
+    r = ddl.sql(
+        f"CALL system.expire_snapshots('db.m', older_than_ms => '{2**62}')"
+    )
     assert not r.has_error and "expired 1" in r.message_list[-1]
     assert ddl.query("SELECT COUNT(*) AS n FROM db.m").collect()[0].n == 3
     r = ddl.sql("CALL system.remove_orphan_files('db.m')")
@@ -535,6 +538,12 @@ def test_call_error_contract(ddl):
     assert r.has_error and "positional" in r.message_list[-1]
     r = ddl.sql("CALL system.expire_snapshots('db.missing')")
     assert r.has_error and "does not exist" in r.message_list[-1]
+    # bare call = no retention policy -> loud refusal, not total wipe
+    r = ddl.sql("CALL system.expire_snapshots('db.e')")
+    assert r.has_error and "retention policy" in r.message_list[-1]
+    # non-integer value for an int argument names the argument
+    r = ddl.sql("CALL system.expire_snapshots('db.e', retain_last => 'x')")
+    assert r.has_error and "retain_last" in r.message_list[-1]
 
 
 def test_sql_changes_cdc_read(ddl):
@@ -656,7 +665,10 @@ def test_delete_mode_table_property(ddl):
     r = ddl.sql("DELETE FROM db.md WHERE g = 0")
     assert not r.has_error and "merge_on_read" in r.message_list[-1]
     tbl = ddl.catalog.load_table("db", "md")
-    assert any(s.delete_predicate == "g = 0" for s in tbl.snapshots)
+    assert any(
+        s.delete_predicate == "coalesce((g = 0), false)"
+        for s in tbl.snapshots
+    )
     assert ddl.query("SELECT COUNT(*) AS n FROM db.md").collect()[0].n == 6
     # compaction folds it; default mode is copy-on-write
     ddl.sql("CALL system.rewrite_data_files('db.md')")
@@ -724,7 +736,10 @@ def test_update_mode_table_property(ddl):
     r = ddl.sql("UPDATE db.um SET v = 'y' WHERE id < 2")
     assert not r.has_error, r.message_list
     tbl = ddl.catalog.load_table("db", "um")
-    assert any(s.delete_predicate == "id < 2" for s in tbl.snapshots)
+    assert any(
+        s.delete_predicate == "coalesce((id < 2), false)"
+        for s in tbl.snapshots
+    )
     got = {
         (r.id, r.v)
         for r in ddl.query("SELECT id, v FROM db.um").collect()

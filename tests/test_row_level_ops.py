@@ -122,7 +122,7 @@ def test_expire_reaps_after_row_level_rewrite(spark, table):
     depends on them through a full-rewrite boundary)."""
     table.delete_where(spark, "grp = 1")
     pre_dirs = [s["data_dir"] for s in table.meta["snapshot_history"]]
-    expired = table.expire_snapshots()
+    expired = table.expire_snapshots(older_than_ms=2**62)  # explicit age-blind
     assert len(expired) == len(pre_dirs)
     for d in pre_dirs:
         assert not (table.location / d).exists()
@@ -136,7 +136,8 @@ def test_merge_on_read_delete(spark, table):
     the predicate away."""
     s1 = table.snapshots[0]
     d = table.delete_where(spark, "grp = 3", strategy="merge_on_read")
-    assert d.delete_predicate == "grp = 3" and d.data_dir == ""
+    assert d.delete_predicate == "coalesce((grp = 3), false)"
+    assert d.data_dir == ""
     out = table.to_df(spark)
     assert out.count() == 90 and out.filter("grp = 3").count() == 0
     # the original data dir was NOT rewritten
@@ -154,7 +155,7 @@ def test_merge_on_read_delete(spark, table):
     from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import LakeTable
     re = LakeTable.load(table.location)
     assert [s.delete_predicate for s in re.snapshots if s.delete_predicate] \
-        == ["grp = 3"]
+        == ["coalesce((grp = 3), false)"]
     assert re.to_df(spark).count() == 100
     # compact materializes: predicates gone, results identical
     table.compact(spark)
@@ -237,7 +238,11 @@ def test_merge_on_read_update(spark, table):
     assert snap.operation == "append"  # the data half of the pair
     live = table.snapshots
     # one predicate entry + one append entry landed in ONE commit
-    assert [s.delete_predicate for s in live[-2:]] == ["grp = 3", None]
+    # predicate stored pre-wrapped null-safe (NULL-condition rows live)
+    assert [s.delete_predicate for s in live[-2:]] == [
+        "coalesce((grp = 3), false)",
+        None,
+    ]
     out = table.to_df(spark)
     assert out.count() == 100  # row count preserved
     assert out.filter("grp = 3 AND tag = 'bumped'").count() == 10
@@ -292,3 +297,98 @@ def test_rollback_refuses_predicate_half_of_update_pair(spark, table):
     out = table.to_df(spark)
     assert out.count() == 100
     assert out.filter("grp = 3 AND tag = 'bumped'").count() == 10
+
+
+@pytest.fixture()
+def null_table(spark, tmp_path):
+    """Table whose predicate column contains NULLs — the three-valued-
+    logic trap: NOT(col = 'v') is NULL (not TRUE) for NULL col."""
+    cat = LakeCatalog(tmp_path / "whn")
+    df = spark.range(0, 30).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("cat"),
+        F.lit("old").alias("tag"),
+    )
+    t = cat.create_table("db", "nulls", df.schema)
+    t.append(df)
+    return t
+
+
+@pytest.mark.parametrize("strategy", ["copy_on_write", "merge_on_read"])
+def test_update_null_predicate_rows_survive(spark, null_table, strategy):
+    """UPDATE WHERE cat = '1' must leave NULL-cat rows UNCHANGED under
+    BOTH strategies (SQL semantics: act only where predicate IS TRUE).
+    Regression: merge-on-read's scan mask NOT(cond) used to drop
+    NULL-condition rows while the re-append kept only TRUE rows, so
+    the NULL rows vanished entirely."""
+    null_table.update_where(
+        spark, "cat = '1'", {"tag": "'new'"}, strategy=strategy
+    )
+    out = null_table.to_df(spark)
+    assert out.count() == 30  # no rows destroyed
+    assert out.filter("cat IS NULL").count() == 10
+    assert out.filter("cat IS NULL AND tag = 'old'").count() == 10
+    assert out.filter("cat = '1' AND tag = 'new'").count() == 10
+    assert out.filter("cat = '2' AND tag = 'old'").count() == 10
+
+
+@pytest.mark.parametrize("strategy", ["copy_on_write", "merge_on_read"])
+def test_delete_null_predicate_rows_survive(spark, null_table, strategy):
+    """DELETE WHERE cat = '1' removes only predicate-TRUE rows; NULL-
+    predicate rows are kept — identical answers from both strategies
+    and from the DuckDB/ANSI DELETE the oracles run."""
+    null_table.delete_where(spark, "cat = '1'", strategy=strategy)
+    out = null_table.to_df(spark)
+    assert out.count() == 20
+    assert out.filter("cat IS NULL").count() == 10
+    assert out.filter("cat = '1'").count() == 0
+
+
+def test_update_strategies_agree_with_null_predicates(spark, tmp_path):
+    """The two UPDATE strategies must be indistinguishable to readers,
+    NULL predicates included."""
+    cat = LakeCatalog(tmp_path / "whagree")
+    mk = lambda: spark.range(0, 30).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("cat"),
+        F.lit("old").alias("tag"),
+    )
+    a = cat.create_table("db", "cow", mk().schema)
+    a.append(mk())
+    b = cat.create_table("db", "mor", mk().schema)
+    b.append(mk())
+    a.update_where(spark, "cat = '2'", {"tag": "'upd'"})
+    b.update_where(
+        spark, "cat = '2'", {"tag": "'upd'"}, strategy="merge_on_read"
+    )
+    rows_a = sorted(map(tuple, a.to_df(spark).collect()))
+    rows_b = sorted(map(tuple, b.to_df(spark).collect()))
+    assert rows_a == rows_b
+
+
+def test_expire_snapshots_requires_retention_policy(spark, table):
+    table.delete_where(spark, "grp = 1")  # creates history
+    with pytest.raises(TableFormatError, match="retention policy"):
+        table.expire_snapshots()
+    # history untouched by the refused call
+    assert len(table.meta["snapshot_history"]) == 1
+
+
+def test_mor_delete_restores_meta_on_failed_commit(spark, table, monkeypatch):
+    """A failed _commit during merge-on-read DELETE must roll the
+    in-memory meta back (else a retry double-bumps the sequence)."""
+    seq_before = int(table.meta.get("last_sequence_number", 0))
+    n_before = len(table.snapshots)
+
+    def boom():
+        raise OSError("disk full")
+
+    monkeypatch.setattr(table, "_commit", boom)
+    with pytest.raises(OSError):
+        table.delete_where(spark, "grp = 1", strategy="merge_on_read")
+    assert int(table.meta.get("last_sequence_number", 0)) == seq_before
+    assert len(table.snapshots) == n_before

@@ -178,7 +178,7 @@ def test_expire_snapshots_bounds_time_travel(spark, catalog):
     assert table.to_df(spark).count() == 100
     # expiring s2 as well releases the whole segment: dirs deleted,
     # tombstones dropped, fresh load sees empty history
-    assert table.expire_snapshots() == [s2.snapshot_id]
+    assert table.expire_snapshots(older_than_ms=2**62) == [s2.snapshot_id]
     assert not (table.location / s1.data_dir).exists()
     assert not (table.location / s2.data_dir).exists()
     assert table.to_df(spark).count() == 100  # live set untouched
