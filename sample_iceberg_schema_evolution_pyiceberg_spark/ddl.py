@@ -705,6 +705,7 @@ class DdlFrontend:
                     "unconditional WHEN MATCHED clause makes later "
                     "WHEN MATCHED clauses unreachable"
                 )
+        strategy = self._write_mode_strategy(table, "write.merge.mode")
         snap = table.merge_into(
             self.spark,
             source,
@@ -716,9 +717,11 @@ class DdlFrontend:
             insert_not_matched=insert_seen,
             insert_assignments=insert_assignments,
             insert_condition=insert_condition,
+            strategy=strategy,
         )
         resp.message_list.append(
-            f"Merged on ({', '.join(keys)}) (snapshot {snap.snapshot_id})"
+            f"Merged on ({', '.join(keys)}) "
+            f"({strategy}, snapshot {snap.snapshot_id})"
         )
 
     def _ctas(self, m: re.Match, resp: ProcessSchemaResponse) -> None:

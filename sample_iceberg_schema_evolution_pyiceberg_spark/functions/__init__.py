@@ -43,6 +43,19 @@ def word_ngrams(ws: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def md5_hash60(col: str | Column) -> Column:
+    """Deterministic, ENGINE-PORTABLE 60-bit string hash: the first 15
+    hex digits of md5 as a non-negative bigint. Chosen over
+    ``xxhash64`` for the dedup signature family because the oracle
+    harness must replay signatures bit-for-bit in DuckDB SQL —
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` is the exact twin
+    (verified value-identical across engines). 60 bits keeps every
+    downstream product (permutation a*h with a < 2^31 after ``% p``)
+    inside int64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def rolling_hash(text: Column, length: int = 64) -> Column:
     """Polynomial rolling hash (mod 1e9+7) over the first ``length``
     chars — document fingerprinting. aggregate() keeps it JVM-side."""

@@ -459,13 +459,14 @@ def export_to_iceberg(table: LakeTable) -> Path:
     LakeTable metadata + parquet footers."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
-    if any(s.delete_predicate for s in table.snapshots):
+    if any(s.is_row_delete for s in table.snapshots):
         # an export of data files alone would resurrect the deleted
         # rows — the v1 export has no delete-file representation
+        # (neither predicate nor equality-key granularity)
         raise RuntimeError(
-            "table has merge-on-read delete predicates in its live "
+            "table has merge-on-read delete entries in its live "
             "set; run compact() before export_to_iceberg (the "
-            "rewrite folds predicates into data)"
+            "rewrite folds deletes into data)"
         )
 
     meta_dir = table.location / "metadata"

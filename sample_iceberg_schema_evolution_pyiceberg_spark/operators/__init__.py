@@ -36,46 +36,65 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # Round 5: queries whose code paths changed this round (c09's
-    # Arrow/RE2 token counter; ddl.py + iceberg_export.py fixes behind
-    # a09/a10/a11; b03/b12/b13/b18/b21 perf work) go FIRST.
-    "a09_sql_ddl_episode", "a10_iceberg_export_roundtrip",
-    "a11_sql_dml_episode", "a12_sql_merge_conditional", "c09_token_count",
-    "b62_asof_join", "a13_incremental_read",  # NEW in r5 (asof, CDC)
-    "c06d_ann_ivf_trained_topk",  # NEW in r5 (trained IVF codebook)
-    "s09_stream_lake_source",  # NEW in r5 (lake as streaming source)
-    "a14_metadata_tables",  # NEW in r5 (snapshots/files metadata SQL)
-    "s04_stream_session_window",  # UPGRADED in r5: rows-only -> hash
-    "a15_sql_rollback_episode",  # NEW in r5 (rollback + ts travel)
-    "a16_merge_on_read_delete",  # NEW in r5 (predicate-delete path)
-    "s07_stream_stream_join",  # upgraded rows-only -> hash-gated in r5
-    "b03_join_inner_3way", "b12_agg_pricing_summary",
-    "b13_agg_count_distinct",
-    # Stale r1 evidence band (latest CORRECTNESS row is round 1 —
-    # VERDICT r4 item 4): rotate the whole band through the driver's
-    # bounded window so no query's evidence is >2 rounds old.
-    "b01_scan_projection", "b02_filter_predicates",
-    "b04_join_left_outer", "b05_join_right_outer", "b06_join_full_outer",
-    "b07_join_left_semi", "b08_join_left_anti", "b09_join_cross",
-    "b14_agg_rollup", "b15_agg_cube", "b17_agg_minmax_stats",
-    "b18_window_ranking", "b19_window_lag_lead", "b21_topk",
-    "b22_sort_nulls", "b23_union_all", "b24_union_distinct",
-    "b25_intersect", "b26_except", "b27_string_funcs", "b28_date_funcs",
-    "b29_math_funcs", "b30_conditional_null", "b31_array_funcs",
-    "b32_map_struct_funcs", "b34_from_json_schema", "b36_dedup_keep_first",
-    "b39_python_udf", "b40_pandas_udf", "b41_grouped_agg_pandas_udf",
-    "b50_python_udtf", "b51_window_first_last", "b53_percentile_median",
+    # Round 6, tier 1: queries whose code paths changed this round.
+    # Row-level DML semantics changed (null-safe predicates, equality-
+    # delete key files, merge_into refactor), the scan applies the new
+    # masks, expire/rollback/orphan learned key dirs, the dedup
+    # signature family switched to the md5-portable hash and LSH
+    # banding moved to 16x2 — every query touching those paths leads.
+    "a17_merge_on_read_merge",  # NEW in r6 (equality-delete MERGE)
+    "a16_merge_on_read_delete",  # predicate storage now null-safe
+    "a11_sql_dml_episode", "a09_sql_ddl_episode",  # ddl.py changed
+    "a15_sql_rollback_episode",  # expire policy + rollback guards
+    "a06_delete_update_where",  # DELETE/UPDATE semantics changed
+    "a05_merge_upsert",  # merge_into refactored (clause_flags)
+    "a03_lake_roundtrip", "a07_time_travel",  # scan path changed
+    "a08_compaction_invariance",  # compact folds the new masks
+    "s09_stream_lake_source",  # lake_source legacy-offset fix
+    "c02b_minhash_signatures",  # UPGRADED r6: rows-only -> hash (md5)
+    "c03_dedup_simhash",  # UPGRADED r6: rows-only -> hash (md5, 60-bit)
+    "c02_dedup_minhash_lsh",  # hash + banding changed (behavioral)
+    "b37b_deterministic_sample",  # NEW in r6 (reproducible sampling)
+    # Tier 2: stale hash-gated evidence (r1 and r3 — the rows the
+    # gate exists for; must not age past 2 rounds)
     "b59_map_hof", "b61_null_safe_join",
-    # r1 rows-only (weaker checks, still refreshed)
-    "b37_sample", "b38_approx_count_distinct", "b60_approx_percentile",
-    # r2 band (behavioral rows-only; oldest after the r1 block)
-    "c02_dedup_minhash_lsh", "c02b_minhash_signatures", "c03_dedup_simhash",
-    "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
-    "s05_stream_late_data_drop", "s06_stream_stateful_counter",
-    # r3 band (2 rounds old at r5 — within policy, refresh if budget)
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
     "b45_lake_overwrite_sink", "b57_string_agg",
-    # Everything unlisted (r4-green) keeps registration order after this.
+    # Tier 3: r4-evidence hash-gated refresh (2 rounds old at r6)
+    "a01_evolution_episode", "a02_partition_transforms",
+    "a04_schema_diff_report",
+    "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
+    "b20_window_running_frame", "b33_json_funcs", "b35_cast_promotion",
+    "b42_udtf_explode", "b46_exists_subquery_sql",
+    "b47_scalar_subquery_sql", "b48_in_subquery_sql", "b49_cte_sql",
+    "b52_grouping_sets", "b54_sessionize_batch", "b55_pivot",
+    "b56_unpivot", "b58_grouped_map_pandas",
+    "c01_dedup_exact", "c04_dedup_ngram_jaccard", "c05_cosine_topk_brute",
+    "c06b_knn_join_sampled", "c07_text_langid", "c08_text_quality",
+    "c10_text_fingerprint", "c11_multimodal_binary_meta",
+    "c12_multimodal_decode_features", "c13_dedup_embedding_cosine",
+    # --- driver window boundary (50) ---
+    # Window policy (VERDICT r5 item 1): the first 50 slots hold ONLY
+    # oracle-bearing queries, so CORRECTNESS_r06 is 50/50 hash rows
+    # with no err entries. The by-design rows-only band (b37/b38/b60
+    # sketches+RNG, c06/c06c/c13b random-hyperplane LSH / centroid
+    # matmul, s05/s06 streaming semantics, c06d trained IVF) sits
+    # directly below: their no_oracle driver rows prove little beyond
+    # row counts — their correctness evidence is the pytest
+    # recall/agreement/property suite. Three former members of that
+    # band (c02, c02b, c03) were made hash-gated this round by moving
+    # the signature family to the md5-portable hash; c14-c18 and
+    # s01-s03/s08 (r4 evidence) lead the r7 refresh.
+    "c14_multimodal_frame_sample", "c15_tfidf_top_terms",
+    "c16_salted_hot_key_agg", "c17_corpus_prep_pipeline",
+    "c18_dedup_cluster_resolution",
+    "s01_stream_tumbling_window", "s02_stream_sliding_window",
+    "s03_stream_dedup", "s08_stream_lake_sink",
+    "b37_sample", "b38_approx_count_distinct", "b60_approx_percentile",
+    "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
+    "s05_stream_late_data_drop", "s06_stream_stateful_counter",
+    "c06d_ann_ivf_trained_topk",
+    # Everything unlisted (r4/r5-green) keeps registration order.
 ]
 
 # (b37/b38/b60 moved into _PRIORITY's r1 band this round — the tail

@@ -464,3 +464,88 @@ def a16_merge_on_read_delete(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a17_merge_on_read_merge",
+    oracle="""
+    SELECT 'after_merge' AS step, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total,
+           CAST(SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_merged
+    FROM orders WHERE o_orderkey <= 1500
+    UNION ALL
+    SELECT 'after_append', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6),
+           CAST(SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 2000
+    UNION ALL
+    SELECT 'after_compact', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6),
+           CAST(SUM(CASE WHEN o_orderkey BETWEEN 501 AND 1000
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def a17_merge_on_read_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read MERGE episode through the SQL surface
+    (``write.merge.mode=merge-on-read`` — Iceberg v2's equality-delete
+    bulk-upsert path): two INSERT batches (keys <=1000), then MERGE
+    from a source spanning 501-1500 — matched keys 501-1000 get
+    o_orderstatus='M', unmatched 1001-1500 insert — committed as ONE
+    equality-delete key file + ONE append (write cost follows the
+    batch, nothing rewritten). An append of keys 1501-2000 afterwards
+    must be untouched by the mask; compact() folds the key mask into
+    data. All three reads hash-match a relational replay (the oracle
+    counts merged rows BY KEY RANGE, the engine counts them BY THE
+    'M' FLAG — they agree only if the mask+append pair behaved)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    with tempfile.TemporaryDirectory(prefix="mor_merge_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "mm", o.schema)
+        table.append(o.filter(F.col("o_orderkey") <= 500))
+        table.append(o.filter(F.col("o_orderkey").between(501, 1000)))
+        fe = DdlFrontend(spark, cat)
+        r = fe.sql(
+            "ALTER TABLE gate.mm SET TBLPROPERTIES "
+            "('write.merge.mode' = 'merge-on-read')"
+        )
+        assert not r.has_error, r.message_list
+        o.filter(F.col("o_orderkey").between(501, 1500)) \
+            .createOrReplaceTempView("a17_merge_src")
+        r = fe.sql(
+            "MERGE INTO gate.mm USING "
+            "(SELECT * FROM a17_merge_src) ON (o_orderkey) "
+            "WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M' "
+            "WHEN NOT MATCHED THEN INSERT"
+        )
+        assert not r.has_error and "merge_on_read" in r.message_list[-1]
+        table = cat.load_table("gate", "mm")
+        assert any(s.delete_keys_dir for s in table.snapshots)
+
+        def agg(step: str) -> DataFrame:
+            return fe.query(
+                f"SELECT '{step}' AS step, COUNT(*) AS n, "
+                "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) "
+                "AS DOUBLE), 6) AS total, "
+                "SUM(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END) "
+                "AS n_merged FROM gate.mm"
+            )
+
+        steps = [agg("after_merge")]
+        table.append(o.filter(F.col("o_orderkey").between(1501, 2000)))
+        steps.append(agg("after_append"))
+        fe.sql("CALL system.rewrite_data_files('gate.mm')")
+        assert all(
+            not s.is_row_delete
+            for s in cat.load_table("gate", "mm").snapshots
+        )
+        steps.append(agg("after_compact"))
+        out = steps[0]
+        for s_df in steps[1:]:
+            out = out.unionByName(s_df)
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

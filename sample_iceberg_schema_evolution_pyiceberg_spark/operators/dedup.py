@@ -22,14 +22,31 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import MINHASH_PRIME, word_ngrams, words
+from ..functions import MINHASH_PRIME, md5_hash60, word_ngrams, words
 from .registry import query, t
 
 N_PERM = 32  # minhash permutations
-N_BANDS = 8  # bands of 4 rows each
+# 16 bands x 2 rows: recall at the verify threshold (jaccard 0.5) is
+# 1-(1-0.5^2)^16 ≈ 0.99 (8x4 gave ≈ 0.40 — a coin flip at the
+# boundary); random low-jaccard pairs still collide with ~j^2 per
+# band, so the candidate set stays near-linear
+N_BANDS = 16
+_BAND_ROWS = N_PERM // N_BANDS
 _rng = random.Random(7)
 _PERM_A = [_rng.randrange(1, MINHASH_PRIME) for _ in range(N_PERM)]
 _PERM_B = [_rng.randrange(0, MINHASH_PRIME) for _ in range(N_PERM)]
+
+# DuckDB twin of functions.md5_hash60 (value-identical, see its docstring)
+_SQL_HASH60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+# DuckDB twin of _grams_df: doc_id + exploded distinct word-3-grams,
+# same tokenizer as the c04 oracle
+_SQL_GRAMS = """
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in RANGE(1, GREATEST(LEN(ws) - 1, 1))])) AS gram
+      FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents)
+      WHERE LEN(ws) >= 3
+"""
 
 
 @query(
@@ -146,9 +163,9 @@ def minhash_signatures(grams: DataFrame) -> DataFrame:
     """doc_id -> 32-permutation minhash signature. One explode is
     already done; the N_PERM mins fold into a single groupBy with
     map-side partial aggregation — one shuffle of 32 longs per doc."""
-    # deterministic gram hash folded into [0, p): pmod keeps it
-    # non-negative so a*h stays within int64 (a, h < 2^31)
-    h = F.pmod(F.xxhash64("gram"), F.lit(MINHASH_PRIME))
+    # deterministic, DuckDB-replayable gram hash folded into [0, p):
+    # md5_hash60 is non-negative so a*h stays within int64 (a, h < 2^31)
+    h = md5_hash60("gram") % MINHASH_PRIME
     mins = [
         F.min(
             (F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i])) % MINHASH_PRIME
@@ -158,45 +175,96 @@ def minhash_signatures(grams: DataFrame) -> DataFrame:
     return grams.groupBy("doc_id").agg(*mins)
 
 
-@query("c02_dedup_minhash_lsh")  # hash family not reproducible in SQL ->
+def _sig_sql() -> str:
+    """DuckDB CTE body reproducing ``minhash_signatures`` bit-for-bit
+    (shared by the c02 and c02b oracles)."""
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+    g AS ({_SQL_GRAMS}),
+    h AS (
+      SELECT doc_id,
+             {_SQL_HASH60.format(x="gram")} % {MINHASH_PRIME} AS h
+      FROM g
+    ),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
+    """
+
+
+@query(
+    "c02_dedup_minhash_lsh",
+    # end-to-end replay: signatures (md5 hash + fixed permutations),
+    # banding on the RAW 2-row band values (no engine-internal band
+    # hash), candidate dedup, exact-Jaccard verify at >= 0.5 — every
+    # stage deterministic, so the full LSH pipeline hash-gates
+    oracle=f"""
+    WITH {_sig_sql()},
+    stacked AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, s{2 * b} AS r0,"
+          f" s{2 * b + 1} AS r1 FROM sig"
+          for b in range(N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM stacked a
+      JOIN stacked b ON a.band_id = b.band_id AND a.r0 = b.r0
+                    AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS both
+      FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      GROUP BY ga.doc_id, gb.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(s.both AS DOUBLE) / (sa.n + sb.n - s.both), 6)
+             AS jaccard
+    FROM cand c
+    JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(s.both AS DOUBLE) / (sa.n + sb.n - s.both) >= 0.5
+    """,
+)
 def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
 
-    shingle -> 32-perm minhash -> 8 bands x 4 rows -> band-bucket
+    shingle -> 32-perm minhash -> 16 bands x 2 rows -> band-bucket
     equi-join -> distinct candidate pairs -> verify with exact Jaccard
-    on gram sets (>= 0.5). rows-only driver check; the pytest property
-    test plants known dups and asserts recovery + agreement with c04.
-    """
+    on gram sets (>= 0.5). Hash-gated: banding joins on the RAW band
+    row values (engine-portable — no Spark-internal band hash), so the
+    DuckDB oracle replays candidates and verified pairs exactly; the
+    pytest property test additionally plants known dups and asserts
+    recovery + agreement with c04."""
     g = _grams_df(spark, sf).persist()
     sig = minhash_signatures(g)
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.hash(*[F.col(f"s{b * 4 + r}") for r in range(4)]).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
-    stacked = bands.select(
+    stacked = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh")
+                        F.lit(b).alias("band_id"),
+                        F.col(f"s{b * _BAND_ROWS}").alias("r0"),
+                        F.col(f"s{b * _BAND_ROWS + 1}").alias("r1"),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.bh")
-    a = stacked.select(F.col("doc_id").alias("doc_a"), "band_id", "bh")
-    b = stacked.select(F.col("doc_id").alias("doc_b"), "band_id", "bh")
+    ).select("doc_id", "bk.band_id", "bk.r0", "bk.r1")
+    a = stacked.select(F.col("doc_id").alias("doc_a"), "band_id", "r0", "r1")
+    b = stacked.select(F.col("doc_id").alias("doc_b"), "band_id", "r0", "r1")
     # persist: cand feeds BOTH the candidate-doc semi-join filter and
     # the final broadcast join — without it the whole LSH pipeline
     # (signatures + band self-join + distinct) executes twice. cand is
     # post-LSH small (pairs, not corpus), so the cache is bounded.
     cand = (
-        a.join(b, ["band_id", "bh"])
+        a.join(b, ["band_id", "r0", "r1"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -236,21 +304,69 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("c03_dedup_simhash")  # 64-bit signature; hamming pairs rows-only
+SIMHASH_BITS = 60  # md5_hash60 width; 4 chunks x 15 bits
+_SIMHASH_CHUNK_BITS = SIMHASH_BITS // 4
+
+
+@query(
+    "c03_dedup_simhash",
+    # full bit-for-bit replay: same word stream, same md5-derived
+    # 60-bit hash, same sign-of-sums signature, same 15-bit chunk
+    # banding and popcount verify — deterministic, so hash-gated
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS word
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_SQL_HASH60.format(x="word")} AS h FROM w),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+                 f" AS b{i}"
+                 for i in range(60)
+             )}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             ({" + ".join(
+                 f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i})"
+                 f" ELSE 0 END)"
+                 for i in range(60)
+             )}) AS simhash
+      FROM bits
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c.chunk_id,
+             (simhash >> (c.chunk_id * 15)) & 32767 AS chunk
+      FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS chunk_id) c
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM chunks a
+    JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def c03_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature = sign of per-bit sums
-    of word hashes; candidates share one of four 16-bit chunks
-    (hamming <= 3 within-chunk guarantee by pigeonhole over 4 chunks),
-    verified by exact popcount of the XOR."""
+    """SimHash near-dup pairs: 60-bit signature = sign of per-bit sums
+    of word hashes (md5_hash60 — engine-portable, see functions);
+    candidates share one of four 15-bit chunks (hamming <= 3
+    within-chunk guarantee by pigeonhole over 4 chunks), verified by
+    exact popcount of the XOR. Hash-gated: the DuckDB oracle replays
+    the signature arithmetic bit-for-bit."""
     d = t(spark, sf, "documents")
     w = d.select("doc_id", F.explode(words("text")).alias("word"))
-    h = F.xxhash64("word")
+    h = md5_hash60("word")
     # per-bit +/-1 sums -> sign bit; build the signature as bigint
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     sums = w.groupBy("doc_id").agg(*bit_sums)
     sig = sums.select(
@@ -261,7 +377,7 @@ def c03_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                     F.col(f"b{i}") > 0,
                     F.shiftleft(F.lit(1).cast("bigint"), i),
                 ).otherwise(F.lit(0).cast("bigint"))
-                for i in range(64)
+                for i in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("bigint"),
         ).alias("simhash"),
@@ -274,8 +390,8 @@ def c03_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", c * _SIMHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("chunk"),
                     )
                     for c in range(4)
@@ -301,10 +417,31 @@ def c03_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("c02b_minhash_signatures")  # signature table itself (rows-only)
+@query(
+    "c02b_minhash_signatures",
+    # full bit-for-bit signature replay: same grams, same md5-derived
+    # hash, same 32 fixed (a, b) permutation constants — the signature
+    # table is deterministic, so it hash-gates like any relational op
+    oracle=f"""
+    WITH g AS ({_SQL_GRAMS}),
+    h AS (
+      SELECT doc_id,
+             {_SQL_HASH60.format(x="gram")} % {MINHASH_PRIME} AS h
+      FROM g
+    )
+    SELECT doc_id,
+           {", ".join(
+               f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS s{i}"
+               for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+           )}
+    FROM h GROUP BY doc_id
+    """,
+)
 def c02b_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """The minhash signature table as a first-class output (join target
-    for incremental dedup against an existing corpus)."""
+    for incremental dedup against an existing corpus). Hash-gated: the
+    oracle replays the exact signature arithmetic in DuckDB (md5-based
+    gram hash + the module's fixed permutation constants)."""
     return minhash_signatures(_grams_df(spark, sf))
 
 

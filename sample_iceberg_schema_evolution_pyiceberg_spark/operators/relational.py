@@ -1015,6 +1015,34 @@ def b37_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "b37b_deterministic_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE (('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))
+           ::BIGINT) % 10 = 0
+    """,
+)
+def b37b_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-bucket sampling (SURVEY B35's scale face): rows where a
+    deterministic key hash lands in bucket 0 of 10 — a ~10% sample
+    that is REPRODUCIBLE across runs, engines, partitionings, and
+    cluster sizes, unlike ``df.sample`` whose per-partition RNG
+    stream changes under repartitioning. This is how a training
+    pipeline pins an eval split at 100 TB: the sample membership is a
+    pure function of the key, so incremental reruns agree with the
+    original draw. Pure Catalyst (md5 + conv), hash-gated via the
+    md5_hash60 DuckDB twin."""
+    from ..functions import md5_hash60  # noqa: PLC0415
+
+    l = t(spark, sf, "lineitem")
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    return l.filter(md5_hash60(key) % 10 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 @query("b38_approx_count_distinct")  # approximate by design (SURVEY B16)
 def b38_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     l = t(spark, sf, "lineitem")

@@ -119,14 +119,30 @@ class Snapshot:
     # rows from EARLIER snapshots in the segment are filtered at scan
     # time, nothing is rewritten. data_dir is "" for these.
     delete_predicate: str | None = None
+    # merge-on-read MERGE (Iceberg v2 EQUALITY-delete-file analog):
+    # a snapshot referencing a parquet dir of affected key tuples;
+    # rows from EARLIER snapshots whose key appears in the file are
+    # masked at scan time via a (broadcast) anti-join. data_dir is ""
+    # — the keys dir is metadata-plane, not table data.
+    delete_keys_dir: str | None = None
+    delete_key_cols: list[str] | None = None
+
+    @property
+    def is_row_delete(self) -> bool:
+        """Merge-on-read delete entry of either granularity: a scan-
+        time predicate or an equality-delete key file."""
+        return (
+            self.delete_predicate is not None
+            or self.delete_keys_dir is not None
+        )
 
     @property
     def is_rewrite(self) -> bool:
         """True for snapshots that REPLACE the live state (overwrite /
         compact / copy-on-write DML) and therefore start a fresh
-        lineage segment. Predicate deletes are non-append but NOT
-        rewrites — they compose within a segment."""
-        return self.operation != "append" and self.delete_predicate is None
+        lineage segment. Predicate/equality deletes are non-append but
+        NOT rewrites — they compose within a segment."""
+        return self.operation != "append" and not self.is_row_delete
 
     def to_json(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -152,6 +168,9 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
         out["expired"] = True  # ext field; absent = live (stable docs)
     if d.get("delete_predicate"):
         out["delete-predicate"] = d["delete_predicate"]  # ext field
+    if d.get("delete_keys_dir"):
+        out["delete-keys-dir"] = d["delete_keys_dir"]  # ext field
+        out["delete-key-cols"] = d["delete_key_cols"]
     return out
 
 
@@ -169,6 +188,9 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
         out["expired"] = True
     if d.get("delete-predicate"):
         out["delete_predicate"] = d["delete-predicate"]
+    if d.get("delete-keys-dir"):
+        out["delete_keys_dir"] = d["delete-keys-dir"]
+        out["delete_key_cols"] = d["delete-key-cols"]
     return out
 
 
@@ -465,18 +487,19 @@ class LakeTable:
     def commit_schema(self, new_schema: T.StructType) -> int:
         """Install a new schema version; data files are untouched
         (Iceberg's metadata-only evolution contract)."""
-        if any(s.delete_predicate for s in self.snapshots):
+        if any(s.is_row_delete for s in self.snapshots):
             removed = {f.name for f in self.schema.fields} - {
                 f.name for f in new_schema.fields
             }
             if removed:
-                # a live merge-on-read predicate referencing a dropped
-                # column would make EVERY scan (including the compact()
-                # recovery path) unresolvable — refuse while predicates
-                # are live; conservatively blocks any top-level drop
+                # a live merge-on-read predicate (or equality-delete
+                # key set) referencing a dropped column would make
+                # EVERY scan (including the compact() recovery path)
+                # unresolvable — refuse while deletes are live;
+                # conservatively blocks any top-level drop
                 raise TableFormatError(
                     f"cannot drop column(s) {sorted(removed)} while "
-                    "merge-on-read delete predicates are live — run "
+                    "merge-on-read delete entries are live — run "
                     "compact() first to fold them into data"
                 )
         v = int(self.meta["current_schema_version"]) + 1
@@ -750,9 +773,10 @@ class LakeTable:
         | None = None,
         insert_assignments: dict[str, str] | None = None,
         insert_condition: str | None = None,
+        strategy: str = "copy_on_write",
     ) -> Snapshot:
-        """MERGE INTO, copy-on-write: upsert ``source`` into the table
-        on ``key_cols``.
+        """MERGE INTO: upsert ``source`` into the table on
+        ``key_cols``.
 
         ``when_matched`` is an ordered clause list
         ``[(condition | None, "update" | "delete", assignments)]`` with
@@ -771,11 +795,28 @@ class LakeTable:
         insert (``WHEN NOT MATCHED AND <cond>``), also over source
         columns.
 
-        One shuffle on the merge keys; the rewrite is one overwrite
-        snapshot. This is the canonical distributed upsert: left join
-        target->source for the update/delete side, anti join
-        source->target for inserts — clause conditions add CASE
-        branches, never extra joins, so the plan shape is scale-stable.
+        ``strategy="copy_on_write"`` (default): one shuffle on the
+        merge keys; the rewrite is one overwrite snapshot. This is the
+        canonical distributed upsert: left join target->source for the
+        update/delete side, anti join source->target for inserts —
+        clause conditions add CASE branches, never extra joins, so the
+        plan shape is scale-stable.
+
+        ``strategy="merge_on_read"`` (Iceberg's
+        ``write.merge.mode=merge-on-read``): write cost follows the
+        MERGE BATCH, not the table. One append dir holds the post-merge
+        versions of affected matched rows plus the inserts; an
+        EQUALITY-DELETE snapshot (Iceberg v2 equality-delete-file
+        analog) references a parquet of the affected key tuples and
+        masks their pre-merge versions at scan time via a broadcast
+        anti-join. Both snapshots share one timestamp and land in one
+        metadata commit (no torn state), exactly like the UPDATE pair.
+        The nightly 100 TB bulk upsert touches a fraction of the keys —
+        this path never rewrites the untouched ones; ``compact()``
+        folds the key masks away later. Matched rows whose every clause
+        condition is FALSE/NULL are untouched; if they share a key with
+        an affected row they are re-appended unchanged (the key mask is
+        key-granular, rows must not be lost).
         """
         if when_matched is None:
             # legacy-kwargs precedence: delete first, preserving the old
@@ -795,57 +836,60 @@ class LakeTable:
                 )
         if insert_assignments:
             self._check_assignment_targets(insert_assignments)
+        if strategy not in ("copy_on_write", "merge_on_read"):
+            raise TableFormatError(f"unknown merge strategy {strategy!r}")
         target = self.to_df(spark)
         cols = [f.name for f in self.schema.fields]
         src = source.select(
             *[F.col(c).alias(f"s_{c}") for c in source.columns]
         )
-        on = [target[k] == src[f"s_{k}"] for k in key_cols]
-        joined = target.join(
-            src, on[0] if len(on) == 1 else F.expr(
-                " AND ".join(f"({k} = s_{k})" for k in key_cols)
-            ),
-            "left",
-        )
-        matched = F.col(f"s_{key_cols[0]}").isNotNull()
-        # first-match-wins: clause i fires when matched AND no earlier
-        # clause's condition held AND its own condition holds. Branch
-        # conditions are disjoint, so per-column CASE nesting order
-        # doesn't matter. All SET expressions read the PRE-update row
-        # (simultaneous assignment, same contract as update_where).
-        col_expr: dict[str, Column] = {c: F.col(c) for c in cols}
-        drop = F.lit(False)
-        prior = F.lit(False)
-        for cond_s, action, assigns in when_matched:
-            # NULL condition = not satisfied (SQL three-valued logic);
-            # coalesce keeps `prior` two-valued so later clauses still
-            # get their chance when an earlier condition was UNKNOWN
-            this = (
-                F.coalesce(F.expr(cond_s), F.lit(False))
-                if cond_s
-                else F.lit(True)
-            )
-            fires = matched & ~prior & this
-            if action == "update":
-                for c, e in (assigns or {}).items():
-                    col_expr[c] = F.when(
-                        fires, F.expr(e).cast(self.schema[c].dataType)
-                    ).otherwise(col_expr[c])
-            else:  # delete
-                drop = drop | fires
-            prior = prior | this
-        kept = joined.filter(~drop).select(
-            *[col_expr[c].alias(c) for c in cols]
-        )
-        result = kept
-        if insert_not_matched:
+
+        def clause_flags(
+            matched: Column,
+        ) -> tuple[dict[str, Column], Column, Column]:
+            # first-match-wins: clause i fires when matched AND no
+            # earlier clause's condition held AND its own condition
+            # holds. Branch conditions are disjoint, so per-column CASE
+            # nesting order doesn't matter. All SET expressions read
+            # the PRE-update row (simultaneous assignment, same
+            # contract as update_where). Returns (per-column value
+            # expressions, drop flag, any-update-fired flag).
+            col_expr: dict[str, Column] = {c: F.col(c) for c in cols}
+            drop = F.lit(False)
+            updated = F.lit(False)
+            prior = F.lit(False)
+            for cond_s, action, assigns in when_matched:
+                # NULL condition = not satisfied (SQL three-valued
+                # logic); coalesce keeps `prior` two-valued so later
+                # clauses still get their chance when an earlier
+                # condition was UNKNOWN
+                this = (
+                    F.coalesce(F.expr(cond_s), F.lit(False))
+                    if cond_s
+                    else F.lit(True)
+                )
+                fires = matched & ~prior & this
+                if action == "update":
+                    for c, e in (assigns or {}).items():
+                        col_expr[c] = F.when(
+                            fires, F.expr(e).cast(self.schema[c].dataType)
+                        ).otherwise(col_expr[c])
+                    updated = updated | fires
+                else:  # delete
+                    drop = drop | fires
+                prior = prior | this
+            return col_expr, drop, updated
+
+        def build_inserts() -> DataFrame | None:
+            if not insert_not_matched:
+                return None
             inserts = source.join(
                 target.select(*key_cols).distinct(), key_cols, "left_anti"
             )
             if insert_condition:
                 inserts = inserts.filter(insert_condition)
             if insert_assignments:
-                aligned = inserts.select(
+                return inserts.select(
                     *[
                         F.expr(insert_assignments[c])
                         .cast(self.schema[c].dataType)
@@ -857,19 +901,116 @@ class LakeTable:
                         for c in cols
                     ]
                 )
-            else:
-                aligned = inserts.select(
-                    *[
-                        F.col(c).cast(self.schema[c].dataType).alias(c)
-                        if c in inserts.columns
-                        else F.lit(None)
-                        .cast(self.schema[c].dataType)
-                        .alias(c)
-                        for c in cols
-                    ]
-                )
-            result = kept.unionByName(aligned)
+            return inserts.select(
+                *[
+                    F.col(c).cast(self.schema[c].dataType).alias(c)
+                    if c in inserts.columns
+                    else F.lit(None).cast(self.schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+
+        if strategy == "merge_on_read":
+            return self._merge_on_read(
+                spark, src, key_cols, clause_flags, build_inserts, cols
+            )
+        on = [target[k] == src[f"s_{k}"] for k in key_cols]
+        joined = target.join(
+            src, on[0] if len(on) == 1 else F.expr(
+                " AND ".join(f"({k} = s_{k})" for k in key_cols)
+            ),
+            "left",
+        )
+        matched = F.col(f"s_{key_cols[0]}").isNotNull()
+        col_expr, drop, _updated = clause_flags(matched)
+        kept = joined.filter(~drop).select(
+            *[col_expr[c].alias(c) for c in cols]
+        )
+        result = kept
+        inserts_aligned = build_inserts()
+        if inserts_aligned is not None:
+            result = kept.unionByName(inserts_aligned)
         return self._replace_live(spark, result, "merge")
+
+    def _merge_on_read(
+        self,
+        spark: SparkSession,
+        src: DataFrame,
+        key_cols: list[str],
+        clause_flags,
+        build_inserts,
+        cols: list[str],
+    ) -> Snapshot:
+        """The equality-delete commit half of ``merge_into``: see its
+        docstring. Affected keys -> parquet key file (the mask);
+        post-merge versions of affected-key matched rows + inserts ->
+        one append dir; both land in a single metadata commit."""
+        target = self.to_df(spark)
+        joined = target.join(
+            src,
+            F.expr(" AND ".join(f"({k} = s_{k})" for k in key_cols)),
+            "inner",
+        )
+        col_expr, drop, updated = clause_flags(F.lit(True))
+        affected_keys = (
+            joined.filter(drop | updated).select(*key_cols).distinct()
+        )
+        # every matched row sharing an affected key is re-appended
+        # (clause applied; unfired same-key duplicates pass through
+        # unchanged) — the key mask is key-granular and must not lose
+        # rows it masks
+        rewritten = (
+            joined.join(F.broadcast(affected_keys), key_cols, "left_semi")
+            .filter(~drop)
+            .select(*[col_expr[c].alias(c) for c in cols])
+        )
+        appended = rewritten
+        inserts_aligned = build_inserts()
+        if inserts_aligned is not None:
+            appended = appended.unionByName(inserts_aligned)
+        import copy  # noqa: PLC0415
+
+        backup = copy.deepcopy(self.meta)
+        try:
+            keys_rel = f"data/keys-{uuid.uuid4().hex[:16]}"
+            affected_keys.write.mode("error").parquet(
+                str(self.location / keys_rel)
+            )
+            rel = self._write_files(appended)
+            now = int(time.time() * 1000)
+            seq0 = int(self.meta.get("last_sequence_number", 0))
+            del_snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                timestamp_ms=now,
+                operation="delete",
+                schema_version=int(self.meta["current_schema_version"]),
+                spec_id=int(self.meta["current_spec_id"]),
+                data_dir="",
+                sequence_number=seq0 + 1,
+                delete_keys_dir=keys_rel,
+                delete_key_cols=list(key_cols),
+            )
+            app_snap = Snapshot(
+                snapshot_id=rel.rsplit("snap-", 1)[1],
+                timestamp_ms=now,
+                operation="append",
+                schema_version=int(self.meta["current_schema_version"]),
+                spec_id=int(self.meta["current_spec_id"]),
+                data_dir=rel,
+                sequence_number=seq0 + 2,
+            )
+            self.meta["last_sequence_number"] = seq0 + 2
+            self.meta["snapshots"].extend(
+                [del_snap.to_json(), app_snap.to_json()]
+            )
+            self._commit()
+            return app_snap
+        except Exception:
+            # in-memory meta must never run ahead of disk (a retry
+            # would double-bump the sequence); written dirs become
+            # orphans remove_orphan_files reaps
+            self.meta = backup
+            raise
 
     def _replace_live(
         self, spark: SparkSession, df: DataFrame, operation: str
@@ -1022,6 +1163,10 @@ class LakeTable:
                 self.data_io.delete_recursive(
                     str(self.location / s["data_dir"])
                 )
+            if s.get("delete_keys_dir"):  # equality-delete key files
+                self.data_io.delete_recursive(
+                    str(self.location / s["delete_keys_dir"])
+                )
         return sorted(expired_ids)
 
     def remove_orphan_files(self) -> list[str]:
@@ -1035,10 +1180,13 @@ class LakeTable:
         handler.py orchestration; a production deployment adds an
         age filter before deleting). Returns removed relative paths.
         """
-        referenced = {
-            s["data_dir"]
-            for s in self.meta["snapshots"]
-            + self.meta.get("snapshot_history", [])
+        all_entries = self.meta["snapshots"] + self.meta.get(
+            "snapshot_history", []
+        )
+        referenced = {s["data_dir"] for s in all_entries} | {
+            s["delete_keys_dir"]
+            for s in all_entries
+            if s.get("delete_keys_dir")
         }
         removed: list[str] = []
         data_root = self.location / "data"
@@ -1079,9 +1227,9 @@ class LakeTable:
         streaming (the fixed file-source schema can't cast per file).
         """
         if source == "log":
-            if any(s.delete_predicate for s in self.snapshots):
+            if any(s.is_row_delete for s in self.snapshots):
                 raise TableFormatError(
-                    "live merge-on-read delete predicates have no "
+                    "live merge-on-read delete entries have no "
                     "append-only streaming representation — compact() "
                     "first to fold them into data"
                 )
@@ -1109,9 +1257,9 @@ class LakeTable:
             )
         if source != "files":
             raise ValueError(f"unknown stream source {source!r}")
-        if any(s.delete_predicate for s in self.snapshots):
+        if any(s.is_row_delete for s in self.snapshots):
             raise TableFormatError(
-                "live merge-on-read delete predicates are invisible to "
+                "live merge-on-read delete entries are invisible to "
                 "the file source (it lists the filesystem) — compact() "
                 "first or use the log-driven source"
             )
@@ -1142,10 +1290,10 @@ class LakeTable:
         segment is intact — exactly the set time travel can read.
         """
         seg = self._segment_ending_at(snapshot_id)
-        if seg[-1].delete_predicate:
+        if seg[-1].is_row_delete:
             raise TableFormatError(
-                f"snapshot {snapshot_id!r} is a merge-on-read predicate "
-                "entry — roll back to a data snapshot (a predicate "
+                f"snapshot {snapshot_id!r} is a merge-on-read delete "
+                "entry — roll back to a data snapshot (a delete "
                 "commit is half of an atomic pair, not a restore target)"
             )
         if seg[-1].expired:
@@ -1178,6 +1326,10 @@ class LakeTable:
             if s.data_dir:  # predicate-delete snapshots carry no dir
                 self.data_io.delete_recursive(
                     str(self.location / s.data_dir)
+                )
+            if s.delete_keys_dir:  # equality-delete key files
+                self.data_io.delete_recursive(
+                    str(self.location / s.delete_keys_dir)
                 )
 
     # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
@@ -1293,10 +1445,11 @@ class LakeTable:
                     "no longer readable"
                 )
             snaps = upto
-        # merge-on-read deletes: predicate snapshots carry no data; each
-        # filters the rows of EARLIER data snapshots at scan time
-        deletes = [s for s in snaps if s.delete_predicate]
-        datas = [s for s in snaps if not s.delete_predicate]
+        # merge-on-read deletes: predicate/equality-key snapshots carry
+        # no data; each masks the rows of EARLIER data snapshots at
+        # scan time (filter for predicates, anti-join for key files)
+        deletes = [s for s in snaps if s.is_row_delete]
+        datas = [s for s in snaps if not s.is_row_delete]
         if not datas:
             return spark.createDataFrame([], cur)
         groups: dict[tuple[int, int], list[Snapshot]] = {}
@@ -1326,13 +1479,37 @@ class LakeTable:
                     ]
                 )
                 df = _align_df(df, cur)
-                # predicates from LATER delete snapshots apply to this
-                # snapshot's rows (post-alignment: the predicate names
-                # current-schema columns); appends after a delete are
-                # untouched — standard SQL DELETE visibility
+                # masks from LATER delete snapshots apply to this
+                # snapshot's rows (post-alignment: predicates and key
+                # columns are named in current-schema terms); appends
+                # after a delete are untouched — standard SQL DELETE
+                # visibility. Equality-key masks anti-join a broadcast
+                # of the key file: the key set is bounded by one MERGE
+                # batch's matched rows (model-of-change-sized, not
+                # table-sized), the canonical broadcast side; AQE can
+                # still demote an oversized one to shuffle.
                 for d in deletes:
-                    if d.sequence_number > s.sequence_number:
+                    if d.sequence_number <= s.sequence_number:
+                        continue
+                    if d.delete_predicate:
                         df = df.filter(f"NOT ({d.delete_predicate})")
+                    else:
+                        keys = spark.read.parquet(
+                            str(self.location / d.delete_keys_dir)
+                        )
+                        # align key types to the current schema (the
+                        # key file was written pre-promotion)
+                        keys = keys.select(
+                            *[
+                                F.col(c).cast(cur[c].dataType).alias(c)
+                                for c in d.delete_key_cols
+                            ]
+                        )
+                        df = df.join(
+                            F.broadcast(keys),
+                            d.delete_key_cols,
+                            "left_anti",
+                        )
                 parts.append(df)
         out = parts[0]
         for p in parts[1:]:

@@ -392,3 +392,201 @@ def test_mor_delete_restores_meta_on_failed_commit(spark, table, monkeypatch):
         table.delete_where(spark, "grp = 1", strategy="merge_on_read")
     assert int(table.meta.get("last_sequence_number", 0)) == seq_before
     assert len(table.snapshots) == n_before
+
+
+# -- merge-on-read MERGE (equality-delete key files) ----------------------
+
+
+def _src(spark, lo, hi, tag="src"):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"), F.lit(tag).alias("tag")
+    )
+
+
+def test_mor_merge_upsert(spark, table):
+    """write.merge.mode=merge-on-read: one equality-delete key file +
+    one append of (updated ∪ inserted) rows, single commit; readers see
+    exactly the copy-on-write answer."""
+    snap = table.merge_into(
+        spark, _src(spark, 50, 150), ["id"],
+        when_matched_update={"tag": "'upd'"},
+        strategy="merge_on_read",
+    )
+    assert snap.operation == "append"
+    del_snap, app_snap = table.snapshots[-2], table.snapshots[-1]
+    assert del_snap.delete_keys_dir and del_snap.delete_key_cols == ["id"]
+    assert del_snap.data_dir == ""  # no table data in the mask entry
+    assert del_snap.timestamp_ms == app_snap.timestamp_ms  # atomic pair
+    df = table.to_df(spark)
+    assert df.count() == 150
+    assert df.filter("tag = 'upd'").count() == 50   # 50-99 updated
+    assert df.filter("tag = 'src'").count() == 50   # 100-149 inserted
+    assert df.filter("tag = 'old'").count() == 50   # 0-49 untouched
+    # the original data dir was NOT rewritten
+    assert (table.location / table.snapshots[0].data_dir).exists()
+    # the key file holds exactly the 50 affected keys
+    keys = spark.read.parquet(str(table.location / del_snap.delete_keys_dir))
+    assert keys.count() == 50 and keys.columns == ["id"]
+
+
+def test_mor_merge_matches_copy_on_write(spark, tmp_path):
+    """Same conditional multi-clause MERGE on twin tables, one per
+    strategy — byte-identical reader results."""
+    cat = LakeCatalog(tmp_path / "whm")
+    mk = lambda: _src(spark, 0, 100, "old")
+    src = _src(spark, 50, 150)
+    clauses = [
+        ("s_id % 2 = 0", "update", {"tag": "'even'"}),
+        ("grp = 7", "delete", None),
+    ]
+    a = cat.create_table("db", "cow", mk().schema); a.append(mk())
+    b = cat.create_table("db", "mor", mk().schema); b.append(mk())
+    a.merge_into(spark, src, ["id"], when_matched=clauses)
+    b.merge_into(spark, src, ["id"], when_matched=clauses,
+                 strategy="merge_on_read")
+    ra = sorted(map(tuple, a.to_df(spark).collect()))
+    rb = sorted(map(tuple, b.to_df(spark).collect()))
+    assert ra == rb
+    # and stays identical after the mask is folded away
+    b.compact(spark)
+    assert sorted(map(tuple, b.to_df(spark).collect())) == ra
+
+
+def test_mor_merge_matched_delete_and_unfired_rows(spark, table):
+    """Matched rows whose clauses all miss are untouched; fired deletes
+    vanish; masks do not leak onto later appends."""
+    src = spark.range(0, 40).select(F.col("id"))
+    table.merge_into(
+        spark, src, ["id"],
+        when_matched=[("grp < 5", "delete", None)],
+        insert_not_matched=False,
+        strategy="merge_on_read",
+    )
+    df = table.to_df(spark)
+    # ids 0-39: grp = id%10 < 5 → 20 deleted; 20 matched-unfired kept
+    assert df.count() == 80
+    assert df.filter("id < 40 AND grp < 5").count() == 0
+    assert df.filter("id < 40 AND grp >= 5 AND tag = 'old'").count() == 20
+    # appends after the merge are not masked even with matching keys
+    table.append(_src(spark, 0, 10, "fresh"))
+    assert table.to_df(spark).filter("tag = 'fresh'").count() == 10
+
+
+def test_mor_merge_null_keys_never_match(spark, tmp_path):
+    """NULL join keys never match (SQL equality), so NULL-key target
+    rows are never masked by the equality-delete file."""
+    cat = LakeCatalog(tmp_path / "whnk")
+    df = spark.range(0, 20).select(
+        F.when(F.col("id") < 5, None).otherwise(F.col("id")).alias("id"),
+        F.lit("old").alias("tag"),
+    )
+    t = cat.create_table("db", "nk", df.schema)
+    t.append(df)
+    src = spark.range(0, 20).select(F.col("id"), F.lit("s").alias("tag"))
+    t.merge_into(
+        spark, src, ["id"], when_matched_update={"tag": "'upd'"},
+        insert_not_matched=False, strategy="merge_on_read",
+    )
+    out = t.to_df(spark)
+    assert out.count() == 20
+    assert out.filter("id IS NULL AND tag = 'old'").count() == 5
+    assert out.filter("tag = 'upd'").count() == 15
+
+
+def test_mor_merge_guards_and_maintenance(spark, table):
+    """Equality-delete entries get the full predicate-delete guard set:
+    export/stream/drop-column refuse; rollback to the mask half
+    refuses; compact folds; expire + orphan-removal know the key dirs."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+    )
+    import pyspark.sql.types as T
+
+    table.merge_into(
+        spark, _src(spark, 90, 110), ["id"],
+        when_matched_update={"tag": "'u'"}, strategy="merge_on_read",
+    )
+    del_snap = table.snapshots[-2]
+    assert del_snap.delete_keys_dir
+    with pytest.raises(RuntimeError, match="compact"):
+        export_to_iceberg(table)
+    with pytest.raises(TableFormatError, match="compact"):
+        table.stream_changes(spark, source="files")
+    with pytest.raises(TableFormatError, match="atomic pair|delete"):
+        table.rollback_to_snapshot(del_snap.snapshot_id)
+    with pytest.raises(TableFormatError, match="compact"):
+        table.commit_schema(
+            T.StructType([f for f in table.schema.fields
+                          if f.name != "grp"])
+        )
+    keys_dir = table.location / del_snap.delete_keys_dir
+    assert keys_dir.exists()
+    # orphan removal must NOT reap a referenced key dir
+    assert table.remove_orphan_files() == []
+    assert keys_dir.exists()
+    # compact folds the mask; expire then reaps the key dir
+    table.compact(spark)
+    assert table.to_df(spark).count() == 110
+    table.expire_snapshots(older_than_ms=2**62)
+    assert not keys_dir.exists()
+
+
+def test_mor_merge_restores_meta_on_failed_commit(spark, table, monkeypatch):
+    seq_before = int(table.meta.get("last_sequence_number", 0))
+    n_before = len(table.snapshots)
+
+    def boom():
+        raise OSError("disk full")
+
+    monkeypatch.setattr(table, "_commit", boom)
+    with pytest.raises(OSError):
+        table.merge_into(
+            spark, _src(spark, 0, 10), ["id"],
+            when_matched_update={"tag": "'u'"}, strategy="merge_on_read",
+        )
+    assert int(table.meta.get("last_sequence_number", 0)) == seq_before
+    assert len(table.snapshots) == n_before
+    # the orphaned key + data dirs are reapable
+    removed = table.remove_orphan_files()
+    assert len(removed) == 2
+
+
+def test_mor_merge_time_travel_pair_atomicity(spark, table):
+    """Timestamp travel can never observe the torn mask-only state;
+    travel to the append half sees the post-merge state."""
+    s0 = table.snapshots[0]
+    table.merge_into(
+        spark, _src(spark, 0, 10), ["id"],
+        when_matched_update={"tag": "'u'"},
+        insert_not_matched=False, strategy="merge_on_read",
+    )
+    app = table.snapshots[-1]
+    assert table.to_df(spark, as_of_snapshot=s0.snapshot_id).count() == 100
+    post = table.to_df(spark, as_of_snapshot=app.snapshot_id)
+    assert post.count() == 100
+    assert post.filter("tag = 'u'").count() == 10
+
+
+def test_mor_merge_sql_surface(spark, tmp_path):
+    """MERGE INTO through the SQL frontend honors write.merge.mode."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import DdlFrontend
+
+    cat = LakeCatalog(tmp_path / "whsql")
+    fe = DdlFrontend(spark, cat)
+    fe.sql("CREATE TABLE db.t (id BIGINT, v STRING)")
+    for i in range(4):
+        fe.sql(f"INSERT INTO db.t VALUES ({i}, 'a')")
+    fe.sql("ALTER TABLE db.t SET TBLPROPERTIES "
+           "('write.merge.mode' = 'merge-on-read')")
+    r = fe.sql(
+        "MERGE INTO db.t USING "
+        "(SELECT id, 'b' AS v FROM RANGE(2, 6)) ON (id) "
+        "WHEN MATCHED THEN UPDATE SET v = s_v "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    assert not r.has_error, r.message_list
+    assert "merge_on_read" in r.message_list[-1]
+    tbl = cat.load_table("db", "t")
+    assert any(s.delete_keys_dir for s in tbl.snapshots)
+    got = {(row.id, row.v) for row in fe.query("SELECT * FROM db.t").collect()}
+    assert got == {(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "b"), (5, "b")}
