@@ -17,8 +17,13 @@ gives table_format.py the same seam:
 An S3 metadata backend is therefore one subclass (get/put/list on keys,
 plus a URL-aware ``join``) and a location scheme — a config change, not
 a refactor. ``InMemoryFileIO`` is the contract-test fake proving
-nothing in the catalog reaches the local filesystem directly
-(tests/test_fileio.py runs the same scenario against both backends).
+nothing in the catalog reaches the local filesystem directly;
+``ObjectStoreFileIO`` (below) is the S3-shaped backend proper, built
+strictly on a put/get/delete/list client with NO rename and NO partial
+writes, and documents exactly which guarantees the format needs from
+the store (tests/test_fileio.py runs the same scenarios against all
+backends, plus the atomic-commit and data-plane lifecycle tests
+against the object store).
 """
 
 from __future__ import annotations
@@ -59,6 +64,19 @@ class FileIO(ABC):
     def join(self, base: str, *parts: str) -> str:
         return os.path.join(base, *parts)
 
+    # binary object API (data-plane management; see the object-store
+    # section below for why bulk data bytes do NOT flow through here)
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError(type(self).__name__)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError(type(self).__name__)
+
+    def list_files(self, path: str) -> list[str]:
+        """All file/object paths under the prefix, relative to it,
+        sorted."""
+        raise NotImplementedError(type(self).__name__)
+
 
 class LocalFileIO(FileIO):
     """POSIX filesystem backend (the in-container default)."""
@@ -98,6 +116,26 @@ class LocalFileIO(FileIO):
             e for e in os.listdir(path)
             if os.path.isdir(os.path.join(path, e))
         )
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def list_files(self, path: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, f), path)
+                )
+        return sorted(out)
 
 
 class InMemoryFileIO(FileIO):
@@ -157,3 +195,145 @@ class InMemoryFileIO(FileIO):
             if d.startswith(prefix):
                 out.add(d[len(prefix):].split(os.sep, 1)[0])
         return sorted(out)
+
+
+# -- object-store backend ---------------------------------------------------
+#
+# What the table format REQUIRES from a store (and nothing more):
+#   1. atomic whole-object PUT (readers see the old object or the new
+#      one, never a partial write) — carries the version-hint commit;
+#   2. read-after-write consistency for the version hint (S3 provides
+#      this since 2020; the hint names the metadata JSON, which is
+#      immutable once written, so everything else only needs eventual
+#      list consistency);
+#   3. GET / DELETE by key and LIST by prefix.
+# Deliberately NOT required: rename (S3 has none — LocalFileIO's
+# rename-based atomic write is an optimization, not a protocol
+# dependency), append, partial write, directory objects (namespaces
+# are pure key prefixes; mkdirs is a no-op).
+#
+# Data plane at scale: Spark's Hadoop FileSystem layer writes parquet
+# straight to the store (s3a:// + jars) — routing 100 TB of data bytes
+# through a Python FileIO would serialize the cluster's IO through the
+# driver. The bytes API below exists so the FORMAT's own management
+# ops (orphan reaping, expiration, snapshot promotion/restore) and the
+# lifecycle contract tests can run against a store fake, proving the
+# metadata protocol needs only the constraint set above.
+
+
+class FakeObjectStore:
+    """In-memory stand-in for an S3-class store, exposing ONLY the
+    object-store primitive set: put/get/delete by key, list by prefix.
+    No rename, no append, no partial writes, no directories."""
+
+    def __init__(self) -> None:
+        self._objects: dict[str, bytes] = {}
+
+    def put_object(self, key: str, data: bytes) -> None:
+        self._objects[key] = bytes(data)  # atomic whole-object PUT
+
+    def get_object(self, key: str) -> bytes:
+        if key not in self._objects:
+            raise FileNotFoundError(key)
+        return self._objects[key]
+
+    def delete_object(self, key: str) -> None:
+        self._objects.pop(key, None)  # idempotent, as in S3
+
+    def list_objects(self, prefix: str) -> list[str]:
+        return sorted(k for k in self._objects if k.startswith(prefix))
+
+
+class ObjectStoreFileIO(FileIO):
+    """FileIO over a raw object-store client — every method is built
+    strictly from put/get/delete/list (the S3 constraint set).
+    Namespaces are key prefixes: ``mkdirs`` is a no-op, ``exists`` on
+    a 'directory' means 'any key under the prefix', and
+    ``list_subdirs`` is an S3 delimiter listing (common prefixes)."""
+
+    SEP = "/"
+
+    def __init__(self, store: FakeObjectStore | None = None) -> None:
+        self.store = store or FakeObjectStore()
+
+    def _key(self, path: str) -> str:
+        # normalize OS separators to object keys; strip leading slashes
+        return os.path.normpath(path).replace(os.sep, self.SEP).lstrip(
+            self.SEP
+        )
+
+    def read_text(self, path: str) -> str:
+        return self.store.get_object(self._key(path)).decode("utf-8")
+
+    def write_text(self, path: str, text: str) -> None:
+        # no temp-file + rename: the PUT itself is atomic (store
+        # guarantee #1) — this is exactly why the protocol must not
+        # depend on rename
+        self.store.put_object(self._key(path), text.encode("utf-8"))
+
+    def read_bytes(self, path: str) -> bytes:
+        return self.store.get_object(self._key(path))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self.store.put_object(self._key(path), data)
+
+    def exists(self, path: str) -> bool:
+        key = self._key(path)
+        objs = self.store.list_objects(key)
+        # exact object, or 'directory' = any object under the prefix
+        return key in objs or any(
+            k.startswith(key + self.SEP) for k in objs
+        )
+
+    def mkdirs(self, path: str) -> None:
+        # namespaces are implicit in keys — nothing to create
+        return None
+
+    def delete_recursive(self, path: str) -> None:
+        key = self._key(path)
+        self.store.delete_object(key)
+        for k in self.store.list_objects(key + self.SEP):
+            self.store.delete_object(k)
+
+    def list_subdirs(self, path: str) -> list[str]:
+        prefix = self._key(path) + self.SEP
+        out = set()
+        for k in self.store.list_objects(prefix):
+            rest = k[len(prefix):]
+            if self.SEP in rest:  # common prefix = child namespace
+                out.add(rest.split(self.SEP, 1)[0])
+        return sorted(out)
+
+    def list_files(self, path: str) -> list[str]:
+        """All object keys under the prefix, relative to it."""
+        prefix = self._key(path) + self.SEP
+        return [k[len(prefix):] for k in self.store.list_objects(prefix)]
+
+
+def upload_dir(local_dir: str, io: FileIO, dest: str) -> list[str]:
+    """Promote a locally-staged directory tree into a FileIO backend —
+    one whole-object PUT per file (the object-store commit pattern:
+    data files are immutable once referenced, so there is nothing to
+    rename). Returns the uploaded relative paths."""
+    uploaded: list[str] = []
+    for dirpath, _dirs, files in os.walk(local_dir):
+        for f in sorted(files):
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, local_dir)
+            with open(full, "rb") as fh:
+                io.write_bytes(io.join(dest, rel), fh.read())
+            uploaded.append(rel)
+    return uploaded
+
+
+def download_dir(io: FileIO, src: str, local_dir: str) -> list[str]:
+    """Materialize a FileIO prefix into a local directory (the read
+    cache an engine-side scan of object-store data would use)."""
+    fetched: list[str] = []
+    for rel in io.list_files(src):
+        dest = os.path.join(local_dir, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with open(dest, "wb") as fh:
+            fh.write(io.read_bytes(io.join(src, rel)))
+        fetched.append(rel)
+    return fetched
