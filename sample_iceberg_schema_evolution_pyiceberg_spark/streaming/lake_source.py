@@ -27,12 +27,20 @@ way Iceberg's own streaming read walks its snapshot log:
   (missing columns/struct fields -> nulls, promoted types -> cast,
   incl. structs and arrays-of-structs), mirroring the batch scan's
   ``_align_df``;
-- no per-batch admission control: ``latestOffset`` has no start
-  argument and the Python runner may use separate reader instances
-  per call, so a rate cap can't be tracked reliably — backfill
-  arrives as one batch (the same shape as the availableNow
-  fallback). Bound backfills operationally by starting streams
-  before large histories accumulate, or compact first.
+- per-batch admission control (``maxFilesPerTrigger`` option):
+  offsets are file-granular — ``{"seq": N, "file": K}`` means the
+  first K files of snapshot N are delivered — so a large snapshot or
+  backfill splits across micro-batches at a file-count cap. A capped
+  stream runs on ``LakeSimpleStreamReader`` (the Python API's
+  SimpleDataSourceStreamReader): its ``read(start)`` receives the
+  authoritative start offset every batch, making the cap exact and
+  recovery-safe with zero reader-instance state, at the documented
+  cost of rows flowing through the driver-side worker — bounded by
+  the cap itself, the regime this reader exists for (catch-up /
+  backfill). Uncapped streams keep the DISTRIBUTED reader (one
+  executor task per file); the full reader cannot cap safely because
+  ``latestOffset()`` has no start argument — a guessed position
+  could land behind a clean-shutdown checkpoint and duplicate rows.
 
 Requires table metadata on the local filesystem (the reader runs in
 its own worker process and re-reads the log each batch; a
@@ -61,10 +69,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SOURCE_NAME = "lake_stream"
@@ -118,12 +128,15 @@ def _align_arrow(arr, target):
     return arr.cast(target)
 
 
-class LakeStreamReader(DataSourceStreamReader):
-    def __init__(self, location: str, schema: T.StructType):
-        self.location = location
-        self.schema = schema
+class _LakeLogPlanner:
+    """Shared metadata-plane planning for both reader flavors: the
+    snapshot log -> file-granular offsets. An offset is
+    ``{"seq": N}`` (snapshot N fully delivered — legacy offsets
+    included) or ``{"seq": N, "file": K}`` (first K files of snapshot
+    N delivered), optionally carrying ``base`` (the one non-append
+    snapshot granted as a fresh stream's base load)."""
 
-    # -- metadata-plane (driver-side worker) ---------------------------
+    location: str
 
     def _snapshots(self):
         """Committed snapshots, live + history, in commit order."""
@@ -131,14 +144,32 @@ class LakeStreamReader(DataSourceStreamReader):
 
         return LakeTable.load(self.location).all_snapshots()
 
-    def initialOffset(self) -> dict:
+    def _files_of(self, s) -> list[str]:
+        """A snapshot's parquet files in a STABLE order (offsets index
+        into this list; snapshot dirs are immutable once committed)."""
+        if not s.data_dir:
+            return []
+        out = []
+        root = os.path.join(self.location, s.data_dir)
+        for dirpath, _dirs, files in os.walk(root):
+            out.extend(
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return sorted(out)
+
+    @staticmethod
+    def _pos(off: dict) -> tuple[int, float]:
+        f = off.get("file")
+        return (off["seq"], float("inf") if f is None else f)
+
+    def _initial_offset(self) -> dict:
         """Fresh stream: start at the latest rewrite boundary — the
         rewrite snapshot itself becomes the base load (its dir IS the
         table state), then appends stream incrementally. The base-load
         grant rides IN the offset (``base``): offsets are durable and
-        replayed verbatim from the checkpoint, and the Python runner
-        may use separate reader instances per call, so instance state
-        would be neither shared nor recoverable — the offset is the
+        replayed verbatim from the checkpoint, so the offset is the
         only reliable carrier."""
         # full-state rewrites only: a predicate-delete snapshot has no
         # data dir and cannot serve as a base load (tables carrying
@@ -148,34 +179,71 @@ class LakeStreamReader(DataSourceStreamReader):
         if rewrites:
             base = rewrites[-1].sequence_number
             return {"seq": base - 1, "base": base}
-        # legacy pre-sequence-number metadata: every snapshot carries
-        # sequence_number 0 — starting at seq 0 would place ALL existing
-        # rows outside the half-open (start, end] range and silently
-        # never stream them; start below the log instead
         if snaps and all(s.sequence_number == 0 for s in snaps):
+            # legacy pre-sequence-number metadata: every snapshot
+            # carries sequence_number 0 — starting at seq 0 would
+            # place ALL existing rows outside the half-open
+            # (start, end] range and silently never stream them;
+            # start below the log instead
             return {"seq": -1}
         return {"seq": 0}
 
-    def latestOffset(self) -> dict:
+    def _advance(self, start: dict, max_files: int) -> dict:
+        """The offset at most ``max_files`` files past ``start``
+        (0 = unbounded -> the true latest), stopping mid-snapshot
+        with a (seq, file) offset when the cap lands inside one."""
         snaps = self._snapshots()
-        return {"seq": snaps[-1].sequence_number if snaps else 0}
+        if not snaps:
+            return {"seq": start.get("seq", 0)}
+        start_pos = self._pos(start)
+        base = start.get("base")
+        end = {k: v for k, v in start.items() if k != "base"}
+        budget = max_files if max_files > 0 else float("inf")
+        for s in snaps:
+            seq = s.sequence_number
+            if (seq, float("inf")) <= start_pos:
+                continue
+            files = self._files_of(s)
+            done = (
+                int(start_pos[1])
+                if seq == start_pos[0] and start_pos[1] != float("inf")
+                else 0
+            )
+            remaining = len(files) - done
+            if remaining <= budget:
+                budget -= remaining
+                end = {"seq": seq}
+                if base == seq:
+                    end["base"] = seq  # carry the base-load grant
+                if budget == 0:
+                    break
+            else:
+                end = {"seq": seq, "file": done + int(budget)}
+                if base == seq:
+                    end["base"] = seq
+                break
+        return end
 
-    def partitions(self, start: dict, end: dict):
+    def _plan_files(self, start: dict, end: dict) -> list[_FilePartition]:
+        """Files in the file-granular half-open interval (start, end],
+        refusing ranges that cross a non-granted rewrite."""
         from ..table_format import TableFormatError  # noqa: PLC0415
 
+        start_pos, end_pos = self._pos(start), self._pos(end)
         rng = [
             s
             for s in self._snapshots()
-            if start["seq"] < s.sequence_number <= end["seq"]
+            if (s.sequence_number, float("inf")) > start_pos
+            and (s.sequence_number, 0) <= end_pos
         ]
         # a non-append snapshot streams ONLY as the base load its own
-        # initial offset granted (start.base) — any other rewrite in
-        # range means the consumer holds pre-rewrite rows
+        # initial offset granted — any other rewrite in range means
+        # the consumer holds pre-rewrite rows
+        granted = {start.get("base"), end.get("base")}
         bad = [
             s.snapshot_id
             for s in rng
-            if s.operation != "append"
-            and s.sequence_number != start.get("base")
+            if s.operation != "append" and s.sequence_number not in granted
         ]
         if bad:
             raise TableFormatError(
@@ -184,27 +252,31 @@ class LakeStreamReader(DataSourceStreamReader):
                 "append-only delta exists — start a NEW stream (a fresh "
                 "stream base-loads from the latest rewrite)"
             )
-        parts: list[InputPartition] = []
+        parts: list[_FilePartition] = []
         for s in rng:
-            root = os.path.join(self.location, s.data_dir)
-            for dirpath, _dirs, files in os.walk(root):
-                parts.extend(
-                    _FilePartition(os.path.join(dirpath, f), s.snapshot_id)
-                    for f in sorted(files)
-                    if f.endswith(".parquet")
-                )
+            files = self._files_of(s)
+            lo = (
+                int(start_pos[1])
+                if s.sequence_number == start_pos[0]
+                and start_pos[1] != float("inf")
+                else 0
+            )
+            hi = (
+                int(end_pos[1])
+                if s.sequence_number == end_pos[0]
+                and end_pos[1] != float("inf")
+                else len(files)
+            )
+            parts.extend(
+                _FilePartition(f, s.snapshot_id) for f in files[lo:hi]
+            )
         return parts
 
-    def commit(self, end: dict) -> None:
-        pass
-
-    # -- data-plane (executors) ----------------------------------------
-
-    def read(self, partition: _FilePartition):
-        """Executor-side: one parquet file -> aligned Arrow batches.
-        Alignment mirrors the batch scan's ``_align_df`` (recursive —
-        see ``_align_arrow``); hidden ``_p_*`` partition columns drop,
-        CDC metadata columns append."""
+    def _aligned_table(self, partition: _FilePartition):
+        """One parquet file -> Arrow table aligned to the stream
+        schema. Alignment mirrors the batch scan's ``_align_df``
+        (recursive — see ``_align_arrow``); hidden ``_p_*`` partition
+        columns drop, CDC metadata columns append."""
         import pyarrow as pa  # noqa: PLC0415
         import pyarrow.parquet as pq  # noqa: PLC0415
         from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
@@ -233,7 +305,85 @@ class LakeStreamReader(DataSourceStreamReader):
                 pa.field("_change_type", pa.string()),
             ]
         )
-        yield from pa.table(cols, schema=out_schema).to_batches()
+        return pa.table(cols, schema=out_schema)
+
+
+class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
+    """The DISTRIBUTED reader (default, unbounded batches): offsets
+    are planned on the driver-side worker, one executor task per data
+    file. Used when no ``maxFilesPerTrigger`` is set — the Python
+    streaming API gives ``latestOffset()`` no start argument, so a
+    rate cap cannot be applied here without risking duplicate
+    delivery after a clean-shutdown restart; capped streams use
+    ``LakeSimpleStreamReader`` instead."""
+
+    def __init__(self, location: str, schema: T.StructType):
+        self.location = location
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return self._initial_offset()
+
+    def latestOffset(self) -> dict:
+        snaps = self._snapshots()
+        return {"seq": snaps[-1].sequence_number if snaps else 0}
+
+    def partitions(self, start: dict, end: dict):
+        return self._plan_files(start, end)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- data-plane (executors) ----------------------------------------
+
+    def read(self, partition: _FilePartition):
+        yield from self._aligned_table(partition).to_batches()
+
+
+class LakeSimpleStreamReader(_LakeLogPlanner, SimpleDataSourceStreamReader):
+    """The ADMISSION-CONTROLLED reader (``maxFilesPerTrigger``):
+    ``read(start)`` receives the authoritative start offset on every
+    call — Spark's prefetch wrapper initializes it from the
+    checkpoint on restart — so the cap is exact and recovery-safe by
+    construction (no reader-instance state). The trade, per the
+    SimpleDataSourceStreamReader contract, is that rows flow through
+    the driver-side worker; the cap itself bounds each batch, which
+    is exactly the regime this reader is for (bounded catch-up /
+    backfill). Steady-state high-throughput streams should leave the
+    cap unset and get the distributed reader."""
+
+    def __init__(
+        self, location: str, schema: T.StructType, max_files: int
+    ):
+        self.location = location
+        self.schema = schema
+        self.max_files = int(max_files)
+
+    def initialOffset(self) -> dict:
+        return self._initial_offset()
+
+    def _rows(self, start: dict, end: dict):
+        # materialized (not a generator): Spark's prefetch wrapper
+        # copy.copy()s the cached iterator for replay, which requires
+        # a copyable list iterator; the cap bounds the materialization
+        rows = []
+        for part in self._plan_files(start, end):
+            tbl = self._aligned_table(part)
+            cols = [c.to_pylist() for c in tbl.columns]
+            if cols:
+                rows.extend(zip(*cols))
+        return rows
+
+    def read(self, start: dict):
+        end = self._advance(start, self.max_files)
+        return iter(self._rows(start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # exact replay of a write-ahead-logged batch after restart
+        return iter(self._rows(start, end))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class LakeStreamDataSource(DataSource):
@@ -250,8 +400,26 @@ class LakeStreamDataSource(DataSource):
         table = LakeTable.load(self.options["path"])
         return T.StructType(list(table.schema.fields) + _META_FIELDS)
 
+    def _cap(self) -> int:
+        return int(self.options.get("maxfilespertrigger", 0))
+
     def streamReader(self, schema: T.StructType) -> LakeStreamReader:
+        if self._cap() > 0:
+            # steer Spark's _streamReader fallback to the simple
+            # (admission-controlled) reader — the full reader cannot
+            # cap safely (latestOffset has no start argument)
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "capped streamReader"},
+            )
         return LakeStreamReader(self.options["path"], schema)
+
+    def simpleStreamReader(
+        self, schema: T.StructType
+    ) -> LakeSimpleStreamReader:
+        return LakeSimpleStreamReader(
+            self.options["path"], schema, self._cap()
+        )
 
 
 def register_lake_stream(spark: SparkSession) -> None:

@@ -1198,7 +1198,10 @@ class LakeTable:
         return sorted(removed)
 
     def stream_changes(
-        self, spark: SparkSession, source: str = "log"
+        self,
+        spark: SparkSession,
+        source: str = "log",
+        max_files_per_trigger: int = 0,
     ) -> DataFrame:
         """Streaming incremental read (Iceberg's streaming-read analog
         — the source half of the s08 sink): each append surfaces in
@@ -1250,11 +1253,16 @@ class LakeTable:
             )
 
             register_lake_stream(spark)
-            return (
-                spark.readStream.format(SOURCE_NAME)
-                .option("path", str(self.location))
-                .load()
+            reader = spark.readStream.format(SOURCE_NAME).option(
+                "path", str(self.location)
             )
+            if max_files_per_trigger:
+                # bound each micro-batch's file count (backfill /
+                # catch-up admission control; see lake_source.py)
+                reader = reader.option(
+                    "maxFilesPerTrigger", str(max_files_per_trigger)
+                )
+            return reader.load()
         if source != "files":
             raise ValueError(f"unknown stream source {source!r}")
         if any(s.is_row_delete for s in self.snapshots):

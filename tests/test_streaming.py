@@ -496,3 +496,88 @@ def test_lake_stream_nested_struct_evolution_aligns(spark, tmp_path):
         assert out.filter("s.b = 'new'").count() == 4
     finally:
         q.stop()
+
+
+def test_lake_stream_bounded_backfill_splits_batches(spark, tmp_path):
+    """maxFilesPerTrigger analog: a multi-snapshot backfill streams in
+    MORE THAN ONE micro-batch under a file cap, losslessly — offsets
+    are file-granular ((seq, file)), so even one large snapshot can
+    split. Recovery safety is separate (the cap is best-effort; the
+    checkpointed offsets own correctness)."""
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 30).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "bb", df.schema)
+    # 3-snapshot backfill, one file each (coalesce pins the file count)
+    for lo in (0, 10, 20):
+        table.append(df.filter(f"id >= {lo} AND id < {lo + 10}").coalesce(1))
+    batches: list[tuple[int, int]] = []  # (batch_id, row_count)
+
+    def sink(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    q = (
+        table.stream_changes(spark, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [n for _b, n in batches if n]
+    assert len(nonempty) >= 2, batches  # the backfill split
+    assert sum(nonempty) == 30          # lossless
+    assert all(n <= 10 for n in nonempty)  # 1 file = 1 snapshot = 10
+
+
+def test_lake_stream_reader_offset_arithmetic(tmp_path, spark):
+    """Unit-level offset algebra on the capped (simple) reader:
+    read(start) stops mid-snapshot with a (seq, file) offset; a
+    repeated read from the returned end picks up exactly the
+    remainder; readBetweenOffsets replays an exact range; legacy
+    {"seq": N} offsets still mean 'snapshot fully delivered'."""
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.lake_source import (
+        LakeSimpleStreamReader,
+        LakeStreamReader,
+        _META_FIELDS,
+    )
+    from pyspark.sql import types as T
+
+    df = spark.range(0, 12).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "oa", df.schema)
+    table.append(df.filter("id < 8").repartition(4))   # snapshot 1: 4 files
+    table.append(df.filter("id >= 8").coalesce(1))     # snapshot 2: 1 file
+    stream_schema = T.StructType(list(table.schema.fields) + _META_FIELDS)
+    r = LakeSimpleStreamReader(
+        str(table.location), stream_schema, max_files=3
+    )
+    start = r.initialOffset()
+    assert start == {"seq": 0}
+    it1, end1 = r.read(start)
+    rows1 = list(it1)
+    assert end1 == {"seq": 1, "file": 3}  # capped mid-snapshot
+    it2, end2 = r.read(end1)              # resumes from the cap point
+    rows2 = list(it2)
+    assert end2 == {"seq": 2}             # 1 remaining file + snap 2
+    ids = sorted(row[0] for row in rows1 + rows2)
+    assert ids == list(range(12))         # lossless, no duplicates
+    # caught up: read returns the same offset and nothing else
+    it3, end3 = r.read(end2)
+    assert end3 == {"seq": 2} and list(it3) == []
+    # exact replay of a logged range (restart path)
+    replay = sorted(row[0] for row in r.readBetweenOffsets(start, end1))
+    assert replay == sorted(row[0] for row in rows1)
+    # the distributed reader understands the same file-granular
+    # offsets (and legacy full-snapshot ones)
+    rd = LakeStreamReader(str(table.location), stream_schema)
+    assert len(rd.partitions(end1, end2)) == 2
+    assert len(rd.partitions({"seq": 1}, {"seq": 2})) == 1
