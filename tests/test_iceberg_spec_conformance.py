@@ -423,3 +423,86 @@ def test_golden_manifest_chain(spark, exported):
         json.dumps(_canon_manifest_chain(spark, doc), sort_keys=True)
     )
     _check_golden("manifest_chain.json", got)
+
+
+# ---------------------------------------------------------------------------
+# Negative controls — mutation tests proving the checklist has teeth.
+#
+# A spec misread SHARED by writer and checklist would survive the
+# positive tests above; what can still be proven offline is that the
+# checks detect drift in every artifact class they cover. Each control
+# corrupts one exported artifact (same-length byte substitutions keep
+# the Avro container structurally valid) and asserts the corresponding
+# conformance check now FAILS.
+# ---------------------------------------------------------------------------
+
+
+def _substitute_bytes(path: Path, old: bytes, new: bytes) -> None:
+    assert len(old) == len(new), "mutation must preserve byte length"
+    data = Path(path).read_bytes()
+    assert old in data, f"mutation target {old!r} not found in {path}"
+    Path(path).write_bytes(data.replace(old, new, 1))
+
+
+def test_negative_control_field_id_drift_is_detected(spark, exported):
+    """Rewriting manifest_path's field-id (500 -> 999) inside the
+    embedded Avro writer schema must fail the field-id table check —
+    the exact projection-key drift an external reader would hit."""
+    doc = _metadata_doc(exported)
+    mlist = Path(doc["snapshots"][-1]["manifest-list"])
+    _substitute_bytes(mlist, b'"field-id": 500', b'"field-id": 999')
+    with pytest.raises(AssertionError):
+        test_manifest_list_writer_schema_field_ids(spark, exported)
+
+
+def test_negative_control_corrupt_magic_is_detected(exported):
+    avro_files = sorted((exported.location / "metadata").glob("*.avro"))
+    _substitute_bytes(avro_files[0], b"Obj\x01", b"Xbj\x01")
+    with pytest.raises(AssertionError):
+        test_avro_files_carry_ocf_magic(exported)
+
+
+def test_negative_control_missing_required_metadata_key(spark, exported):
+    meta_dir = exported.location / "metadata"
+    version = (meta_dir / "version-hint.text").read_text().strip()
+    p = meta_dir / f"v{version}.metadata.json"
+    doc = json.loads(p.read_text())
+    del doc["last-column-id"]
+    p.write_text(json.dumps(doc))
+    with pytest.raises((AssertionError, KeyError)):
+        test_metadata_required_fields_and_referential_integrity(
+            spark, exported
+        )
+
+
+def test_negative_control_partition_floor_violation(spark, exported):
+    """A partition field-id below the spec floor (1000) must fail the
+    referential-integrity check AND the canonicalized metadata golden."""
+    meta_dir = exported.location / "metadata"
+    version = (meta_dir / "version-hint.text").read_text().strip()
+    p = meta_dir / f"v{version}.metadata.json"
+    doc = json.loads(p.read_text())
+    doc["partition-specs"][0]["fields"][0]["field-id"] = 999
+    doc["partition-spec"][0]["field-id"] = 999
+    p.write_text(json.dumps(doc))
+    with pytest.raises(AssertionError):
+        test_metadata_required_fields_and_referential_integrity(
+            spark, exported
+        )
+    with pytest.raises(AssertionError, match="golden mismatch"):
+        test_golden_metadata_json(exported)
+
+
+def test_negative_control_manifest_chain_golden(spark, exported):
+    """Corrupting a data_file.file_path inside a manifest's Avro DATA
+    BLOCK (same-length substitution, container stays decodable) must
+    fail the manifest-chain golden — proving the golden pins the
+    decoded records, not just the schemas."""
+    doc = _metadata_doc(exported)
+    manifests = read_avro_jvm(
+        spark, doc["snapshots"][-1]["manifest-list"]
+    )
+    target = Path(manifests[0]["manifest_path"])
+    _substitute_bytes(target, b"/data/snap-", b"/data/snap_")
+    with pytest.raises(AssertionError, match="golden mismatch"):
+        test_golden_manifest_chain(spark, exported)
