@@ -55,6 +55,10 @@ _PRIORITY = [
     "c03_dedup_simhash",  # UPGRADED r6: rows-only -> hash (md5, 60-bit)
     "c02_dedup_minhash_lsh",  # hash + banding changed (behavioral)
     "b37b_deterministic_sample",  # NEW in r6 (reproducible sampling)
+    "c19_sequence_packing",  # NEW in r6 (LLM batch construction)
+    "c20_weighted_mixture",  # NEW in r6 (deterministic data mixing)
+    "c21_dedup_keeper_selection",  # NEW in r6 (cluster keeper policy)
+    "c22_chunk_overlap",  # NEW in r6 (context-window chunking)
     # Tier 2: stale hash-gated evidence (r1 and r3 — the rows the
     # gate exists for; must not age past 2 rounds)
     "b59_map_hof", "b61_null_safe_join",
@@ -65,8 +69,10 @@ _PRIORITY = [
     "a04_schema_diff_report",
     "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
     "b20_window_running_frame", "b33_json_funcs", "b35_cast_promotion",
-    "b42_udtf_explode", "b46_exists_subquery_sql",
-    "b47_scalar_subquery_sql", "b48_in_subquery_sql", "b49_cte_sql",
+    "b42_udtf_explode",
+    # (b46-b49 subquery SQL rotate out this round to make room for the
+    # four new r6 operators above — their r4 hash evidence stays within
+    # the 2-round policy; first in line for r7 alongside c14-c18/s0x)
     "b52_grouping_sets", "b54_sessionize_batch", "b55_pivot",
     "b56_unpivot", "b58_grouped_map_pandas",
     "c01_dedup_exact", "c04_dedup_ngram_jaccard", "c05_cosine_topk_brute",

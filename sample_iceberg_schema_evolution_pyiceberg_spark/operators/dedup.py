@@ -533,3 +533,70 @@ def c18_dedup_cluster_resolution(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         (F.col("doc_id") == F.col("cid")).cast("int").alias("keep"),
     )
+
+
+@query(
+    "c21_dedup_keeper_selection",
+    # c18's recursive-closure members + a QUALITY keeper policy
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_C04_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    members AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    sel AS (
+      SELECT m.cluster_id, m.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY m.cluster_id
+               ORDER BY d.n_chars DESC, m.doc_id) AS rk
+      FROM members m JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sel GROUP BY cluster_id
+    """,
+)
+def c21_dedup_keeper_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """Policy-driven keeper selection over near-dup clusters: c18's
+    min-label components pick WHICH rows are duplicates; a training
+    pipeline then decides WHAT to keep — here the longest document
+    (n_chars desc, doc_id tiebreak), the usual keep-the-richest-copy
+    policy. One window over the cluster assignment joined to the
+    corpus (cluster-sized, not corpus-sized) + one aggregate; the
+    policy is a pure ORDER BY swap (quality score, recency, source
+    priority all drop in). Output: one row per cluster with its
+    keeper and membership stats."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    members = c18_dedup_cluster_resolution(spark, sf).select(
+        "doc_id", "cluster_id"
+    )
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    sel = members.join(d, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return sel.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+            "keeper_doc_id"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+    )

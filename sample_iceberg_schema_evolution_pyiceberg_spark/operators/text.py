@@ -312,3 +312,173 @@ def c10_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     element, which equals a 0-seeded fold for this hash."""
     d = t(spark, sf, "documents")
     return d.select("doc_id", rolling_hash(F.col("text")).alias("fingerprint"))
+
+
+# -- LLM training-data pipeline extensions (round 6) ------------------------
+
+# per-language mixture rates in basis points of 10000 — the "data
+# mixing" knob of a pre-training corpus (upsample English, downsample
+# the rest). Deterministic: membership is a pure function of doc_id.
+_MIXTURE_BP = {"en": 10000, "de": 5000, "es": 5000, "fr": 2500, "zh": 1000}
+
+
+@query(
+    "c20_weighted_mixture",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+          % 10000 <
+          CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE_BP.items())}
+          ELSE 0 END
+    """,
+)
+def c20_weighted_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted domain mixing: keep a document iff its
+    key hash lands under the language's rate threshold (basis points
+    of 10000). This is how a training pipeline composes a corpus
+    mixture REPRODUCIBLY at 100 TB: membership is a pure function of
+    the key — stable across reruns, engines, partitionings, and
+    incremental additions (a new shard's draw never perturbs old
+    rows), unlike rand()-based sampling. Pure Catalyst: one scan, a
+    hash, a CASE; hash-gated via the md5_hash60 DuckDB twin."""
+    from ..functions import md5_hash60  # noqa: PLC0415
+
+    d = t(spark, sf, "documents")
+    rate = F.lit(0)
+    for k, v in _MIXTURE_BP.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return d.filter(
+        md5_hash60(F.col("doc_id").cast("string")) % 10000 < rate
+    ).select("doc_id", "lang", "source")
+
+
+_CHUNK, _STRIDE = 64, 48  # 64-word chunks, 16-word overlap
+
+
+@query(
+    "c22_chunk_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, STR_SPLIT(text, ' ') AS ws,
+             LEN(STR_SPLIT(text, ' ')) AS n
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, ws, n, UNNEST(RANGE(0, GREATEST(n - 1, 0) + 1,
+             {_STRIDE})) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(start / {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(LEAST({_CHUNK}, n - start) AS BIGINT) AS n_chunk_words,
+           ARRAY_TO_STRING(ws[start + 1 : start + {_CHUNK}], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def c22_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window document chunking (64-word chunks, 16-word
+    overlap — the context-window preprocessing step of an embedding /
+    pretraining pipeline). One scan, one explode; chunk boundaries are
+    a pure function of the word offsets, so the output is stable under
+    any partitioning. Catalyst-only: sequence() for the stride starts,
+    slice() + concat_ws for the chunk — no Python in the row path."""
+    d = t(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_STRIDE)
+    )
+    e = d.select(
+        "doc_id", ws.alias("ws"), n.alias("n"),
+        F.explode(starts).alias("start"),
+    )
+    return e.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_words"),
+        F.concat_ws(
+            " ", F.slice(F.col("ws"), F.col("start") + 1, _CHUNK)
+        ).alias("chunk_text"),
+    )
+
+
+_PACK_WINDOW, _PACK_SHARDS = 256, 8
+
+
+@query(
+    "c19_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+               % {_PACK_SHARDS} AS shard,
+             CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15))::BIGINT) % {_PACK_SHARDS}
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack(shard, rn, doc_id, n_tokens, pack_id, acc) AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.acc + d.n_tokens > {_PACK_WINDOW}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc + d.n_tokens > {_PACK_WINDOW}
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END
+      FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, pack_id
+    FROM pack
+    """,
+)
+def c19_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing into fixed context windows (256
+    whitespace tokens) — the batch-construction step of LLM
+    pretraining: concatenate documents until the window would
+    overflow, then start the next pack (oversized documents get
+    singleton packs). The recurrence is inherently sequential, so it
+    runs per SHARD (deterministic hash of the key): shards pack
+    independently and in parallel — at 100 TB the shard count is the
+    parallelism knob and each shard's pass is one Arrow-batched
+    applyInPandas (the documented escape hatch for sequential state,
+    never row-at-a-time Python). Output: (shard, doc_id, n_tokens,
+    pack_id) — the assignment, hash-checked against a DuckDB
+    recursive-CTE replay of the same recurrence."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions import md5_hash60  # noqa: PLC0415
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (md5_hash60(F.col("doc_id").cast("string")) % _PACK_SHARDS)
+        .alias("shard"),
+        F.size(F.split(F.col("text"), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, pid, acc = [], 0, None
+        for tks in pdf["n_tokens"]:
+            if acc is None:
+                acc = tks
+            elif acc + tks > _PACK_WINDOW:
+                pid += 1
+                acc = tks
+            else:
+                acc += tks
+            pack_ids.append(pid)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["shard", "doc_id", "n_tokens", "pack_id"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "shard bigint, doc_id bigint, n_tokens bigint, pack_id bigint"
+    )

@@ -1,0 +1,134 @@
+"""LLM training-data pipeline operators (round 6): sequence packing,
+weighted mixture sampling, keeper selection, chunking — invariants the
+hash oracles don't express (packing feasibility, mixture proportions,
+chunk reconstruction)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sequence_packing_invariants(spark):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        _PACK_WINDOW,
+        c19_sequence_packing,
+    )
+
+    rows = c19_sequence_packing(spark, SF).collect()
+    assert rows
+    # every doc assigned exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_pack: dict[tuple, list] = {}
+    for r in rows:
+        by_pack.setdefault((r.shard, r.pack_id), []).append(r)
+    for (shard, pid), members in by_pack.items():
+        total = sum(m.n_tokens for m in members)
+        if len(members) > 1:
+            # multi-doc packs never overflow the context window
+            assert total <= _PACK_WINDOW, (shard, pid, total)
+        # pack ids are dense per shard
+    for shard in {r.shard for r in rows}:
+        pids = sorted({r.pack_id for r in rows if r.shard == shard})
+        assert pids == list(range(len(pids)))
+    # greedy tightness: consecutive packs couldn't be merged
+    for shard in {r.shard for r in rows}:
+        packs = sorted(
+            {r.pack_id for r in rows if r.shard == shard}
+        )
+        docs = sorted(
+            (r.doc_id, r.pack_id, r.n_tokens)
+            for r in rows
+            if r.shard == shard
+        )
+        for i in range(1, len(docs)):
+            prev_pack = docs[i - 1][1]
+            if docs[i][1] == prev_pack + 1:
+                # first doc of the new pack wouldn't have fit
+                prev_total = sum(
+                    t for _d, p, t in docs[:i] if p == prev_pack
+                )
+                assert prev_total + docs[i][2] > _PACK_WINDOW
+        assert packs  # non-empty
+
+
+def test_weighted_mixture_rates(spark):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        _MIXTURE_BP,
+        c20_weighted_mixture,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+
+    out = c20_weighted_mixture(spark, SF)
+    total = {
+        r.lang: r.n
+        for r in t(spark, SF, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in out.groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # en keeps everything (rate 10000/10000); zh heavily downsampled
+    assert kept.get("en") == total.get("en")
+    for lang, bp in _MIXTURE_BP.items():
+        if bp < 10000 and total.get(lang, 0) >= 10:
+            assert kept.get(lang, 0) < total[lang]
+    # determinism: a second run is byte-identical
+    again = {
+        (r.doc_id, r.lang) for r in c20_weighted_mixture(spark, SF).collect()
+    }
+    assert again == {(r.doc_id, r.lang) for r in out.collect()}
+
+
+def test_chunk_overlap_reconstruction(spark):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        _CHUNK,
+        _STRIDE,
+        c22_chunk_overlap,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+
+    docs = {
+        r.doc_id: r.text
+        for r in t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in c22_chunk_overlap(spark, SF).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    assert set(chunks) == set(docs)
+    for doc_id, parts in chunks.items():
+        parts.sort(key=lambda r: r.chunk_id)
+        ws = docs[doc_id].split(" ")
+        for r in parts:
+            start = r.chunk_id * _STRIDE
+            expect = ws[start : start + _CHUNK]
+            assert r.chunk_text == " ".join(expect)
+            assert r.n_chunk_words == min(_CHUNK, len(ws) - start)
+        # full coverage: strides tile the word sequence
+        assert (len(parts) - 1) * _STRIDE < len(ws)
+
+
+def test_keeper_selection_policy(spark):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c18_dedup_cluster_resolution,
+        c21_dedup_keeper_selection,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+
+    keepers = {
+        r.cluster_id: r for r in c21_dedup_keeper_selection(spark, SF).collect()
+    }
+    members: dict[int, list] = {}
+    for r in c18_dedup_cluster_resolution(spark, SF).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    n_chars = {
+        r.doc_id: r.n_chars
+        for r in t(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    }
+    assert set(keepers) == set(members)
+    for cid, ks in keepers.items():
+        assert ks.n_members == len(members[cid])
+        # keeper is the longest member (doc_id tiebreak)
+        best = sorted(members[cid], key=lambda d: (-n_chars[d], d))[0]
+        assert ks.keeper_doc_id == best
