@@ -596,6 +596,9 @@ class DdlFrontend:
         )
         resp.message_list.append(
             f"Updated where {cond} (snapshot {snap.snapshot_id})"
+            if snap is not None
+            else f"Updated where {cond} ({strategy}, no-op: 0 rows "
+            "matched, nothing committed)"
         )
 
     # one WHEN clause head on a literal-masked copy; cond/rest spans are
@@ -722,6 +725,9 @@ class DdlFrontend:
         resp.message_list.append(
             f"Merged on ({', '.join(keys)}) "
             f"({strategy}, snapshot {snap.snapshot_id})"
+            if snap is not None
+            else f"Merged on ({', '.join(keys)}) ({strategy}, no-op: "
+            "nothing matched or inserted, nothing committed)"
         )
 
     def _ctas(self, m: re.Match, resp: ProcessSchemaResponse) -> None:

@@ -94,6 +94,14 @@ from .partitioning import (
 
 FORMAT_VERSION = 1
 
+# Equality-delete key files broadcast at scan/merge time only below this
+# on-disk size (parquet bytes; decompressed in-memory rows are a few x
+# larger). Above it the join falls back to AQE's strategy choice — an
+# explicit F.broadcast() hint is NEVER demoted by AQE, so force-
+# broadcasting an unbounded bulk-upsert key set would risk driver and
+# executor OOM at exactly the 100 TB scale the MoR path exists for.
+_BROADCAST_KEYFILE_MAX_BYTES = 32 * 1024 * 1024
+
 
 class TableFormatError(RuntimeError):
     pass
@@ -126,6 +134,15 @@ class Snapshot:
     # — the keys dir is metadata-plane, not table data.
     delete_keys_dir: str | None = None
     delete_key_cols: list[str] | None = None
+    # commit-time file manifest (Iceberg's manifest-file analog): one
+    # entry per parquet file of this snapshot's payload dir (data_dir,
+    # or delete_keys_dir for equality-delete entries) with byte size
+    # and footer row count, collected at commit exactly like Iceberg's
+    # commit-time stats. Lets files_df / export / scan-time broadcast
+    # sizing run O(metadata) with NO data-plane listing. None on
+    # snapshots from pre-manifest metadata (consumers fall back to a
+    # listing).
+    files: list[dict[str, Any]] | None = None
 
     @property
     def is_row_delete(self) -> bool:
@@ -171,6 +188,17 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
     if d.get("delete_keys_dir"):
         out["delete-keys-dir"] = d["delete_keys_dir"]  # ext field
         out["delete-key-cols"] = d["delete_key_cols"]
+    if d.get("files") is not None:
+        # ext field — the spec keeps per-file stats in Avro manifests;
+        # this format inlines them in the snapshot entry
+        out["manifest"] = [
+            {
+                "path": f["path"],
+                "size-bytes": f["size_bytes"],
+                "record-count": f["record_count"],
+            }
+            for f in d["files"]
+        ]
     return out
 
 
@@ -191,6 +219,15 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
     if d.get("delete-keys-dir"):
         out["delete_keys_dir"] = d["delete-keys-dir"]
         out["delete_key_cols"] = d["delete-key-cols"]
+    if d.get("manifest") is not None:
+        out["files"] = [
+            {
+                "path": f["path"],
+                "size_bytes": f["size-bytes"],
+                "record_count": f["record-count"],
+            }
+            for f in d["manifest"]
+        ]
     return out
 
 
@@ -559,6 +596,28 @@ class LakeTable:
         writer.parquet(str(self.location / rel))
         return rel
 
+    def _collect_manifest(self, rel: str) -> list[dict[str, Any]]:
+        """Per-file (path, size, footer row count) for a just-written
+        snapshot dir — the commit-time stats pass Iceberg itself runs
+        when building manifests. O(#files in THIS commit), driver-side,
+        footer-priced. Listing walks the local data plane (where Spark
+        writes); same deployment note as ``files_df``."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        root = self.location / rel
+        return [
+            {
+                "path": str(p.relative_to(self.location)),
+                "size_bytes": p.stat().st_size,
+                "record_count": pq.read_metadata(p).num_rows,
+            }
+            for p in sorted(root.rglob("*.parquet"))
+        ]
+
+    @staticmethod
+    def _manifest_rows(files: list[dict[str, Any]]) -> int:
+        return sum(f["record_count"] for f in files)
+
     def _write(self, df: DataFrame, operation: str) -> Snapshot:
         rel = self._write_files(df)
         snap_id = rel.rsplit("snap-", 1)[1]
@@ -572,6 +631,7 @@ class LakeTable:
             spec_id=int(self.meta["current_spec_id"]),
             data_dir=rel,
             sequence_number=seq,
+            files=self._collect_manifest(rel),
         )
         if operation == "overwrite":
             # old live set moves to history (time travel keeps working
@@ -673,7 +733,7 @@ class LakeTable:
         condition: str,
         assignments: dict[str, str],
         strategy: str = "copy_on_write",
-    ) -> Snapshot:
+    ) -> Snapshot | None:
         """Row-level UPDATE: SET col = expr for rows matching
         ``condition``. All assignment expressions read the PRE-update
         row (one select, not a withColumn chain) — SQL's
@@ -687,7 +747,9 @@ class LakeTable:
         in a SINGLE metadata commit (no torn intermediate state) —
         write cost proportional to the matched rows, not the table.
         The delete predicate carries the same guards as
-        ``delete_where(strategy="merge_on_read")``.
+        ``delete_where(strategy="merge_on_read")``. Returns ``None``
+        (and commits NOTHING) when no row matched — a no-op must not
+        add a permanent scan-time mask arm.
         """
         self._check_assignment_targets(assignments)
         cond = F.expr(condition)
@@ -711,6 +773,17 @@ class LakeTable:
             backup = copy.deepcopy(self.meta)
             try:
                 rel = self._write_files(changed)
+                manifest = self._collect_manifest(rel)
+                if self._manifest_rows(manifest) == 0:
+                    # no row matched: committing the pair anyway would
+                    # permanently add one scan-time mask arm (and a
+                    # snapshot-log entry) for a no-op. The check is
+                    # free — decided from the just-written parquet
+                    # footers, no extra Spark action.
+                    self.data_io.delete_recursive(
+                        str(self.location / rel)
+                    )
+                    return None
                 now = int(time.time() * 1000)
                 seq0 = int(self.meta.get("last_sequence_number", 0))
                 del_snap = self._predicate_snapshot(
@@ -726,6 +799,7 @@ class LakeTable:
                     spec_id=int(self.meta["current_spec_id"]),
                     data_dir=rel,
                     sequence_number=seq0 + 2,
+                    files=manifest,
                 )
                 self.meta["last_sequence_number"] = seq0 + 2
                 self.meta["snapshots"].extend(
@@ -774,7 +848,7 @@ class LakeTable:
         insert_assignments: dict[str, str] | None = None,
         insert_condition: str | None = None,
         strategy: str = "copy_on_write",
-    ) -> Snapshot:
+    ) -> Snapshot | None:
         """MERGE INTO: upsert ``source`` into the table on
         ``key_cols``.
 
@@ -816,7 +890,11 @@ class LakeTable:
         folds the key masks away later. Matched rows whose every clause
         condition is FALSE/NULL are untouched; if they share a key with
         an affected row they are re-appended unchanged (the key mask is
-        key-granular, rows must not be lost).
+        key-granular, rows must not be lost). A MERGE that matches
+        nothing and inserts nothing returns ``None`` and commits
+        NOTHING (decided from the written parquet footers — no extra
+        Spark action); each half of the delete/append pair is likewise
+        committed only when non-empty.
         """
         if when_matched is None:
             # legacy-kwargs precedence: delete first, preserving the old
@@ -838,6 +916,18 @@ class LakeTable:
             self._check_assignment_targets(insert_assignments)
         if strategy not in ("copy_on_write", "merge_on_read"):
             raise TableFormatError(f"unknown merge strategy {strategy!r}")
+        if strategy == "merge_on_read":
+            # the MoR path runs TWO Spark actions (key-file write, then
+            # the append write); each would re-evaluate `source`
+            # independently, so a non-deterministic source (rand(),
+            # sampling, a re-read of concurrently changing data) could
+            # mask keys whose rows are never re-appended — silent data
+            # loss. Materialize the source ONCE (Delta Lake
+            # materializes its MERGE source for exactly this reason);
+            # cost is the merge batch, never the table. The
+            # copy-on-write path is a single action and needs none of
+            # this.
+            source = source.localCheckpoint(eager=True)
         target = self.to_df(spark)
         cols = [f.name for f in self.schema.fields]
         src = source.select(
@@ -940,11 +1030,15 @@ class LakeTable:
         clause_flags,
         build_inserts,
         cols: list[str],
-    ) -> Snapshot:
+    ) -> Snapshot | None:
         """The equality-delete commit half of ``merge_into``: see its
         docstring. Affected keys -> parquet key file (the mask);
         post-merge versions of affected-key matched rows + inserts ->
-        one append dir; both land in a single metadata commit."""
+        one append dir; both land in a single metadata commit. The
+        re-append set is semi-joined against the WRITTEN key file (read
+        back), not the in-memory plan, so the scan-time mask and the
+        re-appended rows derive from the same materialized key set —
+        belt to the source-materialization braces in ``merge_into``."""
         target = self.to_df(spark)
         joined = target.join(
             src,
@@ -955,19 +1049,6 @@ class LakeTable:
         affected_keys = (
             joined.filter(drop | updated).select(*key_cols).distinct()
         )
-        # every matched row sharing an affected key is re-appended
-        # (clause applied; unfired same-key duplicates pass through
-        # unchanged) — the key mask is key-granular and must not lose
-        # rows it masks
-        rewritten = (
-            joined.join(F.broadcast(affected_keys), key_cols, "left_semi")
-            .filter(~drop)
-            .select(*[col_expr[c].alias(c) for c in cols])
-        )
-        appended = rewritten
-        inserts_aligned = build_inserts()
-        if inserts_aligned is not None:
-            appended = appended.unionByName(inserts_aligned)
         import copy  # noqa: PLC0415
 
         backup = copy.deepcopy(self.meta)
@@ -976,35 +1057,91 @@ class LakeTable:
             affected_keys.write.mode("error").parquet(
                 str(self.location / keys_rel)
             )
+            keys_manifest = self._collect_manifest(keys_rel)
+            keys_df = spark.read.parquet(str(self.location / keys_rel))
+            if (
+                sum(f["size_bytes"] for f in keys_manifest)
+                <= _BROADCAST_KEYFILE_MAX_BYTES
+            ):
+                keys_df = F.broadcast(keys_df)
+            # every matched row sharing an affected key is re-appended
+            # (clause applied; unfired same-key duplicates pass through
+            # unchanged) — the key mask is key-granular and must not
+            # lose rows it masks
+            rewritten = (
+                joined.join(keys_df, key_cols, "left_semi")
+                .filter(~drop)
+                .select(*[col_expr[c].alias(c) for c in cols])
+            )
+            appended = rewritten
+            inserts_aligned = build_inserts()
+            if inserts_aligned is not None:
+                appended = appended.unionByName(inserts_aligned)
             rel = self._write_files(appended)
+            app_manifest = self._collect_manifest(rel)
+            n_keys = self._manifest_rows(keys_manifest)
+            n_app = self._manifest_rows(app_manifest)
+            if n_keys == 0 and n_app == 0:
+                # all-miss MERGE (no clause fired, nothing to insert):
+                # committing anyway would permanently add one anti-join
+                # mask arm per earlier data snapshot on every future
+                # scan, plus snapshot-log noise, for a no-op. Decided
+                # from the just-written parquet footers — zero extra
+                # Spark actions.
+                self.data_io.delete_recursive(
+                    str(self.location / keys_rel)
+                )
+                self.data_io.delete_recursive(str(self.location / rel))
+                return None
             now = int(time.time() * 1000)
-            seq0 = int(self.meta.get("last_sequence_number", 0))
-            del_snap = Snapshot(
-                snapshot_id=uuid.uuid4().hex[:16],
-                timestamp_ms=now,
-                operation="delete",
-                schema_version=int(self.meta["current_schema_version"]),
-                spec_id=int(self.meta["current_spec_id"]),
-                data_dir="",
-                sequence_number=seq0 + 1,
-                delete_keys_dir=keys_rel,
-                delete_key_cols=list(key_cols),
-            )
-            app_snap = Snapshot(
-                snapshot_id=rel.rsplit("snap-", 1)[1],
-                timestamp_ms=now,
-                operation="append",
-                schema_version=int(self.meta["current_schema_version"]),
-                spec_id=int(self.meta["current_spec_id"]),
-                data_dir=rel,
-                sequence_number=seq0 + 2,
-            )
-            self.meta["last_sequence_number"] = seq0 + 2
-            self.meta["snapshots"].extend(
-                [del_snap.to_json(), app_snap.to_json()]
-            )
+            seq = int(self.meta.get("last_sequence_number", 0))
+            new_snaps: list[Snapshot] = []
+            if n_keys > 0:
+                seq += 1
+                new_snaps.append(
+                    Snapshot(
+                        snapshot_id=uuid.uuid4().hex[:16],
+                        timestamp_ms=now,
+                        operation="delete",
+                        schema_version=int(
+                            self.meta["current_schema_version"]
+                        ),
+                        spec_id=int(self.meta["current_spec_id"]),
+                        data_dir="",
+                        sequence_number=seq,
+                        delete_keys_dir=keys_rel,
+                        delete_key_cols=list(key_cols),
+                        files=keys_manifest,
+                    )
+                )
+            else:
+                # insert-only MERGE: no mask needed, plain append
+                self.data_io.delete_recursive(
+                    str(self.location / keys_rel)
+                )
+            if n_app > 0:
+                seq += 1
+                new_snaps.append(
+                    Snapshot(
+                        snapshot_id=rel.rsplit("snap-", 1)[1],
+                        timestamp_ms=now,
+                        operation="append",
+                        schema_version=int(
+                            self.meta["current_schema_version"]
+                        ),
+                        spec_id=int(self.meta["current_spec_id"]),
+                        data_dir=rel,
+                        sequence_number=seq,
+                        files=app_manifest,
+                    )
+                )
+            else:
+                # delete-only MERGE (all fired clauses were DELETEs)
+                self.data_io.delete_recursive(str(self.location / rel))
+            self.meta["last_sequence_number"] = seq
+            self.meta["snapshots"].extend(s.to_json() for s in new_snaps)
             self._commit()
-            return app_snap
+            return new_snaps[-1]
         except Exception:
             # in-memory meta must never run ahead of disk (a retry
             # would double-bump the sequence); written dirs become
@@ -1372,20 +1509,30 @@ class LakeTable:
     def files_df(self, spark: SparkSession) -> DataFrame:
         """The live data-file inventory (Iceberg's ``db.tbl.files``):
         one row per parquet file with its owning snapshot, byte size,
-        and footer row count. Listing and footer reads are
-        metadata-priced (file count, not row count) and run on the
-        driver like every other metadata operation — at lake scale
-        this is the manifest scan Iceberg serves from Avro manifests.
-        Listing walks the local data plane (where Spark writes);
-        a deployment with non-local data needs a listing-capable
-        data-plane FileIO here, same note as the constructor's
-        ``data_io``."""
-        import pyarrow.parquet as pq  # noqa: PLC0415
-
+        and footer row count. Served from the commit-time manifests
+        stored in snapshot metadata (``Snapshot.files``) — a pure
+        metadata read, NO data-plane listing and NO footer re-reads,
+        exactly how Iceberg answers ``db.tbl.files`` from its Avro
+        manifests; works unchanged on a store-backed lake. Snapshots
+        from pre-manifest metadata fall back to a driver-side listing
+        + footer pass (the old behavior, local data plane only)."""
         rows = []
         for s in self.snapshots:
-            if not s.data_dir:  # predicate-delete snapshot: no files
+            if not s.data_dir:  # delete snapshot: no live data files
                 continue
+            if s.files is not None:
+                rows.extend(
+                    (
+                        f["path"],
+                        s.snapshot_id,
+                        f["size_bytes"],
+                        f["record_count"],
+                    )
+                    for f in s.files
+                )
+                continue
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
             root = self.location / s.data_dir
             for p in sorted(root.rglob("*.parquet")):
                 rows.append(
@@ -1460,6 +1607,22 @@ class LakeTable:
         datas = [s for s in snaps if not s.is_row_delete]
         if not datas:
             return spark.createDataFrame([], cur)
+
+        def _keyfile_bytes(d: Snapshot) -> int:
+            # commit-time manifest when present (metadata-priced);
+            # data-plane stat fallback for pre-manifest metadata
+            if d.files is not None:
+                return sum(f["size_bytes"] for f in d.files)
+            root = self.location / d.delete_keys_dir
+            return sum(
+                p.stat().st_size for p in root.rglob("*.parquet")
+            )
+
+        keyfile_bytes = {
+            d.snapshot_id: _keyfile_bytes(d)
+            for d in deletes
+            if d.delete_keys_dir
+        }
         groups: dict[tuple[int, int], list[Snapshot]] = {}
         for s in datas:
             groups.setdefault((s.schema_version, s.spec_id), []).append(s)
@@ -1491,11 +1654,13 @@ class LakeTable:
                 # snapshot's rows (post-alignment: predicates and key
                 # columns are named in current-schema terms); appends
                 # after a delete are untouched — standard SQL DELETE
-                # visibility. Equality-key masks anti-join a broadcast
-                # of the key file: the key set is bounded by one MERGE
-                # batch's matched rows (model-of-change-sized, not
-                # table-sized), the canonical broadcast side; AQE can
-                # still demote an oversized one to shuffle.
+                # visibility. Equality-key masks anti-join the key
+                # file, broadcast only while its on-disk size is under
+                # _BROADCAST_KEYFILE_MAX_BYTES (one MERGE batch's
+                # matched keys — usually tiny); an explicit
+                # F.broadcast() hint is never demoted by AQE, so an
+                # unbounded bulk-upsert key set falls back to AQE's
+                # own strategy choice instead of a forced broadcast.
                 for d in deletes:
                     if d.sequence_number <= s.sequence_number:
                         continue
@@ -1513,8 +1678,13 @@ class LakeTable:
                                 for c in d.delete_key_cols
                             ]
                         )
+                        if (
+                            keyfile_bytes[d.snapshot_id]
+                            <= _BROADCAST_KEYFILE_MAX_BYTES
+                        ):
+                            keys = F.broadcast(keys)
                         df = df.join(
-                            F.broadcast(keys),
+                            keys,
                             d.delete_key_cols,
                             "left_anti",
                         )

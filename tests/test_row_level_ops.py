@@ -590,3 +590,127 @@ def test_mor_merge_sql_surface(spark, tmp_path):
     assert any(s.delete_keys_dir for s in tbl.snapshots)
     got = {(row.id, row.v) for row in fe.query("SELECT * FROM db.t").collect()}
     assert got == {(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "b"), (5, "b")}
+
+
+# -- round 7: no-op skip, source materialization, commit-time manifests ----
+
+
+def test_mor_merge_noop_commits_nothing(spark, table):
+    """An all-miss MERGE (no clause fires, nothing inserts) must not
+    commit: committing would add a permanent per-scan anti-join arm
+    plus snapshot-log noise for a no-op."""
+    n_before = len(table.snapshots)
+    seq_before = table.meta["last_sequence_number"]
+    snap = table.merge_into(
+        spark, _src(spark, 500, 510), ["id"],
+        when_matched_update={"tag": "'u'"},
+        insert_not_matched=False, strategy="merge_on_read",
+    )
+    assert snap is None
+    assert len(table.snapshots) == n_before
+    assert table.meta["last_sequence_number"] == seq_before
+    # the staged-but-uncommitted dirs are cleaned up, not left as orphans
+    assert table.remove_orphan_files() == []
+    assert table.to_df(spark).count() == 100
+
+
+def test_mor_merge_insert_only_is_plain_append(spark, table):
+    """A MERGE that only inserts commits ONE append snapshot — no
+    empty equality-delete mask arm."""
+    snap = table.merge_into(
+        spark, _src(spark, 100, 110), ["id"],
+        when_matched_update={"tag": "'u'"}, strategy="merge_on_read",
+    )
+    assert snap is not None and snap.operation == "append"
+    assert not any(s.is_row_delete for s in table.snapshots)
+    assert table.to_df(spark).count() == 110
+
+
+def test_mor_merge_delete_only_commits_mask_only(spark, table):
+    """A pure WHEN MATCHED DELETE commits ONLY the equality-delete
+    snapshot (the re-append set is empty by construction)."""
+    snap = table.merge_into(
+        spark, _src(spark, 0, 10), ["id"],
+        when_matched_delete=True, insert_not_matched=False,
+        strategy="merge_on_read",
+    )
+    assert snap is not None and snap.delete_keys_dir
+    assert table.snapshots[-1].delete_keys_dir
+    assert table.to_df(spark).count() == 90
+    assert table.to_df(spark).filter("id < 10").count() == 0
+
+
+def test_mor_update_noop_commits_nothing(spark, table):
+    n_before = len(table.snapshots)
+    snap = table.update_where(
+        spark, "id > 1000", {"tag": "'new'"}, strategy="merge_on_read"
+    )
+    assert snap is None
+    assert len(table.snapshots) == n_before
+    assert table.remove_orphan_files() == []
+    assert table.to_df(spark).count() == 100
+
+
+def test_mor_merge_nondeterministic_source_is_consistent(spark, table):
+    """The MoR MERGE runs two Spark actions; a non-deterministic
+    source must not let the key mask and the re-appended rows diverge
+    (silent row loss). merge_into materializes the source once
+    (localCheckpoint) and semi-joins against the WRITTEN key file."""
+    src = (
+        spark.range(0, 100)
+        .filter(F.rand(seed=None) < 0.5)  # different rows per action
+        .select(F.col("id"), F.lit("u").alias("tag"))
+    )
+    table.merge_into(
+        spark, src, ["id"],
+        when_matched_update={"tag": "s_tag"},
+        insert_not_matched=False, strategy="merge_on_read",
+    )
+    df = table.to_df(spark)
+    # every original row survives exactly once, updated or not
+    assert df.count() == 100
+    assert df.select("id").distinct().count() == 100
+
+
+def test_commit_time_manifest_recorded_and_files_df_metadata_only(
+    spark, table
+):
+    """Every commit records per-file (path, size, rows); files_df
+    serves from that metadata with no data-plane listing."""
+    table.append(
+        spark.range(100, 120).select(
+            F.col("id"), (F.col("id") % 10).alias("grp"),
+            F.lit("b").alias("tag"),
+        )
+    )
+    for s in table.snapshots:
+        assert s.files is not None
+        assert sum(f["record_count"] for f in s.files) > 0
+    fdf = table.files_df(spark)
+    rows = {r.file_path: r for r in fdf.collect()}
+    assert sum(r.record_count for r in rows.values()) == 120
+    # metadata round-trips through commit + reload
+    reloaded = type(table).load(table.location)
+    assert [s.files for s in reloaded.snapshots] == [
+        s.files for s in table.snapshots
+    ]
+    # the stored paths exist and sizes match the data plane
+    for p, r in rows.items():
+        full = table.location / p
+        assert full.exists() and full.stat().st_size == r.size_bytes
+
+
+def test_equality_delete_broadcast_is_size_gated(spark, table, monkeypatch):
+    """Scan results are identical whether the key file broadcasts or
+    falls back to AQE's strategy choice (threshold forced to 0)."""
+    import sample_iceberg_schema_evolution_pyiceberg_spark.table_format as tf
+
+    table.merge_into(
+        spark, _src(spark, 0, 10), ["id"],
+        when_matched_delete=True, insert_not_matched=False,
+        strategy="merge_on_read",
+    )
+    expected = {r.id for r in table.to_df(spark).select("id").collect()}
+    monkeypatch.setattr(tf, "_BROADCAST_KEYFILE_MAX_BYTES", 0)
+    got = {r.id for r in table.to_df(spark).select("id").collect()}
+    assert got == expected == set(range(10, 100))
