@@ -1,11 +1,12 @@
-"""Export a LakeTable as an Apache Iceberg v1 table directory.
+"""Export a LakeTable as an Apache Iceberg v1 or v2 table directory.
 
 The reference manages true Iceberg tables through PyIceberg + a catalog
 (``/root/reference/lambda/iceberg_helper.py:104-122``, create_table
 :234-239); this container has no Iceberg runtime, so table_format.py
 keeps its own metadata. This module closes the interop gap the honest
-way available offline: it materializes the **public Iceberg table spec
-v1** layout from a LakeTable —
+way available offline: it materializes the **public Iceberg table
+spec** layout (v1, or v2 when the table carries merge-on-read delete
+state) from a LakeTable —
 
 - ``metadata/v{N}.metadata.json`` + ``version-hint.text`` (the
   HadoopTables/HadoopCatalog file-system catalog convention, so an
@@ -22,6 +23,35 @@ spec-encoded partition values (year -> years since 1970, month ->
 months since 1970-01, day -> days since epoch, hour -> hours since
 epoch — the spec's integer transform encodings, converted from the
 hive-style directory values the write path produces).
+
+**Format v2 (spec "Row-level Deletes")**: a table whose live set
+carries merge-on-read delete entries exports as format-version 2 —
+the metadata gains ``last-sequence-number`` + per-snapshot
+``sequence-number``; manifest lists gain ``content`` /
+``sequence_number`` / ``min_sequence_number`` (field-ids 517/515/516);
+manifest entries gain the v2 inheritance fields (3/4, written null for
+ADDED entries so readers inherit from the list); data_file records
+gain ``content`` (134). Delete state maps onto the spec's two delete
+granularities:
+
+- equality-delete key files (``Snapshot.delete_keys_dir`` — the MERGE
+  path) export AS-IS: the key parquet is already the spec's
+  equality-delete payload; its manifest entry carries content=2 and
+  ``equality_ids`` (135/136) naming the key columns' field IDs.
+  Applies to data files with STRICTLY smaller sequence number — the
+  exact semantics the lake scan uses.
+- predicate deletes (``Snapshot.delete_predicate`` — the DELETE path)
+  have no spec representation, so the export COMPUTES position-delete
+  files (content=1; columns ``file_path``/``pos``, spec field-ids
+  2147483546/2147483545, sorted as required): each earlier data
+  snapshot is scanned with ``_metadata.file_path``/``row_index`` and
+  the predicate's TRUE rows become (file, ordinal) tuples. This needs
+  a SparkSession — pass ``spark=`` when predicate deletes are live.
+
+Known v2 limitation, shared with the v1 export: parquet data files are
+written by plain Spark without embedded Iceberg field-id attributes, so
+readers must resolve columns by name (the export's schemas use the
+same names). Documented, not silent.
 
 Verification strategy (tests/test_iceberg_export.py): the Avro files
 are read back through the Apache Avro *Java* implementation bundled in
@@ -324,7 +354,17 @@ def encode_partition_value(transform: str, raw: str, source_type: T.DataType):
 # ---------------------------------------------------------------------------
 
 
-def _manifest_entry_schema(partition_fields: list[dict[str, Any]]) -> dict:
+# spec "Position Delete Files": reserved field ids for the delete-file
+# columns (2147483546 = file_path, 2147483545 = pos)
+POS_DELETE_FILE_PATH_ID = 2147483546
+POS_DELETE_POS_ID = 2147483545
+
+
+def _manifest_entry_schema(
+    partition_fields: list[dict[str, Any]],
+    format_version: int = 1,
+    include_equality_ids: bool = False,
+) -> dict:
     partition_record = {
         "type": "record",
         "name": "r102",
@@ -338,82 +378,128 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]]) -> dict:
             for pf in partition_fields
         ],
     }
-    data_file = {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": partition_record, "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
-        ],
-    }
+    df_fields: list[dict[str, Any]] = []
+    if format_version >= 2:
+        # v2 data_file.content: 0=DATA, 1=POSITION_DELETES, 2=EQUALITY_DELETES
+        df_fields.append({"name": "content", "type": "int", "field-id": 134})
+    df_fields += [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_record, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    if format_version == 1:
+        # v1 only; removed from the spec in v2
+        df_fields.append(
+            {"name": "block_size_in_bytes", "type": "long", "field-id": 105}
+        )
+    if include_equality_ids:
+        df_fields.append(
+            {
+                "name": "equality_ids",
+                "type": [
+                    "null",
+                    {"type": "array", "items": "int", "element-id": 136},
+                ],
+                "default": None,
+                "field-id": 135,
+            }
+        )
+    data_file = {"type": "record", "name": "r2", "fields": df_fields}
+    entry_fields: list[dict[str, Any]] = [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+    ]
+    if format_version >= 2:
+        # written null on ADDED entries: readers inherit the sequence
+        # numbers from the manifest-list entry (spec "Sequence Number
+        # Inheritance") — asserted by the conformance suite
+        entry_fields += [
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+        ]
+    entry_fields.append({"name": "data_file", "type": data_file, "field-id": 2})
     return {
         "type": "record",
         "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int", "field-id": 0},
-            {
-                "name": "snapshot_id",
-                "type": ["null", "long"],
-                "default": None,
-                "field-id": 1,
-            },
-            {"name": "data_file", "type": data_file, "field-id": 2},
-        ],
+        "fields": entry_fields,
     }
 
 
-_MANIFEST_FILE_SCHEMA = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
+def _manifest_file_schema(format_version: int = 1) -> dict:
+    """Manifest-list entry schema. v2 renames the file-count fields
+    (added_files_count -> added_data_files_count etc., same field-ids)
+    and adds content/sequence_number/min_sequence_number (517/515/516,
+    required)."""
+    v2 = format_version >= 2
+    fields: list[dict[str, Any]] = [
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
-        # spec v1 marks added_snapshot_id REQUIRED — plain long, not a
-        # nullable union a reader would need schema resolution to accept
-        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
-        {
-            "name": "added_files_count",
-            "type": ["null", "int"],
-            "default": None,
-            "field-id": 504,
-        },
-        {
-            "name": "existing_files_count",
-            "type": ["null", "int"],
-            "default": None,
-            "field-id": 505,
-        },
-        {
-            "name": "deleted_files_count",
-            "type": ["null", "int"],
-            "default": None,
-            "field-id": 506,
-        },
-        {
-            "name": "added_rows_count",
-            "type": ["null", "long"],
-            "default": None,
-            "field-id": 512,
-        },
-        {
-            "name": "existing_rows_count",
-            "type": ["null", "long"],
-            "default": None,
-            "field-id": 513,
-        },
-        {
-            "name": "deleted_rows_count",
-            "type": ["null", "long"],
-            "default": None,
-            "field-id": 514,
-        },
-    ],
-}
+    ]
+    if v2:
+        fields += [
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        ]
+    fields.append(
+        # REQUIRED in both versions — plain long, not a nullable union
+        # a reader would need schema resolution to accept
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503}
+    )
+    infix = "_data" if v2 else ""
+    for name, fid in (
+        (f"added{infix}_files_count", 504),
+        (f"existing{infix}_files_count", 505),
+        (f"deleted{infix}_files_count", 506),
+    ):
+        fields.append(
+            {"name": name, "type": "int", "field-id": fid}
+            if v2
+            else {
+                "name": name,
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": fid,
+            }
+        )
+    for name, fid in (
+        ("added_rows_count", 512),
+        ("existing_rows_count", 513),
+        ("deleted_rows_count", 514),
+    ):
+        fields.append(
+            {"name": name, "type": "long", "field-id": fid}
+            if v2
+            else {
+                "name": name,
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": fid,
+            }
+        )
+    return {"type": "record", "name": "manifest_file", "fields": fields}
+
+
+# v1 alias kept for existing callers/tests
+_MANIFEST_FILE_SCHEMA = _manifest_file_schema(1)
 
 
 def _snapshot_int_id(snap: Snapshot) -> int:
@@ -452,21 +538,107 @@ def _list_data_files(
     return sorted(out)
 
 
-def export_to_iceberg(table: LakeTable) -> Path:
-    """Write Iceberg v1 metadata for the table's current state; returns
+def _write_position_deletes(
+    spark, table: LakeTable, pred_snap: Snapshot, out_dir: Path
+) -> None:
+    """Materialize one predicate-delete snapshot as a spec position-
+    delete file: scan each EARLIER data snapshot with Spark's
+    ``_metadata.file_path`` / ``_metadata.row_index`` columns, keep the
+    rows where the stored (null-safe) predicate is TRUE, and write
+    their (file, ordinal) tuples sorted by (file_path, pos) — the
+    spec's required delete-file ordering. Output size is bounded by
+    the deleted-row count of the predicate, and the single-file
+    coalesce keeps the manifest one entry; a cluster-scale export
+    would shard by file_path instead."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from .partitioning import PARTITION_COL_PREFIX  # noqa: PLC0415
+    from .table_format import _align_expr  # noqa: PLC0415
+
+    cur = table.schema
+    arms = []
+    for s in table.snapshots:
+        if s.is_row_delete or s.sequence_number >= pred_snap.sequence_number:
+            continue
+        df = spark.read.parquet(str(table.location / s.data_dir))
+        df = df.drop(
+            *[c for c in df.columns if c.startswith(PARTITION_COL_PREFIX)]
+        )
+        sel = []
+        for f in cur.fields:
+            if f.name in df.columns:
+                sel.append(
+                    _align_expr(
+                        F.col(f.name), df.schema[f.name].dataType, f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        sel.append(
+            # manifests store plain absolute paths; _metadata returns
+            # file: URIs — normalize so the tuples join back exactly
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("file_path")
+        )
+        sel.append(F.col("_metadata.row_index").alias("pos"))
+        arms.append(df.select(*sel))
+    if arms:
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionByName(a)
+        out = out.filter(pred_snap.delete_predicate).select(
+            "file_path", "pos"
+        )
+    else:  # predicate committed against an empty table
+        out = spark.createDataFrame([], "file_path string, pos long")
+    (
+        out.coalesce(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("error")
+        .parquet(str(out_dir))
+    )
+
+
+def export_to_iceberg(
+    table: LakeTable,
+    spark=None,
+    format_version: int | None = None,
+) -> Path:
+    """Write Iceberg metadata for the table's current state; returns
     the metadata directory. Repeated exports bump the metadata version
     (HadoopTables convention) and re-derive everything from the live
-    LakeTable metadata + parquet footers."""
+    LakeTable metadata + parquet footers.
+
+    ``format_version``: None (default) auto-selects — v2 when the live
+    set carries merge-on-read delete entries (which need spec v2
+    delete files), else v1. ``spark`` is required only when PREDICATE
+    deletes are live: those export as position-delete files computed
+    at export time (module docstring)."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
-    if any(s.is_row_delete for s in table.snapshots):
-        # an export of data files alone would resurrect the deleted
-        # rows — the v1 export has no delete-file representation
-        # (neither predicate nor equality-key granularity)
+    has_deletes = any(s.is_row_delete for s in table.snapshots)
+    fv = format_version if format_version is not None else (
+        2 if has_deletes else 1
+    )
+    if fv not in (1, 2):
+        raise ValueError(f"unsupported iceberg format version {fv}")
+    if fv == 1 and has_deletes:
+        # a v1 export of data files alone would resurrect the deleted
+        # rows — v1 has no delete-file representation
         raise RuntimeError(
-            "table has merge-on-read delete entries in its live "
-            "set; run compact() before export_to_iceberg (the "
-            "rewrite folds deletes into data)"
+            "table has merge-on-read delete entries in its live set; "
+            "export as format_version=2 (delete-file manifests) or "
+            "run compact() first to fold deletes into data"
+        )
+    has_predicate_deletes = any(
+        s.delete_predicate for s in table.snapshots
+    )
+    if fv == 2 and has_predicate_deletes and spark is None:
+        raise RuntimeError(
+            "predicate delete entries export as position-delete files "
+            "computed at export time — pass spark=<SparkSession> to "
+            "export_to_iceberg (or compact() first)"
         )
 
     meta_dir = table.location / "metadata"
@@ -518,32 +690,120 @@ def export_to_iceberg(table: LakeTable) -> Path:
     # the snapshot list IS the live set: _write/_replace_live collapse
     # it to one entry on every overwrite/update/delete/merge, so no
     # mid-list overwrite can exist here. Each snapshot contributes one
-    # manifest of status=added files, written under the snapshot's OWN
-    # partition spec (per-manifest specs — how Iceberg represents spec
-    # evolution).
+    # manifest: data snapshots a status=added data manifest under the
+    # snapshot's OWN partition spec (per-manifest specs — how Iceberg
+    # represents spec evolution); v2 delete snapshots a DELETE manifest
+    # (content=1) under an unpartitioned spec (global scope).
     live: list[Snapshot] = list(table.snapshots)
+
+    # delete manifests scope globally -> they need an unpartitioned
+    # spec to reference; synthesize one if no spec version is empty
+    # (partition-specs may legally contain non-default specs)
+    unpart_spec_id = next(
+        (sid for sid, d in spec_docs.items() if not d["fields"]), None
+    )
+    if fv == 2 and has_deletes and unpart_spec_id is None:
+        unpart_spec_id = max(spec_docs) + 1
+        spec_docs[unpart_spec_id] = {
+            "spec-id": unpart_spec_id,
+            "fields": [],
+        }
+
+    def _delete_file_entries(
+        files: list[str], content: int, eq_ids: list[int] | None
+    ) -> list[dict[str, Any]]:
+        out = []
+        for fpath in files:
+            md = pq.ParquetFile(fpath).metadata
+            df_rec: dict[str, Any] = {
+                "content": content,
+                "file_path": fpath,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": md.num_rows,
+                "file_size_in_bytes": os.path.getsize(fpath),
+            }
+            if eq_ids is not None:
+                df_rec["equality_ids"] = eq_ids
+            out.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": None,  # inherited (v2)
+                    "sequence_number": None,  # inherited (v2)
+                    "file_sequence_number": None,
+                    "data_file": df_rec,
+                }
+            )
+        return out
+
+    def _parquet_files_under(root: Path) -> list[str]:
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
 
     manifests: list[dict[str, Any]] = []
     for snap in live:
         sid = _snapshot_int_id(snap)
-        p_fields = partition_fields_for(snap.spec_id)
-        entry_schema = _manifest_entry_schema(p_fields)
-        entries = []
-        for fpath, rawparts in _list_data_files(table, snap):
-            md = pq.ParquetFile(fpath).metadata
-            partition = {
-                pf["name"]: encode_partition_value(
-                    pf["transform"],
-                    rawparts.get(pf["name"], ""),
-                    src_types[pf["source_column"]],
+        if snap.is_row_delete:
+            if snap.delete_keys_dir:
+                # equality-delete: the lake's key parquet IS the spec
+                # payload; equality_ids name the key columns' field IDs
+                try:
+                    eq_ids = [
+                        col_ids._by_path[c] for c in snap.delete_key_cols
+                    ]
+                except KeyError as e:
+                    raise ValueError(
+                        f"equality-delete key column {e} not a known "
+                        "schema column"
+                    ) from None
+                files = _parquet_files_under(
+                    table.location / snap.delete_keys_dir
                 )
-                for pf in p_fields
-            }
-            entries.append(
-                {
+                entries = _delete_file_entries(files, 2, eq_ids)
+            else:
+                # predicate delete -> position-delete files computed
+                # now (module docstring); lands under metadata/deletes
+                # so the lake's orphan reaper (which scans data/) never
+                # mistakes exported artifacts for write debris
+                pos_dir = (
+                    meta_dir / "deletes" / f"pos-{snap.snapshot_id}"
+                )
+                if not pos_dir.exists():
+                    _write_position_deletes(spark, table, snap, pos_dir)
+                entries = _delete_file_entries(
+                    _parquet_files_under(pos_dir), 1, None
+                )
+            p_fields: list[dict[str, Any]] = []
+            spec_id_for_manifest = unpart_spec_id
+            content = 1
+            entry_schema = _manifest_entry_schema(
+                p_fields, fv, include_equality_ids=True
+            )
+        else:
+            p_fields = partition_fields_for(snap.spec_id)
+            spec_id_for_manifest = snap.spec_id
+            content = 0
+            entry_schema = _manifest_entry_schema(p_fields, fv)
+            entries = []
+            for fpath, rawparts in _list_data_files(table, snap):
+                md = pq.ParquetFile(fpath).metadata
+                partition = {
+                    pf["name"]: encode_partition_value(
+                        pf["transform"],
+                        rawparts.get(pf["name"], ""),
+                        src_types[pf["source_column"]],
+                    )
+                    for pf in p_fields
+                }
+                entry: dict[str, Any] = {
                     "status": 1,  # ADDED
                     "snapshot_id": sid,
                     "data_file": {
+                        "content": 0,
                         "file_path": fpath,
                         "file_format": "PARQUET",
                         "partition": partition,
@@ -552,7 +812,10 @@ def export_to_iceberg(table: LakeTable) -> Path:
                         "block_size_in_bytes": 64 * 1024 * 1024,
                     },
                 }
-            )
+                if fv >= 2:
+                    entry["sequence_number"] = None  # inherited
+                    entry["file_sequence_number"] = None
+                entries.append(entry)
         mpath = meta_dir / f"manifest-{snap.snapshot_id}.avro"
         write_ocf(
             str(mpath),
@@ -561,18 +824,21 @@ def export_to_iceberg(table: LakeTable) -> Path:
             {
                 "schema": json.dumps(schema_doc),
                 "partition-spec": json.dumps(
-                    spec_docs[snap.spec_id]["fields"]
+                    spec_docs[spec_id_for_manifest]["fields"]
                 ),
-                "partition-spec-id": str(snap.spec_id),
-                "format-version": str(FORMAT_VERSION),
-                "content": "data",
+                "partition-spec-id": str(spec_id_for_manifest),
+                "format-version": str(fv),
+                "content": "deletes" if content == 1 else "data",
             },
         )
         manifests.append(
             {
                 "manifest_path": str(mpath),
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": snap.spec_id,
+                "partition_spec_id": spec_id_for_manifest,
+                "content": content,
+                "sequence_number": snap.sequence_number,
+                "min_sequence_number": snap.sequence_number,
                 "added_snapshot_id": sid,
                 "added_files_count": len(entries),
                 "existing_files_count": 0,
@@ -586,6 +852,21 @@ def export_to_iceberg(table: LakeTable) -> Path:
         )
 
     now_ms = int(time.time() * 1000)
+
+    def _mf_record(m: dict[str, Any]) -> dict[str, Any]:
+        """Neutral accumulated entry -> the record the per-version
+        manifest-list schema encodes (v2 renames the file-count
+        fields; v1 ignores the v2-only keys)."""
+        if fv == 1:
+            return m
+        rec = dict(m)
+        for name in ("added", "existing", "deleted"):
+            rec[f"{name}_data_files_count"] = rec.pop(
+                f"{name}_files_count"
+            )
+        return rec
+
+    list_schema = _manifest_file_schema(fv)
     # one `snapshots` entry per contributing live snapshot, chained via
     # parent-snapshot-id, so every manifest's added_snapshot_id resolves
     # to a snapshot a reader can see (expire-snapshots / incremental
@@ -601,9 +882,16 @@ def export_to_iceberg(table: LakeTable) -> Path:
         list_path = meta_dir / f"snap-{sid}-1-{uuid.uuid4()}.avro"
         write_ocf(
             str(list_path),
-            _MANIFEST_FILE_SCHEMA,
-            manifests[: i + 1],
-            {"format-version": str(FORMAT_VERSION)},
+            list_schema,
+            [_mf_record(m) for m in manifests[: i + 1]],
+            {"format-version": str(fv)},
+        )
+        operation = (
+            "append"
+            if snap.operation == "append"
+            else "delete"
+            if snap.is_row_delete
+            else "overwrite"
         )
         entry: dict[str, Any] = {
             "snapshot-id": sid,
@@ -611,15 +899,19 @@ def export_to_iceberg(table: LakeTable) -> Path:
             "manifest-list": str(list_path),
             "schema-id": snap.schema_version,
             "summary": {
-                "operation": "append"
-                if snap.operation == "append"
-                else "overwrite",
+                "operation": operation,
                 "added-data-files": str(manifests[i]["added_files_count"]),
                 "total-records": str(
-                    sum(m["added_rows_count"] for m in manifests[: i + 1])
+                    sum(
+                        m["added_rows_count"]
+                        for m in manifests[: i + 1]
+                        if m["content"] == 0
+                    )
                 ),
             },
         }
+        if fv >= 2:
+            entry["sequence-number"] = snap.sequence_number
         if parent_id is not None:
             entry["parent-snapshot-id"] = parent_id
         snapshots_json.append(entry)
@@ -627,15 +919,13 @@ def export_to_iceberg(table: LakeTable) -> Path:
     current_id = parent_id
 
     doc: dict[str, Any] = {
-        "format-version": FORMAT_VERSION,
+        "format-version": fv,
         "table-uuid": table.meta.get("table_uuid") or str(uuid.uuid4()),
         "location": str(table.location),
         "last-updated-ms": now_ms,
         "last-column-id": last_column_id,
-        "schema": {k: v for k, v in schema_doc.items() if k != "schema-id"},
         "schemas": schema_docs,
         "current-schema-id": current_schema_id,
-        "partition-spec": spec_docs[current_spec_id]["fields"],
         "partition-specs": list(spec_docs.values()),
         "default-spec-id": current_spec_id,
         "last-partition-id": max(
@@ -657,6 +947,16 @@ def export_to_iceberg(table: LakeTable) -> Path:
         ],
         "metadata-log": [],
     }
+    if fv == 1:
+        # deprecated singular fields: required in v1, dropped in v2
+        doc["schema"] = {
+            k: v for k, v in schema_doc.items() if k != "schema-id"
+        }
+        doc["partition-spec"] = spec_docs[current_spec_id]["fields"]
+    else:
+        doc["last-sequence-number"] = int(
+            table.meta.get("last_sequence_number", 0)
+        )
 
     hint_file = meta_dir / "version-hint.text"
     version = (
@@ -726,12 +1026,21 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
 
 
 def read_iceberg_table(spark, location: str | Path):
-    """Open an Iceberg v1 table directory the way a HadoopTables reader
-    does. Avro decoding is delegated to org.apache.avro (Spark's JVM) —
-    an implementation this package did not write. Files written under
-    older schema versions are resolved to the current table schema
-    (null-fill added columns, cast promoted types), matching Iceberg's
-    name/ID-based read-time projection."""
+    """Open an Iceberg v1/v2 table directory the way a HadoopTables
+    reader does. Avro decoding is delegated to org.apache.avro (Spark's
+    JVM) — an implementation this package did not write. Files written
+    under older schema versions are resolved to the current table
+    schema (null-fill added columns, cast promoted types), matching
+    Iceberg's name/ID-based read-time projection.
+
+    v2 row-level deletes are applied per the spec's sequence-number
+    rules: EQUALITY delete files (content=2) anti-join data arms whose
+    manifest sequence number is STRICTLY smaller, on the columns named
+    by ``equality_ids``; POSITION delete files (content=1) anti-join on
+    (file_path, pos) — their file references pin exact rows, so
+    applying them to every arm is equivalent to the seq<= rule."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     location = Path(location)
     meta_dir = location / "metadata"
     version = (meta_dir / "version-hint.text").read_text().strip()
@@ -765,11 +1074,48 @@ def read_iceberg_table(spark, location: str | Path):
     # layout, so scan one manifest per read and union the (metadata-
     # sized) manifest arms, each aligned to the table schema (the same
     # recursive null-fill/cast/reorder the engine's own scan uses).
-    from .table_format import _align_df  # noqa: PLC0415
+    from .table_format import _align_df, _align_expr  # noqa: PLC0415
+
+    mlist = (
+        read_avro_jvm(spark, snap["manifest-list"])
+        if snap is not None
+        else []
+    )
+    data_ms = [m for m in mlist if m.get("content") in (None, 0)]
+    del_ms = [m for m in mlist if m.get("content") == 1]
+
+    eq_dels: list[tuple[int, dict]] = []
+    pos_dels: list[dict] = []
+    for m in del_ms:
+        for e in read_avro_jvm(spark, m["manifest_path"]):
+            if e["status"] == 2:  # DELETED
+                continue
+            d = e["data_file"]
+            # sequence-number inheritance: entry null -> manifest-list
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m["sequence_number"]
+            if d["content"] == 2:
+                eq_dels.append((seq, d))
+            elif d["content"] == 1:
+                pos_dels.append(d)
+    need_pos = bool(pos_dels)
+    # equality_ids -> column names via the current schema's field IDs
+    id_to_name = {f["id"]: f["name"] for f in current_schema["fields"]}
+    pos_df = None
+    if need_pos:
+        pos_df = (
+            spark.read.parquet(*[d["file_path"] for d in pos_dels])
+            .select(
+                F.col("file_path").alias("_ice_file"),
+                F.col("pos").alias("_ice_pos"),
+            )
+            .distinct()
+        )
 
     df = None
-    manifest_list = snap["manifest-list"] if snap is not None else None
-    for m in read_avro_jvm(spark, manifest_list) if manifest_list else []:
+    for m in data_ms:
+        arm_seq = m.get("sequence_number", 0)
         files = [
             e["data_file"]["file_path"]
             for e in read_avro_jvm(spark, m["manifest_path"])
@@ -777,7 +1123,38 @@ def read_iceberg_table(spark, location: str | Path):
         ]
         if not files:
             continue
-        arm = _align_df(spark.read.parquet(*files), table_schema)
+        raw = spark.read.parquet(*files)
+        if need_pos:
+            sel = [
+                _align_expr(
+                    F.col(f.name), raw.schema[f.name].dataType, f.dataType
+                ).alias(f.name)
+                if f.name in raw.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in table_schema.fields
+            ]
+            sel.append(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("_ice_file")
+            )
+            sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
+            arm = raw.select(*sel).join(
+                pos_df, ["_ice_file", "_ice_pos"], "left_anti"
+            ).drop("_ice_file", "_ice_pos")
+        else:
+            arm = _align_df(raw, table_schema)
+        for dseq, d in eq_dels:
+            if dseq <= arm_seq:
+                continue  # strictly-smaller rule
+            cols = [id_to_name[i] for i in (d.get("equality_ids") or [])]
+            keys = spark.read.parquet(d["file_path"]).select(
+                *[
+                    F.col(c).cast(table_schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+            arm = arm.join(keys, cols, "left_anti")
         df = arm if df is None else df.unionByName(arm)
     if df is None:
         # empty live set (never written, or everything deleted):
@@ -815,4 +1192,6 @@ def _jrecord_to_py(obj: Any) -> Any:
         return str(obj)
     if cls in ("java.lang.Long", "java.lang.Integer"):
         return int(obj.longValue() if cls.endswith("Long") else obj.intValue())
+    if "GenericData$Array" in cls:  # e.g. equality_ids
+        return [_jrecord_to_py(obj.get(i)) for i in range(obj.size())]
     return obj

@@ -549,3 +549,85 @@ def a17_merge_on_read_merge(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a18_merge_on_read_export",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS total
+      FROM orders WHERE o_orderkey <= 1000
+    ), kept AS (
+      SELECT * FROM base WHERE NOT (status = 'F')
+    ), src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS total
+      FROM orders WHERE o_orderkey BETWEEN 501 AND 1500
+    ), updated AS (
+      SELECT k,
+             CASE WHEN k BETWEEN 501 AND 1000 THEN 'M' ELSE status END
+               AS status,
+             total
+      FROM kept
+    ), inserted AS (
+      SELECT s.* FROM src s WHERE s.k NOT IN (SELECT k FROM kept)
+    ), final AS (
+      SELECT * FROM updated UNION ALL SELECT * FROM inserted
+    )
+    SELECT status, COUNT(*) AS n,
+           ROUND(CAST(SUM(total) AS DOUBLE), 6) AS total
+    FROM final GROUP BY status
+    """,
+)
+def a18_merge_on_read_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg **v2** export episode: a lake table carrying BOTH
+    merge-on-read delete granularities — a predicate DELETE (exports
+    as position-delete files computed from ``_metadata`` row ordinals)
+    and an equality-key MERGE mask (exports as equality-delete files
+    with ``equality_ids``) — exports as spec v2 instead of refusing,
+    and is read back EXTERNALLY: file lists, delete files, and
+    sequence-number applicability all come from the exported manifests
+    as decoded by the JVM's Apache Avro library, never from the
+    engine's own ``_meta``. The oracle replays the DELETE + MERGE
+    relationally; a hash match proves export + external read lose
+    nothing at either delete granularity. (Reference interop promise:
+    external engines open the tables —
+    /root/reference/lambda/iceberg_helper.py:104-122.)"""
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 1500)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="mor_export_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "me", o.schema)
+        table.append(o.filter(F.col("k") <= 500))
+        table.append(o.filter(F.col("k").between(501, 1000)))
+        table.delete_where(spark, "status = 'F'", strategy="merge_on_read")
+        table.merge_into(
+            spark,
+            o.filter(F.col("k").between(501, 1500)),
+            ["k"],
+            when_matched_update={"status": "'M'"},
+            strategy="merge_on_read",
+        )
+        assert any(s.delete_predicate for s in table.snapshots)
+        assert any(s.delete_keys_dir for s in table.snapshots)
+        export_to_iceberg(table, spark=spark)
+        external, doc = read_iceberg_table(spark, table.location)
+        assert doc["format-version"] == 2, doc["format-version"]
+        out = external.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("total").cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("total"),
+        )
+        # materialize before the temp dir vanishes (bounded: grouped agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

@@ -437,3 +437,158 @@ def test_read_empty_exported_table(spark, catalog):
     assert got.count() == 0
     assert got.schema == schema
     assert doc["current-snapshot-id"] == -1
+
+
+# ---------------------------------------------------------------------------
+# Format v2: merge-on-read delete state exports as spec delete files
+# ---------------------------------------------------------------------------
+
+
+def _metadata_doc(table):
+    meta_dir = table.location / "metadata"
+    version = (meta_dir / "version-hint.text").read_text().strip()
+    return json.loads((meta_dir / f"v{version}.metadata.json").read_text())
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mor_table(spark, catalog, name="mor"):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"),
+        F.lit("old").alias("tag"),
+    )
+    table = catalog.create_table("db", name, df.schema)
+    table.append(df.filter("id < 50"))
+    table.append(df.filter("id >= 50"))
+    return table
+
+
+def test_v2_export_equality_deletes_roundtrip(spark, catalog):
+    from pyspark.sql import functions as F
+
+    table = _mor_table(spark, catalog)
+    src = spark.range(40, 60).select(F.col("id"), F.lit("u").alias("tag"))
+    table.merge_into(
+        spark, src, ["id"], when_matched_update={"tag": "s_tag"},
+        insert_not_matched=False, strategy="merge_on_read",
+    )
+    assert any(s.delete_keys_dir for s in table.snapshots)
+    export_to_iceberg(table)  # auto-upgrades to v2, no spark needed
+    doc = _metadata_doc(table)
+    assert doc["format-version"] == 2
+    assert doc["last-sequence-number"] == table.meta["last_sequence_number"]
+    assert "schema" not in doc and "partition-spec" not in doc  # v2 drops
+    assert [s["summary"]["operation"] for s in doc["snapshots"]] == [
+        "append", "append", "delete", "append",
+    ]
+    assert [s["sequence-number"] for s in doc["snapshots"]] == [1, 2, 3, 4]
+
+    got, _doc = read_iceberg_table(spark, table.location)
+    assert _rowset(got) == _rowset(table.to_df(spark))
+
+    # the delete manifest decodes via JVM Avro with spec v2 fields
+    mlist = read_avro_jvm(spark, doc["snapshots"][-1]["manifest-list"])
+    assert [m["content"] for m in mlist] == [0, 0, 1, 0]
+    assert [m["sequence_number"] for m in mlist] == [1, 2, 3, 4]
+    assert all("added_data_files_count" in m for m in mlist)
+    del_m = next(m for m in mlist if m["content"] == 1)
+    entries = read_avro_jvm(spark, del_m["manifest_path"])
+    id_fid = next(
+        f["id"]
+        for f in doc["schemas"][-1]["fields"]
+        if f["name"] == "id"
+    )
+    for e in entries:
+        assert e["sequence_number"] is None  # inherited from the list
+        assert e["data_file"]["content"] == 2  # EQUALITY_DELETES
+        assert e["data_file"]["equality_ids"] == [id_fid]
+
+
+def test_v2_export_position_deletes_roundtrip(spark, catalog):
+    table = _mor_table(spark, catalog, "morpos")
+    table.delete_where(spark, "grp = 3", strategy="merge_on_read")
+    # an append AFTER the delete must not be touched by the mask
+    from pyspark.sql import functions as F
+
+    table.append(
+        spark.range(100, 110).select(
+            F.col("id"), F.lit(3).alias("grp"), F.lit("new").alias("tag")
+        )
+    )
+    with pytest.raises(RuntimeError, match="spark"):
+        export_to_iceberg(table)  # position deletes need a session
+    export_to_iceberg(table, spark=spark)
+    doc = _metadata_doc(table)
+    assert doc["format-version"] == 2
+
+    got, _doc = read_iceberg_table(spark, table.location)
+    want = table.to_df(spark)
+    assert _rowset(got) == _rowset(want)
+    assert got.filter("id >= 100").count() == 10  # post-delete append
+
+    # the computed position-delete file: sorted (file_path, pos),
+    # applied rows match the predicate's row count in earlier snapshots
+    mlist = read_avro_jvm(spark, doc["snapshots"][-1]["manifest-list"])
+    del_m = next(m for m in mlist if m["content"] == 1)
+    entries = read_avro_jvm(spark, del_m["manifest_path"])
+    assert all(e["data_file"]["content"] == 1 for e in entries)
+    rows = spark.read.parquet(
+        *[e["data_file"]["file_path"] for e in entries]
+    ).collect()
+    assert len(rows) == 10  # grp=3 in the two pre-delete snapshots
+    tuples = [(r.file_path, r.pos) for r in rows]
+    assert tuples == sorted(tuples)
+
+
+def test_v2_export_combined_deletes_and_partitioned(spark, catalog):
+    """Predicate + equality deletes on a PARTITIONED table: the delete
+    manifests reference a synthesized unpartitioned spec and the
+    external reader still reproduces the engine scan exactly."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+        F.lit("old").alias("tag"),
+    )
+    spec = PartitionSpec(
+        (PartitionField("bucket", "identity", "bucket", 1000),)
+    )
+    table = catalog.create_table("db", "morpart", df.schema, spec)
+    table.append(df)
+    table.delete_where(spark, "id >= 90", strategy="merge_on_read")
+    src = spark.range(0, 10).select(F.col("id"), F.lit("u").alias("tag"))
+    table.merge_into(
+        spark, src, ["id"], when_matched_update={"tag": "s_tag"},
+        insert_not_matched=False, strategy="merge_on_read",
+    )
+    export_to_iceberg(table, spark=spark)
+    doc = _metadata_doc(table)
+    # the synthesized unpartitioned spec exists and delete manifests use it
+    unpart = [s for s in doc["partition-specs"] if not s["fields"]]
+    assert len(unpart) == 1
+    mlist = read_avro_jvm(spark, doc["snapshots"][-1]["manifest-list"])
+    for m in mlist:
+        if m["content"] == 1:
+            assert m["partition_spec_id"] == unpart[0]["spec-id"]
+    got, _doc = read_iceberg_table(spark, table.location)
+    assert _rowset(got) == _rowset(table.to_df(spark))
+    assert got.count() == 90
+
+
+def test_v2_export_clean_table_explicit(spark, catalog):
+    """format_version=2 on a table WITHOUT deletes: valid v2 layout,
+    no delete manifests, same rows."""
+    table = _orders_table(spark, catalog)
+    export_to_iceberg(table, format_version=2)
+    doc = _metadata_doc(table)
+    assert doc["format-version"] == 2
+    assert "last-sequence-number" in doc
+    mlist = read_avro_jvm(spark, doc["snapshots"][-1]["manifest-list"])
+    assert [m["content"] for m in mlist] == [0, 0]
+    got, _doc = read_iceberg_table(spark, table.location)
+    assert got.count() == 3

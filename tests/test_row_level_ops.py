@@ -177,7 +177,12 @@ def test_merge_on_read_delete_guards(spark, table):
         table.delete_where(spark, "no_such_col = 1", strategy="merge_on_read")
     s0 = table.snapshots[0]
     table.delete_where(spark, "grp = 1", strategy="merge_on_read")
-    with pytest.raises(RuntimeError, match="compact"):
+    # v1 export (no delete-file representation) still refuses; the
+    # default auto-upgrades to v2, which needs spark for the
+    # position-delete computation
+    with pytest.raises(RuntimeError, match="format_version=2"):
+        export_to_iceberg(table, format_version=1)
+    with pytest.raises(RuntimeError, match="spark"):
         export_to_iceberg(table)
     with pytest.raises(TableFormatError, match="compact"):
         table.stream_changes(spark, source="files")
@@ -495,8 +500,10 @@ def test_mor_merge_null_keys_never_match(spark, tmp_path):
 
 def test_mor_merge_guards_and_maintenance(spark, table):
     """Equality-delete entries get the full predicate-delete guard set:
-    export/stream/drop-column refuse; rollback to the mask half
-    refuses; compact folds; expire + orphan-removal know the key dirs."""
+    v1 export/stream/drop-column refuse; rollback to the mask half
+    refuses; compact folds; expire + orphan-removal know the key dirs.
+    (The DEFAULT export now succeeds as format v2 — test_iceberg_export
+    covers the round-trip.)"""
     from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
         export_to_iceberg,
     )
@@ -508,8 +515,10 @@ def test_mor_merge_guards_and_maintenance(spark, table):
     )
     del_snap = table.snapshots[-2]
     assert del_snap.delete_keys_dir
-    with pytest.raises(RuntimeError, match="compact"):
-        export_to_iceberg(table)
+    # v1 export still refuses (no delete files in v1); the default
+    # auto-upgrades to a v2 export with equality-delete manifests
+    with pytest.raises(RuntimeError, match="format_version=2"):
+        export_to_iceberg(table, format_version=1)
     with pytest.raises(TableFormatError, match="compact"):
         table.stream_changes(spark, source="files")
     with pytest.raises(TableFormatError, match="atomic pair|delete"):
