@@ -77,6 +77,31 @@ class FileIO(ABC):
         sorted."""
         raise NotImplementedError(type(self).__name__)
 
+    def to_options(self) -> "dict[str, str] | None":
+        """Serialize a RECONSTRUCTIBLE handle to this backend as plain
+        string options (the seam the log-driven streaming source
+        needs: its reader runs in a separate worker process and
+        re-reads the snapshot log every batch, so it must be able to
+        build an equivalent LIVE view of the metadata from options
+        alone — ``fileio_from_options`` is the inverse). Returns None
+        when the backend is process-local (in-memory fakes) and no
+        live handle can cross a process boundary."""
+        return None
+
+
+def fileio_from_options(options: "dict[str, str]") -> "FileIO":
+    """Inverse of ``FileIO.to_options``: rebuild a backend from plain
+    string options in ANOTHER process. Keys are lowercase (Spark
+    lowercases data-source option names). A cloud deployment adds its
+    backend here (e.g. ``{"io": "s3", ...}`` -> a boto3-backed FileIO);
+    the dispatch table is the one extension point."""
+    kind = options.get("io", "local")
+    if kind == "local":
+        return LocalFileIO()
+    if kind == "object_store_dir":
+        return ObjectStoreFileIO(DirectoryObjectStore(options["ioroot"]))
+    raise ValueError(f"unknown FileIO backend {kind!r}")
+
 
 class LocalFileIO(FileIO):
     """POSIX filesystem backend (the in-container default)."""
@@ -136,6 +161,9 @@ class LocalFileIO(FileIO):
                     os.path.relpath(os.path.join(dirpath, f), path)
                 )
         return sorted(out)
+
+    def to_options(self) -> dict[str, str]:
+        return {"io": "local"}
 
 
 class InMemoryFileIO(FileIO):
@@ -244,6 +272,60 @@ class FakeObjectStore:
         return sorted(k for k in self._objects if k.startswith(prefix))
 
 
+class DirectoryObjectStore:
+    """File-backed object store: the PROCESS-SHAREABLE sibling of
+    FakeObjectStore, exposing the same strict client surface
+    (put/get/delete/list by key — no rename, no append, no partial
+    writes AT THE INTERFACE). Objects live as files under a root
+    directory, so another process — e.g. the log-driven streaming
+    source's Python worker — opens a live view of the same store from
+    the root path alone. PUT atomicity is implemented internally with
+    a temp file + rename, the local stand-in for S3's internally
+    atomic PUT; that is this stand-in's implementation detail, not a
+    protocol dependency of the table format (the FileIO layer above
+    never calls rename — the constraint the object-store backend
+    exists to enforce)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = str(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def put_object(self, key: str, data: bytes) -> None:
+        p = self._path(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.inflight.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(bytes(data))
+        os.replace(tmp, p)  # readers see the old object or the new one
+
+    def get_object(self, key: str) -> bytes:
+        with open(self._path(key), "rb") as f:  # FileNotFoundError
+            return f.read()
+
+    def delete_object(self, key: str) -> None:
+        try:
+            os.remove(self._path(key))
+        except (FileNotFoundError, IsADirectoryError):
+            # idempotent, as in S3 — and a bare prefix is not an
+            # object (directories are implementation residue here;
+            # list_objects only ever reports files)
+            pass
+
+    def list_objects(self, prefix: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            for f in files:
+                if ".inflight." in f:
+                    continue  # a concurrent PUT is not yet an object
+                key = os.path.relpath(os.path.join(dirpath, f), self.root)
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)
+
+
 class ObjectStoreFileIO(FileIO):
     """FileIO over a raw object-store client — every method is built
     strictly from put/get/delete/list (the S3 constraint set).
@@ -253,8 +335,15 @@ class ObjectStoreFileIO(FileIO):
 
     SEP = "/"
 
-    def __init__(self, store: FakeObjectStore | None = None) -> None:
+    def __init__(
+        self, store: "FakeObjectStore | DirectoryObjectStore | None" = None
+    ) -> None:
         self.store = store or FakeObjectStore()
+
+    def to_options(self) -> dict[str, str] | None:
+        if isinstance(self.store, DirectoryObjectStore):
+            return {"io": "object_store_dir", "ioroot": self.store.root}
+        return None  # in-memory store: not process-shareable
 
     def _key(self, path: str) -> str:
         # normalize OS separators to object keys; strip leading slashes

@@ -42,10 +42,14 @@ way Iceberg's own streaming read walks its snapshot log:
   ``latestOffset()`` has no start argument — a guessed position
   could land behind a clean-shutdown checkpoint and duplicate rows.
 
-Requires table metadata on the local filesystem (the reader runs in
-its own worker process and re-reads the log each batch; a
-non-filesystem metadata backend can't be shared with it —
-``stream_changes`` raises before starting in that case and points at
+The reader runs in its own worker process and re-reads the snapshot
+log each batch, so the table's metadata backend must be
+RECONSTRUCTIBLE there: ``stream_changes`` serializes
+``FileIO.to_options()`` into the data-source options and this module
+rebuilds a live backend via ``fileio_from_options`` — local
+filesystems and ``DirectoryObjectStore``-backed object stores stream
+alike. Only process-local in-memory fakes cannot (``to_options``
+returns None; ``stream_changes`` raises before starting and points at
 ``source="files"``).
 
 Usage::
@@ -137,12 +141,22 @@ class _LakeLogPlanner:
     snapshot granted as a fresh stream's base load)."""
 
     location: str
+    # reconstructible metadata-backend handle (fileio.FileIO.to_options
+    # serialized into the data-source options by stream_changes): this
+    # planner runs in its own worker process, so the backend must be
+    # rebuilt here, not shared — {} means the local filesystem
+    io_options: dict
+
+    def _io(self):
+        from ..fileio import fileio_from_options  # noqa: PLC0415
+
+        return fileio_from_options(getattr(self, "io_options", {}) or {})
 
     def _snapshots(self):
         """Committed snapshots, live + history, in commit order."""
         from ..table_format import LakeTable  # noqa: PLC0415
 
-        return LakeTable.load(self.location).all_snapshots()
+        return LakeTable.load(self.location, io=self._io()).all_snapshots()
 
     def _files_of(self, s) -> list[str]:
         """A snapshot's parquet files in a STABLE order (offsets index
@@ -317,9 +331,15 @@ class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
     delivery after a clean-shutdown restart; capped streams use
     ``LakeSimpleStreamReader`` instead."""
 
-    def __init__(self, location: str, schema: T.StructType):
+    def __init__(
+        self,
+        location: str,
+        schema: T.StructType,
+        io_options: dict | None = None,
+    ):
         self.location = location
         self.schema = schema
+        self.io_options = io_options or {}
 
     def initialOffset(self) -> dict:
         return self._initial_offset()
@@ -353,11 +373,16 @@ class LakeSimpleStreamReader(_LakeLogPlanner, SimpleDataSourceStreamReader):
     cap unset and get the distributed reader."""
 
     def __init__(
-        self, location: str, schema: T.StructType, max_files: int
+        self,
+        location: str,
+        schema: T.StructType,
+        max_files: int,
+        io_options: dict | None = None,
     ):
         self.location = location
         self.schema = schema
         self.max_files = int(max_files)
+        self.io_options = io_options or {}
 
     def initialOffset(self) -> dict:
         return self._initial_offset()
@@ -394,10 +419,23 @@ class LakeStreamDataSource(DataSource):
     def name(cls) -> str:
         return SOURCE_NAME
 
+    def _io_options(self) -> dict:
+        # pass-through of the serialized FileIO handle (option names
+        # arrive lowercased from Spark)
+        return {
+            k: self.options[k]
+            for k in ("io", "ioroot")
+            if k in self.options
+        }
+
     def schema(self) -> T.StructType:
+        from ..fileio import fileio_from_options  # noqa: PLC0415
         from ..table_format import LakeTable  # noqa: PLC0415
 
-        table = LakeTable.load(self.options["path"])
+        table = LakeTable.load(
+            self.options["path"],
+            io=fileio_from_options(self._io_options()),
+        )
         return T.StructType(list(table.schema.fields) + _META_FIELDS)
 
     def _cap(self) -> int:
@@ -412,13 +450,15 @@ class LakeStreamDataSource(DataSource):
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "capped streamReader"},
             )
-        return LakeStreamReader(self.options["path"], schema)
+        return LakeStreamReader(
+            self.options["path"], schema, self._io_options()
+        )
 
     def simpleStreamReader(
         self, schema: T.StructType
     ) -> LakeSimpleStreamReader:
         return LakeSimpleStreamReader(
-            self.options["path"], schema, self._cap()
+            self.options["path"], schema, self._cap(), self._io_options()
         )
 
 

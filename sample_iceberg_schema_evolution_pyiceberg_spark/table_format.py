@@ -1373,16 +1373,23 @@ class LakeTable:
                     "append-only streaming representation — compact() "
                     "first to fold them into data"
                 )
-            if not isinstance(self.io, LocalFileIO):
-                # the reader runs in its own worker process and re-reads
-                # the snapshot log each batch; a non-filesystem metadata
-                # backend (e.g. the in-memory object-store model) can't
-                # be shared with it
+            # the reader runs in its own worker process and re-reads
+            # the snapshot log each batch: it needs a RECONSTRUCTIBLE
+            # handle to this table's metadata backend, serialized into
+            # the data-source options (FileIO.to_options / the
+            # fileio_from_options inverse). Store-backed lakes stream
+            # exactly like local ones; only process-local in-memory
+            # fakes cannot.
+            io_opts = self.io.to_options()
+            if io_opts is None:
                 raise TableFormatError(
-                    "log-driven streaming needs filesystem-reachable "
-                    "table metadata; this table's metadata backend is "
-                    f"{type(self.io).__name__} — use "
-                    "stream_changes(spark, source='files')"
+                    "log-driven streaming needs a process-shareable "
+                    "metadata backend (FileIO.to_options returned "
+                    f"None for {type(self.io).__name__}; in-memory "
+                    "stores live only in this process) — use a "
+                    "DirectoryObjectStore-backed ObjectStoreFileIO, "
+                    "LocalFileIO, or stream_changes(spark, "
+                    "source='files')"
                 )
             from .streaming.lake_source import (  # noqa: PLC0415
                 SOURCE_NAME,
@@ -1393,6 +1400,8 @@ class LakeTable:
             reader = spark.readStream.format(SOURCE_NAME).option(
                 "path", str(self.location)
             )
+            for k, v in io_opts.items():
+                reader = reader.option(k, v)
             if max_files_per_trigger:
                 # bound each micro-batch's file count (backfill /
                 # catch-up admission control; see lake_source.py)

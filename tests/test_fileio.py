@@ -11,11 +11,13 @@ import pytest
 from pyspark.sql import types as T
 
 from sample_iceberg_schema_evolution_pyiceberg_spark.fileio import (
+    DirectoryObjectStore,
     FakeObjectStore,
     InMemoryFileIO,
     LocalFileIO,
     ObjectStoreFileIO,
     download_dir,
+    fileio_from_options,
     upload_dir,
 )
 from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
@@ -35,7 +37,7 @@ SCHEMA = T.StructType(
 )
 
 
-@pytest.fixture(params=["local", "memory", "objectstore"])
+@pytest.fixture(params=["local", "memory", "objectstore", "dirstore"])
 def catalog(request, tmp_path):
     if request.param == "local":
         return LakeCatalog(tmp_path / "wh", io=LocalFileIO())
@@ -43,6 +45,13 @@ def catalog(request, tmp_path):
     # on disk afterwards (asserted below)
     if request.param == "memory":
         return LakeCatalog(tmp_path / "mem_wh", io=InMemoryFileIO())
+    if request.param == "dirstore":
+        # file-backed store: objects live under store_root/<key>, the
+        # warehouse path itself must still never materialize on disk
+        return LakeCatalog(
+            tmp_path / "mem_wh",
+            io=ObjectStoreFileIO(DirectoryObjectStore(tmp_path / "store")),
+        )
     return LakeCatalog(tmp_path / "mem_wh", io=ObjectStoreFileIO())
 
 
@@ -302,3 +311,39 @@ def test_maintenance_ops_over_object_store_data_plane(spark, tmp_path):
     assert io.exists(
         str(table.location / table.snapshots[0].data_dir).lstrip("/")
     )
+
+
+# -- round 7: process-shareable backend serialization ----------------------
+
+
+def test_fileio_options_roundtrip(tmp_path):
+    """to_options/from_options: local and directory-store backends
+    reconstruct to a LIVE equivalent view; in-memory fakes say None."""
+    local = LocalFileIO()
+    assert fileio_from_options(local.to_options()).__class__ is LocalFileIO
+
+    store_io = ObjectStoreFileIO(DirectoryObjectStore(tmp_path / "st"))
+    store_io.write_text(str(tmp_path / "wh" / "hint.txt"), "7")
+    opts = store_io.to_options()
+    assert opts == {"io": "object_store_dir", "ioroot": str(tmp_path / "st")}
+    rebuilt = fileio_from_options(opts)
+    # live view, not a snapshot: a write AFTER reconstruction is seen
+    assert rebuilt.read_text(str(tmp_path / "wh" / "hint.txt")) == "7"
+    store_io.write_text(str(tmp_path / "wh" / "hint.txt"), "8")
+    assert rebuilt.read_text(str(tmp_path / "wh" / "hint.txt")) == "8"
+
+    assert InMemoryFileIO().to_options() is None
+    assert ObjectStoreFileIO().to_options() is None  # FakeObjectStore
+    with pytest.raises(ValueError):
+        fileio_from_options({"io": "martian"})
+
+
+def test_directory_store_hides_inflight_puts(tmp_path):
+    """A half-written object must never be listed or readable — the
+    atomic-PUT guarantee the metadata protocol depends on."""
+    store = DirectoryObjectStore(tmp_path / "st")
+    store.put_object("a/b.txt", b"x")
+    # simulate a concurrent in-flight PUT
+    (tmp_path / "st" / "a" / "c.txt.inflight.123.deadbeef").write_bytes(b"y")
+    assert store.list_objects("a") == ["a/b.txt"]
+    store.delete_object("a/missing")  # idempotent

@@ -581,3 +581,139 @@ def test_lake_stream_reader_offset_arithmetic(tmp_path, spark):
     rd = LakeStreamReader(str(table.location), stream_schema)
     assert len(rd.partitions(end1, end2)) == 2
     assert len(rd.partitions({"seq": 1}, {"seq": 2})) == 1
+
+
+def test_lake_stream_over_object_store_metadata(spark, tmp_path):
+    """A store-backed lake (metadata behind ObjectStoreFileIO on a
+    DirectoryObjectStore) streams through the log-driven source: the
+    reader worker reconstructs the backend from the serialized
+    options and sees appends committed AFTER the stream started —
+    the append -> stream -> append -> stream round trip."""
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.fileio import (
+        DirectoryObjectStore,
+        ObjectStoreFileIO,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    io = ObjectStoreFileIO(DirectoryObjectStore(tmp_path / "store"))
+    df = spark.range(0, 30).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh", io=io).create_table(
+        "stream", "os_src", df.schema
+    )
+    table.append(df.filter("id < 10"))
+    q = (
+        table.stream_changes(spark)
+        .writeStream.format("memory")
+        .queryName("os_src_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("os_src_sink").count() == 10
+        table.append(df.filter("id >= 10 AND id < 20"))
+        q.processAllAvailable()
+        assert spark.table("os_src_sink").count() == 20
+        table.append(df.filter("id >= 20"))
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table("os_src_sink").collect())
+        assert got == list(range(30))  # lossless, duplicate-free
+    finally:
+        q.stop()
+
+
+def test_lake_stream_refuses_process_local_metadata(spark, tmp_path):
+    """An in-memory metadata backend cannot cross into the reader
+    worker — stream_changes must refuse up front, pointing at the
+    alternatives."""
+    import pytest
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.fileio import (
+        InMemoryFileIO,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    df = spark.range(0, 5).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "mem_wh", io=InMemoryFileIO()).create_table(
+        "stream", "mem_src", df.schema
+    )
+    with pytest.raises(TableFormatError, match="process-shareable"):
+        table.stream_changes(spark)
+
+
+def test_lake_stream_capped_nested_struct_evolution_aligns(spark, tmp_path):
+    """The ADMISSION-CONTROLLED (maxFilesPerTrigger -> simple reader)
+    path must align nested-struct evolution exactly like the
+    distributed reader: its Arrow-to-rows conversion runs per file, so
+    history written before a nested add-field streams with the new
+    field null-filled. Mirrors
+    test_lake_stream_nested_struct_evolution_aligns with a cap."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 8).select(
+        F.col("id"),
+        F.struct(F.col("id").cast("int").alias("a")).alias("s"),
+    )
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "nsc", df.schema)
+    table.append(df.coalesce(1))
+    evolved = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ])),
+    ])
+    table.commit_schema(evolved)
+    table.append(
+        spark.range(8, 12).select(
+            F.col("id"),
+            F.struct(
+                F.col("id").cast("int").alias("a"),
+                F.lit("new").alias("b"),
+            ).alias("s"),
+        ).coalesce(1)
+    )
+    batches: list[int] = []
+
+    def sink(batch_df, _bid):
+        batches.append(batch_df.count())
+
+    q = (
+        table.stream_changes(spark, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [n for n in batches if n] == [8, 4]  # one file per batch
+    # correctness of the aligned rows: replay through a memory sink
+    q2 = (
+        table.stream_changes(spark, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("nsc_sink")
+        .option("checkpointLocation", str(tmp_path / "chk2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        out = spark.table("nsc_sink")
+        assert out.count() == 12
+        assert out.filter("s.b IS NULL").count() == 8   # pre-evolution
+        assert out.filter("s.b = 'new'").count() == 4
+        assert out.filter("s.a IS NOT NULL").count() == 12
+    finally:
+        q2.stop()
