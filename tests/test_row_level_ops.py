@@ -723,3 +723,70 @@ def test_equality_delete_broadcast_is_size_gated(spark, table, monkeypatch):
     monkeypatch.setattr(tf, "_BROADCAST_KEYFILE_MAX_BYTES", 0)
     got = {r.id for r in table.to_df(spark).select("id").collect()}
     assert got == expected == set(range(10, 100))
+
+
+def test_mor_scan_plan_width_many_uncompacted_snapshots(spark, tmp_path):
+    """The scan builds one DataFrame arm per data snapshot and applies
+    every LATER delete mask per arm — driver-side plan size is
+    O(#data-snapshots x #delete-entries since the last compaction).
+    ~50 un-compacted merge-on-read snapshots (25 append + 24 predicate
+    deletes + 1 equality mask pair) must still plan, answer exactly,
+    and fold flat under compact(). The documented contract is
+    compaction cadence bounds plan width (SCALE.md), same as Iceberg's
+    rewrite_data_files; this test pins the 50-snapshot point of that
+    bound."""
+    from pyspark.sql import functions as F
+
+    cat = LakeCatalog(tmp_path / "wh")
+    df0 = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"),
+        F.lit("w0").alias("tag"),
+    )
+    table = cat.create_table("db", "wide", df0.schema)
+    table.append(df0.coalesce(1))
+    # waves 1..24: append 20 rows, then predicate-delete one grp slice
+    # of everything EARLIER (three-valued logic exercised via the tag)
+    for w in range(1, 25):
+        table.append(
+            spark.range(w * 20, (w + 1) * 20).select(
+                F.col("id"), (F.col("id") % 5).alias("grp"),
+                F.lit(f"w{w}").alias("tag"),
+            ).coalesce(1)
+        )
+        table.delete_where(
+            spark, f"grp = {w % 5} AND tag = 'w{w - 1}'",
+            strategy="merge_on_read",
+        )
+    # one equality-delete pair on top
+    table.merge_into(
+        spark,
+        spark.range(0, 10).select(F.col("id"), F.lit("m").alias("tag")),
+        ["id"],
+        when_matched_update={"tag": "s_tag"},
+        insert_not_matched=False,
+        strategy="merge_on_read",
+    )
+    n_snaps = len(table.snapshots)
+    assert n_snaps >= 50, n_snaps
+    # oracle: replay the same waves in plain DataFrame land
+    state = df0
+    for w in range(1, 25):
+        nxt = spark.range(w * 20, (w + 1) * 20).select(
+            F.col("id"), (F.col("id") % 5).alias("grp"),
+            F.lit(f"w{w}").alias("tag"),
+        )
+        state = state.filter(
+            f"NOT coalesce(grp = {w % 5} AND tag = 'w{w - 1}', false)"
+        ).unionByName(nxt)
+    state = state.withColumn(
+        "tag", F.when(F.col("id") < 10, F.lit("m")).otherwise(F.col("tag"))
+    )
+    want = sorted(tuple(r) for r in state.collect())
+    got = sorted(tuple(r) for r in table.to_df(spark).collect())
+    assert got == want
+    # compact() folds all 25 masks; the answer is invariant and the
+    # live set is one snapshot again
+    table.compact(spark)
+    assert len(table.snapshots) == 1
+    got2 = sorted(tuple(r) for r in table.to_df(spark).collect())
+    assert got2 == want
