@@ -36,71 +36,64 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # Round 6, tier 1: queries whose code paths changed this round.
-    # Row-level DML semantics changed (null-safe predicates, equality-
-    # delete key files, merge_into refactor), the scan applies the new
-    # masks, expire/rollback/orphan learned key dirs, the dedup
-    # signature family switched to the md5-portable hash and LSH
-    # banding moved to 16x2 — every query touching those paths leads.
-    "a17_merge_on_read_merge",  # NEW in r6 (equality-delete MERGE)
-    "a16_merge_on_read_delete",  # predicate storage now null-safe
-    "a11_sql_dml_episode", "a09_sql_ddl_episode",  # ddl.py changed
-    "a15_sql_rollback_episode",  # expire policy + rollback guards
-    "a06_delete_update_where",  # DELETE/UPDATE semantics changed
-    "a05_merge_upsert",  # merge_into refactored (clause_flags)
-    "a03_lake_roundtrip", "a07_time_travel",  # scan path changed
-    "a08_compaction_invariance",  # compact folds the new masks
-    "s09_stream_lake_source",  # lake_source legacy-offset fix
-    "c02b_minhash_signatures",  # UPGRADED r6: rows-only -> hash (md5)
-    "c03_dedup_simhash",  # UPGRADED r6: rows-only -> hash (md5, 60-bit)
-    "c02_dedup_minhash_lsh",  # hash + banding changed (behavioral)
-    "b37b_deterministic_sample",  # NEW in r6 (reproducible sampling)
-    "c19_sequence_packing",  # NEW in r6 (LLM batch construction)
-    "c20_weighted_mixture",  # NEW in r6 (deterministic data mixing)
-    "c21_dedup_keeper_selection",  # NEW in r6 (cluster keeper policy)
-    "c22_chunk_overlap",  # NEW in r6 (context-window chunking)
-    # Tier 2: stale hash-gated evidence (r1 and r3 — the rows the
-    # gate exists for; must not age past 2 rounds)
-    "b59_map_hof", "b61_null_safe_join",
-    "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
-    "b45_lake_overwrite_sink", "b57_string_agg",
-    # Tier 3: r4-evidence hash-gated refresh (2 rounds old at r6)
-    "a01_evolution_episode", "a02_partition_transforms",
-    "a04_schema_diff_report",
-    "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
-    "b20_window_running_frame", "b33_json_funcs", "b35_cast_promotion",
-    "b42_udtf_explode",
-    # (b46-b49 subquery SQL rotate out this round to make room for the
-    # four new r6 operators above — their r4 hash evidence stays within
-    # the 2-round policy; first in line for r7 alongside c14-c18/s0x)
-    "b52_grouping_sets", "b54_sessionize_batch", "b55_pivot",
-    "b56_unpivot", "b58_grouped_map_pandas",
-    "c01_dedup_exact", "c04_dedup_ngram_jaccard", "c05_cosine_topk_brute",
-    "c06b_knn_join_sampled", "c07_text_langid", "c08_text_quality",
-    "c10_text_fingerprint", "c11_multimodal_binary_meta",
-    "c12_multimodal_decode_features", "c13_dedup_embedding_cosine",
-    # --- driver window boundary (50) ---
-    # Window policy (VERDICT r5 item 1): the first 50 slots hold ONLY
-    # oracle-bearing queries, so CORRECTNESS_r06 is 50/50 hash rows
-    # with no err entries. The by-design rows-only band (b37/b38/b60
-    # sketches+RNG, c06/c06c/c13b random-hyperplane LSH / centroid
-    # matmul, s05/s06 streaming semantics, c06d trained IVF) sits
-    # directly below: their no_oracle driver rows prove little beyond
-    # row counts — their correctness evidence is the pytest
-    # recall/agreement/property suite. Three former members of that
-    # band (c02, c02b, c03) were made hash-gated this round by moving
-    # the signature family to the md5-portable hash; c14-c18 and
-    # s01-s03/s08 (r4 evidence) lead the r7 refresh.
+    # Round 7, tier 1: queries whose code paths changed this round.
+    # The exporter grew Iceberg v2 delete-file manifests (a18 NEW, a10
+    # shares the refactored writer), _merge_on_read was rebuilt
+    # (source materialization, written-key semi-join, no-op skip,
+    # broadcast size gate), the scan's equality-mask broadcast is now
+    # size-gated, files_df serves from commit-time manifests, and the
+    # streaming source gained the FileIO-options seam.
+    "a18_merge_on_read_export",  # NEW in r7 (Iceberg v2 export)
+    "a17_merge_on_read_merge",  # _merge_on_read rebuilt
+    "a16_merge_on_read_delete",  # scan broadcast gate
+    "a08_compaction_invariance",  # compact over the new mask path
+    "a14_metadata_tables",  # files_df now manifest-backed (r5 ev.)
+    "a10_iceberg_export_roundtrip",  # exporter refactor (r5 ev.)
+    "s09_stream_lake_source",  # io-options seam in lake_source
+    # Tier 2: r4-evidence refresh — exactly the band VERDICT r6 item 2
+    # queued (judge re-verified them green in r6; this puts fresh
+    # driver-window evidence on record)
     "c14_multimodal_frame_sample", "c15_tfidf_top_terms",
     "c16_salted_hot_key_agg", "c17_corpus_prep_pipeline",
     "c18_dedup_cluster_resolution",
     "s01_stream_tumbling_window", "s02_stream_sliding_window",
     "s03_stream_dedup", "s08_stream_lake_sink",
+    "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
+    "b48_in_subquery_sql", "b49_cte_sql",
+    # Tier 3: r5-evidence refresh (2 rounds old at r7 — the policy
+    # edge; rotating 30 of the 42 now, the remaining 12 lead r8:
+    # b34, b36, b39, b40, b41, b50, b51, b53, b62, c09, s04, s07)
+    "a12_sql_merge_conditional", "a13_incremental_read",
+    "b01_scan_projection", "b02_filter_predicates",
+    "b03_join_inner_3way", "b04_join_left_outer",
+    "b05_join_right_outer", "b06_join_full_outer",
+    "b07_join_left_semi", "b08_join_left_anti", "b09_join_cross",
+    "b12_agg_pricing_summary", "b13_agg_count_distinct",
+    "b14_agg_rollup", "b15_agg_cube", "b17_agg_minmax_stats",
+    "b18_window_ranking", "b19_window_lag_lead", "b21_topk",
+    "b22_sort_nulls", "b23_union_all", "b24_union_distinct",
+    "b25_intersect", "b26_except", "b27_string_funcs",
+    "b28_date_funcs", "b29_math_funcs", "b30_conditional_null",
+    "b31_array_funcs", "b32_map_struct_funcs",
+    # --- driver window boundary (50) ---
+    # Window policy (standing): the first 50 slots hold ONLY
+    # oracle-bearing queries, so the driver record is 50/50 hash rows
+    # with no err entries. Everything below either has r6-window
+    # evidence (1 round old — rotates r8/r9) or is by-design
+    # rows-only (b37/b38/b60 sketches+RNG, c06/c06c/c13b LSH/matmul,
+    # s05/s06 streaming semantics, c06d trained IVF), whose
+    # correctness evidence is the pytest recall/agreement/property
+    # suite, deliberately OUTSIDE the hash window (VERDICT r6 item 7).
+    "b34_from_json_schema", "b36_dedup_keep_first", "b39_python_udf",
+    "b40_pandas_udf", "b41_grouped_agg_pandas_udf", "b50_python_udtf",
+    "b51_window_first_last", "b53_percentile_median", "b62_asof_join",
+    "c09_token_count", "s04_stream_session_window",
+    "s07_stream_stream_join",
     "b37_sample", "b38_approx_count_distinct", "b60_approx_percentile",
     "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
     "s05_stream_late_data_drop", "s06_stream_stateful_counter",
     "c06d_ann_ivf_trained_topk",
-    # Everything unlisted (r4/r5-green) keeps registration order.
+    # Everything unlisted (r6-green) keeps registration order.
 ]
 
 # (b37/b38/b60 moved into _PRIORITY's r1 band this round — the tail
