@@ -44,6 +44,8 @@ _PRIORITY = [
     # size-gated, files_df serves from commit-time manifests, and the
     # streaming source gained the FileIO-options seam.
     "a18_merge_on_read_export",  # NEW in r7 (Iceberg v2 export)
+    "c23_decontamination",  # NEW in r7 (benchmark overlap filter)
+    "c24_pii_scrub",  # NEW in r7 (email/IPv4 redaction)
     "a17_merge_on_read_merge",  # _merge_on_read rebuilt
     "a16_merge_on_read_delete",  # scan broadcast gate
     "a08_compaction_invariance",  # compact over the new mask path
@@ -61,8 +63,9 @@ _PRIORITY = [
     "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
     "b48_in_subquery_sql", "b49_cte_sql",
     # Tier 3: r5-evidence refresh (2 rounds old at r7 — the policy
-    # edge; rotating 30 of the 42 now, the remaining 12 lead r8:
-    # b34, b36, b39, b40, b41, b50, b51, b53, b62, c09, s04, s07)
+    # edge; rotating 28 of the 42 now, the remaining 14 lead r8:
+    # b31, b32, b34, b36, b39, b40, b41, b50, b51, b53, b62, c09,
+    # s04, s07)
     "a12_sql_merge_conditional", "a13_incremental_read",
     "b01_scan_projection", "b02_filter_predicates",
     "b03_join_inner_3way", "b04_join_left_outer",
@@ -74,7 +77,6 @@ _PRIORITY = [
     "b22_sort_nulls", "b23_union_all", "b24_union_distinct",
     "b25_intersect", "b26_except", "b27_string_funcs",
     "b28_date_funcs", "b29_math_funcs", "b30_conditional_null",
-    "b31_array_funcs", "b32_map_struct_funcs",
     # --- driver window boundary (50) ---
     # Window policy (standing): the first 50 slots hold ONLY
     # oracle-bearing queries, so the driver record is 50/50 hash rows
@@ -84,6 +86,7 @@ _PRIORITY = [
     # s05/s06 streaming semantics, c06d trained IVF), whose
     # correctness evidence is the pytest recall/agreement/property
     # suite, deliberately OUTSIDE the hash window (VERDICT r6 item 7).
+    "b31_array_funcs", "b32_map_struct_funcs",
     "b34_from_json_schema", "b36_dedup_keep_first", "b39_python_udf",
     "b40_pandas_udf", "b41_grouped_agg_pandas_udf", "b50_python_udtf",
     "b51_window_first_last", "b53_percentile_median", "b62_asof_join",

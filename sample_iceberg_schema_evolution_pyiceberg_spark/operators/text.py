@@ -482,3 +482,191 @@ def c19_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     return d.groupBy("shard").applyInPandas(
         pack, "shard bigint, doc_id bigint, n_tokens bigint, pack_id bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round 7): flag training documents sharing
+# any word n-gram with a held-out benchmark set — the standard overlap
+# filter every LLM training pipeline runs before training (13-gram
+# variants in public model reports; n parameterized here).
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame, bench: DataFrame, n: int = 3
+) -> DataFrame:
+    """Per-training-doc contamination flags against a benchmark corpus.
+
+    ``docs`` / ``bench``: (doc_id, text). Returns (doc_id, n_shared,
+    contaminated) — n_shared = distinct n-grams also present anywhere
+    in the benchmark set.
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (eval sets are tiny next to a 100 TB corpus), so its distinct-gram
+    set broadcasts and the corpus is touched in ONE scan + one
+    broadcast-hash semi pass; the only shuffle is the per-doc count
+    aggregation (|docs| rows of (id, long)). No corpus-vs-corpus join
+    ever forms.
+    """
+    from ..functions import word_ngrams  # noqa: PLC0415
+
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(word_ngrams(words("text"), n)).alias("gram"),
+        )
+
+    bench_grams = grams(bench).select("gram").distinct()
+    hits = (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("n_shared"),
+            F.when(F.coalesce(F.col("n_shared"), F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "c23_decontamination",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in RANGE(1, GREATEST(LEN(ws) - 1, 1))])) AS gram
+      FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents)
+      WHERE LEN(ws) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 20 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN COALESCE(h.n_shared, 0) > 0 THEN 1 ELSE 0 END
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def c23_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate wiring for ``decontaminate``: every 20th document plays
+    the held-out benchmark, the rest are the training corpus; word
+    3-grams shared with any benchmark doc flag contamination. The
+    oracle replays gram generation + the overlap join relationally
+    (same tokenizer as the c04 family). Planted-overlap recall is
+    additionally pytest-checked (tests/test_llm_pipeline.py)."""
+    d = t(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = d.filter(F.col("doc_id") % 20 != 0).repartition(par, "doc_id")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 7): redact emails / IPv4 addresses — the
+# compliance pass a training-data pipeline runs before tokenization.
+# Patterns are RE2-safe (no backreferences or lookaround) so Spark's
+# Java regex and the DuckDB oracle's RE2 agree symbol-for-symbol.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, scrubbed) — counts of redacted spans
+    plus the redacted text (emails -> <EMAIL>, IPv4 -> <IP>). Pure
+    codegen regex kernels: one scan, zero shuffles, no Python in the
+    row path — the shape a 100 TB compliance pass needs."""
+    c = F.col(text_col)
+    # Column-form patterns, NOT F.expr SQL literals: Spark SQL string
+    # literals eat backslashes ('\b' -> backspace), Column lits don't
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))
+        ).cast("long").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0))
+        ).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ).alias("scrubbed"),
+    )
+
+
+@query(
+    "c24_pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 13) % 256 AS VARCHAR) || ' ok'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS BIGINT) AS n_ips,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g')) AS scrub_md5
+    FROM aug
+    """,
+)
+def c24_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate wiring for ``scrub_pii``: every 7th document gets a
+    deterministic planted email + IPv4 suffix (so the redaction is
+    exercised on known spans, not just on whatever the synthetic text
+    happens to contain), then both engines scrub with the identical
+    RE2-safe patterns and hash the redacted text. n_emails/n_ips
+    count the extracted spans BEFORE redaction."""
+    d = t(spark, sf, "documents")
+    k = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        k.cast("string"),
+        F.lit("@example.com from 10."),
+        (k % 256).cast("string"),
+        F.lit("."),
+        ((k * 7) % 256).cast("string"),
+        F.lit("."),
+        ((k * 13) % 256).cast("string"),
+        F.lit(" ok"),
+    )
+    aug = d.select(
+        "doc_id",
+        F.when(k % 7 == 0, planted).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_pii(aug).select(
+        "doc_id", "n_emails", "n_ips",
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+    )

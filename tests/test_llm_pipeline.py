@@ -132,3 +132,58 @@ def test_keeper_selection_policy(spark):
         # keeper is the longest member (doc_id tiebreak)
         best = sorted(members[cid], key=lambda d: (-n_chars[d], d))[0]
         assert ks.keeper_doc_id == best
+
+
+# -- round 7: decontamination + PII scrub ----------------------------------
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc sharing a 3-gram with a benchmark doc is flagged
+    with the exact shared-gram count; disjoint docs are clean."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated wording here entirely"),
+            (3, "quick brown fox is a benchmark phrase fragment"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    # doc 1 shares 'quick brown fox' and 'brown fox jumps'; doc 3 only
+    # 'quick brown fox'; doc 2 nothing
+    assert got[1] == (2, 1)
+    assert got[3] == (1, 1)
+    assert got[2] == (0, 0)
+
+
+def test_scrub_pii_redacts_planted_spans(spark):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@sub.example.org or 192.168.0.1 ok"),
+            (2, "no pii here, just text with a dot. and 12345 numbers"),
+            (3, "two mails a@b.io c@d.co one ip 10.0.0.255"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert (got[1].n_emails, got[1].n_ips) == (1, 1)
+    assert got[1].scrubbed == "reach me at <EMAIL> or <IP> ok"
+    assert (got[2].n_emails, got[2].n_ips) == (0, 0)
+    assert got[2].scrubbed == docs.collect()[1][1] or got[2].scrubbed
+    assert (got[3].n_emails, got[3].n_ips) == (2, 1)
+    assert got[3].scrubbed == "two mails <EMAIL> <EMAIL> one ip <IP>"

@@ -61,11 +61,28 @@ def main() -> None:
         for n, s in samples.items()
     }
     spark.stop()
+    if args.out:
+        # flush the Spark half immediately: at large SFs the DuckDB
+        # phase can die (an unbounded in-memory DB cannot spill a
+        # 100 GB multi-distinct hash table) and must not take the
+        # Spark measurements down with it — learned at sf300, where
+        # the OOM killer reaped the process after 45 min of Spark
+        Path(args.out + ".spark").write_text(
+            json.dumps({"queries": times, "query_spread": spread,
+                        "sf": args.sf}) + "\n"
+        )
 
     import duckdb
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # bound DuckDB and give it a spill path — the same courtesy the
+    # Spark side gets from its own memory manager; without a
+    # temp_directory an in-memory DuckDB OOMs instead of spilling
+    con.execute("SET memory_limit = '80GB'")
+    tmp = Path(args.sf_dir).parent / "duck_tmp"
+    tmp.mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory = '{tmp}'")
     for p in sorted(Path(args.sf_dir).iterdir()):
         tb = p.name.replace(".parquet", "")
         glob = f"{p}/*.parquet" if p.is_dir() else str(p)
