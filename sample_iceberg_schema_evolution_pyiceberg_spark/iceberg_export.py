@@ -1025,13 +1025,19 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
     raise ValueError(f"unknown iceberg type {t!r}")
 
 
-def read_iceberg_table(spark, location: str | Path):
+def read_iceberg_table(spark, location: str | Path, snapshot_id=None):
     """Open an Iceberg v1/v2 table directory the way a HadoopTables
     reader does. Avro decoding is delegated to org.apache.avro (Spark's
     JVM) — an implementation this package did not write. Files written
     under older schema versions are resolved to the current table
     schema (null-fill added columns, cast promoted types), matching
     Iceberg's name/ID-based read-time projection.
+
+    ``snapshot_id`` time-travels: read the state AS OF that exported
+    snapshot (its own manifest list), the way Iceberg readers resolve
+    a snapshot-id read — delete files in that list still apply by the
+    same sequence-number rules, so traveling to the delete half of a
+    MoR pair sees the masked state.
 
     v2 row-level deletes are applied per the spec's sequence-number
     rules: EQUALITY delete files (content=2) anti-join data arms whose
@@ -1045,14 +1051,17 @@ def read_iceberg_table(spark, location: str | Path):
     meta_dir = location / "metadata"
     version = (meta_dir / "version-hint.text").read_text().strip()
     doc = json.loads((meta_dir / f"v{version}.metadata.json").read_text())
+    want_id = (
+        doc["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    )
     snap = next(
-        (
-            s
-            for s in doc["snapshots"]
-            if s["snapshot-id"] == doc["current-snapshot-id"]
-        ),
+        (s for s in doc["snapshots"] if s["snapshot-id"] == want_id),
         None,
     )
+    if snapshot_id is not None and snap is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in exported metadata"
+        )
     current_schema = next(
         s
         for s in doc["schemas"]

@@ -592,3 +592,31 @@ def test_v2_export_clean_table_explicit(spark, catalog):
     assert [m["content"] for m in mlist] == [0, 0]
     got, _doc = read_iceberg_table(spark, table.location)
     assert got.count() == 3
+
+
+def test_v2_external_time_travel(spark, catalog):
+    """An external reader can open ANY exported snapshot by id —
+    including the delete half of a MoR pair (sees the masked state)
+    and pre-delete history (sees unmasked rows). Engine as-of scans
+    are the ground truth."""
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        _snapshot_int_id,
+    )
+
+    table = _mor_table(spark, catalog, "mortt")
+    table.delete_where(spark, "grp = 3", strategy="merge_on_read")
+    table.append(
+        spark.range(100, 110).select(
+            F.col("id"), F.lit(0).alias("grp"), F.lit("new").alias("tag")
+        )
+    )
+    export_to_iceberg(table, spark=spark)
+    for snap in table.snapshots:
+        ext, _doc = read_iceberg_table(
+            spark, table.location, snapshot_id=_snapshot_int_id(snap)
+        )
+        want = table.to_df(spark, as_of_snapshot=snap.snapshot_id)
+        assert _rowset(ext) == _rowset(want), snap.operation
+    with pytest.raises(ValueError, match="not in exported"):
+        read_iceberg_table(spark, table.location, snapshot_id=12345)

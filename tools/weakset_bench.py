@@ -79,7 +79,7 @@ def main() -> None:
     # bound DuckDB and give it a spill path — the same courtesy the
     # Spark side gets from its own memory manager; without a
     # temp_directory an in-memory DuckDB OOMs instead of spilling
-    con.execute("SET memory_limit = '80GB'")
+    con.execute("SET memory_limit = '96GB'")
     tmp = Path(args.sf_dir).parent / "duck_tmp"
     tmp.mkdir(parents=True, exist_ok=True)
     con.execute(f"SET temp_directory = '{tmp}'")
