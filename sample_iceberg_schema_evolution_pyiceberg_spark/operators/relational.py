@@ -604,8 +604,23 @@ def b20_window_running_frame(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b21_topk(spark: SparkSession, sf: str) -> DataFrame:
     """orderBy+limit compiles to TakeOrderedAndProject — per-partition
-    top-k then a k-row merge on the driver; never a full global sort."""
+    top-k then a k-row merge on the driver; never a full global sort.
+    Additionally zone-map pruned: a provably-safe threshold from
+    parquet row-group statistics (sources.topk_prune_threshold — the
+    k-th largest row-group max retains every top-k row) is pushed into
+    the scan, so row groups that cannot contain a top-k row are
+    skipped wholesale. This is the ahead-of-time form of the dynamic
+    zone-map top-k vectorized engines run; without it the top-k scan
+    reads the full table while the single-node baseline reads ~k row
+    groups (measured 6x at sf300)."""
+    from ..sources import topk_prune_threshold  # noqa: PLC0415
+
     l = t(spark, sf, "lineitem")
+    thr = topk_prune_threshold(sf, "lineitem", "l_extendedprice", 100)
+    if thr is not None:
+        # >= : ties at the bound stay in (the proof needs the closed
+        # bound); pushed to the parquet scan (PushedFilters)
+        l = l.filter(F.col("l_extendedprice") >= F.lit(thr))
     return (
         l.orderBy(
             F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"

@@ -165,6 +165,61 @@ def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFra
     return df
 
 
+def topk_prune_threshold(
+    sf_dir: str, name: str, column: str, k: int
+) -> "float | None":
+    """Zone-map top-k bound for ``ORDER BY column DESC LIMIT k``: the
+    k-th largest parquet ROW-GROUP max of ``column`` across the
+    table's files. Filtering ``column >= t`` provably retains every
+    top-k row — each of the k row groups whose max >= t contains at
+    least one row equal to its own max, so >= k rows pass the filter,
+    hence the true k-th value is >= t and no top-k row is below it.
+    (With the filter pushed to the parquet scan, row groups whose max
+    falls under t are skipped wholesale — the ahead-of-time twin of
+    the dynamic zone-map top-k pruning vectorized engines do, measured
+    6x on the sf300 top-k: the engine gap SCALE.md's b21 entry
+    records.)
+
+    Pure footer metadata: O(#row-groups) stat reads on the driver, no
+    data touched — at lake scale this is the manifest-stats pass, and
+    the lake format's commit-time manifests could serve it without
+    footer reads. Returns None (scan unpruned) when any row group
+    lacks stats, the column is missing, or there are <= k row groups
+    (nothing to prune)."""
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        # the SAME files the scan reads (split-cache aware)
+        path = _split_cached_path(f"{sf_dir}/{name}.parquet")
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(dp, f)
+                for dp, _d, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        maxes: list[float] = []
+        for f in files:
+            md = pq.read_metadata(f)
+            try:
+                ci = md.schema.names.index(column)
+            except ValueError:
+                return None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None  # an unaccounted group could hide top rows
+                maxes.append(st.max)
+        if len(maxes) <= k:
+            return None
+        maxes.sort(reverse=True)
+        return maxes[k - 1]
+    except Exception:  # noqa: BLE001 — pruning is an optimization only
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (B1 parquet scan). ``events`` carries a
     TIMESTAMP(NANOS) column Spark can't represent: read as long ns (see
