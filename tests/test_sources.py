@@ -57,3 +57,57 @@ def test_load_table_memoized(spark, sf_dir):
     a = sources.load_table(spark, sf_dir, "nation")
     b = sources.load_table(spark, sf_dir, "nation")
     assert a is b
+
+
+def test_topk_prune_threshold_retains_topk(tmp_path, monkeypatch):
+    """Property: for any data layout, filtering col >= threshold then
+    taking top-k equals top-k of the full data — the zone-map bound
+    never drops a top-k row. Exercised across seeds, row-group sizes,
+    and k, including heavy duplicate values (ties at the bound)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_CACHE", "0")
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(500, 3000)
+        vals = [rng.randint(0, 50) for _ in range(n)]  # many ties
+        sfdir = tmp_path / f"sf{seed}"
+        sfdir.mkdir()
+        pq.write_table(
+            pa.table({"v": vals, "id": list(range(n))}),
+            sfdir / "t.parquet",
+            row_group_size=rng.choice([37, 100, 256]),
+        )
+        for k in (1, 10, 100):
+            thr = sources.topk_prune_threshold(str(sfdir), "t", "v", k)
+            want = sorted(vals, reverse=True)[:k]
+            if thr is None:
+                continue  # no pruning -> trivially correct
+            survivors = [v for v in vals if v >= thr]
+            assert sorted(survivors, reverse=True)[:k] == want, (
+                seed, k, thr
+            )
+
+
+def test_topk_prune_threshold_fallbacks(tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_CACHE", "0")
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    pq.write_table(
+        pa.table({"v": list(range(1000))}), sfdir / "t.parquet",
+        row_group_size=10,
+    )
+    # missing column and missing table -> None, never an exception
+    assert sources.topk_prune_threshold(str(sfdir), "t", "nope", 5) is None
+    assert sources.topk_prune_threshold(str(sfdir), "gone", "v", 5) is None
+    # fewer row groups than k -> None (nothing to prune)
+    assert sources.topk_prune_threshold(str(sfdir), "t", "v", 100) is None
+    # enough groups: the bound exists and is a real value
+    thr = sources.topk_prune_threshold(str(sfdir), "t", "v", 3)
+    assert thr == 979  # 3rd largest group max: 999, 989, 979

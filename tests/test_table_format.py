@@ -306,3 +306,30 @@ def test_time_travel_by_timestamp(spark, catalog):
             as_of_snapshot=s1.snapshot_id,
             as_of_timestamp_ms=s1.timestamp_ms,
         )
+
+
+def test_files_df_serves_from_manifests_no_footer_reads(
+    spark, catalog, monkeypatch
+):
+    """files_df must answer purely from the commit-time manifests in
+    snapshot metadata — zero parquet footer reads at query time (the
+    Iceberg manifest-stats pattern; a store-backed lake needs no
+    data-plane listing)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    table = catalog.create_table(
+        "db", "mf",
+        T.StructType([T.StructField("v", T.LongType(), True)]),
+    )
+    table.append(spark.createDataFrame([Row(v=1), Row(v=2)]))
+    table.append(spark.createDataFrame([Row(v=3)]))
+
+    def boom(*_a, **_k):
+        raise AssertionError("files_df must not read parquet footers")
+
+    monkeypatch.setattr(pq, "read_metadata", boom)
+    rows = table.files_df(spark).collect()
+    assert sum(r.record_count for r in rows) == 3
+    assert all(r.size_bytes > 0 for r in rows)
