@@ -46,6 +46,7 @@ _PRIORITY = [
     "a18_merge_on_read_export",  # NEW in r7 (Iceberg v2 export)
     "c23_decontamination",  # NEW in r7 (benchmark overlap filter)
     "c24_pii_scrub",  # NEW in r7 (email/IPv4 redaction)
+    "c25_repetition_stats",  # NEW in r7 (degenerate-text signals)
     "a17_merge_on_read_merge",  # _merge_on_read rebuilt
     "a16_merge_on_read_delete",  # scan broadcast gate
     "a08_compaction_invariance",  # compact over the new mask path
@@ -63,9 +64,9 @@ _PRIORITY = [
     "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
     "b48_in_subquery_sql", "b49_cte_sql",
     # Tier 3: r5-evidence refresh (2 rounds old at r7 — the policy
-    # edge; rotating 28 of the 42 now, the remaining 14 lead r8:
-    # b31, b32, b34, b36, b39, b40, b41, b50, b51, b53, b62, c09,
-    # s04, s07)
+    # edge; rotating 27 of the 42 now, the remaining 15 lead r8:
+    # b30, b31, b32, b34, b36, b39, b40, b41, b50, b51, b53, b62,
+    # c09, s04, s07)
     "a12_sql_merge_conditional", "a13_incremental_read",
     "b01_scan_projection", "b02_filter_predicates",
     "b03_join_inner_3way", "b04_join_left_outer",
@@ -76,8 +77,9 @@ _PRIORITY = [
     "b18_window_ranking", "b19_window_lag_lead", "b21_topk",
     "b22_sort_nulls", "b23_union_all", "b24_union_distinct",
     "b25_intersect", "b26_except", "b27_string_funcs",
-    "b28_date_funcs", "b29_math_funcs", "b30_conditional_null",
+    "b28_date_funcs", "b29_math_funcs",
     # --- driver window boundary (50) ---
+    "b30_conditional_null",
     # Window policy (standing): the first 50 slots hold ONLY
     # oracle-bearing queries, so the driver record is 50/50 hash rows
     # with no err entries. Everything below either has r6-window

@@ -670,3 +670,57 @@ def c24_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "n_emails", "n_ips",
         F.md5(F.col("scrubbed")).alias("scrub_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (round 7): within-document token-repetition signals
+# — the quality filter that catches degenerate/boilerplate text (a
+# handful of tokens dominating a document) before it reaches training.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c25_repetition_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM w WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_ratio,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio
+    FROM wf GROUP BY doc_id
+    """,
+)
+def c25_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document repetition profile: token count, distinct-token
+    count, the dominance of the most frequent token, and the
+    type/token ratio — the standard signals for dropping degenerate
+    repetition. Shares the oracle tokenizer (``words``). Scale shape:
+    one explode + two shuffles keyed by (doc_id[, word]) — widths are
+    token counts, the aggregate state per key is one long; no
+    corpus-sized collect anywhere."""
+    d = t(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    wf = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode(words("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c"), 6
+        ).alias("top_token_ratio"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+        ).alias("distinct_ratio"),
+    )
