@@ -100,6 +100,15 @@ def fileio_from_options(options: "dict[str, str]") -> "FileIO":
         return LocalFileIO()
     if kind == "object_store_dir":
         return ObjectStoreFileIO(DirectoryObjectStore(options["ioroot"]))
+    if kind == "s3":
+        return ObjectStoreFileIO(
+            S3ObjectStore(
+                bucket=options["iobucket"],
+                prefix=options.get("ioprefix", ""),
+                region=options.get("ioregion") or None,
+                endpoint_url=options.get("ioendpoint") or None,
+            )
+        )
     raise ValueError(f"unknown FileIO backend {kind!r}")
 
 
@@ -326,6 +335,95 @@ class DirectoryObjectStore:
         return sorted(out)
 
 
+class S3ObjectStore:
+    """The REAL S3 client behind the same strict surface the fakes
+    model: put/get/delete/list by key via boto3 — no rename, no
+    append, no partial write, because S3 itself has none. Whole-object
+    PUT atomicity and idempotent DELETE are S3 service guarantees
+    (the exact constraint set `ObjectStoreFileIO` was designed
+    against), so this class is a thin translation layer, not new
+    semantics — the point the contract tests prove by running the
+    identical scenario suite over the fakes and over this client
+    (against a local moto endpoint; the reference's deployed posture,
+    iceberg_helper.py:89-110 / lambda_helper.py:81-99, is the same
+    boto3 surface pointed at real AWS).
+
+    Credentials are NEVER serialized: workers resolve them through the
+    standard AWS chain (env / instance profile), exactly as Spark's
+    s3a data plane does. Only bucket/prefix/region/endpoint travel in
+    ``to_options``. The boto3 client is built lazily per process and
+    dropped on pickle — clients hold sockets and are not picklable."""
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        region: "str | None" = None,
+        endpoint_url: "str | None" = None,
+    ) -> None:
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.region = region
+        self.endpoint_url = endpoint_url
+        self._client = None
+
+    # -- plumbing ---------------------------------------------------------
+
+    def __getstate__(self) -> dict:
+        d = dict(self.__dict__)
+        d["_client"] = None
+        return d
+
+    def _s3(self):
+        if self._client is None:
+            import boto3  # noqa: PLC0415 — optional dependency, import-gated
+
+            self._client = boto3.client(
+                "s3",
+                region_name=self.region,
+                endpoint_url=self.endpoint_url,
+            )
+        return self._client
+
+    def _full(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    # -- the strict surface -----------------------------------------------
+
+    def put_object(self, key: str, data: bytes) -> None:
+        self._s3().put_object(
+            Bucket=self.bucket, Key=self._full(key), Body=bytes(data)
+        )
+
+    def get_object(self, key: str) -> bytes:
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+
+        try:
+            resp = self._s3().get_object(
+                Bucket=self.bucket, Key=self._full(key)
+            )
+        except ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            if code in ("NoSuchKey", "404", "NoSuchBucket"):
+                raise FileNotFoundError(key) from e
+            raise
+        return resp["Body"].read()
+
+    def delete_object(self, key: str) -> None:
+        # S3 DeleteObject is idempotent: deleting a missing key succeeds
+        self._s3().delete_object(Bucket=self.bucket, Key=self._full(key))
+
+    def list_objects(self, prefix: str) -> list[str]:
+        full = self._full(prefix)
+        strip = len(self.prefix) + 1 if self.prefix else 0
+        out: list[str] = []
+        paginator = self._s3().get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=self.bucket, Prefix=full):
+            for obj in page.get("Contents", []):
+                out.append(obj["Key"][strip:])
+        return sorted(out)
+
+
 class ObjectStoreFileIO(FileIO):
     """FileIO over a raw object-store client — every method is built
     strictly from put/get/delete/list (the S3 constraint set).
@@ -336,13 +434,23 @@ class ObjectStoreFileIO(FileIO):
     SEP = "/"
 
     def __init__(
-        self, store: "FakeObjectStore | DirectoryObjectStore | None" = None
+        self,
+        store: "FakeObjectStore | DirectoryObjectStore | S3ObjectStore | None" = None,
     ) -> None:
         self.store = store or FakeObjectStore()
 
     def to_options(self) -> dict[str, str] | None:
         if isinstance(self.store, DirectoryObjectStore):
             return {"io": "object_store_dir", "ioroot": self.store.root}
+        if isinstance(self.store, S3ObjectStore):
+            opts = {"io": "s3", "iobucket": self.store.bucket}
+            if self.store.prefix:
+                opts["ioprefix"] = self.store.prefix
+            if self.store.region:
+                opts["ioregion"] = self.store.region
+            if self.store.endpoint_url:
+                opts["ioendpoint"] = self.store.endpoint_url
+            return opts
         return None  # in-memory store: not process-shareable
 
     def _key(self, path: str) -> str:

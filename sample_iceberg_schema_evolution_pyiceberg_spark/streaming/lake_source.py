@@ -424,7 +424,10 @@ class LakeStreamDataSource(DataSource):
         # arrive lowercased from Spark)
         return {
             k: self.options[k]
-            for k in ("io", "ioroot")
+            for k in (
+                "io", "ioroot",
+                "iobucket", "ioprefix", "ioregion", "ioendpoint",
+            )
             if k in self.options
         }
 

@@ -37,22 +37,43 @@ SCHEMA = T.StructType(
 )
 
 
-@pytest.fixture(params=["local", "memory", "objectstore", "dirstore"])
+@pytest.fixture(params=["local", "memory", "objectstore", "dirstore", "s3"])
 def catalog(request, tmp_path):
     if request.param == "local":
-        return LakeCatalog(tmp_path / "wh", io=LocalFileIO())
+        yield LakeCatalog(tmp_path / "wh", io=LocalFileIO())
     # the fakes need no real directory; use a path that must NOT exist
     # on disk afterwards (asserted below)
-    if request.param == "memory":
-        return LakeCatalog(tmp_path / "mem_wh", io=InMemoryFileIO())
-    if request.param == "dirstore":
+    elif request.param == "memory":
+        yield LakeCatalog(tmp_path / "mem_wh", io=InMemoryFileIO())
+    elif request.param == "dirstore":
         # file-backed store: objects live under store_root/<key>, the
         # warehouse path itself must still never materialize on disk
-        return LakeCatalog(
+        yield LakeCatalog(
             tmp_path / "mem_wh",
             io=ObjectStoreFileIO(DirectoryObjectStore(tmp_path / "store")),
         )
-    return LakeCatalog(tmp_path / "mem_wh", io=ObjectStoreFileIO())
+    elif request.param == "s3":
+        # the REAL boto3 client against an in-process moto S3 — the
+        # identical contract scenario over the deployed backend class
+        moto = pytest.importorskip("moto")
+        import boto3  # noqa: PLC0415
+
+        from sample_iceberg_schema_evolution_pyiceberg_spark.fileio import (
+            S3ObjectStore,
+        )
+
+        with moto.mock_aws():
+            boto3.client("s3", region_name="us-east-1").create_bucket(
+                Bucket="lake-metadata"
+            )
+            yield LakeCatalog(
+                tmp_path / "mem_wh",
+                io=ObjectStoreFileIO(
+                    S3ObjectStore("lake-metadata", prefix="warehouse")
+                ),
+            )
+    else:
+        yield LakeCatalog(tmp_path / "mem_wh", io=ObjectStoreFileIO())
 
 
 def test_catalog_metadata_contract(catalog, tmp_path):
