@@ -1,0 +1,305 @@
+"""AWS Glue as the catalog-of-record for lake tables.
+
+The reference's production catalog IS Glue: ``load_catalog("glue",
+{"type": "glue"})`` and every create/load goes through it
+(``/root/reference/lambda/iceberg_helper.py:104-112, :214-239``). This
+module gives the engine the same posture without copying any code —
+the public Glue-Iceberg contract (also what pyiceberg and the AWS docs
+describe) is:
+
+- a Glue *database* per namespace;
+- a Glue *table* whose ``Parameters`` carry ``table_type=ICEBERG`` and
+  ``metadata_location`` = the URI of the current metadata JSON; the
+  catalog entry is a POINTER, all real metadata lives in the store;
+- commits advance the pointer with optimistic concurrency: read the
+  current entry, write the new pointer conditioned on the entry not
+  having moved (Glue enforces via ``VersionId`` on UpdateTable; this
+  layer ALSO does the compare client-side so the conflict is caught
+  even against endpoints that track but don't enforce versions, e.g.
+  moto). The loser of a race gets ``ConcurrentCommitError`` and must
+  refresh + retry — exactly Iceberg's Glue-catalog semantics.
+
+``GlueLakeCatalog`` wraps ``LakeCatalog``: table metadata still lives
+behind its FileIO (local, directory-store, or S3ObjectStore), while
+Glue holds the authoritative pointer. The store-level version hint is
+still written (it is what the streaming source's worker re-reads), so
+a Glue-registered table remains readable by every store-level path;
+the Glue pointer adds the cross-engine discovery + CAS-guarded commit
+the hint file alone cannot give on an object store.
+
+``register_iceberg_export`` closes the reference's interop loop for
+the EXPORTED Iceberg tables too: export_to_iceberg writes spec
+metadata, this registers its latest metadata JSON in Glue the way the
+reference's ``create_table`` leaves its pyiceberg tables discoverable,
+and ``read_iceberg_table(..., metadata_file=...)`` opens the table
+from the Glue pointer alone (no version-hint involved — the
+Glue-catalog read path real engines use).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import types as T
+
+from .fileio import FileIO
+from .partitioning import PartitionSpec
+from .table_format import LakeCatalog, LakeTable, TableFormatError
+
+
+class ConcurrentCommitError(TableFormatError):
+    """Another writer advanced the Glue pointer since this table was
+    loaded; refresh and retry (Iceberg Glue-catalog commit contract)."""
+
+
+def _boto_glue(region: "str | None" = None, endpoint_url: "str | None" = None):
+    import boto3  # noqa: PLC0415 — optional dependency, import-gated
+
+    return boto3.client("glue", region_name=region, endpoint_url=endpoint_url)
+
+
+class GlueLakeCatalog:
+    """LakeCatalog surface with Glue as the catalog-of-record.
+
+    Same method set as ``LakeCatalog`` (the reference's catalog calls:
+    create_namespace_if_not_exists / table_exists / create_table /
+    load_table / drop_table, iceberg_helper.py:182-239) so the DDL
+    frontend and handler drive either interchangeably."""
+
+    def __init__(
+        self,
+        warehouse: "str | Path",
+        io: "FileIO | None" = None,
+        glue: Any = None,
+        region: "str | None" = None,
+        endpoint_url: "str | None" = None,
+    ) -> None:
+        self._inner = LakeCatalog(warehouse, io=io)
+        self.glue = glue or _boto_glue(region, endpoint_url)
+
+    # the DDL frontend reaches for catalog.io / catalog.warehouse
+    @property
+    def io(self) -> FileIO:
+        return self._inner.io
+
+    @property
+    def warehouse(self) -> Path:
+        return self._inner.warehouse
+
+    # -- namespaces --------------------------------------------------------
+
+    def create_namespace_if_not_exists(self, database: str) -> None:
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+
+        try:
+            self.glue.create_database(DatabaseInput={"Name": database})
+        except ClientError as e:
+            if e.response["Error"]["Code"] != "AlreadyExistsException":
+                raise
+
+    # -- table lookup ------------------------------------------------------
+
+    def _get_entry(self, database: str, table: str) -> "dict | None":
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+
+        try:
+            return self.glue.get_table(DatabaseName=database, Name=table)[
+                "Table"
+            ]
+        except ClientError as e:
+            if e.response["Error"]["Code"] == "EntityNotFoundException":
+                return None
+            raise
+
+    def table_exists(self, database: str, table: str) -> bool:
+        return self._get_entry(database, table) is not None
+
+    # -- create / load / drop ---------------------------------------------
+
+    def create_table(
+        self,
+        database: str,
+        table: str,
+        schema: T.StructType,
+        partition_spec: "PartitionSpec | None" = None,
+        properties: "dict[str, str] | None" = None,
+    ) -> LakeTable:
+        if self.table_exists(database, table):
+            raise TableFormatError(
+                f"table {database}.{table} already exists (glue)"
+            )
+        self.create_namespace_if_not_exists(database)
+        t = self._inner.create_table(
+            database, table, schema, partition_spec, properties
+        )
+        meta_path = str(t.location / "_meta" / "v1.metadata.json")
+        self.glue.create_table(
+            DatabaseName=database,
+            TableInput={
+                "Name": table,
+                "TableType": "EXTERNAL_TABLE",
+                "Parameters": {
+                    "table_type": "LAKE",
+                    "metadata_location": meta_path,
+                },
+                "StorageDescriptor": {"Location": str(t.location)},
+            },
+        )
+        self._attach(t, database, table, meta_path)
+        return t
+
+    def load_table(self, database: str, table: str) -> "LakeTable | None":
+        entry = self._get_entry(database, table)
+        if entry is None:
+            return None  # reference contract: None on missing
+        meta_path = entry["Parameters"]["metadata_location"]
+        loc = self._inner._table_dir(database, table)
+        doc = json.loads(self.io.read_text(meta_path))
+        from .table_format import _meta_from_spec  # noqa: PLC0415
+
+        t = LakeTable(loc, _meta_from_spec(doc), io=self.io)
+        self._attach(t, database, table, meta_path)
+        return t
+
+    def drop_table(self, database: str, table: str) -> None:
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+
+        try:
+            self.glue.delete_table(DatabaseName=database, Name=table)
+        except ClientError as e:
+            if e.response["Error"]["Code"] != "EntityNotFoundException":
+                raise
+        self._inner.drop_table(database, table)
+
+    def list_tables(self) -> list[tuple[str, str]]:
+        out = []
+        for db in self.glue.get_databases()["DatabaseList"]:
+            for t in self.glue.get_tables(DatabaseName=db["Name"])[
+                "TableList"
+            ]:
+                out.append((db["Name"], t["Name"]))
+        return sorted(out)
+
+    # -- the CAS pointer swap ---------------------------------------------
+
+    def _attach(
+        self, t: LakeTable, database: str, table: str, seen_pointer: str
+    ) -> None:
+        """Install the post-commit publish hook. ``seen_pointer`` is
+        the metadata location this handle last observed; a commit only
+        publishes if Glue still points there (optimistic lock)."""
+        state = {"seen": seen_pointer}
+
+        def publish(version: int, meta_path: str) -> None:
+            entry = self._get_entry(database, table)
+            if entry is None:
+                raise TableFormatError(
+                    f"table {database}.{table} vanished from glue"
+                )
+            current = entry["Parameters"].get("metadata_location")
+            if current != state["seen"]:
+                raise ConcurrentCommitError(
+                    f"glue pointer for {database}.{table} moved "
+                    f"({state['seen']!r} -> {current!r}); refresh and "
+                    "retry the commit"
+                )
+            params = dict(entry["Parameters"])
+            params["previous_metadata_location"] = current
+            params["metadata_location"] = meta_path
+            kwargs = {}
+            if entry.get("VersionId"):
+                # real Glue enforces this server-side; the compare
+                # above is the client-side guard for endpoints that
+                # only track versions
+                kwargs["VersionId"] = entry["VersionId"]
+            self.glue.update_table(
+                DatabaseName=database,
+                TableInput={
+                    "Name": table,
+                    "TableType": entry.get("TableType", "EXTERNAL_TABLE"),
+                    "Parameters": params,
+                    "StorageDescriptor": entry.get(
+                        "StorageDescriptor", {}
+                    ),
+                },
+                **kwargs,
+            )
+            state["seen"] = meta_path
+
+        t.on_commit = publish
+
+
+# ---------------------------------------------------------------------------
+# Exported-Iceberg-table registration (the reference's interop promise)
+# ---------------------------------------------------------------------------
+
+
+def register_iceberg_export(
+    glue: Any,
+    database: str,
+    table: str,
+    metadata_dir: "str | Path",
+) -> str:
+    """Register an ``export_to_iceberg`` output in Glue exactly the
+    way Iceberg's Glue catalog records tables: ``table_type=ICEBERG``
+    plus ``metadata_location`` naming the CURRENT metadata JSON (the
+    latest ``v{N}.metadata.json`` per the export's version hint).
+    Returns the registered metadata location. Re-registering after a
+    newer export advances the pointer and keeps the previous one in
+    ``previous_metadata_location``."""
+    from botocore.exceptions import ClientError  # noqa: PLC0415
+
+    meta_dir = Path(metadata_dir)
+    version = (meta_dir / "version-hint.text").read_text().strip()
+    meta_path = str(meta_dir / f"v{version}.metadata.json")
+    try:
+        glue.create_database(DatabaseInput={"Name": database})
+    except ClientError as e:
+        if e.response["Error"]["Code"] != "AlreadyExistsException":
+            raise
+    existing = None
+    try:
+        existing = glue.get_table(DatabaseName=database, Name=table)["Table"]
+    except ClientError as e:
+        if e.response["Error"]["Code"] != "EntityNotFoundException":
+            raise
+    params = {"table_type": "ICEBERG", "metadata_location": meta_path}
+    if existing is not None:
+        prev = existing["Parameters"].get("metadata_location")
+        if prev and prev != meta_path:
+            params["previous_metadata_location"] = prev
+        glue.update_table(
+            DatabaseName=database,
+            TableInput={
+                "Name": table,
+                "TableType": "EXTERNAL_TABLE",
+                "Parameters": params,
+                "StorageDescriptor": {"Location": str(meta_dir.parent)},
+            },
+        )
+    else:
+        glue.create_table(
+            DatabaseName=database,
+            TableInput={
+                "Name": table,
+                "TableType": "EXTERNAL_TABLE",
+                "Parameters": params,
+                "StorageDescriptor": {"Location": str(meta_dir.parent)},
+            },
+        )
+    return meta_path
+
+
+def read_registered_iceberg_table(spark, glue: Any, database: str, table: str):
+    """Open a Glue-registered Iceberg export from the catalog pointer
+    alone — the Glue-catalog read path (resolve ``metadata_location``,
+    never consult the version hint). Returns ``(df, metadata_doc)``,
+    the same pair as ``read_iceberg_table``."""
+    entry = glue.get_table(DatabaseName=database, Name=table)["Table"]
+    meta_path = entry["Parameters"]["metadata_location"]
+    from .iceberg_export import read_iceberg_table  # noqa: PLC0415
+
+    location = Path(meta_path).parent.parent
+    return read_iceberg_table(spark, location, metadata_file=meta_path)

@@ -1025,7 +1025,9 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
     raise ValueError(f"unknown iceberg type {t!r}")
 
 
-def read_iceberg_table(spark, location: str | Path, snapshot_id=None):
+def read_iceberg_table(
+    spark, location: str | Path, snapshot_id=None, metadata_file=None
+):
     """Open an Iceberg v1/v2 table directory the way a HadoopTables
     reader does. Avro decoding is delegated to org.apache.avro (Spark's
     JVM) — an implementation this package did not write. Files written
@@ -1049,8 +1051,13 @@ def read_iceberg_table(spark, location: str | Path, snapshot_id=None):
 
     location = Path(location)
     meta_dir = location / "metadata"
-    version = (meta_dir / "version-hint.text").read_text().strip()
-    doc = json.loads((meta_dir / f"v{version}.metadata.json").read_text())
+    if metadata_file is None:
+        # HadoopTables resolution: version hint names the current file
+        version = (meta_dir / "version-hint.text").read_text().strip()
+        metadata_file = meta_dir / f"v{version}.metadata.json"
+    # catalog resolution passes metadata_file directly (a Glue pointer
+    # read never consults the hint — glue_catalog.py)
+    doc = json.loads(Path(metadata_file).read_text())
     want_id = (
         doc["current-snapshot-id"] if snapshot_id is None else snapshot_id
     )

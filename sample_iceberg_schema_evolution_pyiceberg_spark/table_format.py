@@ -417,6 +417,11 @@ class LakeTable:
         self.location = Path(location)
         self.meta = meta
         self.io = io or LocalFileIO()
+        # post-commit hook: callable(version, metadata_path) set by a
+        # catalog-of-record layer (glue_catalog.GlueLakeCatalog) to
+        # publish/CAS the new metadata pointer after each commit. None
+        # for plain hint-file tables.
+        self.on_commit = None
         # DATA-plane namespace ops (maintenance deletes/listings,
         # stream source dir). Data files are written by Spark's Hadoop
         # FS layer — local in this container — so this defaults to
@@ -455,11 +460,16 @@ class LakeTable:
                 if self.io.exists(hint_file)
                 else 1
             )
+        meta_path = str(meta_dir / f"v{version}.metadata.json")
         self.io.write_text(
-            str(meta_dir / f"v{version}.metadata.json"),
-            json.dumps(_meta_to_spec(self.meta), indent=1),
+            meta_path, json.dumps(_meta_to_spec(self.meta), indent=1)
         )
         self.io.write_text(str(meta_dir / "version-hint.text"), str(version))
+        if self.on_commit is not None:
+            # catalog-of-record publish (e.g. Glue pointer CAS) — runs
+            # AFTER the store-level hint so a failed publish leaves the
+            # store consistent and the conflict surfaces to the caller
+            self.on_commit(version, meta_path)
 
     @property
     def identifier(self) -> str:

@@ -177,6 +177,199 @@ def test_config_load_table_def_from_s3():
 
 
 # ---------------------------------------------------------------------------
+# Glue catalog-of-record
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def glue_s3():
+    """The reference's full deployed posture: Glue catalog + S3
+    metadata warehouse, both mocked by moto in-process."""
+    with moto.mock_aws():
+        boto3.client("s3", region_name="us-east-1").create_bucket(
+            Bucket="glue-meta"
+        )
+        yield (
+            boto3.client("glue", region_name="us-east-1"),
+            S3ObjectStore("glue-meta", prefix="wh"),
+        )
+
+
+def test_glue_catalog_pointer_lifecycle(spark, tmp_path, glue_s3):
+    """Create registers a Glue entry whose metadata_location names the
+    current metadata JSON; every commit advances the pointer (keeping
+    previous_metadata_location); load resolves through the pointer,
+    not the hint."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    assert not cat.table_exists("db", "t")
+    assert cat.load_table("db", "t") is None
+    t = cat.create_table("db", "t", SCHEMA)
+    entry = glue.get_table(DatabaseName="db", Name="t")["Table"]
+    p1 = entry["Parameters"]["metadata_location"]
+    assert entry["Parameters"]["table_type"] == "LAKE"
+    assert p1.endswith("v1.metadata.json")
+
+    t.append(spark.range(0, 5).select(F.col("id"), F.lit("a").alias("v")))
+    entry = glue.get_table(DatabaseName="db", Name="t")["Table"]
+    p2 = entry["Parameters"]["metadata_location"]
+    assert p2.endswith("v2.metadata.json")
+    assert entry["Parameters"]["previous_metadata_location"] == p1
+
+    # pointer-driven load sees the appended state and keeps committing
+    t2 = cat.load_table("db", "t")
+    assert t2.to_df(spark).count() == 5
+    t2.commit_schema(
+        T.StructType(
+            [*SCHEMA.fields, T.StructField("added", T.DoubleType(), True)]
+        )
+    )
+    assert glue.get_table(DatabaseName="db", Name="t")["Table"][
+        "Parameters"
+    ]["metadata_location"].endswith("v3.metadata.json")
+
+    assert cat.list_tables() == [("db", "t")]
+    cat.drop_table("db", "t")
+    assert not cat.table_exists("db", "t")
+    assert cat.list_tables() == []
+
+
+def test_glue_catalog_concurrent_commit_conflict(spark, tmp_path, glue_s3):
+    """Two handles to the same table: the first commit wins, the
+    second must raise ConcurrentCommitError instead of silently
+    overwriting the pointer — Iceberg's Glue optimistic-lock
+    contract."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        ConcurrentCommitError,
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    cat.create_table("db", "t", SCHEMA)
+    a = cat.load_table("db", "t")
+    b = cat.load_table("db", "t")
+    a.commit_schema(
+        T.StructType(
+            [*SCHEMA.fields, T.StructField("x", T.DoubleType(), True)]
+        )
+    )
+    with pytest.raises(ConcurrentCommitError, match="refresh and retry"):
+        b.commit_schema(
+            T.StructType(
+                [*SCHEMA.fields, T.StructField("y", T.DoubleType(), True)]
+            )
+        )
+    # the loser refreshes through the catalog and can then commit
+    b2 = cat.load_table("db", "t")
+    b2.commit_schema(
+        T.StructType(
+            [*b2.schema.fields, T.StructField("y", T.DoubleType(), True)]
+        )
+    )
+    assert cat.load_table("db", "t").schema.fieldNames() == [
+        "id", "v", "x", "y",
+    ]
+
+
+def test_handler_episode_over_glue_catalog(spark, tmp_path, glue_s3):
+    """The reference's Lambda flow (config event -> Glue-cataloged
+    table, iceberg_helper.py:104-112) end to end: process_event drives
+    GlueLakeCatalog interchangeably with LakeCatalog — create from
+    orders_v1, evolve to orders_v2, Glue pointer advancing
+    throughout."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.handler import (
+        process_event,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    assets = (
+        "/root/repo/sample_iceberg_schema_evolution_pyiceberg_spark/assets"
+    )
+    r1 = process_event(
+        spark, cat, f"{assets}/orders_v1.json", generate_data_version="v1"
+    )
+    assert not r1.has_error, r1.message_list
+    p1 = glue.get_table(DatabaseName=r1.database_name, Name=r1.table_name)[
+        "Table"
+    ]["Parameters"]["metadata_location"]
+    r2 = process_event(
+        spark, cat, f"{assets}/orders_v2.json", generate_data_version="v2"
+    )
+    assert not r2.has_error, r2.message_list
+    p2 = glue.get_table(DatabaseName=r2.database_name, Name=r2.table_name)[
+        "Table"
+    ]["Parameters"]["metadata_location"]
+    assert p2 != p1  # evolution advanced the catalog pointer
+    t = cat.load_table(r2.database_name, r2.table_name)
+    assert t.to_df(spark).count() > 0
+
+
+def test_register_and_read_iceberg_export_via_glue(spark, tmp_path, glue_s3):
+    """The interop promise, catalog edition: export_to_iceberg output
+    registered in Glue with table_type=ICEBERG, then opened from the
+    catalog pointer ALONE (no version hint) and matching the engine
+    scan; a re-export re-registration advances the pointer."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        read_registered_iceberg_table,
+        register_iceberg_export,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+    )
+
+    glue, _store = glue_s3
+    # the exported table itself is a local lake (export reads parquet
+    # footers; the GLUE side is what this test exercises)
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "ice", SCHEMA)
+    table.append(
+        spark.range(0, 7).select(
+            F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+    )
+    meta_dir = export_to_iceberg(table)
+    loc1 = register_iceberg_export(glue, "db", "ice", meta_dir)
+    entry = glue.get_table(DatabaseName="db", Name="ice")["Table"]
+    assert entry["Parameters"]["table_type"] == "ICEBERG"
+    assert entry["Parameters"]["metadata_location"] == loc1
+
+    got, doc = read_registered_iceberg_table(spark, glue, "db", "ice")
+    assert sorted(r.id for r in got.collect()) == list(range(7))
+    assert doc["format-version"] in (1, 2)
+
+    table.append(
+        spark.range(7, 10).select(
+            F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+    )
+    meta_dir = export_to_iceberg(table)
+    loc2 = register_iceberg_export(glue, "db", "ice", meta_dir)
+    assert loc2 != loc1
+    entry = glue.get_table(DatabaseName="db", Name="ice")["Table"]
+    assert entry["Parameters"]["previous_metadata_location"] == loc1
+    got, _doc = read_registered_iceberg_table(spark, glue, "db", "ice")
+    assert sorted(r.id for r in got.collect()) == list(range(10))
+
+
+# ---------------------------------------------------------------------------
 # Cross-process: streaming over a real S3 endpoint (moto server)
 # ---------------------------------------------------------------------------
 
