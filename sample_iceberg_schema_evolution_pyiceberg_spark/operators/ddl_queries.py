@@ -9,6 +9,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..ddl import DdlFrontend
 from ..iceberg_export import export_to_iceberg, read_iceberg_table
@@ -629,5 +630,99 @@ def a18_merge_on_read_export(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("total"),
         )
         # materialize before the temp dir vanishes (bounded: grouped agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a19_glue_catalog_episode",
+    # the episode's data outcome is a plain filter-append replay; the
+    # audit columns pin the CATALOG protocol: exactly one losing
+    # commit (conflicts=1) and a final Glue pointer at v4
+    # (create=1, append=2, evolve=3, post-conflict append=4 — the
+    # rejected commit must NOT consume a version)
+    oracle="""
+    SELECT status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total,
+           1 AS conflicts, 4 AS ptr_version
+    FROM (SELECT o_orderstatus AS status, o_totalprice
+          FROM orders WHERE o_orderkey <= 1200)
+    GROUP BY status
+    """,
+)
+def a19_glue_catalog_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Glue catalog-of-record episode (the reference's deployed
+    posture: Glue catalog + S3 warehouse,
+    /root/reference/lambda/iceberg_helper.py:104-112): create a table
+    through GlueLakeCatalog over a real-boto3 S3 metadata backend
+    (moto in-process), append, evolve the schema, lose a CAS race on a
+    stale handle (ConcurrentCommitError; Glue pointer and store hint
+    both unmoved by the rejected commit), refresh + retry, append
+    again — then load the final state through the Glue POINTER alone
+    and aggregate it. A hash match proves the catalog protocol loses
+    no rows and the pointer advances exactly once per real commit."""
+    import moto  # noqa: PLC0415 — optional dependency, import-gated
+
+    import boto3  # noqa: PLC0415
+
+    from ..fileio import ObjectStoreFileIO, S3ObjectStore  # noqa: PLC0415
+    from ..glue_catalog import (  # noqa: PLC0415
+        ConcurrentCommitError,
+        GlueLakeCatalog,
+    )
+
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 1200)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="glue_gate_") as wh, \
+            moto.mock_aws():
+        boto3.client("s3", region_name="us-east-1").create_bucket(
+            Bucket="gate-meta"
+        )
+        glue = boto3.client("glue", region_name="us-east-1")
+        cat = GlueLakeCatalog(
+            wh, io=ObjectStoreFileIO(S3ObjectStore("gate-meta", "wh")),
+            glue=glue,
+        )
+        table = cat.create_table("gate", "g", o.schema)          # v1
+        table.append(o.filter(F.col("k") <= 600))                # v2
+        stale = cat.load_table("gate", "g")  # handle at v2
+        evolved = T.StructType(
+            [*o.schema.fields, T.StructField("flag", T.DoubleType(), True)]
+        )
+        table.commit_schema(evolved)                             # v3
+        conflicts = 0
+        try:
+            stale.commit_schema(evolved)  # stale handle: must lose
+        except ConcurrentCommitError:
+            conflicts += 1
+        fresh = cat.load_table("gate", "g")  # refresh-and-retry path
+        fresh.append(                                            # v4
+            o.filter(F.col("k") > 600).withColumn(
+                "flag", F.lit(None).cast("double")
+            )
+        )
+        ptr = glue.get_table(DatabaseName="gate", Name="g")["Table"][
+            "Parameters"
+        ]["metadata_location"]
+        ptr_version = int(ptr.rsplit("/v", 1)[1].split(".")[0])
+        final = cat.load_table("gate", "g").to_df(spark)
+        out = final.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("total").cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("total"),
+        ).withColumn("conflicts", F.lit(conflicts)).withColumn(
+            "ptr_version", F.lit(ptr_version)
+        )
+        # materialize before the temp dir + mock vanish (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -464,12 +464,15 @@ class LakeTable:
         self.io.write_text(
             meta_path, json.dumps(_meta_to_spec(self.meta), indent=1)
         )
-        self.io.write_text(str(meta_dir / "version-hint.text"), str(version))
         if self.on_commit is not None:
-            # catalog-of-record publish (e.g. Glue pointer CAS) — runs
-            # AFTER the store-level hint so a failed publish leaves the
-            # store consistent and the conflict surfaces to the caller
+            # catalog-of-record publish (e.g. Glue pointer CAS) — the
+            # CAS *is* the commit: it runs after the immutable metadata
+            # object is written (a failed publish strands only an
+            # unreferenced file, Iceberg's orphan-on-abort) and BEFORE
+            # the store-level hint, so hint-based readers (streaming
+            # source) never see a version the catalog rejected
             self.on_commit(version, meta_path)
+        self.io.write_text(str(meta_dir / "version-hint.text"), str(version))
 
     @property
     def identifier(self) -> str:

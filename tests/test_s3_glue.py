@@ -264,12 +264,18 @@ def test_glue_catalog_concurrent_commit_conflict(spark, tmp_path, glue_s3):
             [*SCHEMA.fields, T.StructField("x", T.DoubleType(), True)]
         )
     )
+    io = cat.io
+    hint_path = str(a.location / "_meta" / "version-hint.text")
+    hint_before = io.read_text(hint_path)
     with pytest.raises(ConcurrentCommitError, match="refresh and retry"):
         b.commit_schema(
             T.StructType(
                 [*SCHEMA.fields, T.StructField("y", T.DoubleType(), True)]
             )
         )
+    # the CAS is the commit: a rejected publish must NOT advance the
+    # store-level hint (streaming readers would see a phantom version)
+    assert io.read_text(hint_path) == hint_before
     # the loser refreshes through the catalog and can then commit
     b2 = cat.load_table("db", "t")
     b2.commit_schema(
