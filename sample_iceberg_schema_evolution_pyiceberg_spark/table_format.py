@@ -196,6 +196,11 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
                 "path": f["path"],
                 "size-bytes": f["size_bytes"],
                 "record-count": f["record_count"],
+                **(
+                    {"stats": f["stats"]}
+                    if f.get("stats") is not None
+                    else {}
+                ),
             }
             for f in d["files"]
         ]
@@ -225,6 +230,11 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
                 "path": f["path"],
                 "size_bytes": f["size-bytes"],
                 "record_count": f["record-count"],
+                **(
+                    {"stats": f["stats"]}
+                    if f.get("stats") is not None
+                    else {}
+                ),
             }
             for f in d["manifest"]
         ]
@@ -329,6 +339,74 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
             f["source-column"] for f in doc["sort-orders"][0]["fields"]
         ]
     return meta
+
+
+def _footer_column_bounds(md) -> dict[str, list]:
+    """Per-column [min, max] from a parquet footer's row-group
+    statistics — the data Iceberg stores as manifest lower/upper
+    bounds. Conservative by construction: only TOP-LEVEL columns whose
+    every row group carries min/max of a JSON-safe orderable type
+    (int/float/str; bool and nested paths excluded) get an entry, so
+    a missing entry always means 'cannot prune', never 'no rows'."""
+    agg: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in dead or "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            lo, hi = st.min, st.max
+            ok = (
+                type(lo) in (int, float, str)
+                and type(hi) in (int, float, str)
+            )
+            if not ok:
+                dead.add(name)
+                continue
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [lo, hi]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+    for name in dead:
+        agg.pop(name, None)
+    return agg
+
+
+def _file_may_match(
+    stats: dict[str, list], col: str, op: str, lit: Any
+) -> bool:
+    """Manifest-level file skip test: False ONLY when the file's
+    [min, max] bounds PROVE no row can satisfy ``col op lit``. Missing
+    stats, unknown operators, and type mismatches all answer True
+    (keep the file) — pruning is an optimization, never a filter. NULL
+    rows satisfy no comparison predicate, so bounds over the non-null
+    values alone are sufficient evidence to skip."""
+    bounds = stats.get(col)
+    if bounds is None:
+        return True
+    lo, hi = bounds
+    try:
+        if op in ("=", "=="):
+            return lo <= lit <= hi
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+    except TypeError:
+        return True  # incomparable literal type: cannot prune
+    return True  # unknown operator: cannot prune
 
 
 class LakeCatalog:
@@ -610,22 +688,29 @@ class LakeTable:
         return rel
 
     def _collect_manifest(self, rel: str) -> list[dict[str, Any]]:
-        """Per-file (path, size, footer row count) for a just-written
-        snapshot dir — the commit-time stats pass Iceberg itself runs
-        when building manifests. O(#files in THIS commit), driver-side,
-        footer-priced. Listing walks the local data plane (where Spark
-        writes); same deployment note as ``files_df``."""
+        """Per-file (path, size, footer row count, column min/max) for
+        a just-written snapshot dir — the commit-time stats pass
+        Iceberg itself runs when building manifests (lower_bounds /
+        upper_bounds per data file). O(#files in THIS commit),
+        driver-side, footer-priced: the stats come from the same
+        footer read that prices the row count. Listing walks the local
+        data plane (where Spark writes); same deployment note as
+        ``files_df``."""
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         root = self.location / rel
-        return [
-            {
-                "path": str(p.relative_to(self.location)),
-                "size_bytes": p.stat().st_size,
-                "record_count": pq.read_metadata(p).num_rows,
-            }
-            for p in sorted(root.rglob("*.parquet"))
-        ]
+        out = []
+        for p in sorted(root.rglob("*.parquet")):
+            md = pq.read_metadata(p)
+            out.append(
+                {
+                    "path": str(p.relative_to(self.location)),
+                    "size_bytes": p.stat().st_size,
+                    "record_count": md.num_rows,
+                    "stats": _footer_column_bounds(md),
+                }
+            )
+        return out
 
     @staticmethod
     def _manifest_rows(files: list[dict[str, Any]]) -> int:
@@ -1652,13 +1737,45 @@ class LakeTable:
         for (sv, sid), group in sorted(groups.items()):
             spec = self.spec_at(sid)
             for s in group:
+                # manifest-level file pruning (Iceberg's scan
+                # planning): with simple predicates and commit-time
+                # stats on record, drop FILES whose [min,max] bounds
+                # prove no row can match — before Spark ever schedules
+                # them. Driver-side, O(#files-in-manifest) dict
+                # lookups; at cluster scale this is the step that turns
+                # a 100 TB scan into its matching partitions' files.
+                keep_paths: list[str] | None = None
+                if pruning and s.files is not None:
+                    kept = [
+                        f
+                        for f in s.files
+                        if all(
+                            _file_may_match(
+                                f.get("stats") or {}, col, op, lit
+                            )
+                            for (col, op, lit) in pruning
+                        )
+                    ]
+                    if not kept:
+                        continue  # whole arm provably empty
+                    if len(kept) < len(s.files):
+                        keep_paths = [
+                            str(self.location / f["path"]) for f in kept
+                        ]
                 # one read per snapshot dir: hive-partition extraction
                 # needs each dir as its own discovery root (a multi-path
                 # read over sibling snap-* dirs raises
                 # CONFLICTING_DIRECTORY_STRUCTURES). The union is
                 # metadata-sized (one arm per snapshot) and Catalyst
                 # folds the arms into one scan stage.
-                df = spark.read.parquet(str(self.location / s.data_dir))
+                if keep_paths is not None:
+                    # explicit surviving files; basePath keeps hive
+                    # partition-column extraction working
+                    df = spark.read.option(
+                        "basePath", str(self.location / s.data_dir)
+                    ).parquet(*keep_paths)
+                else:
+                    df = spark.read.parquet(str(self.location / s.data_dir))
                 # hidden-partition pruning for this group's spec
                 for (col, op, lit) in pruning or []:
                     pred = derive_pruning_predicate(spec, col, op, lit)
@@ -1711,6 +1828,9 @@ class LakeTable:
                             "left_anti",
                         )
                 parts.append(df)
+        if not parts:
+            # every arm pruned away by manifest bounds: provably empty
+            return spark.createDataFrame([], cur)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

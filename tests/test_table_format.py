@@ -333,3 +333,157 @@ def test_files_df_serves_from_manifests_no_footer_reads(
     rows = table.files_df(spark).collect()
     assert sum(r.record_count for r in rows) == 3
     assert all(r.size_bytes > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Manifest column bounds + scan-time file pruning
+# ---------------------------------------------------------------------------
+
+
+def test_file_may_match_bound_logic():
+    """The skip test may answer False only on PROOF of emptiness:
+    operators at the boundary, missing stats, unknown ops, and
+    incomparable literals must all keep the file."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _file_may_match,
+    )
+
+    stats = {"id": [10, 20], "v": ["bb", "dd"]}
+    assert _file_may_match(stats, "id", "=", 10)
+    assert _file_may_match(stats, "id", "=", 20)
+    assert not _file_may_match(stats, "id", "=", 9)
+    assert not _file_may_match(stats, "id", "=", 21)
+    assert _file_may_match(stats, "id", ">", 19)
+    assert not _file_may_match(stats, "id", ">", 20)
+    assert _file_may_match(stats, "id", ">=", 20)
+    assert not _file_may_match(stats, "id", ">=", 21)
+    assert _file_may_match(stats, "id", "<", 11)
+    assert not _file_may_match(stats, "id", "<", 10)
+    assert _file_may_match(stats, "id", "<=", 10)
+    assert not _file_may_match(stats, "id", "<=", 9)
+    assert not _file_may_match(stats, "v", "<", "bb")
+    assert _file_may_match(stats, "v", "=", "cc")
+    # conservative answers
+    assert _file_may_match(stats, "missing", "=", 1)
+    assert _file_may_match({}, "id", "=", 1)
+    assert _file_may_match(stats, "id", "!=", 10)  # unknown op
+    assert _file_may_match(stats, "id", "=", "not-an-int")  # TypeError
+
+
+def test_footer_column_bounds_types_and_nulls(tmp_path):
+    """Bounds come only from columns every row group can vouch for:
+    all-null columns and non-JSON-safe types drop out; multi-row-group
+    files aggregate to the global min/max."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _footer_column_bounds,
+    )
+
+    tbl = pa.table(
+        {
+            "i": pa.array([5, 1, 9, 3], pa.int64()),
+            "s": pa.array(["m", "a", "z", "k"]),
+            "f": pa.array([2.5, 1.5, 3.5, 0.5], pa.float64()),
+            "nul": pa.array([None, None, None, None], pa.int64()),
+            "ts": pa.array([None, None, None, None], pa.timestamp("us")),
+        }
+    )
+    p = tmp_path / "b.parquet"
+    pq.write_table(tbl, p, row_group_size=2)  # 2 row groups
+    md = pq.read_metadata(p)
+    assert md.num_row_groups == 2
+    bounds = _footer_column_bounds(md)
+    assert bounds["i"] == [1, 9]
+    assert bounds["s"] == ["a", "z"]
+    assert bounds["f"] == [0.5, 3.5]
+    assert "nul" not in bounds  # no min/max stats for all-null
+    assert "ts" not in bounds
+
+
+def test_scan_prunes_files_by_manifest_bounds(spark, tmp_path):
+    """End to end: range-clustered files + a simple predicate scan
+    must (a) return exactly the filtered rows, (b) touch strictly
+    fewer files than a full scan, (c) skip the arm entirely when the
+    bounds prove it empty — all decided from commit-time manifests,
+    no footer re-reads at scan time."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    table = LakeCatalog(tmp_path / "wh").create_table(
+        "db", "pr", df.schema
+    )
+    # range-clustered write: files carry disjoint id ranges (the
+    # layout a sorted compaction / write-ordering produces)
+    table.append(df.filter("id < 200").repartitionByRange(4, "id"))
+    table.append(df.filter("id >= 200").repartitionByRange(4, "id"))
+    total_files = sum(len(s.files) for s in table.snapshots)
+    assert total_files == 8
+
+    full = table.to_df(spark)
+    pruned = table.to_df(spark, pruning=[("id", ">=", 350)])
+    assert sorted(r.id for r in pruned.collect()) == list(range(350, 400))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # second append's earlier files also skip: at most 2 of 8 survive
+    # (the >=350 range spans at most one file per append + boundary)
+    assert len(pruned.inputFiles()) <= 2
+
+    # bounds-proven-empty scan: no Spark read at all (nullability
+    # follows the declared schema, as on the existing empty-table path)
+    empty = table.to_df(spark, pruning=[("id", ">", 10_000)])
+    assert empty.count() == 0
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in full.schema.fields
+    ]
+
+    # conjunction prunes on both columns' evidence
+    both = table.to_df(
+        spark, pruning=[("id", ">=", 100), ("id", "<", 150)]
+    )
+    assert sorted(r.id for r in both.collect()) == list(range(100, 150))
+
+
+def test_scan_pruning_composes_with_hidden_partitions(spark, tmp_path):
+    """File bounds + hidden-partition directory pruning on the same
+    scan: identical rows to the unpruned filter, and the basePath
+    explicit-file read keeps partition-column extraction intact."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    spec = PartitionSpec(
+        (PartitionField("bucket", "identity", "bucket", 1001),)
+    )
+    table = LakeCatalog(tmp_path / "wh").create_table(
+        "db", "pp", df.schema, spec
+    )
+    table.append(df.repartitionByRange(3, "id"))
+    pruned = table.to_df(
+        spark, pruning=[("bucket", "=", 1), ("id", "<", 100)]
+    )
+    expect = sorted(
+        (r.id, r.bucket, r.v)
+        for r in df.filter("bucket = 1 AND id < 100").collect()
+    )
+    got = sorted((r.id, r.bucket, r.v) for r in pruned.collect())
+    assert got == expect
+    full = table.to_df(spark)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
