@@ -813,7 +813,7 @@ class DdlFrontend:
     _CALL_PROCS: dict[str, dict[str, type]] = {
         "expire_snapshots": {"retain_last": int, "older_than_ms": int},
         "remove_orphan_files": {},
-        "rewrite_data_files": {"sort_by": str},
+        "rewrite_data_files": {"sort_by": str, "target_files": int},
         "rollback_to_snapshot": {"snapshot_id": str},
     }
 
@@ -898,6 +898,8 @@ class DdlFrontend:
                 sort_by=[c.strip() for c in str(sort_by).split(",")]
                 if sort_by
                 else None,
+                # Iceberg's target-file-size knob, as an output count
+                target_files=kwargs.get("target_files"),
             )
             resp.message_list.append(
                 f"rewrite_data_files {db}.{tbl}: compacted live set to "

@@ -1277,7 +1277,10 @@ class LakeTable:
     # -- maintenance -------------------------------------------------------
 
     def compact(
-        self, spark: SparkSession, sort_by: list[str] | None = None
+        self,
+        spark: SparkSession,
+        sort_by: list[str] | None = None,
+        target_files: int | None = None,
     ) -> Snapshot:
         """Rewrite-data-files analog: merge all live snapshots into one
         (the reference's append pattern snowballs 1-20-row files —
@@ -1289,10 +1292,22 @@ class LakeTable:
         (Iceberg's sort-order + sorted rewrite): rows are range-
         clustered across files on the sort key and sorted within each
         file, so min/max file statistics turn range predicates into
-        file skips at scan time."""
+        file skips at scan time (``to_df(pruning=...)`` consumes them
+        from the commit-time manifest).
+
+        ``target_files`` pins the rewrite's output file count —
+        Iceberg's target-file-size knob expressed as a count (a size
+        target divides the live bytes into a count anyway). Without
+        it, Spark/AQE sizes the shuffle, which on small live sets
+        coalesces to one file — correct, but no longer range-prunable."""
         df = self.to_df(spark)
         if sort_by:
-            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+            nparts = [target_files] if target_files else []
+            df = df.repartitionByRange(
+                *nparts, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        elif target_files:
+            df = df.repartition(target_files)
         snap = self._write(df, "overwrite")  # moves old live to history
         if sort_by:
             self.meta["sort_order"] = list(sort_by)
@@ -1622,21 +1637,31 @@ class LakeTable:
         exactly how Iceberg answers ``db.tbl.files`` from its Avro
         manifests; works unchanged on a store-backed lake. Snapshots
         from pre-manifest metadata fall back to a driver-side listing
-        + footer pass (the old behavior, local data plane only)."""
+        + footer pass (the old behavior, local data plane only).
+        ``lower_bounds``/``upper_bounds`` mirror Iceberg's files-table
+        columns (stringified per-column min/max from the commit-time
+        stats; null where no stats were recorded)."""
         rows = []
         for s in self.snapshots:
             if not s.data_dir:  # delete snapshot: no live data files
                 continue
             if s.files is not None:
-                rows.extend(
-                    (
-                        f["path"],
-                        s.snapshot_id,
-                        f["size_bytes"],
-                        f["record_count"],
+                for f in s.files:
+                    st = f.get("stats")
+                    rows.append(
+                        (
+                            f["path"],
+                            s.snapshot_id,
+                            f["size_bytes"],
+                            f["record_count"],
+                            {c: str(b[0]) for c, b in st.items()}
+                            if st
+                            else None,
+                            {c: str(b[1]) for c, b in st.items()}
+                            if st
+                            else None,
+                        )
                     )
-                    for f in s.files
-                )
                 continue
             import pyarrow.parquet as pq  # noqa: PLC0415
 
@@ -1648,12 +1673,15 @@ class LakeTable:
                         s.snapshot_id,
                         p.stat().st_size,
                         pq.read_metadata(p).num_rows,
+                        None,
+                        None,
                     )
                 )
         return spark.createDataFrame(
             rows,
             "file_path string, snapshot_id string, size_bytes long, "
-            "record_count long",
+            "record_count long, lower_bounds map<string,string>, "
+            "upper_bounds map<string,string>",
         )
 
     # -- read path ---------------------------------------------------------

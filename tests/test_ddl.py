@@ -745,3 +745,31 @@ def test_update_mode_table_property(ddl):
         for r in ddl.query("SELECT id, v FROM db.um").collect()
     }
     assert got == {(0, "y"), (1, "y")} | {(i, "x") for i in range(2, 6)}
+
+
+def test_call_rewrite_with_sort_and_target_files(spark, ddl):
+    """CALL system.rewrite_data_files with sort_by + target_files:
+    the rewrite range-clusters into exactly N files whose manifest
+    bounds then drive scan-time file skips."""
+    assert not ddl.sql("CREATE TABLE db.rw (id BIGINT, v STRING)").has_error
+    for lo in (0, 100, 200):
+        assert not ddl.sql(
+            "INSERT INTO db.rw SELECT id, CAST(id AS STRING) "
+            f"FROM range({lo}, {lo + 100})"
+        ).has_error
+    r = ddl.sql(
+        "CALL system.rewrite_data_files('db.rw', sort_by => 'id', "
+        "target_files => 6)"
+    )
+    assert not r.has_error, r.message_list
+    tbl = ddl.catalog.load_table("db", "rw")
+    assert len(tbl.snapshots) == 1
+    assert len(tbl.snapshots[0].files) == 6
+    pruned = tbl.to_df(spark, pruning=[("id", ">=", 290)])
+    assert sorted(x.id for x in pruned.collect()) == list(range(290, 300))
+    assert len(pruned.inputFiles()) < 6
+    # bad type still fails semantically, naming the argument
+    r = ddl.sql(
+        "CALL system.rewrite_data_files('db.rw', target_files => 'x')"
+    )
+    assert r.has_error and "target_files" in " ".join(r.message_list)

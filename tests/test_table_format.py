@@ -487,3 +487,42 @@ def test_scan_pruning_composes_with_hidden_partitions(spark, tmp_path):
     assert got == expect
     full = table.to_df(spark)
     assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_sorted_compaction_enables_file_skips(spark, tmp_path):
+    """The full Iceberg maintenance story: interleaved appends (every
+    file spans the whole key range — nothing prunable), then
+    compact(sort_by) range-clusters the layout, and the SAME predicate
+    scan now plans a strict file subset. Also pins files_df's
+    lower/upper bound columns against the data."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 400).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "sc", df.schema)
+    # round-robin layout: each file's [min,max] covers ~the full range
+    table.append(df.filter("id % 2 = 0").repartition(4))
+    table.append(df.filter("id % 2 = 1").repartition(4))
+    before = table.to_df(spark, pruning=[("id", ">=", 350)])
+    assert len(before.inputFiles()) == 8  # nothing prunable
+
+    table.compact(spark, sort_by=["id"], target_files=8)
+    after = table.to_df(spark, pruning=[("id", ">=", 350)])
+    assert sorted(r.id for r in after.collect()) == list(range(350, 400))
+    full_after = table.to_df(spark)
+    assert len(after.inputFiles()) < len(full_after.inputFiles())
+
+    # files_df exposes the bounds that made the skip decidable
+    fdf = table.files_df(spark)
+    rows = fdf.select("file_path", "lower_bounds", "upper_bounds").collect()
+    assert all(r.lower_bounds is not None for r in rows)
+    ids = sorted(
+        (int(r.lower_bounds["id"]), int(r.upper_bounds["id"])) for r in rows
+    )
+    assert ids[0][0] == 0 and ids[-1][1] == 399
+    # sorted layout = pairwise-disjoint file ranges
+    for (lo1, hi1), (lo2, _hi2) in zip(ids, ids[1:]):
+        assert hi1 < lo2
