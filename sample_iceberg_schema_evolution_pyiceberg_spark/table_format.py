@@ -341,18 +341,28 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
     return meta
 
 
+# bound-stats width cap: stats live inline in the metadata JSON, so a
+# 1000-column table must not pay 1000 bounds per file — Iceberg's
+# write.metadata.metrics config exists for the same reason (its default
+# truncates/none's metrics past the first 32 columns). First N
+# top-level columns in schema order; pruning on later columns simply
+# finds no stats and keeps the file (conservative by design).
+_STATS_MAX_COLUMNS = 32
+
+
 def _footer_column_bounds(md) -> dict[str, list]:
     """Per-column [min, max] from a parquet footer's row-group
     statistics — the data Iceberg stores as manifest lower/upper
     bounds. Conservative by construction: only TOP-LEVEL columns whose
     every row group carries min/max of a JSON-safe orderable type
     (int/float/str; bool and nested paths excluded) get an entry, so
-    a missing entry always means 'cannot prune', never 'no rows'."""
+    a missing entry always means 'cannot prune', never 'no rows'.
+    Width-capped to the first ``_STATS_MAX_COLUMNS`` leaf columns."""
     agg: dict[str, list] = {}
     dead: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
-        for ci in range(g.num_columns):
+        for ci in range(min(g.num_columns, _STATS_MAX_COLUMNS)):
             col = g.column(ci)
             name = col.path_in_schema
             if name in dead or "." in name:
