@@ -367,11 +367,18 @@ def _footer_column_bounds(md) -> dict[str, list]:
             name = col.path_in_schema
             if name in dead or "." in name:
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dead.add(name)
+                    continue
+                lo, hi = st.min, st.max
+            except Exception:  # noqa: BLE001 — pyarrow raises
+                # ArrowNotImplementedError ("Cannot extract statistics
+                # for type") on e.g. INT96/nested physical types; any
+                # unreadable statistic means this column cannot prune
                 dead.add(name)
                 continue
-            lo, hi = st.min, st.max
             ok = (
                 type(lo) in (int, float, str)
                 and type(hi) in (int, float, str)
