@@ -726,3 +726,57 @@ def a19_glue_catalog_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir + mock vanish (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a20_pruned_scan_episode",
+    # data outcome is a plain filter replay; `pruned_fewer` pins that
+    # the manifest bounds actually removed files from the plan (the
+    # sorted 8-file layout guarantees a k<=800 scan skips some file)
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total,
+           TRUE AS pruned_fewer
+    FROM orders WHERE o_orderkey <= 3000 AND o_orderkey <= 800
+    GROUP BY status
+    """,
+)
+def a20_pruned_scan_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-level scan planning episode: append, sorted rewrite
+    (rewrite_data_files with sort_by + target_files — the maintenance
+    op that range-clusters the layout), then a pruned scan whose
+    simple predicate is answered from commit-time file bounds. The
+    hashed output carries the grouped aggregate of the PRUNED scan
+    (proving no row was lost or duplicated by reading an explicit file
+    subset) plus a flag that the plan really touched fewer files than
+    the full scan (proving the bounds engaged). Iceberg analog:
+    manifest lower/upper bound file skipping after rewrite_data_files
+    with a sort order."""
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="prune_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "pz", o.schema)
+        table.append(o)
+        table.compact(spark, sort_by=["k"], target_files=8)
+        full = table.to_df(spark)
+        pruned = table.to_df(spark, pruning=[("k", "<=", 800)])
+        fewer = len(pruned.inputFiles()) < len(full.inputFiles())
+        out = pruned.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("total").cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("total"),
+        ).withColumn("pruned_fewer", F.lit(fewer))
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
