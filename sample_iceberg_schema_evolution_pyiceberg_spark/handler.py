@@ -112,12 +112,34 @@ def process_event(
 def _save_output(
     resp: ProcessSchemaResponse, output_dir: str | Path | None
 ) -> ProcessSchemaResponse:
-    """Persist the response JSON (reference writes
-    s3://bucket/output/{uuid}.json, lambda_helper.py:138-159)."""
-    if output_dir is not None:
-        out = Path(output_dir)
-        out.mkdir(parents=True, exist_ok=True)
-        loc = out / f"{uuid.uuid4()}.json"
-        loc.write_text(json.dumps(json.loads(resp.to_json()), indent=1))
-        resp.output_location = str(loc)
+    """Persist the response JSON. Reference behavior
+    (lambda_helper.py:138-159): writes s3://bucket/output/{uuid}.json,
+    records the location on the response, and on failure ACCUMULATES
+    the error in message_list instead of raising. ``output_dir`` may
+    be a local directory or an ``s3://bucket[/prefix]`` URI."""
+    if output_dir is None:
+        return resp
+    body = json.dumps(json.loads(resp.to_json()), indent=1)
+    dest = str(output_dir)
+    if dest.startswith("s3://"):
+        from urllib.parse import urlparse  # noqa: PLC0415
+
+        u = urlparse(dest)
+        key = f"{u.path.strip('/')}/{uuid.uuid4()}.json".lstrip("/")
+        try:
+            import boto3  # noqa: PLC0415
+
+            boto3.client("s3").put_object(
+                Bucket=u.netloc, Key=key, Body=body.encode("utf-8")
+            )
+            resp.output_location = f"s3://{u.netloc}/{key}"
+        except Exception as e:  # noqa: BLE001 — reference accumulates
+            resp.message_list.append(f"Failed to save output to s3: {e}")
+            resp.output_location = f"Error saving output to S3: {e}"
+        return resp
+    out = Path(dest)
+    out.mkdir(parents=True, exist_ok=True)
+    loc = out / f"{uuid.uuid4()}.json"
+    loc.write_text(body)
+    resp.output_location = str(loc)
     return resp

@@ -482,3 +482,44 @@ def test_stream_sink_into_glue_catalog_table(spark, tmp_path, glue_s3):
     assert p1 != p0
     got = sorted(r.id for r in final.to_df(spark).collect())
     assert got == list(range(120))  # lossless, duplicate-free
+
+
+def test_handler_saves_output_to_s3(spark, tmp_path):
+    """Reference-parity output persist (lambda_helper.py:138-159): the
+    response JSON lands at s3://bucket/output/{uuid}.json with
+    output_location recorded; a failed save accumulates the error in
+    message_list instead of raising."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.handler import (
+        process_event,
+    )
+
+    assets = (
+        "/root/repo/sample_iceberg_schema_evolution_pyiceberg_spark/assets"
+    )
+    with moto.mock_aws():
+        c = boto3.client("s3", region_name="us-east-1")
+        c.create_bucket(Bucket="out-bucket")
+        r = process_event(
+            spark,
+            LakeCatalog(tmp_path / "wh"),
+            f"{assets}/orders_v1.json",
+            output_dir="s3://out-bucket/output",
+            generate_data_version="v1",
+        )
+        assert not r.has_error, r.message_list
+        assert r.output_location.startswith("s3://out-bucket/output/")
+        key = r.output_location.split("out-bucket/", 1)[1]
+        saved = json.loads(
+            c.get_object(Bucket="out-bucket", Key=key)["Body"].read()
+        )
+        assert saved["database_name"] == r.database_name
+        # failed save: error accumulated, not raised (missing bucket)
+        r2 = process_event(
+            spark,
+            LakeCatalog(tmp_path / "wh2"),
+            f"{assets}/orders_v1.json",
+            output_dir="s3://no-such-bucket-graft/output",
+            generate_data_version="v1",
+        )
+        assert any("Failed to save output" in m for m in r2.message_list)
+        assert r2.output_location.startswith("Error saving output")
