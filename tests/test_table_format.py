@@ -526,3 +526,31 @@ def test_sorted_compaction_enables_file_skips(spark, tmp_path):
     # sorted layout = pairwise-disjoint file ranges
     for (lo1, hi1), (lo2, _hi2) in zip(ids, ids[1:]):
         assert hi1 < lo2
+
+
+def test_pruned_scan_parity_sweep(spark, tmp_path):
+    """Parity sweep: for every supported operator and a lattice of
+    literals (inside, outside, and exactly at file boundaries), the
+    pruned scan must return EXACTLY the rows of the unpruned filter —
+    the invariant that makes pruning an optimization, not a filter."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 240).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "sw", df.schema)
+    table.append(df.filter("id < 120").repartitionByRange(3, "id"))
+    table.append(df.filter("id >= 120").repartitionByRange(3, "id"))
+    # file boundaries fall at multiples of ~40; probe at, around, and
+    # far past them
+    spark_ops = {"=": "=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
+    for op, sql_op in spark_ops.items():
+        for lit in (0, 39, 40, 41, 80, 119, 120, 121, 239, 240, -5):
+            pruned = table.to_df(spark, pruning=[("id", op, lit)])
+            expect = sorted(
+                r.id for r in df.filter(f"id {sql_op} {lit}").collect()
+            )
+            got = sorted(r.id for r in pruned.collect())
+            assert got == expect, (op, lit)
