@@ -231,6 +231,38 @@ class GlueLakeCatalog:
         t.on_commit = publish
 
 
+def commit_with_retries(
+    catalog: "GlueLakeCatalog",
+    database: str,
+    table: str,
+    action,
+    attempts: int = 3,
+):
+    """Iceberg-style optimistic-commit retry loop: load a FRESH handle,
+    run ``action(table)``, and if another writer won the CAS race,
+    reload and replay — up to ``attempts`` times, then re-raise the
+    last conflict.
+
+    For COMMUTATIVE actions only (appends, merge-on-read deletes,
+    compaction): the action is re-executed against the new base, which
+    is exactly what Iceberg's commit retry does with its pending
+    updates. Read-modify-write actions whose intent depends on the
+    observed base (e.g. "rename the newest column") must not be
+    retried blindly — revalidate inside ``action`` instead."""
+    last: "ConcurrentCommitError | None" = None
+    for _ in range(max(1, attempts)):
+        t = catalog.load_table(database, table)
+        if t is None:
+            raise TableFormatError(
+                f"table {database}.{table} does not exist (glue)"
+            )
+        try:
+            return action(t)
+        except ConcurrentCommitError as e:
+            last = e
+    raise last
+
+
 # ---------------------------------------------------------------------------
 # Exported-Iceberg-table registration (the reference's interop promise)
 # ---------------------------------------------------------------------------

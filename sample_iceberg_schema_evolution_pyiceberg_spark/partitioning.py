@@ -179,6 +179,11 @@ def derive_pruning_predicate(
     for f in spec.fields:
         if f.source_column != source_column:
             continue
+        if op == "in":
+            # IN-list: partition must hold one of the truncated values
+            return F.col(f.partition_column).isin(
+                [f.truncate_literal(v) for v in literal]
+            )
         lit = F.lit(f.truncate_literal(literal))
         pc = F.col(f.partition_column)
         if op in ("=", "=="):

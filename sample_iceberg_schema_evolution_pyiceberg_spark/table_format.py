@@ -411,6 +411,9 @@ def _file_may_match(
         return True
     lo, hi = bounds
     try:
+        if op == "in":
+            # IN-list: the file may match if ANY literal is in bounds
+            return any(lo <= v <= hi for v in lit)
         if op in ("=", "=="):
             return lo <= lit <= hi
         if op == ">":
@@ -1882,7 +1885,12 @@ class LakeTable:
         # row-level application of the pruning predicates (rewrite is only
         # a necessary condition at file granularity)
         for (col, op, lit) in pruning or []:
-            out = out.filter(f"{col} {'=' if op == '==' else op} '{lit}'")
+            if op == "in":
+                out = out.filter(F.col(col).isin(list(lit)))
+            else:
+                out = out.filter(
+                    f"{col} {'=' if op == '==' else op} '{lit}'"
+                )
         return out
 
     def changes_between(

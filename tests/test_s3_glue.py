@@ -523,3 +523,49 @@ def test_handler_saves_output_to_s3(spark, tmp_path):
         )
         assert any("Failed to save output" in m for m in r2.message_list)
         assert r2.output_location.startswith("Error saving output")
+
+
+def test_commit_with_retries_replays_on_conflict(spark, tmp_path, glue_s3):
+    """The optimistic-commit loop: a writer that loses the CAS race
+    (another append lands between its load and its commit) reloads
+    and replays; both writers' rows survive, and the loop gives up
+    loudly when attempts are exhausted."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        ConcurrentCommitError,
+        GlueLakeCatalog,
+        commit_with_retries,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    cat.create_table("db", "t", SCHEMA)
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), F.lit("w").alias("v")
+    )
+    calls = {"n": 0}
+
+    def append_racing(t):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a competing writer lands AFTER our load, BEFORE our commit
+            cat.load_table("db", "t").append(mk(100, 110))
+        t.append(mk(0, 10))
+
+    commit_with_retries(cat, "db", "t", append_racing)
+    assert calls["n"] == 2  # first attempt lost, replay won
+    got = sorted(
+        r.id for r in cat.load_table("db", "t").to_df(spark).collect()
+    )
+    assert got == list(range(0, 10)) + list(range(100, 110))
+
+    # exhausted attempts re-raise the conflict
+    def always_racing(t):
+        cat.load_table("db", "t").append(mk(500, 501))
+        t.append(mk(600, 601))
+
+    with pytest.raises(ConcurrentCommitError):
+        commit_with_retries(cat, "db", "t", always_racing, attempts=2)

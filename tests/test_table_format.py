@@ -554,3 +554,33 @@ def test_pruned_scan_parity_sweep(spark, tmp_path):
             )
             got = sorted(r.id for r in pruned.collect())
             assert got == expect, (op, lit)
+
+
+def test_pruned_scan_in_list(spark, tmp_path):
+    """IN-list pruning across all three layers: file bounds keep only
+    files holding SOME member, hidden partitions prune directories,
+    and rows filter to exact membership."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = spark.range(0, 240).select(
+        F.col("id"), (F.col("id") % 4).alias("b")
+    )
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "il", df.schema)
+    table.append(df.repartitionByRange(6, "id"))
+    pruned = table.to_df(spark, pruning=[("id", "in", [3, 5, 201])])
+    assert sorted(r.id for r in pruned.collect()) == [3, 5, 201]
+    assert len(pruned.inputFiles()) < 6  # middle files skipped
+    # empty after bounds: no members in any file
+    assert table.to_df(spark, pruning=[("id", "in", [999])]).count() == 0
+
+    # partitioned: IN on the partition source prunes directories too
+    spec = PartitionSpec((PartitionField("b", "identity", "b", 1001),))
+    pt = LakeCatalog(tmp_path / "wh2").create_table("db", "pl", df.schema, spec)
+    pt.append(df)
+    got = pt.to_df(spark, pruning=[("b", "in", [1, 2])])
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in df.filter("b IN (1, 2)").collect()
+    )
