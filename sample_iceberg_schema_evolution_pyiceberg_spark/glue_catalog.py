@@ -60,6 +60,44 @@ def _boto_glue(region: "str | None" = None, endpoint_url: "str | None" = None):
     return boto3.client("glue", region_name=region, endpoint_url=endpoint_url)
 
 
+# Glue UpdateTable REPLACES the whole table definition, so a pointer
+# swap must carry every TableInput-compatible field of the existing
+# entry — otherwise each commit strips attributes set outside this
+# layer (Description, PartitionKeys, Retention, ...). GetTable response
+# fields that UpdateTable does not accept (CreatedTime, DatabaseName,
+# VersionId, ...) are excluded by whitelisting.
+_TABLE_INPUT_KEYS = (
+    "Name", "Description", "Owner", "LastAccessTime", "LastAnalyzedTime",
+    "Retention", "StorageDescriptor", "PartitionKeys", "ViewOriginalText",
+    "ViewExpandedText", "TableType", "Parameters", "TargetTable",
+)
+
+
+def _table_input_from_entry(entry: dict) -> dict:
+    return {k: entry[k] for k in _TABLE_INPUT_KEYS if k in entry}
+
+
+def _ensure_database(glue: Any, name: str) -> None:
+    from botocore.exceptions import ClientError  # noqa: PLC0415
+
+    try:
+        glue.create_database(DatabaseInput={"Name": name})
+    except ClientError as e:
+        if e.response["Error"]["Code"] != "AlreadyExistsException":
+            raise
+
+
+def _get_table_entry(glue: Any, database: str, table: str) -> "dict | None":
+    from botocore.exceptions import ClientError  # noqa: PLC0415
+
+    try:
+        return glue.get_table(DatabaseName=database, Name=table)["Table"]
+    except ClientError as e:
+        if e.response["Error"]["Code"] == "EntityNotFoundException":
+            return None
+        raise
+
+
 class GlueLakeCatalog:
     """LakeCatalog surface with Glue as the catalog-of-record.
 
@@ -91,27 +129,12 @@ class GlueLakeCatalog:
     # -- namespaces --------------------------------------------------------
 
     def create_namespace_if_not_exists(self, database: str) -> None:
-        from botocore.exceptions import ClientError  # noqa: PLC0415
-
-        try:
-            self.glue.create_database(DatabaseInput={"Name": database})
-        except ClientError as e:
-            if e.response["Error"]["Code"] != "AlreadyExistsException":
-                raise
+        _ensure_database(self.glue, database)
 
     # -- table lookup ------------------------------------------------------
 
     def _get_entry(self, database: str, table: str) -> "dict | None":
-        from botocore.exceptions import ClientError  # noqa: PLC0415
-
-        try:
-            return self.glue.get_table(DatabaseName=database, Name=table)[
-                "Table"
-            ]
-        except ClientError as e:
-            if e.response["Error"]["Code"] == "EntityNotFoundException":
-                return None
-            raise
+        return _get_table_entry(self.glue, database, table)
 
     def table_exists(self, database: str, table: str) -> bool:
         return self._get_entry(database, table) is not None
@@ -126,41 +149,79 @@ class GlueLakeCatalog:
         partition_spec: "PartitionSpec | None" = None,
         properties: "dict[str, str] | None" = None,
     ) -> LakeTable:
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+
         if self.table_exists(database, table):
             raise TableFormatError(
                 f"table {database}.{table} already exists (glue)"
             )
         self.create_namespace_if_not_exists(database)
+        # unique_metadata_names: even the CREATE race cannot overwrite
+        # another writer's v1 object; Glue's own AlreadyExists check
+        # arbitrates which registration wins
         t = self._inner.create_table(
-            database, table, schema, partition_spec, properties
+            database, table, schema, partition_spec, properties,
+            unique_metadata_names=True,
         )
-        meta_path = str(t.location / "_meta" / "v1.metadata.json")
-        self.glue.create_table(
-            DatabaseName=database,
-            TableInput={
-                "Name": table,
-                "TableType": "EXTERNAL_TABLE",
-                "Parameters": {
-                    "table_type": "LAKE",
-                    "metadata_location": meta_path,
+        meta_path = t.loaded_from
+        try:
+            self.glue.create_table(
+                DatabaseName=database,
+                TableInput={
+                    "Name": table,
+                    "TableType": "EXTERNAL_TABLE",
+                    "Parameters": {
+                        "table_type": "LAKE",
+                        "metadata_location": meta_path,
+                    },
+                    "StorageDescriptor": {"Location": str(t.location)},
                 },
-                "StorageDescriptor": {"Location": str(t.location)},
-            },
-        )
-        self._attach(t, database, table, meta_path)
+            )
+        except ClientError as e:
+            if e.response["Error"]["Code"] != "AlreadyExistsException":
+                raise
+            # lost a create-create race: the winner's registration
+            # stands; restore the store hint to the winner's metadata
+            # file (ours overwrote it) and surface the layer's error
+            winner = self._get_entry(database, table)
+            if winner is not None:
+                ploc = winner.get("Parameters", {}).get("metadata_location")
+                if ploc:
+                    self.io.write_text(
+                        str(t.location / "_meta" / "version-hint.text"),
+                        ploc.rsplit("/", 1)[-1],
+                    )
+            raise TableFormatError(
+                f"table {database}.{table} already exists (glue, "
+                "concurrent create)"
+            ) from e
+        self._attach(t, database, table)
         return t
 
     def load_table(self, database: str, table: str) -> "LakeTable | None":
         entry = self._get_entry(database, table)
         if entry is None:
             return None  # reference contract: None on missing
-        meta_path = entry["Parameters"]["metadata_location"]
+        params = entry.get("Parameters") or {}
+        meta_path = params.get("metadata_location")
+        if meta_path is None:
+            # a foreign Glue entry (crawler/Athena/console) with no
+            # metadata pointer is not a lake table: absent, not broken
+            return None
+        ttype = params.get("table_type", "LAKE")
+        if ttype != "LAKE":
+            raise TableFormatError(
+                f"{database}.{table} is registered as {ttype!r}, not a "
+                "LAKE table — for ICEBERG exports use "
+                "read_registered_iceberg_table"
+            )
         loc = self._inner._table_dir(database, table)
         doc = json.loads(self.io.read_text(meta_path))
         from .table_format import _meta_from_spec  # noqa: PLC0415
 
         t = LakeTable(loc, _meta_from_spec(doc), io=self.io)
-        self._attach(t, database, table, meta_path)
+        t.loaded_from = meta_path
+        self._attach(t, database, table)
         return t
 
     def drop_table(self, database: str, table: str) -> None:
@@ -174,23 +235,26 @@ class GlueLakeCatalog:
         self._inner.drop_table(database, table)
 
     def list_tables(self) -> list[tuple[str, str]]:
+        # paginated: Glue pages databases/tables at 100 entries
         out = []
-        for db in self.glue.get_databases()["DatabaseList"]:
-            for t in self.glue.get_tables(DatabaseName=db["Name"])[
-                "TableList"
-            ]:
-                out.append((db["Name"], t["Name"]))
+        for dpage in self.glue.get_paginator("get_databases").paginate():
+            for db in dpage["DatabaseList"]:
+                for tpage in self.glue.get_paginator("get_tables").paginate(
+                    DatabaseName=db["Name"]
+                ):
+                    for t in tpage["TableList"]:
+                        out.append((db["Name"], t["Name"]))
         return sorted(out)
 
     # -- the CAS pointer swap ---------------------------------------------
 
-    def _attach(
-        self, t: LakeTable, database: str, table: str, seen_pointer: str
-    ) -> None:
-        """Install the post-commit publish hook. ``seen_pointer`` is
-        the metadata location this handle last observed; a commit only
-        publishes if Glue still points there (optimistic lock)."""
-        state = {"seen": seen_pointer}
+    def _attach(self, t: LakeTable, database: str, table: str) -> None:
+        """Install the post-commit publish hook. The handle's
+        ``loaded_from`` is the base pointer: a commit only publishes
+        if Glue still points there (optimistic lock). ``refresh()``
+        resyncs ``loaded_from``, so refresh-and-retry genuinely works
+        after a lost race."""
+        t.unique_metadata_names = True
 
         def publish(version: int, meta_path: str) -> None:
             entry = self._get_entry(database, table)
@@ -198,16 +262,19 @@ class GlueLakeCatalog:
                 raise TableFormatError(
                     f"table {database}.{table} vanished from glue"
                 )
-            current = entry["Parameters"].get("metadata_location")
-            if current != state["seen"]:
+            current = entry.get("Parameters", {}).get("metadata_location")
+            if current != t.loaded_from:
                 raise ConcurrentCommitError(
                     f"glue pointer for {database}.{table} moved "
-                    f"({state['seen']!r} -> {current!r}); refresh and "
+                    f"({t.loaded_from!r} -> {current!r}); refresh and "
                     "retry the commit"
                 )
-            params = dict(entry["Parameters"])
+            ti = _table_input_from_entry(entry)
+            ti["Name"] = table
+            params = dict(ti.get("Parameters") or {})
             params["previous_metadata_location"] = current
             params["metadata_location"] = meta_path
+            ti["Parameters"] = params
             kwargs = {}
             if entry.get("VersionId"):
                 # real Glue enforces this server-side; the compare
@@ -215,18 +282,8 @@ class GlueLakeCatalog:
                 # only track versions
                 kwargs["VersionId"] = entry["VersionId"]
             self.glue.update_table(
-                DatabaseName=database,
-                TableInput={
-                    "Name": table,
-                    "TableType": entry.get("TableType", "EXTERNAL_TABLE"),
-                    "Parameters": params,
-                    "StorageDescriptor": entry.get(
-                        "StorageDescriptor", {}
-                    ),
-                },
-                **kwargs,
+                DatabaseName=database, TableInput=ti, **kwargs
             )
-            state["seen"] = meta_path
 
         t.on_commit = publish
 
@@ -281,43 +338,34 @@ def register_iceberg_export(
     Returns the registered metadata location. Re-registering after a
     newer export advances the pointer and keeps the previous one in
     ``previous_metadata_location``."""
-    from botocore.exceptions import ClientError  # noqa: PLC0415
-
     meta_dir = Path(metadata_dir)
     version = (meta_dir / "version-hint.text").read_text().strip()
     meta_path = str(meta_dir / f"v{version}.metadata.json")
-    try:
-        glue.create_database(DatabaseInput={"Name": database})
-    except ClientError as e:
-        if e.response["Error"]["Code"] != "AlreadyExistsException":
-            raise
-    existing = None
-    try:
-        existing = glue.get_table(DatabaseName=database, Name=table)["Table"]
-    except ClientError as e:
-        if e.response["Error"]["Code"] != "EntityNotFoundException":
-            raise
-    params = {"table_type": "ICEBERG", "metadata_location": meta_path}
+    _ensure_database(glue, database)
+    existing = _get_table_entry(glue, database, table)
     if existing is not None:
-        prev = existing["Parameters"].get("metadata_location")
+        # preserve the full entry (UpdateTable replaces the whole
+        # definition) and only move the pointer parameters
+        ti = _table_input_from_entry(existing)
+        ti["Name"] = table
+        params = dict(ti.get("Parameters") or {})
+        prev = params.get("metadata_location")
         if prev and prev != meta_path:
             params["previous_metadata_location"] = prev
-        glue.update_table(
-            DatabaseName=database,
-            TableInput={
-                "Name": table,
-                "TableType": "EXTERNAL_TABLE",
-                "Parameters": params,
-                "StorageDescriptor": {"Location": str(meta_dir.parent)},
-            },
-        )
+        params["table_type"] = "ICEBERG"
+        params["metadata_location"] = meta_path
+        ti["Parameters"] = params
+        glue.update_table(DatabaseName=database, TableInput=ti)
     else:
         glue.create_table(
             DatabaseName=database,
             TableInput={
                 "Name": table,
                 "TableType": "EXTERNAL_TABLE",
-                "Parameters": params,
+                "Parameters": {
+                    "table_type": "ICEBERG",
+                    "metadata_location": meta_path,
+                },
                 "StorageDescriptor": {"Location": str(meta_dir.parent)},
             },
         )

@@ -712,7 +712,10 @@ def a19_glue_catalog_episode(spark: SparkSession, sf: str) -> DataFrame:
         ptr = glue.get_table(DatabaseName="gate", Name="g")["Table"][
             "Parameters"
         ]["metadata_location"]
-        ptr_version = int(ptr.rsplit("/v", 1)[1].split(".")[0])
+        # pointer names are writer-unique (v{N}-{uuid}.metadata.json)
+        import re  # noqa: PLC0415
+
+        ptr_version = int(re.search(r"/v(\d+)[-.]", ptr).group(1))
         final = cat.load_table("gate", "g").to_df(spark)
         out = final.groupBy("status").agg(
             F.count(F.lit(1)).alias("n"),

@@ -75,6 +75,7 @@ metadata JSON.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -341,6 +342,22 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
     return meta
 
 
+def _hint_to_filename(hint: str) -> str:
+    """Resolve a version-hint payload to the metadata filename. Plain
+    tables store the bare version number (``"4"`` →
+    ``v4.metadata.json``); catalog-of-record tables store the full
+    writer-unique filename (``"v4-ab12cd34.metadata.json"``)."""
+    return hint if hint.endswith(".metadata.json") else f"v{hint}.metadata.json"
+
+
+def _hint_to_version(hint: str) -> int:
+    """Extract the numeric version from either hint form."""
+    m = re.match(r"v?(\d+)", hint)
+    if not m:
+        raise TableFormatError(f"unparseable version hint {hint!r}")
+    return int(m.group(1))
+
+
 # bound-stats width cap: stats live inline in the metadata JSON, so a
 # 1000-column table must not pay 1000 bounds per file — Iceberg's
 # write.metadata.metrics config exists for the same reason (its default
@@ -357,15 +374,29 @@ def _footer_column_bounds(md) -> dict[str, list]:
     every row group carries min/max of a JSON-safe orderable type
     (int/float/str; bool and nested paths excluded) get an entry, so
     a missing entry always means 'cannot prune', never 'no rows'.
-    Width-capped to the first ``_STATS_MAX_COLUMNS`` leaf columns."""
+    Width-capped to the first ``_STATS_MAX_COLUMNS`` TOP-LEVEL columns
+    (nested leaves don't consume cap slots — a leading wide struct must
+    not disable stats for the flat columns after it)."""
+    if md.num_row_groups == 0:
+        return {}
+    allowed: list[str] = []
+    g0 = md.row_group(0)
+    for ci in range(g0.num_columns):
+        name = g0.column(ci).path_in_schema
+        if "." in name or name in allowed:
+            continue
+        allowed.append(name)
+        if len(allowed) >= _STATS_MAX_COLUMNS:
+            break
+    allowed_set = set(allowed)
     agg: dict[str, list] = {}
     dead: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
-        for ci in range(min(g.num_columns, _STATS_MAX_COLUMNS)):
+        for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if name in dead or "." in name:
+            if name in dead or name not in allowed_set:
                 continue
             try:
                 st = col.statistics
@@ -461,6 +492,7 @@ class LakeCatalog:
         schema: T.StructType,
         partition_spec: PartitionSpec | None = None,
         properties: dict[str, str] | None = None,
+        unique_metadata_names: bool = False,
     ) -> "LakeTable":
         if self.table_exists(database, table):
             raise TableFormatError(f"table {database}.{table} already exists")
@@ -480,6 +512,9 @@ class LakeCatalog:
             "snapshots": [],
         }
         t = LakeTable(loc, meta, io=self.io)
+        # a catalog-of-record layer asks for writer-unique metadata
+        # names so even the CREATE race cannot overwrite objects
+        t.unique_metadata_names = unique_metadata_names
         t._commit(version=1)
         return t
 
@@ -520,6 +555,13 @@ class LakeTable:
         # publish/CAS the new metadata pointer after each commit. None
         # for plain hint-file tables.
         self.on_commit = None
+        # catalog-of-record mode: give every metadata file a
+        # writer-unique name so racing commits can never overwrite
+        # each other's objects (see _commit)
+        self.unique_metadata_names = False
+        # the metadata file this handle's state was loaded from — the
+        # base a CAS publish compares the catalog pointer against
+        self.loaded_from: str | None = None
         # DATA-plane namespace ops (maintenance deletes/listings,
         # stream source dir). Data files are written by Spark's Hadoop
         # FS layer — local in this container — so this defaults to
@@ -537,16 +579,22 @@ class LakeTable:
         hint = io.read_text(
             str(location / "_meta" / "version-hint.text")
         ).strip()
-        meta_file = str(location / "_meta" / f"v{hint}.metadata.json")
-        return LakeTable(
+        meta_file = str(location / "_meta" / _hint_to_filename(hint))
+        t = LakeTable(
             location, _meta_from_spec(json.loads(io.read_text(meta_file))),
             io=io,
         )
+        t.loaded_from = meta_file
+        return t
 
     def refresh(self) -> "LakeTable":
         """Re-read committed metadata (reference: table.refresh(),
-        iceberg_helper.py:365,384)."""
-        self.meta = LakeTable.load(self.location, io=self.io).meta
+        iceberg_helper.py:365,384). Also resyncs ``loaded_from``, the
+        base pointer a catalog-of-record publish compares against — so
+        a refreshed handle can commit again after losing a CAS race."""
+        fresh = LakeTable.load(self.location, io=self.io)
+        self.meta = fresh.meta
+        self.loaded_from = fresh.loaded_from
         return self
 
     def _commit(self, version: int | None = None) -> None:
@@ -554,11 +602,21 @@ class LakeTable:
         if version is None:
             hint_file = str(meta_dir / "version-hint.text")
             version = (
-                int(self.io.read_text(hint_file).strip()) + 1
+                _hint_to_version(self.io.read_text(hint_file).strip()) + 1
                 if self.io.exists(hint_file)
                 else 1
             )
-        meta_path = str(meta_dir / f"v{version}.metadata.json")
+        if self.unique_metadata_names:
+            # catalog-of-record mode: the metadata OBJECT key must be
+            # unique per writer (Iceberg's uuid'd metadata file names).
+            # With the deterministic v{N} key, two writers racing from
+            # the same base both compute N and the loser's PUT lands on
+            # the winner's committed object BEFORE the CAS can reject
+            # it — last-writer-wins corruption the pointer never sees.
+            fname = f"v{version}-{uuid.uuid4().hex[:8]}.metadata.json"
+        else:
+            fname = f"v{version}.metadata.json"
+        meta_path = str(meta_dir / fname)
         self.io.write_text(
             meta_path, json.dumps(_meta_to_spec(self.meta), indent=1)
         )
@@ -570,7 +628,14 @@ class LakeTable:
             # the store-level hint, so hint-based readers (streaming
             # source) never see a version the catalog rejected
             self.on_commit(version, meta_path)
-        self.io.write_text(str(meta_dir / "version-hint.text"), str(version))
+        # hint carries the filename in unique mode (readers resolve it
+        # via _hint_to_filename); the bare number otherwise (stable
+        # format for plain tables)
+        self.io.write_text(
+            str(meta_dir / "version-hint.text"),
+            fname if self.unique_metadata_names else str(version),
+        )
+        self.loaded_from = meta_path
 
     @property
     def identifier(self) -> str:

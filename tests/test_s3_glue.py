@@ -22,6 +22,7 @@ drives its own table format.
 from __future__ import annotations
 
 import json
+import re
 
 import pytest
 
@@ -216,12 +217,14 @@ def test_glue_catalog_pointer_lifecycle(spark, tmp_path, glue_s3):
     entry = glue.get_table(DatabaseName="db", Name="t")["Table"]
     p1 = entry["Parameters"]["metadata_location"]
     assert entry["Parameters"]["table_type"] == "LAKE"
-    assert p1.endswith("v1.metadata.json")
+    # metadata object names are writer-unique (no deterministic key a
+    # racing writer could overwrite), pointer still carries the version
+    assert re.search(r"/v1-[0-9a-f]{8}\.metadata\.json$", p1)
 
     t.append(spark.range(0, 5).select(F.col("id"), F.lit("a").alias("v")))
     entry = glue.get_table(DatabaseName="db", Name="t")["Table"]
     p2 = entry["Parameters"]["metadata_location"]
-    assert p2.endswith("v2.metadata.json")
+    assert re.search(r"/v2-[0-9a-f]{8}\.metadata\.json$", p2)
     assert entry["Parameters"]["previous_metadata_location"] == p1
 
     # pointer-driven load sees the appended state and keeps committing
@@ -232,9 +235,10 @@ def test_glue_catalog_pointer_lifecycle(spark, tmp_path, glue_s3):
             [*SCHEMA.fields, T.StructField("added", T.DoubleType(), True)]
         )
     )
-    assert glue.get_table(DatabaseName="db", Name="t")["Table"][
+    _p3 = glue.get_table(DatabaseName="db", Name="t")["Table"][
         "Parameters"
-    ]["metadata_location"].endswith("v3.metadata.json")
+    ]["metadata_location"]
+    assert re.search(r"/v3-[0-9a-f]{8}\.metadata\.json$", _p3)
 
     assert cat.list_tables() == [("db", "t")]
     cat.drop_table("db", "t")
@@ -569,3 +573,211 @@ def test_commit_with_retries_replays_on_conflict(spark, tmp_path, glue_s3):
 
     with pytest.raises(ConcurrentCommitError):
         commit_with_retries(cat, "db", "t", always_racing, attempts=2)
+
+
+def test_racing_commit_cannot_overwrite_winner_metadata(spark, tmp_path, glue_s3):
+    """The corruption scenario unique metadata names exist for: two
+    handles race from the same base, both allocating version N. The
+    loser's metadata PUT must land on its OWN object — never the
+    winner's — so after the rejected CAS the catalog pointer still
+    resolves the winner's exact committed state."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        ConcurrentCommitError,
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    cat.create_table("db", "t", SCHEMA)
+    a = cat.load_table("db", "t")
+    b = cat.load_table("db", "t")
+    a.commit_schema(
+        T.StructType(
+            [*SCHEMA.fields, T.StructField("winner", T.DoubleType(), True)]
+        )
+    )
+    winner_ptr = glue.get_table(DatabaseName="db", Name="t")["Table"][
+        "Parameters"
+    ]["metadata_location"]
+    winner_bytes = cat.io.read_text(winner_ptr)
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_schema(
+            T.StructType(
+                [*SCHEMA.fields, T.StructField("loser", T.DoubleType(), True)]
+            )
+        )
+    # the winner's committed object is byte-identical after the race
+    assert cat.io.read_text(winner_ptr) == winner_bytes
+    assert cat.load_table("db", "t").schema.fieldNames() == [
+        "id", "v", "winner",
+    ]
+
+
+def test_refresh_and_retry_after_lost_race(spark, tmp_path, glue_s3):
+    """The error message says 'refresh and retry' — table.refresh()
+    must actually resync the CAS base so the retried commit wins."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        ConcurrentCommitError,
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    cat.create_table("db", "t", SCHEMA)
+    h = cat.load_table("db", "t")
+    cat.load_table("db", "t").commit_schema(
+        T.StructType(
+            [*SCHEMA.fields, T.StructField("x", T.DoubleType(), True)]
+        )
+    )
+    with pytest.raises(ConcurrentCommitError):
+        h.commit_schema(
+            T.StructType(
+                [*SCHEMA.fields, T.StructField("y", T.DoubleType(), True)]
+            )
+        )
+    h.refresh()  # the advertised recovery path on the SAME handle
+    h.commit_schema(
+        T.StructType(
+            [*h.schema.fields, T.StructField("y", T.DoubleType(), True)]
+        )
+    )
+    assert cat.load_table("db", "t").schema.fieldNames() == [
+        "id", "v", "x", "y",
+    ]
+
+
+def test_load_table_tolerates_foreign_entries(spark, tmp_path, glue_s3):
+    """Glue catalogs hold tables this layer didn't create: entries
+    with no metadata pointer read as absent; ICEBERG-export entries
+    refuse loudly with a pointer to the right reader."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        TableFormatError,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    glue.create_database(DatabaseInput={"Name": "ext"})
+    glue.create_table(
+        DatabaseName="ext",
+        TableInput={"Name": "crawler_csv", "TableType": "EXTERNAL_TABLE"},
+    )
+    glue.create_table(
+        DatabaseName="ext",
+        TableInput={
+            "Name": "ice",
+            "Parameters": {
+                "table_type": "ICEBERG",
+                "metadata_location": "/nowhere/metadata/v1.metadata.json",
+            },
+        },
+    )
+    assert cat.load_table("ext", "crawler_csv") is None
+    with pytest.raises(TableFormatError, match="ICEBERG"):
+        cat.load_table("ext", "ice")
+    assert ("ext", "crawler_csv") in cat.list_tables()
+
+
+def test_pointer_swap_preserves_foreign_entry_fields(spark, tmp_path, glue_s3):
+    """Glue UpdateTable replaces the whole definition; the pointer
+    swap must carry fields set OUTSIDE this layer (console/crawler/
+    Terraform) instead of stripping them."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "t", SCHEMA)
+    # an operator enriches the entry out-of-band
+    entry = glue.get_table(DatabaseName="db", Name="t")["Table"]
+    glue.update_table(
+        DatabaseName="db",
+        TableInput={
+            "Name": "t",
+            "TableType": entry["TableType"],
+            "Parameters": {**entry["Parameters"], "owner_team": "data-eng"},
+            "StorageDescriptor": entry["StorageDescriptor"],
+            "Description": "orders landing table",
+            "Retention": 30,
+        },
+    )
+    t.refresh()  # resync the CAS base past the out-of-band update...
+    # ...which moved Parameters only additively, so commit must win
+    t.append(spark.range(0, 3).select(F_id(), F_lit_v()))
+    after = glue.get_table(DatabaseName="db", Name="t")["Table"]
+    assert after["Description"] == "orders landing table"
+    assert after["Retention"] == 30
+    assert after["Parameters"]["owner_team"] == "data-eng"
+    assert after["Parameters"]["metadata_location"] != entry["Parameters"][
+        "metadata_location"
+    ]
+
+
+def F_id():
+    from pyspark.sql import functions as F
+
+    return F.col("id")
+
+
+def F_lit_v():
+    from pyspark.sql import functions as F
+
+    return F.lit("w").alias("v")
+
+
+def test_stream_changes_over_glue_created_table(spark, tmp_path, moto_server):
+    """A Glue-created table stores FILENAME-form version hints (its
+    metadata objects are writer-unique); the log-driven source's
+    reader worker must resolve that hint form over the real S3
+    endpoint and deliver appends losslessly."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    kw = dict(region_name="us-east-1", endpoint_url=moto_server)
+    boto3.client("s3", **kw).create_bucket(Bucket="glue-hint-stream")
+    cat = GlueLakeCatalog(
+        tmp_path / "wh",
+        io=ObjectStoreFileIO(
+            S3ObjectStore(
+                "glue-hint-stream",
+                "wh",
+                region="us-east-1",
+                endpoint_url=moto_server,
+            )
+        ),
+        glue=boto3.client("glue", **kw),
+    )
+    df = spark.range(0, 20).select(F.col("id"))
+    t = cat.create_table("s", "g", df.schema)
+    t.append(df.filter("id < 10"))
+    q = (
+        t.stream_changes(spark)
+        .writeStream.format("memory")
+        .queryName("glue_hint_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("glue_hint_sink").count() == 10
+        t.append(df.filter("id >= 10"))
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.table("glue_hint_sink").collect())
+        assert got == list(range(20))
+    finally:
+        q.stop()

@@ -584,3 +584,34 @@ def test_pruned_scan_in_list(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == sorted(
         r.id for r in df.filter("b IN (1, 2)").collect()
     )
+
+
+def test_stats_cap_counts_top_level_columns(tmp_path):
+    """A leading wide struct must not eat the stats budget: the cap
+    counts TOP-LEVEL columns, so flat columns after 32+ nested leaves
+    still get bounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _footer_column_bounds,
+    )
+
+    wide = pa.StructArray.from_arrays(
+        [pa.array([i, i + 1], pa.int64()) for i in range(40)],
+        names=[f"n{i:02d}" for i in range(40)],
+    )
+    tbl = pa.table(
+        {
+            "wide": wide,
+            "id": pa.array([7, 9], pa.int64()),
+            "v": pa.array(["a", "b"]),
+        }
+    )
+    p = tmp_path / "w.parquet"
+    pq.write_table(tbl, p)
+    bounds = _footer_column_bounds(pq.read_metadata(p))
+    # nested leaves carry no bounds and consume no cap slots
+    assert bounds["id"] == [7, 9]
+    assert bounds["v"] == ["a", "b"]
+    assert not any("." in k for k in bounds)
