@@ -812,6 +812,7 @@ class DdlFrontend:
     # argument instead of an opaque TypeError downstream
     _CALL_PROCS: dict[str, dict[str, type]] = {
         "expire_snapshots": {"retain_last": int, "older_than_ms": int},
+        "expire_metadata_versions": {"keep_last": int},
         "remove_orphan_files": {},
         "rewrite_data_files": {"sort_by": str, "target_files": int},
         "rollback_to_snapshot": {"snapshot_id": str},
@@ -879,6 +880,14 @@ class DdlFrontend:
             resp.message_list.append(
                 f"remove_orphan_files {db}.{tbl}: removed "
                 f"{len(removed)} orphan dir(s)"
+            )
+        elif proc == "expire_metadata_versions":
+            gone = table.expire_metadata_versions(
+                keep_last=int(kwargs.get("keep_last", 10))
+            )
+            resp.message_list.append(
+                f"expire_metadata_versions {db}.{tbl}: deleted "
+                f"{len(gone)} metadata file(s)"
             )
         elif proc == "rollback_to_snapshot":
             sid = kwargs.get("snapshot_id")

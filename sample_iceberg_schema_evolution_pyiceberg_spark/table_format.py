@@ -1532,6 +1532,40 @@ class LakeTable:
                 removed.append(rel)
         return sorted(removed)
 
+    def expire_metadata_versions(self, keep_last: int = 10) -> list[str]:
+        """Iceberg's ``write.metadata.previous-versions-max`` analog:
+        delete old metadata version files, keeping the newest
+        ``keep_last`` (by version number, then name) and ALWAYS the
+        current hint target. Every commit writes a new metadata file
+        and a failed catalog CAS strands an orphan one, so the
+        metadata prefix grows per commit until this runs — the same
+        reason Iceberg caps previous versions. Catalog
+        ``previous_metadata_location`` pointers older than the window
+        stop resolving, exactly as with Iceberg's setting. Returns the
+        deleted filenames."""
+        if keep_last < 1:
+            raise TableFormatError("expire_metadata_versions: keep_last >= 1")
+        meta_dir = self.location / "_meta"
+        hint = self.io.read_text(
+            str(meta_dir / "version-hint.text")
+        ).strip()
+        current = _hint_to_filename(hint)
+        files = sorted(
+            (
+                f
+                for f in self.io.list_files(str(meta_dir))
+                if f.endswith(".metadata.json")
+            ),
+            key=lambda f: (_hint_to_version(f), f),
+        )
+        keep = set(files[-keep_last:]) | {current}
+        deleted = []
+        for f in files:
+            if f not in keep:
+                self.io.delete_recursive(str(meta_dir / f))
+                deleted.append(f)
+        return deleted
+
     def stream_changes(
         self,
         spark: SparkSession,

@@ -773,3 +773,17 @@ def test_call_rewrite_with_sort_and_target_files(spark, ddl):
         "CALL system.rewrite_data_files('db.rw', target_files => 'x')"
     )
     assert r.has_error and "target_files" in " ".join(r.message_list)
+
+
+def test_call_expire_metadata_versions(ddl):
+    assert not ddl.sql("CREATE TABLE db.mv (id BIGINT)").has_error
+    for i in range(4):
+        assert not ddl.sql(
+            f"ALTER TABLE db.mv ADD COLUMN c{i} DOUBLE"
+        ).has_error
+    r = ddl.sql(
+        "CALL system.expire_metadata_versions('db.mv', keep_last => 2)"
+    )
+    assert not r.has_error and "deleted 3 metadata file(s)" in r.message_list[-1]
+    tbl = ddl.catalog.load_table("db", "mv")
+    assert tbl.schema.fieldNames() == ["id", "c0", "c1", "c2", "c3"]

@@ -615,3 +615,31 @@ def test_stats_cap_counts_top_level_columns(tmp_path):
     assert bounds["id"] == [7, 9]
     assert bounds["v"] == ["a", "b"]
     assert not any("." in k for k in bounds)
+
+
+def test_expire_metadata_versions(spark, catalog):
+    """Old metadata version files (including CAS-orphaned ones) are
+    reaped down to keep_last; the current hint target always
+    survives and the table stays loadable."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeTable,
+    )
+
+    table, df = _mk(spark, catalog, "mx")
+    for i in range(6):
+        table.commit_schema(
+            table.schema.add(f"c{i}", "double")
+        )  # v2..v7
+    meta_dir = table.location / "_meta"
+    assert len(list(meta_dir.glob("*.metadata.json"))) == 7
+    # plant a CAS-orphan (unique-named file never referenced by a hint)
+    (meta_dir / "v5-deadbeef.metadata.json").write_text("{}")
+    gone = table.expire_metadata_versions(keep_last=3)
+    left = sorted(p.name for p in meta_dir.glob("*.metadata.json"))
+    assert left == ["v5.metadata.json", "v6.metadata.json", "v7.metadata.json"]
+    assert "v5-deadbeef.metadata.json" in gone
+    assert "v1.metadata.json" in gone
+    reloaded = LakeTable.load(table.location)
+    assert reloaded.schema.fieldNames()[-1] == "c5"
+    with pytest.raises(TableFormatError):
+        table.expire_metadata_versions(keep_last=0)
