@@ -26,6 +26,8 @@ array-element structs, matching schema_diff path addressing):
     ALTER TABLE db.tbl DROP PARTITION FIELD years(c)|...|name
     ALTER TABLE db.tbl SET TBLPROPERTIES ( 'k' = 'v', ... )
     ALTER TABLE db.tbl UNSET TBLPROPERTIES ( 'k', ... )
+    ALTER TABLE db.tbl CREATE TAG name [AS OF VERSION 'snapshot-id']
+    ALTER TABLE db.tbl DROP TAG name
     DROP TABLE [IF EXISTS] db.tbl
     INSERT INTO | OVERWRITE db.tbl <select | VALUES ...>
     DELETE FROM db.tbl WHERE <cond>
@@ -428,17 +430,17 @@ class DdlFrontend:
             # must bind before the plain-identifier rewrite sees its
             # db.tbl prefix
             meta_re = re.compile(
-                ident.pattern + r"\.(snapshots|files)\b", re.IGNORECASE
+                ident.pattern + r"\.(snapshots|files|refs)\b", re.IGNORECASE
             )
 
             def meta_repl(m: re.Match) -> str:
                 kind = m.group(1).lower()
                 view = f"lake_{db}_{tbl}_meta_{kind}_v"
-                df = (
-                    table.snapshots_df(self.spark)
-                    if kind == "snapshots"
-                    else table.files_df(self.spark)
-                )
+                df = {
+                    "snapshots": table.snapshots_df,
+                    "files": table.files_df,
+                    "refs": table.refs_df,
+                }[kind](self.spark)
                 df.createOrReplaceTempView(view)
                 return view
 
@@ -990,6 +992,25 @@ class DdlFrontend:
             r"^DROP\s+PARTITION\s+FIELD\s+(.+)$", action, re.IGNORECASE
         ):
             self._alter_spec(table, am.group(1), add=False, resp=resp)
+        elif am := re.match(
+            r"^CREATE\s+TAG\s+([A-Za-z_]\w*)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+'([^']+)')?\s*$",
+            action,
+            re.IGNORECASE,
+        ):
+            # Iceberg ref DDL (tag type): pins a snapshot by name
+            table.create_tag(am.group(1), snapshot_id=am.group(2))
+            resp.message_list.append(
+                f"Created tag {am.group(1)!r} on {db}.{tbl} -> "
+                f"{table.tags[am.group(1)]}"
+            )
+        elif am := re.match(
+            r"^DROP\s+TAG\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+        ):
+            table.drop_tag(am.group(1))
+            resp.message_list.append(
+                f"Dropped tag {am.group(1)!r} on {db}.{tbl}"
+            )
         else:
             raise DdlError(f"unrecognized ALTER action: {action[:80]!r}")
 

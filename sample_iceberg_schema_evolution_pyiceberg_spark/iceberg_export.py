@@ -958,6 +958,23 @@ def export_to_iceberg(
             table.meta.get("last_sequence_number", 0)
         )
 
+    tags = table.meta.get("tags") or {}
+    if tags or current_id is not None:
+        # spec "refs" map: the main branch ref (Iceberg writers always
+        # record it) plus one tag ref per engine tag, snapshot ids
+        # mapped through the same stable int64 derivation
+        by_str = {
+            s.snapshot_id: _snapshot_int_id(s) for s in table.all_snapshots()
+        }
+        refs: dict = {}
+        if current_id is not None:
+            refs["main"] = {"snapshot-id": current_id, "type": "branch"}
+        for name, sid in sorted(tags.items()):
+            if sid in by_str:
+                refs[name] = {"snapshot-id": by_str[sid], "type": "tag"}
+        if refs:
+            doc["refs"] = refs
+
     hint_file = meta_dir / "version-hint.text"
     version = (
         int(hint_file.read_text().strip()) + 1 if hint_file.exists() else 1

@@ -285,6 +285,13 @@ def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
         doc["snapshot-history"] = [
             _snap_to_spec(s) for s in meta["snapshot_history"]
         ]
+    if meta.get("tags"):
+        # Iceberg refs (spec v2 "refs" map), tag type only — names
+        # pin snapshot ids against expiration and resolve in reads
+        doc["refs"] = {
+            name: {"snapshot-id": sid, "type": "tag"}
+            for name, sid in sorted(meta["tags"].items())
+        }
     if meta.get("sort_order"):
         doc["default-sort-order-id"] = 1
         doc["sort-orders"] = [
@@ -335,6 +342,12 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
         meta["snapshot_history"] = [
             _snap_from_spec(s) for s in doc["snapshot-history"]
         ]
+    if doc.get("refs"):
+        meta["tags"] = {
+            name: r["snapshot-id"]
+            for name, r in doc["refs"].items()
+            if r.get("type") == "tag"
+        }
     if doc.get("sort-orders"):
         meta["sort_order"] = [
             f["source-column"] for f in doc["sort-orders"][0]["fields"]
@@ -1399,6 +1412,67 @@ class LakeTable:
         self._commit()
         return snap
 
+    # -- snapshot tags (Iceberg refs, tag type) ----------------------------
+
+    @property
+    def tags(self) -> dict[str, str]:
+        """Named snapshot refs (Iceberg 'refs' of type tag): tag name
+        -> snapshot id. Tags resolve in every snapshot-addressed read
+        and RETAIN their snapshot against expire_snapshots."""
+        return dict(self.meta.get("tags") or {})
+
+    def resolve_ref(self, ref: str) -> str:
+        """A tag name resolves to its snapshot id; anything else
+        passes through unchanged (snapshot ids win if a tag shadows
+        one — tags are checked only when no snapshot has the name,
+        which hex snapshot ids make unambiguous in practice)."""
+        if any(s.snapshot_id == ref for s in self.all_snapshots()):
+            return ref
+        return (self.meta.get("tags") or {}).get(ref, ref)
+
+    def create_tag(self, name: str, snapshot_id: "str | None" = None) -> None:
+        """Tag a snapshot (default: the current one). Metadata-only
+        commit; the tag pins the snapshot against expiration, exactly
+        like an Iceberg tag ref."""
+        tags = self.meta.setdefault("tags", {})
+        if name in tags:
+            raise TableFormatError(
+                f"tag {name!r} already exists (drop_tag first)"
+            )
+        if snapshot_id is None:
+            if not self.snapshots:
+                raise TableFormatError("cannot tag an empty table")
+            snapshot_id = self.snapshots[-1].snapshot_id
+        target = next(
+            (s for s in self.all_snapshots() if s.snapshot_id == snapshot_id),
+            None,
+        )
+        if target is None:
+            raise TableFormatError(
+                f"unknown snapshot {snapshot_id!r} for {self.identifier}"
+            )
+        if target.expired:
+            raise TableFormatError(
+                f"cannot tag expired snapshot {snapshot_id!r}"
+            )
+        tags[name] = snapshot_id
+        self._commit()
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.meta.get("tags") or {}
+        if name not in tags:
+            raise TableFormatError(f"unknown tag {name!r}")
+        del tags[name]
+        self._commit()
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """The ref inventory (Iceberg's ``db.tbl.refs`` metadata
+        table): one row per tag. Metadata-sized."""
+        rows = [(n, sid, "tag") for n, sid in sorted(self.tags.items())]
+        return spark.createDataFrame(
+            rows, "name string, snapshot_id string, type string"
+        )
+
     def expire_snapshots(
         self,
         older_than_ms: int | None = None,
@@ -1451,6 +1525,9 @@ class LakeTable:
         alive = [s for s in hist if not s.expired]
         keep_tail = alive[len(alive) - retain_last:] if retain_last else []
         keep_ids = {s.snapshot_id for s in keep_tail}
+        # tagged snapshots are ref-retained (Iceberg: refs pin their
+        # snapshots against expiration until the ref is dropped)
+        keep_ids |= set((self.meta.get("tags") or {}).values())
         expired_now = [
             s
             for s in alive
@@ -1846,6 +1923,7 @@ class LakeTable:
         cur = self.schema
         snaps = self.snapshots
         if as_of_snapshot is not None:
+            as_of_snapshot = self.resolve_ref(as_of_snapshot)
             upto = self._segment_ending_at(as_of_snapshot)
             if upto[-1].expired:
                 raise TableFormatError(
@@ -2036,8 +2114,14 @@ class LakeTable:
                 )
             return i
 
-        lo = _index(from_snapshot, -1, "from")
-        hi = _index(to_snapshot, len(hist) - 1, "to")
+        lo = _index(
+            self.resolve_ref(from_snapshot) if from_snapshot else None,
+            -1, "from",
+        )
+        hi = _index(
+            self.resolve_ref(to_snapshot) if to_snapshot else None,
+            len(hist) - 1, "to",
+        )
         if hi < lo:
             raise TableFormatError(
                 f"to_snapshot {to_snapshot!r} precedes "

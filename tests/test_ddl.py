@@ -787,3 +787,27 @@ def test_call_expire_metadata_versions(ddl):
     assert not r.has_error and "deleted 3 metadata file(s)" in r.message_list[-1]
     tbl = ddl.catalog.load_table("db", "mv")
     assert tbl.schema.fieldNames() == ["id", "c0", "c1", "c2", "c3"]
+
+
+def test_tag_ddl_and_refs_table(spark, ddl):
+    """CREATE TAG / DROP TAG through SQL; VERSION AS OF resolves tag
+    names; db.tbl.refs lists them."""
+    assert not ddl.sql("CREATE TABLE db.tg (id BIGINT)").has_error
+    assert not ddl.sql("INSERT INTO db.tg SELECT id FROM range(0, 30)").has_error
+    r = ddl.sql("ALTER TABLE db.tg CREATE TAG checkpoint")
+    assert not r.has_error and "Created tag" in r.message_list[-1]
+    assert not ddl.sql(
+        "INSERT INTO db.tg SELECT id FROM range(30, 50)"
+    ).has_error
+    got = ddl.query(
+        "SELECT COUNT(*) AS n FROM db.tg VERSION AS OF 'checkpoint'"
+    ).collect()
+    assert got[0].n == 30
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.tg").collect()[0].n == 50
+    refs = ddl.query(
+        "SELECT name, type FROM db.tg.refs ORDER BY name"
+    ).collect()
+    assert [(r2.name, r2.type) for r2 in refs] == [("checkpoint", "tag")]
+    r = ddl.sql("ALTER TABLE db.tg DROP TAG checkpoint")
+    assert not r.has_error
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.tg.refs").collect()[0].n == 0

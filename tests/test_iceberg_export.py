@@ -620,3 +620,34 @@ def test_v2_external_time_travel(spark, catalog):
         assert _rowset(ext) == _rowset(want), snap.operation
     with pytest.raises(ValueError, match="not in exported"):
         read_iceberg_table(spark, table.location, snapshot_id=12345)
+
+
+def test_exported_refs_resolve_for_external_tag_reads(spark, tmp_path):
+    """Engine tags export as spec 'refs' (plus the main branch ref);
+    an external reader resolves a tag to its snapshot id and
+    time-travels to the tagged state from the exported metadata
+    alone."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 50).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "tr", df.schema)
+    table.append(df.filter("id < 20"))
+    table.create_tag("cut")
+    table.append(df.filter("id >= 20"))
+    meta_dir = export_to_iceberg(table)
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    doc = _json.loads((meta_dir / f"v{hint}.metadata.json").read_text())
+    assert doc["refs"]["main"]["snapshot-id"] == doc["current-snapshot-id"]
+    assert doc["refs"]["cut"]["type"] == "tag"
+    tagged_id = doc["refs"]["cut"]["snapshot-id"]
+    assert tagged_id != doc["current-snapshot-id"]
+    ext, _ = read_iceberg_table(spark, table.location, snapshot_id=tagged_id)
+    assert sorted(r.id for r in ext.collect()) == list(range(20))
+    full, _ = read_iceberg_table(spark, table.location)
+    assert sorted(r.id for r in full.collect()) == list(range(50))

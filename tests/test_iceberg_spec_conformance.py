@@ -305,6 +305,19 @@ def test_metadata_required_fields_and_referential_integrity(spark, exported):
         s["spec-id"] for s in doc["partition-specs"]
     }
 
+    # refs (spec v2 map, also legal in v1 metadata): every ref's
+    # snapshot-id resolves; the main branch ref tracks the current
+    # snapshot (what Iceberg writers maintain)
+    for name, r in doc.get("refs", {}).items():
+        assert r["type"] in ("branch", "tag"), (name, r)
+        assert r["snapshot-id"] in {
+            s["snapshot-id"] for s in doc["snapshots"]
+        }, (name, r)
+    if doc.get("refs"):
+        assert doc["refs"]["main"]["snapshot-id"] == doc[
+            "current-snapshot-id"
+        ]
+
     # snapshot chain: every manifest's added_snapshot_id resolves to a
     # listed snapshot; parents chain in order; log timestamps ascend
     snap_ids = [s["snapshot-id"] for s in doc["snapshots"]]
@@ -360,6 +373,8 @@ def _canon_metadata(doc: dict) -> dict:
     for e in d["snapshot-log"]:
         e["snapshot-id"] = snap_ords[e["snapshot-id"]]
         e["timestamp-ms"] = 0
+    for r in d.get("refs", {}).values():
+        r["snapshot-id"] = snap_ords.get(r["snapshot-id"], -1)
     return d
 
 

@@ -643,3 +643,41 @@ def test_expire_metadata_versions(spark, catalog):
     assert reloaded.schema.fieldNames()[-1] == "c5"
     with pytest.raises(TableFormatError):
         table.expire_metadata_versions(keep_last=0)
+
+
+def test_snapshot_tags(spark, catalog):
+    """Tags (Iceberg refs): name a snapshot, read through the name,
+    survive expiration until dropped, list via refs_df."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeTable,
+    )
+
+    table, df = _mk(spark, catalog, "tg")
+    s1 = table.append(df.filter("id < 40"))
+    table.append(df.filter("id >= 40"))
+    table.create_tag("first-batch", s1.snapshot_id)
+    table.create_tag("latest")  # defaults to current snapshot
+    # tags round-trip through metadata (spec 'refs' map)
+    reloaded = LakeTable.load(table.location)
+    assert reloaded.tags == table.tags
+    # resolution in time travel and incremental reads
+    assert table.to_df(spark, as_of_snapshot="first-batch").count() == 40
+    assert table.to_df(spark, as_of_snapshot="latest").count() == 100
+    inc = table.changes_between(spark, from_snapshot="first-batch")
+    assert sorted(r.id for r in inc.collect()) == list(range(40, 100))
+    # duplicate / unknown guards
+    with pytest.raises(TableFormatError, match="already exists"):
+        table.create_tag("latest")
+    with pytest.raises(TableFormatError, match="unknown snapshot"):
+        table.create_tag("x", "nope")
+    with pytest.raises(TableFormatError, match="unknown tag"):
+        table.drop_tag("nope")
+    # a tagged snapshot is ref-retained against expiration
+    table.compact(spark)  # both appends -> history
+    expired = table.expire_snapshots(older_than_ms=2**62)
+    assert s1.snapshot_id not in expired  # pinned by the tag
+    assert table.to_df(spark, as_of_snapshot="first-batch").count() == 40
+    table.drop_tag("first-batch")
+    assert s1.snapshot_id in table.expire_snapshots(older_than_ms=2**62)
+    refs = table.refs_df(spark).collect()
+    assert [(r.name, r.type) for r in refs] == [("latest", "tag")]
