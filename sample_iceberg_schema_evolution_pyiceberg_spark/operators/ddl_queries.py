@@ -783,3 +783,61 @@ def a20_pruned_scan_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a21_snapshot_tags_episode",
+    oracle="""
+    SELECT 'tagged' AS state, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total
+    FROM orders WHERE o_orderkey <= 900
+    UNION ALL
+    SELECT 'current', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM orders WHERE o_orderkey <= 1800
+    """,
+)
+def a21_snapshot_tags_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-tag episode (Iceberg refs, tag type): append, CREATE
+    TAG through SQL, append again, then read both VERSION AS OF
+    'tag-name' (resolving the ref) and the current state — after a
+    compaction and an age-blind expire_snapshots pass that the tagged
+    snapshot must SURVIVE (refs pin their snapshots). The hashed
+    output replays both states relationally: a match proves tag
+    resolution, ref retention, and current reads all serve exact
+    rows."""
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 1800)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="tags_gate_") as wh:
+        cat = LakeCatalog(wh)
+        fe = DdlFrontend(spark, cat)
+        table = cat.create_table("gate", "tz", o.schema)
+        table.append(o.filter(F.col("k") <= 900))
+        r = fe.sql("ALTER TABLE gate.tz CREATE TAG cut")
+        assert not r.has_error, r.message_list
+        table.refresh().append(o.filter(F.col("k") > 900))
+        table.refresh().compact(spark)
+        # age-blind expiration: everything unpinned goes; the tag holds
+        table.refresh().expire_snapshots(older_than_ms=2**62)
+        agg = lambda df, label: df.agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("total").cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("total"),
+        ).select(F.lit(label).alias("state"), "n", "total")
+        tagged = fe.query("SELECT * FROM gate.tz VERSION AS OF 'cut'")
+        out = agg(tagged, "tagged").unionByName(
+            agg(fe.query("SELECT * FROM gate.tz"), "current")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
