@@ -292,6 +292,14 @@ def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
             name: {"snapshot-id": sid, "type": "tag"}
             for name, sid in sorted(meta["tags"].items())
         }
+    if meta.get("branches"):
+        # ext field: staging branches carry full snapshot entries
+        # (this format's live lists are per-ref, unlike spec branch
+        # refs which point into one shared snapshot set)
+        doc["branches"] = {
+            name: {"snapshots": [_snap_to_spec(s) for s in b["snapshots"]]}
+            for name, b in sorted(meta["branches"].items())
+        }
     if meta.get("sort_order"):
         doc["default-sort-order-id"] = 1
         doc["sort-orders"] = [
@@ -347,6 +355,11 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
             name: r["snapshot-id"]
             for name, r in doc["refs"].items()
             if r.get("type") == "tag"
+        }
+    if doc.get("branches"):
+        meta["branches"] = {
+            name: {"snapshots": [_snap_from_spec(s) for s in b["snapshots"]]}
+            for name, b in doc["branches"].items()
         }
     if doc.get("sort-orders"):
         meta["sort_order"] = [
@@ -762,10 +775,12 @@ class LakeTable:
             pcols.append(pf.partition_column)
         return aligned, pcols
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, branch: "str | None" = None) -> Snapshot:
         """One append = one snapshot commit (reference:
-        ``iceberg_table.append``, data_generator.py:79)."""
-        return self._write(df, "append")
+        ``iceberg_table.append``, data_generator.py:79). ``branch``
+        targets a staging branch instead of main (the write half of
+        write-audit-publish; see create_branch)."""
+        return self._write(df, "append", branch=branch)
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Replace table contents (one snapshot; old snapshots remain in
@@ -814,7 +829,9 @@ class LakeTable:
     def _manifest_rows(files: list[dict[str, Any]]) -> int:
         return sum(f["record_count"] for f in files)
 
-    def _write(self, df: DataFrame, operation: str) -> Snapshot:
+    def _write(
+        self, df: DataFrame, operation: str, branch: "str | None" = None
+    ) -> Snapshot:
         rel = self._write_files(df)
         snap_id = rel.rsplit("snap-", 1)[1]
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
@@ -829,7 +846,16 @@ class LakeTable:
             sequence_number=seq,
             files=self._collect_manifest(rel),
         )
-        if operation == "overwrite":
+        if branch is not None:
+            # staging-branch write: APPEND-only by design (the WAP
+            # pattern stages appends; rewrites publish through main)
+            if operation != "append":
+                raise TableFormatError(
+                    f"branch writes are append-only; {operation!r} "
+                    "must go through main"
+                )
+            self._branch(branch)["snapshots"].append(snap.to_json())
+        elif operation == "overwrite":
             # old live set moves to history (time travel keeps working
             # across every rewrite flavor — overwrite()/compact()/DML
             # all funnel through here)
@@ -841,6 +867,61 @@ class LakeTable:
             self.meta["snapshots"].append(snap.to_json())
         self._commit()
         return snap
+
+    # -- branches (Iceberg branch refs; write-audit-publish) ---------------
+
+    def _branch(self, name: str) -> dict:
+        br = (self.meta.get("branches") or {}).get(name)
+        if br is None:
+            raise TableFormatError(f"unknown branch {name!r}")
+        return br
+
+    @property
+    def branches(self) -> list[str]:
+        return sorted(self.meta.get("branches") or {})
+
+    def create_branch(self, name: str) -> None:
+        """Fork a staging branch from the CURRENT main state (Iceberg
+        branch ref). Appends target it via ``append(df, branch=...)``,
+        reads via ``to_df(spark, branch=...)``; ``fast_forward``
+        publishes it back to main — the write-audit-publish workflow.
+        Metadata-only: branch entries share data dirs with main."""
+        if name == "main":
+            raise TableFormatError("'main' is the table itself")
+        branches = self.meta.setdefault("branches", {})
+        if name in branches:
+            raise TableFormatError(f"branch {name!r} already exists")
+        branches[name] = {"snapshots": list(self.meta["snapshots"])}
+        self._commit()
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a staging branch. Its unpublished snapshot dirs
+        become orphans (remove_orphan_files reaps them) — the audit
+        failed, nothing was published."""
+        self._branch(name)  # raises on unknown
+        del self.meta["branches"][name]
+        self._commit()
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a staging branch: main's live list becomes the
+        branch's, PROVIDED main has not moved since the fork (the
+        branch list must extend main's — Iceberg's fast_forward
+        procedure has the same ancestor requirement). Returns the
+        number of published snapshots; the branch is removed."""
+        br = self._branch(name)
+        main_ids = [s["snapshot_id"] for s in self.meta["snapshots"]]
+        br_ids = [s["snapshot_id"] for s in br["snapshots"]]
+        if br_ids[: len(main_ids)] != main_ids:
+            raise TableFormatError(
+                f"branch {name!r} does not fast-forward: main moved "
+                "since the fork (rebase by re-staging, or publish "
+                "through a fresh branch)"
+            )
+        published = len(br_ids) - len(main_ids)
+        self.meta["snapshots"] = br["snapshots"]
+        del self.meta["branches"][name]
+        self._commit()
+        return published
 
     @staticmethod
     def _null_safe(condition: str) -> str:
@@ -1526,8 +1607,14 @@ class LakeTable:
         keep_tail = alive[len(alive) - retain_last:] if retain_last else []
         keep_ids = {s.snapshot_id for s in keep_tail}
         # tagged snapshots are ref-retained (Iceberg: refs pin their
-        # snapshots against expiration until the ref is dropped)
+        # snapshots against expiration until the ref is dropped);
+        # branch-referenced snapshots likewise
         keep_ids |= set((self.meta.get("tags") or {}).values())
+        keep_ids |= {
+            s["snapshot_id"]
+            for b in (self.meta.get("branches") or {}).values()
+            for s in b["snapshots"]
+        }
         expired_now = [
             s
             for s in alive
@@ -1592,8 +1679,15 @@ class LakeTable:
         handler.py orchestration; a production deployment adds an
         age filter before deleting). Returns removed relative paths.
         """
-        all_entries = self.meta["snapshots"] + self.meta.get(
-            "snapshot_history", []
+        all_entries = (
+            self.meta["snapshots"]
+            + self.meta.get("snapshot_history", [])
+            # staging branches reference their unpublished dirs too
+            + [
+                s
+                for b in (self.meta.get("branches") or {}).values()
+                for s in b["snapshots"]
+            ]
         )
         referenced = {s["data_dir"] for s in all_entries} | {
             s["delete_keys_dir"]
@@ -1888,6 +1982,7 @@ class LakeTable:
         pruning: list[tuple[str, str, Any]] | None = None,
         as_of_snapshot: str | None = None,
         as_of_timestamp_ms: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Scan the table aligned to the current schema.
 
@@ -1922,6 +2017,15 @@ class LakeTable:
             as_of_snapshot = cands[-1].snapshot_id
         cur = self.schema
         snaps = self.snapshots
+        if branch is not None:
+            if as_of_snapshot is not None or as_of_timestamp_ms is not None:
+                raise TableFormatError(
+                    "branch reads don't compose with time travel"
+                )
+            snaps = [
+                Snapshot.from_json(s)
+                for s in self._branch(branch)["snapshots"]
+            ]
         if as_of_snapshot is not None:
             as_of_snapshot = self.resolve_ref(as_of_snapshot)
             upto = self._segment_ending_at(as_of_snapshot)

@@ -681,3 +681,56 @@ def test_snapshot_tags(spark, catalog):
     assert s1.snapshot_id in table.expire_snapshots(older_than_ms=2**62)
     refs = table.refs_df(spark).collect()
     assert [(r.name, r.type) for r in refs] == [("latest", "tag")]
+
+
+def test_write_audit_publish_branches(spark, catalog):
+    """The WAP workflow: stage appends on a branch (main unchanged),
+    audit the branch read, fast-forward to publish; a moved main
+    refuses the publish; dropped branches leave only orphans that
+    remove_orphan_files reaps — and never before the drop."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeTable,
+    )
+
+    table, df = _mk(spark, catalog, "wap")
+    table.append(df.filter("id < 30"))
+    table.create_branch("audit")
+    with pytest.raises(TableFormatError, match="already exists"):
+        table.create_branch("audit")
+    with pytest.raises(TableFormatError, match="'main'"):
+        table.create_branch("main")
+
+    table.append(df.filter("id >= 30 AND id < 60"), branch="audit")
+    table.append(df.filter("id >= 60"), branch="audit")
+    # staged, not published
+    assert table.to_df(spark).count() == 30
+    assert table.to_df(spark, branch="audit").count() == 100
+    # branch state survives a metadata reload
+    reloaded = LakeTable.load(table.location)
+    assert reloaded.branches == ["audit"]
+    assert reloaded.to_df(spark, branch="audit").count() == 100
+    # branch dirs are referenced — nothing to reap while staged
+    assert table.remove_orphan_files() == []
+    # audit passed: publish
+    assert table.fast_forward("audit") == 2
+    assert table.branches == []
+    assert table.to_df(spark).count() == 100
+
+    # divergence: main moves after the fork -> publish refuses
+    table.create_branch("audit2")
+    table.append(df.filter("id < 5"), branch="audit2")
+    table.append(df.filter("id < 3"))  # main moves
+    with pytest.raises(TableFormatError, match="does not fast-forward"):
+        table.fast_forward("audit2")
+    # audit failed: abandon; the staged dir becomes reapable
+    staged_dirs = [
+        s["data_dir"]
+        for s in table.meta["branches"]["audit2"]["snapshots"]
+        if s["data_dir"] not in {x.data_dir for x in table.snapshots}
+    ]
+    table.drop_branch("audit2")
+    reaped = table.remove_orphan_files()
+    assert reaped == sorted(staged_dirs)
+    assert table.to_df(spark).count() == 103
+    with pytest.raises(TableFormatError, match="unknown branch"):
+        table.fast_forward("audit2")
