@@ -28,6 +28,7 @@ array-element structs, matching schema_diff path addressing):
     ALTER TABLE db.tbl UNSET TBLPROPERTIES ( 'k', ... )
     ALTER TABLE db.tbl CREATE TAG name [AS OF VERSION 'snapshot-id']
     ALTER TABLE db.tbl DROP TAG name
+    ALTER TABLE db.tbl CREATE BRANCH name | DROP BRANCH name
     DROP TABLE [IF EXISTS] db.tbl
     INSERT INTO | OVERWRITE db.tbl <select | VALUES ...>
     DELETE FROM db.tbl WHERE <cond>
@@ -818,6 +819,7 @@ class DdlFrontend:
         "remove_orphan_files": {},
         "rewrite_data_files": {"sort_by": str, "target_files": int},
         "rollback_to_snapshot": {"snapshot_id": str},
+        "fast_forward": {"branch": str},
     }
 
     def _call(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
@@ -882,6 +884,15 @@ class DdlFrontend:
             resp.message_list.append(
                 f"remove_orphan_files {db}.{tbl}: removed "
                 f"{len(removed)} orphan dir(s)"
+            )
+        elif proc == "fast_forward":
+            name = kwargs.get("branch")
+            if not name:
+                raise DdlError("fast_forward requires branch => '...'")
+            n = table.fast_forward(str(name))
+            resp.message_list.append(
+                f"fast_forward {db}.{tbl}: published {n} snapshot(s) "
+                f"from branch {name!r}"
             )
         elif proc == "expire_metadata_versions":
             gone = table.expire_metadata_versions(
@@ -1010,6 +1021,20 @@ class DdlFrontend:
             table.drop_tag(am.group(1))
             resp.message_list.append(
                 f"Dropped tag {am.group(1)!r} on {db}.{tbl}"
+            )
+        elif am := re.match(
+            r"^CREATE\s+BRANCH\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+        ):
+            table.create_branch(am.group(1))
+            resp.message_list.append(
+                f"Created branch {am.group(1)!r} on {db}.{tbl}"
+            )
+        elif am := re.match(
+            r"^DROP\s+BRANCH\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+        ):
+            table.drop_branch(am.group(1))
+            resp.message_list.append(
+                f"Dropped branch {am.group(1)!r} on {db}.{tbl}"
             )
         else:
             raise DdlError(f"unrecognized ALTER action: {action[:80]!r}")

@@ -841,3 +841,73 @@ def a21_snapshot_tags_episode(spark: SparkSession, sf: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a22_write_audit_publish",
+    oracle="""
+    SELECT 'main_during_audit' AS state, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total
+    FROM orders WHERE o_orderkey <= 700
+    UNION ALL
+    SELECT 'branch_during_audit', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM orders WHERE o_orderkey <= 1400
+    UNION ALL
+    SELECT 'after_publish', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM orders WHERE o_orderkey <= 1400
+    """,
+)
+def a22_write_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish episode over staging branches: stage an
+    append on a branch (SQL CREATE BRANCH; engine append), audit both
+    states — main must NOT see the staged rows, the branch must — then
+    publish via CALL system.fast_forward and read main again. The
+    oracle replays the three states relationally; a hash match proves
+    staged isolation, audit-read fidelity, and lossless publication
+    (Iceberg's WAP workflow: branch ref + fast_forward procedure)."""
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 1400)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="wap_gate_") as wh:
+        cat = LakeCatalog(wh)
+        fe = DdlFrontend(spark, cat)
+        table = cat.create_table("gate", "wp", o.schema)
+        table.append(o.filter(F.col("k") <= 700))
+        r = fe.sql("ALTER TABLE gate.wp CREATE BRANCH audit")
+        assert not r.has_error, r.message_list
+        table.refresh().append(o.filter(F.col("k") > 700), branch="audit")
+
+        def agg(df, label):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(
+                        F.col("total").cast("decimal(18,4)")
+                    ).cast("double"),
+                    6,
+                ).alias("total"),
+            ).select(F.lit(label).alias("state"), "n", "total")
+
+        table.refresh()
+        out = agg(table.to_df(spark), "main_during_audit")
+        out = out.unionByName(
+            agg(table.to_df(spark, branch="audit"), "branch_during_audit")
+        )
+        r = fe.sql("CALL system.fast_forward('gate.wp', branch => 'audit')")
+        assert not r.has_error, r.message_list
+        out = out.unionByName(
+            agg(cat.load_table("gate", "wp").to_df(spark), "after_publish")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

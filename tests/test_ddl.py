@@ -811,3 +811,30 @@ def test_tag_ddl_and_refs_table(spark, ddl):
     r = ddl.sql("ALTER TABLE db.tg DROP TAG checkpoint")
     assert not r.has_error
     assert ddl.query("SELECT COUNT(*) AS n FROM db.tg.refs").collect()[0].n == 0
+
+
+def test_branch_ddl_and_fast_forward(spark, ddl):
+    """CREATE BRANCH / DROP BRANCH / CALL system.fast_forward through
+    SQL, including the divergence refusal."""
+    assert not ddl.sql("CREATE TABLE db.br (id BIGINT)").has_error
+    assert not ddl.sql("INSERT INTO db.br SELECT id FROM range(0, 10)").has_error
+    assert not ddl.sql("ALTER TABLE db.br CREATE BRANCH stage").has_error
+    tbl = ddl.catalog.load_table("db", "br")
+    tbl.append(spark.range(10, 25).toDF("id"), branch="stage")
+    # main untouched until publish
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.br").collect()[0].n == 10
+    r = ddl.sql("CALL system.fast_forward('db.br', branch => 'stage')")
+    assert not r.has_error and "published 1 snapshot" in r.message_list[-1]
+    assert ddl.query("SELECT COUNT(*) AS n FROM db.br").collect()[0].n == 25
+    # divergence refuses through the SQL surface too
+    assert not ddl.sql("ALTER TABLE db.br CREATE BRANCH s2").has_error
+    tbl = ddl.catalog.load_table("db", "br")
+    tbl.append(spark.range(100, 101).toDF("id"), branch="s2")
+    assert not ddl.sql("INSERT INTO db.br VALUES (999)").has_error
+    r = ddl.sql("CALL system.fast_forward('db.br', branch => 's2')")
+    assert r.has_error and any(
+        "does not fast-forward" in m for m in r.message_list
+    )
+    assert not ddl.sql("ALTER TABLE db.br DROP BRANCH s2").has_error
+    r = ddl.sql("CALL system.fast_forward('db.br', branch => 's2')")
+    assert r.has_error
