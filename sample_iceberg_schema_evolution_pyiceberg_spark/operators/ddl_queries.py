@@ -839,6 +839,7 @@ def a21_snapshot_tags_episode(spark: SparkSession, sf: str) -> DataFrame:
         out = agg(tagged, "tagged").unionByName(
             agg(fe.query("SELECT * FROM gate.tz"), "current")
         )
+        # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
 
@@ -909,5 +910,6 @@ def a22_write_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
         out = out.unionByName(
             agg(cat.load_table("gate", "wp").to_df(spark), "after_publish")
         )
+        # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
