@@ -2027,6 +2027,13 @@ class LakeTable:
                 for s in self._branch(branch)["snapshots"]
             ]
         if as_of_snapshot is not None:
+            # ref-resolving read (Iceberg's VERSION AS OF semantics):
+            # a branch name reads the branch's live state, a tag name
+            # resolves to its snapshot, else a raw snapshot id
+            if as_of_snapshot in (self.meta.get("branches") or {}):
+                return self.to_df(
+                    spark, pruning=pruning, branch=as_of_snapshot
+                )
             as_of_snapshot = self.resolve_ref(as_of_snapshot)
             upto = self._segment_ending_at(as_of_snapshot)
             if upto[-1].expired:

@@ -838,3 +838,18 @@ def test_branch_ddl_and_fast_forward(spark, ddl):
     assert not ddl.sql("ALTER TABLE db.br DROP BRANCH s2").has_error
     r = ddl.sql("CALL system.fast_forward('db.br', branch => 's2')")
     assert r.has_error
+
+
+def test_version_as_of_resolves_branch_names(spark, ddl):
+    """Iceberg's VERSION AS OF accepts any ref: a branch name reads
+    the branch's staged state through SQL."""
+    assert not ddl.sql("CREATE TABLE db.vb (id BIGINT)").has_error
+    assert not ddl.sql("INSERT INTO db.vb SELECT id FROM range(0, 8)").has_error
+    assert not ddl.sql("ALTER TABLE db.vb CREATE BRANCH stage").has_error
+    tbl = ddl.catalog.load_table("db", "vb")
+    tbl.append(spark.range(8, 20).toDF("id"), branch="stage")
+    n_main = ddl.query("SELECT COUNT(*) AS n FROM db.vb").collect()[0].n
+    n_br = ddl.query(
+        "SELECT COUNT(*) AS n FROM db.vb VERSION AS OF 'stage'"
+    ).collect()[0].n
+    assert (n_main, n_br) == (8, 20)

@@ -781,3 +781,37 @@ def test_stream_changes_over_glue_created_table(spark, tmp_path, moto_server):
         assert got == list(range(20))
     finally:
         q.stop()
+
+
+def test_ref_commits_advance_glue_pointer(spark, tmp_path, glue_s3):
+    """Tag and branch operations are metadata commits: each must
+    publish through the Glue CAS like any other commit."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "t", SCHEMA)
+    t.append(spark.range(0, 4).select(F_id(), F_lit_v()))
+
+    def ptr():
+        return glue.get_table(DatabaseName="db", Name="t")["Table"][
+            "Parameters"
+        ]["metadata_location"]
+
+    p0 = ptr()
+    t.create_tag("cut")
+    p1 = ptr()
+    assert p1 != p0
+    t.create_branch("stage")
+    p2 = ptr()
+    assert p2 != p1
+    t.append(spark.range(4, 9).select(F_id(), F_lit_v()), branch="stage")
+    t.fast_forward("stage")
+    assert ptr() != p2
+    fresh = cat.load_table("db", "t")
+    assert fresh.tags == {"cut": t.tags["cut"]}
+    assert fresh.to_df(spark).count() == 9
