@@ -1004,7 +1004,7 @@ class DdlFrontend:
         ):
             self._alter_spec(table, am.group(1), add=False, resp=resp)
         elif am := re.match(
-            r"^CREATE\s+TAG\s+([A-Za-z_]\w*)"
+            r"^CREATE\s+TAG\s+([A-Za-z_][\w.-]*)"
             r"(?:\s+AS\s+OF\s+VERSION\s+'([^']+)')?\s*$",
             action,
             re.IGNORECASE,
@@ -1016,21 +1016,21 @@ class DdlFrontend:
                 f"{table.tags[am.group(1)]}"
             )
         elif am := re.match(
-            r"^DROP\s+TAG\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+            r"^DROP\s+TAG\s+([A-Za-z_][\w.-]*)\s*$", action, re.IGNORECASE
         ):
             table.drop_tag(am.group(1))
             resp.message_list.append(
                 f"Dropped tag {am.group(1)!r} on {db}.{tbl}"
             )
         elif am := re.match(
-            r"^CREATE\s+BRANCH\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+            r"^CREATE\s+BRANCH\s+([A-Za-z_][\w.-]*)\s*$", action, re.IGNORECASE
         ):
             table.create_branch(am.group(1))
             resp.message_list.append(
                 f"Created branch {am.group(1)!r} on {db}.{tbl}"
             )
         elif am := re.match(
-            r"^DROP\s+BRANCH\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+            r"^DROP\s+BRANCH\s+([A-Za-z_][\w.-]*)\s*$", action, re.IGNORECASE
         ):
             table.drop_branch(am.group(1))
             resp.message_list.append(

@@ -962,16 +962,22 @@ def export_to_iceberg(
     if tags or current_id is not None:
         # spec "refs" map: the main branch ref (Iceberg writers always
         # record it) plus one tag ref per engine tag, snapshot ids
-        # mapped through the same stable int64 derivation
-        by_str = {
-            s.snapshot_id: _snapshot_int_id(s) for s in table.all_snapshots()
+        # mapped through the same stable int64 derivation. Only tags
+        # naming EXPORTED (live) snapshots are written — a ref whose
+        # snapshot-id resolves to nothing would violate referential
+        # integrity (conformance rule 26); history-pinned tags are
+        # engine-side state until their snapshot is republished.
+        exported = {
+            s.snapshot_id: _snapshot_int_id(s) for s in table.snapshots
         }
         refs: dict = {}
-        if current_id is not None:
-            refs["main"] = {"snapshot-id": current_id, "type": "branch"}
         for name, sid in sorted(tags.items()):
-            if sid in by_str:
-                refs[name] = {"snapshot-id": by_str[sid], "type": "tag"}
+            if sid in exported:
+                refs[name] = {"snapshot-id": exported[sid], "type": "tag"}
+        if current_id is not None:
+            # written last: the main branch ref is authoritative and
+            # must never be shadowed by a same-named tag
+            refs["main"] = {"snapshot-id": current_id, "type": "branch"}
         if refs:
             doc["refs"] = refs
 

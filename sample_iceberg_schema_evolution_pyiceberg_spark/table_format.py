@@ -832,6 +832,18 @@ class LakeTable:
     def _write(
         self, df: DataFrame, operation: str, branch: "str | None" = None
     ) -> Snapshot:
+        if branch is not None:
+            # validate BEFORE the Spark write: a typo'd branch name or
+            # a disallowed operation must fail free of side effects,
+            # not strand an orphan data dir. Branch writes are
+            # APPEND-only by design (the WAP pattern stages appends;
+            # rewrites publish through main).
+            self._branch(branch)
+            if operation != "append":
+                raise TableFormatError(
+                    f"branch writes are append-only; {operation!r} "
+                    "must go through main"
+                )
         rel = self._write_files(df)
         snap_id = rel.rsplit("snap-", 1)[1]
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
@@ -847,13 +859,6 @@ class LakeTable:
             files=self._collect_manifest(rel),
         )
         if branch is not None:
-            # staging-branch write: APPEND-only by design (the WAP
-            # pattern stages appends; rewrites publish through main)
-            if operation != "append":
-                raise TableFormatError(
-                    f"branch writes are append-only; {operation!r} "
-                    "must go through main"
-                )
             self._branch(branch)["snapshots"].append(snap.to_json())
         elif operation == "overwrite":
             # old live set moves to history (time travel keeps working
@@ -888,6 +893,8 @@ class LakeTable:
         Metadata-only: branch entries share data dirs with main."""
         if name == "main":
             raise TableFormatError("'main' is the table itself")
+        if name in (self.meta.get("tags") or {}):
+            raise TableFormatError(f"ref {name!r} already names a tag")
         branches = self.meta.setdefault("branches", {})
         if name in branches:
             raise TableFormatError(f"branch {name!r} already exists")
@@ -1514,7 +1521,14 @@ class LakeTable:
     def create_tag(self, name: str, snapshot_id: "str | None" = None) -> None:
         """Tag a snapshot (default: the current one). Metadata-only
         commit; the tag pins the snapshot against expiration, exactly
-        like an Iceberg tag ref."""
+        like an Iceberg tag ref. Tags and branches share ONE ref
+        namespace (as in Iceberg's refs map) and 'main' is reserved."""
+        if name == "main":
+            raise TableFormatError("'main' is the table itself")
+        if name in (self.meta.get("branches") or {}):
+            raise TableFormatError(
+                f"ref {name!r} already names a branch"
+            )
         tags = self.meta.setdefault("tags", {})
         if name in tags:
             raise TableFormatError(
@@ -1548,8 +1562,14 @@ class LakeTable:
 
     def refs_df(self, spark: SparkSession) -> DataFrame:
         """The ref inventory (Iceberg's ``db.tbl.refs`` metadata
-        table): one row per tag. Metadata-sized."""
+        table): one row per tag and per staging branch (head snapshot;
+        null for a branch with no snapshots yet). Metadata-sized."""
         rows = [(n, sid, "tag") for n, sid in sorted(self.tags.items())]
+        for n in self.branches:
+            snaps = self._branch(n)["snapshots"]
+            rows.append(
+                (n, snaps[-1]["snapshot_id"] if snaps else None, "branch")
+            )
         return spark.createDataFrame(
             rows, "name string, snapshot_id string, type string"
         )

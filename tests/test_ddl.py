@@ -853,3 +853,20 @@ def test_version_as_of_resolves_branch_names(spark, ddl):
         "SELECT COUNT(*) AS n FROM db.vb VERSION AS OF 'stage'"
     ).collect()[0].n
     assert (n_main, n_br) == (8, 20)
+
+
+def test_ref_names_with_dashes_through_sql(ddl):
+    """Iceberg ref names permit dashes/dots; the ALTER grammar must
+    manage the same names the engine API creates."""
+    assert not ddl.sql("CREATE TABLE db.rn (id BIGINT)").has_error
+    assert not ddl.sql("INSERT INTO db.rn VALUES (1)").has_error
+    r = ddl.sql("ALTER TABLE db.rn CREATE TAG first-batch")
+    assert not r.has_error, r.message_list
+    r = ddl.sql("ALTER TABLE db.rn CREATE BRANCH wap.audit-1")
+    assert not r.has_error, r.message_list
+    n = ddl.query(
+        "SELECT COUNT(*) AS n FROM db.rn VERSION AS OF 'first-batch'"
+    ).collect()[0].n
+    assert n == 1
+    assert not ddl.sql("ALTER TABLE db.rn DROP TAG first-batch").has_error
+    assert not ddl.sql("ALTER TABLE db.rn DROP BRANCH wap.audit-1").has_error

@@ -734,3 +734,50 @@ def test_write_audit_publish_branches(spark, catalog):
     assert table.to_df(spark).count() == 103
     with pytest.raises(TableFormatError, match="unknown branch"):
         table.fast_forward("audit2")
+
+
+def test_ref_namespace_and_branch_write_validation(spark, catalog):
+    """Tags and branches share one ref namespace ('main' reserved on
+    both sides); a write to an unknown branch fails BEFORE any data
+    lands; refs_df lists branches alongside tags."""
+    table, df = _mk(spark, catalog, "ns")
+    table.append(df.filter("id < 10"))
+    table.create_tag("t1")
+    table.create_branch("b1")
+    with pytest.raises(TableFormatError, match="names a tag"):
+        table.create_branch("t1")
+    with pytest.raises(TableFormatError, match="names a branch"):
+        table.create_tag("b1")
+    with pytest.raises(TableFormatError, match="'main'"):
+        table.create_tag("main")
+    # typo'd branch: no orphan dir may be written
+    dirs_before = sorted((table.location / "data").glob("snap-*"))
+    with pytest.raises(TableFormatError, match="unknown branch"):
+        table.append(df.filter("id >= 10"), branch="b1-typo")
+    assert sorted((table.location / "data").glob("snap-*")) == dirs_before
+    refs = {(r.name, r.type) for r in table.refs_df(spark).collect()}
+    assert refs == {("t1", "tag"), ("b1", "branch")}
+
+
+def test_history_pinned_tag_stays_out_of_export_refs(spark, catalog):
+    """A tag pinned to a HISTORY snapshot (post-compaction) is engine
+    state only: the export writes refs solely for exported (live)
+    snapshots, so every exported ref resolves (conformance rule 26)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+    )
+    import json as _json
+
+    table, df = _mk(spark, catalog, "hp")
+    s1 = table.append(df.filter("id < 50"))
+    table.append(df.filter("id >= 50"))
+    table.create_tag("old", s1.snapshot_id)
+    table.compact(spark)  # s1 moves to history; the tag still pins it
+    meta_dir = export_to_iceberg(table)
+    hint = (meta_dir / "version-hint.text").read_text().strip()
+    doc = _json.loads((meta_dir / f"v{hint}.metadata.json").read_text())
+    exported_ids = {s["snapshot-id"] for s in doc["snapshots"]}
+    assert set(doc["refs"]) == {"main"}  # history tag dropped from export
+    assert doc["refs"]["main"]["snapshot-id"] in exported_ids
+    # engine-side, the tag still resolves and retains
+    assert table.to_df(spark, as_of_snapshot="old").count() == 50
