@@ -108,3 +108,57 @@ def test_evolve_spec_fresh_ids_and_idempotence(p1, p2):
     assert [f.spec_field_id for f in rt.fields] == [
         f.spec_field_id for f in evolved.fields
     ]
+
+
+# ---------------------------------------------------------------------------
+# Manifest-pruning bound logic: never-drops-a-matching-row, by property
+# ---------------------------------------------------------------------------
+
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+
+_OPS = ("=", "==", ">", ">=", "<", "<=")
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=12),
+    lit=st.integers(-55, 55),
+    op=st.sampled_from(_OPS),
+)
+def test_file_may_match_never_excludes_a_matching_value(vals, lit, op):
+    """Soundness by exhaustion: if ANY value in the file satisfies
+    ``v op lit``, the bound test must keep the file. (The converse —
+    pruning effectiveness — is a quality property, not a correctness
+    one, and is covered by the fewer-input-files tests.)"""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _file_may_match,
+    )
+
+    import operator
+
+    stats = {"c": [min(vals), max(vals)]}
+    cmp = {
+        "=": operator.eq, "==": operator.eq, ">": operator.gt,
+        ">=": operator.ge, "<": operator.lt, "<=": operator.le,
+    }[op]
+    any_match = any(cmp(v, lit) for v in vals)
+    keeps = _file_may_match(stats, "c", op, lit)
+    if any_match:
+        assert keeps, (vals, op, lit)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(-30, 30), min_size=1, max_size=10),
+    lits=st.lists(st.integers(-35, 35), min_size=1, max_size=5),
+)
+def test_file_may_match_in_list_never_excludes_a_member(vals, lits):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _file_may_match,
+    )
+
+    stats = {"c": [min(vals), max(vals)]}
+    if set(vals) & set(lits):
+        assert _file_may_match(stats, "c", "in", lits)
