@@ -48,6 +48,7 @@ _PRIORITY = [
     "a20_pruned_scan_episode",  # NEW in r7 (manifest file pruning)
     "a21_snapshot_tags_episode",  # NEW in r7 (Iceberg refs / tags)
     "a22_write_audit_publish",  # NEW in r7 (branches / WAP)
+    "c26_domain_cap_filter",  # NEW in r7 (domain blocklist + cap)
     "c23_decontamination",  # NEW in r7 (benchmark overlap filter)
     "c24_pii_scrub",  # NEW in r7 (email/IPv4 redaction)
     "c25_repetition_stats",  # NEW in r7 (degenerate-text signals)
@@ -80,12 +81,12 @@ _PRIORITY = [
     "b14_agg_rollup", "b15_agg_cube", "b17_agg_minmax_stats",
     "b18_window_ranking", "b19_window_lag_lead", "b21_topk",
     "b22_sort_nulls", "b23_union_all", "b24_union_distinct",
-    "b25_intersect",
     # --- driver window boundary (50) ---
-    # (b26-b29 displaced by a19/a20/a21/a22 this round; they keep r5
-    # evidence and lead the r8 rotation band with the other 15 below)
-    "b26_except", "b27_string_funcs", "b28_date_funcs",
-    "b29_math_funcs", "b30_conditional_null",
+    # (b25-b29 displaced by a19/a20/a21/a22/c26 this round; they keep
+    # r5 evidence and lead the r8 rotation band with the other 15
+    # below)
+    "b25_intersect", "b26_except", "b27_string_funcs",
+    "b28_date_funcs", "b29_math_funcs", "b30_conditional_null",
     # Window policy (standing): the first 50 slots hold ONLY
     # oracle-bearing queries, so the driver record is 50/50 hash rows
     # with no err entries. Everything below either has r6-window

@@ -724,3 +724,76 @@ def c25_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.sum("c"), 6
         ).alias("distinct_ratio"),
     )
+
+
+@query(
+    "c26_domain_cap_filter",
+    # blocklist threshold and per-domain cap chosen so BOTH paths do
+    # real work at sf0.01 (some sources blocked, every survivor capped)
+    oracle="""
+    WITH stats AS (
+      SELECT source, AVG(n_chars) AS avg_chars FROM documents
+      GROUP BY source
+    ), blocked AS (
+      SELECT source FROM stats
+      WHERE avg_chars < (SELECT AVG(n_chars) * 0.98 FROM documents)
+    ), ranked AS (
+      SELECT d.source, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+               AS rk
+      FROM documents d
+      WHERE d.source NOT IN (SELECT source FROM blocked)
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 40 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_capped,
+           CAST(SUM(CASE WHEN rk <= 40 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def c26_domain_cap_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain/source filtering + per-domain cap — the web-corpus
+    diversity stage (block low-quality domains, then cap how many
+    documents any single domain may contribute so head domains don't
+    dominate the training mix). The blocklist here is DERIVED from the
+    corpus (sources whose mean doc length falls below 98% of the
+    global mean) so the episode is self-contained and exactly
+    replayable in SQL; a production run broadcasts a curated list the
+    same way.
+
+    Scale shape: the blocklist is |sources|-sized and BROADCAST into
+    an anti-join (no corpus shuffle for the filter); the cap is one
+    hash shuffle keyed by source + a row_number window — per-domain
+    state is a single counter, and a skewed head domain is bounded by
+    the cap itself. No all-pairs work, no driver collect."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = t(spark, sf, "documents")
+    global_avg = d.agg(
+        (F.avg("n_chars") * F.lit(0.98)).alias("thr")
+    )
+    blocked = (
+        d.groupBy("source")
+        .agg(F.avg("n_chars").alias("avg_chars"))
+        .join(F.broadcast(global_avg))
+        .filter(F.col("avg_chars") < F.col("thr"))
+        .select("source")
+    )
+    ranked = (
+        d.join(F.broadcast(blocked), "source", "left_anti")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ),
+        )
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 40, 0).otherwise(1)).alias("n_capped"),
+        F.sum(
+            F.when(F.col("rk") <= 40, F.col("n_chars")).otherwise(0)
+        ).alias("kept_chars"),
+    )

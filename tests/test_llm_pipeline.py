@@ -187,3 +187,41 @@ def test_scrub_pii_redacts_planted_spans(spark):
     assert got[2].scrubbed == docs.collect()[1][1] or got[2].scrubbed
     assert (got[3].n_emails, got[3].n_ips) == (2, 1)
     assert got[3].scrubbed == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_domain_cap_filter_blocks_and_caps(spark):
+    """c26 semantics: blocked sources contribute nothing; surviving
+    sources contribute at most the cap; kept docs are the
+    deterministically-first (lowest doc_id) per source."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        c26_domain_cap_filter,
+    )
+
+    from pyspark.sql import functions as F
+
+    out = {r.source: r for r in c26_domain_cap_filter(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    thr = docs.agg(F.avg("n_chars") * 0.98).first()[0]
+    stats = {
+        r.source: (r.n, r.avg)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.avg("n_chars").alias("avg"))
+        .collect()
+    }
+    assert out, "no sources survived"
+    for src, (n, avg) in stats.items():
+        if avg < thr:
+            assert src not in out  # blocked
+        else:
+            row = out[src]
+            assert row.n_kept == n
+            assert row.n_capped == max(0, n - 40)
+            # kept_chars = chars of the 40 lowest doc_ids of the source
+            kept = (
+                docs.filter(F.col("source") == src)
+                .orderBy("doc_id")
+                .limit(40)
+                .agg(F.sum("n_chars"))
+                .first()[0]
+            )
+            assert row.kept_chars == kept
