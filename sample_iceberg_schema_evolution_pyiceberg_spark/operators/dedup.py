@@ -277,6 +277,12 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # by construction) — never the whole corpus's. Both join sides are
     # filtered the same way; the earlier form broadcast-filtered only
     # the doc_a side and shuffled every doc's gram array for doc_b.
+    # NO forced broadcast hints anywhere below: an explicit
+    # F.broadcast() is never demoted by AQE, and on a duplicate-heavy
+    # corpus the candidate set is pair-shaped, not corpus-shaped —
+    # clusters of k near-dups contribute k*(k-1)/2 pairs, which
+    # overran the driver at a 10x replication scale. AQE broadcasts
+    # on its own whenever the set really is small (the common case).
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -285,7 +291,7 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # persisted for the same reason: ds is both join sides below, and
     # it is candidate-sized (only docs that survived LSH banding)
     ds = (
-        g.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        g.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("gram").alias("grams"))
         .persist()
@@ -297,7 +303,7 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.size("ga") + F.size("gb") - inter
     )
     return (
-        a.join(F.broadcast(cand), "doc_a")
+        a.join(cand, "doc_a")
         .join(b, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))

@@ -222,7 +222,11 @@ def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
     win = Window.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        # no forced hint on dfreq: it is VOCABULARY-sized (unbounded at
+        # web scale — a forced F.broadcast is never demoted by AQE and
+        # would OOM the driver on a real corpus); AQE broadcasts it on
+        # its own when the vocabulary is actually small. n is one row.
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= 3)
