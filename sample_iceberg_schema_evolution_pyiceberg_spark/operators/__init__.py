@@ -49,6 +49,7 @@ _PRIORITY = [
     "a21_snapshot_tags_episode",  # NEW in r7 (Iceberg refs / tags)
     "a22_write_audit_publish",  # NEW in r7 (branches / WAP)
     "c26_domain_cap_filter",  # NEW in r7 (domain blocklist + cap)
+    "c27_dup_ngram_fraction",  # NEW in r7 (corpus dup-gram filter)
     "c23_decontamination",  # NEW in r7 (benchmark overlap filter)
     "c24_pii_scrub",  # NEW in r7 (email/IPv4 redaction)
     "c25_repetition_stats",  # NEW in r7 (degenerate-text signals)

@@ -801,3 +801,120 @@ def c26_domain_cap_filter(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("rk") <= 40, F.col("n_chars")).otherwise(0)
         ).alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-gram fraction (round 7): the RefinedWeb /
+# Gopher "dup_ngram_frac" quality rule — a document most of whose
+# n-grams also occur in OTHER documents is boilerplate or a near-copy
+# and gets dropped before training. Distinct from c25 (WITHIN-doc
+# repetition) and from c02/c03 (pairwise near-dup): this is a
+# corpus-global per-document signal with no pair enumeration at all.
+# ---------------------------------------------------------------------------
+
+_DUPG_N, _DUPG_MIN_DF, _DUPG_KEEP_PCT = 5, 2, 60
+
+
+def dup_ngram_fraction(
+    docs: DataFrame,
+    n: int = _DUPG_N,
+    min_df: int = _DUPG_MIN_DF,
+    keep_pct: int = _DUPG_KEEP_PCT,
+) -> DataFrame:
+    """(doc_id, n_grams, n_dup, keep): of each document's DISTINCT word
+    n-grams, how many occur in at least ``min_df`` documents
+    corpus-wide; ``keep`` = 0 when more than ``keep_pct``% of the
+    doc's grams are corpus-duplicated (integer comparison — no float
+    in the gate, so the flag hashes identically across engines).
+
+    Scale shape: grams are hashed to 60-bit digests *before* any
+    shuffle (8-byte keys, never gram text). ``word_ngrams`` is
+    distinct-per-doc, so document frequency is a plain COUNT(*) per
+    digest — no countDistinct. Three hash-keyed exchanges total
+    (df aggregate, dup-flag probe join, one per-doc aggregate that
+    yields BOTH counts), all on well-distributed digests or doc ids;
+    the duplicated-gram set is corpus-dependent so NO forced broadcast
+    — AQE picks the strategy (the forced-hint-never-demoted lesson
+    from ADVICE r6).
+    """
+    from ..functions import md5_hash60, word_ngrams  # noqa: PLC0415
+
+    g = docs.select(
+        "doc_id", F.explode(word_ngrams(words("text"), n)).alias("gram")
+    ).select("doc_id", md5_hash60("gram").alias("h"))
+    dup = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    # one left join flags each gram in place (dup has distinct h, so no
+    # row multiplication), and ONE per-doc aggregate yields both counts
+    # — two gram passes total instead of three, one per-doc shuffle
+    per_doc = (
+        g.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dup"),
+        )
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_dup.alias("n_dup"),
+            F.when(n_dup * 100 <= n_grams * keep_pct, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+
+
+@query(
+    "c27_dup_ngram_fraction",
+    # the oracle rebuilds the same 5-grams (1-based inclusive list
+    # slice), the same md5-portable 60-bit digest, and the same
+    # integer keep gate — bit-for-bit replayable
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                 [array_to_string(ws[i:i+{_DUPG_N - 1}], ' ')
+                  for i in RANGE(1, GREATEST(LEN(ws) - {_DUPG_N - 2}, 1))]
+               )) AS gram
+        FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws
+              FROM documents)
+        WHERE LEN(ws) >= {_DUPG_N}
+      )
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= {_DUPG_MIN_DF}),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    hit AS (
+      SELECT g.doc_id, COUNT(*) AS n_dup
+      FROM g JOIN dup USING (h) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN COALESCE(p.n_dup, 0) * 100
+                     <= COALESCE(t.n_grams, 0) * {_DUPG_KEEP_PCT}
+                THEN 1 ELSE 0 END AS keep
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN hit p USING (doc_id)
+    """,
+)
+def c27_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate wiring for ``dup_ngram_fraction`` over ``documents``: word
+    5-grams, duplicated = present in >=2 docs, drop when >60% of a
+    doc's grams are duplicated. At sf0.01 the signal is bimodal —
+    planted near-dup clusters sit at frac 1.0 (keep=0), singletons at
+    0.0 — so both branches of the gate do real work."""
+    return dup_ngram_fraction(t(spark, sf, "documents"))

@@ -225,3 +225,32 @@ def test_domain_cap_filter_blocks_and_caps(spark):
                 .first()[0]
             )
             assert row.kept_chars == kept
+
+
+def test_dup_ngram_fraction_planted_duplicates(spark):
+    """Two identical docs have every 5-gram corpus-duplicated
+    (frac 1.0 -> dropped); a disjoint doc has none (kept); a doc
+    shorter than the gram width yields zero grams and is kept —
+    the short-doc case is other filters' job."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        dup_ngram_fraction,
+    )
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, twin),
+            (2, twin),
+            (3, "one two three four five six seven eight nine"),
+            (4, "too short here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup, r.keep)
+        for r in dup_ngram_fraction(docs).collect()
+    }
+    assert got[1] == (4, 4, 0)
+    assert got[2] == (4, 4, 0)
+    assert got[3] == (5, 0, 1)
+    assert got[4] == (0, 0, 1)
