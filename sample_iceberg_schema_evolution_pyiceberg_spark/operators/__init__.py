@@ -81,11 +81,12 @@ _PRIORITY = [
     "b12_agg_pricing_summary", "b13_agg_count_distinct",
     "b14_agg_rollup", "b15_agg_cube", "b17_agg_minmax_stats",
     "b18_window_ranking", "b19_window_lag_lead", "b21_topk",
-    "b22_sort_nulls", "b23_union_all", "b24_union_distinct",
+    "b22_sort_nulls", "b23_union_all",
     # --- driver window boundary (50) ---
-    # (b25-b29 displaced by a19/a20/a21/a22/c26 this round; they keep
-    # r5 evidence and lead the r8 rotation band with the other 15
+    # (b24-b29 displaced by a19/a20/a21/a22/c26/c27 this round; they
+    # keep r5 evidence and lead the r8 rotation band with the other 15
     # below)
+    "b24_union_distinct",
     "b25_intersect", "b26_except", "b27_string_funcs",
     "b28_date_funcs", "b29_math_funcs", "b30_conditional_null",
     # Window policy (standing): the first 50 slots hold ONLY
