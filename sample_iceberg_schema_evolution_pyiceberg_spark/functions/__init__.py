@@ -29,7 +29,14 @@ def words(text: str | Column) -> Column:
 def word_ngrams(ws: Column, n: int = 3) -> Column:
     """Distinct word n-grams as an array<string>; empty array when the
     doc has fewer than n words. transform() over sequence() — one pass,
-    no explode until the caller wants one."""
+    no explode until the caller wants one.
+
+    Pass a MATERIALIZED array column (project ``words(text)`` behind
+    its own alias first), not ``words(text)`` inline: inlining
+    duplicates the split expression into every element_at of the
+    lambda (n+2 copies), and at n=5 that costs ~16 s of driver-side
+    plan/codegen work per fresh plan (measured; the ws-projection
+    barrier drops the identical query to ~2 s — see c27)."""
     return F.when(
         F.size(ws) >= n,
         F.array_distinct(

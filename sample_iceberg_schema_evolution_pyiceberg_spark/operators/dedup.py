@@ -87,7 +87,10 @@ def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     return (
         d.repartition(par, "doc_id")
-        .select("doc_id", F.explode(word_ngrams(words("text"), 3)).alias("gram"))
+        # ws-projection barrier: keeps split(lower(text)) out of the
+        # generator lambda (driver plan/codegen cost — see word_ngrams)
+        .select("doc_id", words("text").alias("ws"))
+        .select("doc_id", F.explode(word_ngrams(F.col("ws"), 3)).alias("gram"))
     )
 
 
