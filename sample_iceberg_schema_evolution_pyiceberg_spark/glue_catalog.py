@@ -159,8 +159,15 @@ class GlueLakeCatalog:
         # unique_metadata_names: even the CREATE race cannot overwrite
         # another writer's v1 object; Glue's own AlreadyExists check
         # arbitrates which registration wins
+        # catalog-of-record marker (persisted in table metadata): plain
+        # LakeTable.load handles honor it by forcing unique metadata
+        # names and refusing commits without a publish hook, so a
+        # store-path writer cannot silently diverge the version hint
+        # from the Glue pointer (split-brain guard, ADVICE r7)
+        props = dict(properties or {})
+        props.setdefault("catalog-of-record", "glue")
         t = self._inner.create_table(
-            database, table, schema, partition_spec, properties,
+            database, table, schema, partition_spec, props,
             unique_metadata_names=True,
         )
         meta_path = t.loaded_from
@@ -279,8 +286,24 @@ class GlueLakeCatalog:
             if entry.get("VersionId"):
                 # real Glue enforces this server-side; the compare
                 # above is the client-side guard for endpoints that
-                # only track versions
+                # only track versions (moto tracks VersionId but does
+                # NOT enforce it — two writers racing inside the
+                # get->compare->update window can both pass; see the
+                # contract-test note in tests/test_s3_glue.py)
                 kwargs["VersionId"] = entry["VersionId"]
+            else:
+                # no VersionId at all: the client-side compare above
+                # is the ONLY guard on this pointer swap — say so
+                # loudly instead of silently degrading (ADVICE r7)
+                import warnings  # noqa: PLC0415
+
+                warnings.warn(
+                    f"glue endpoint returned no VersionId for "
+                    f"{database}.{table}: pointer CAS is client-side "
+                    "only (concurrent commits may be lost)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             self.glue.update_table(
                 DatabaseName=database, TableInput=ti, **kwargs
             )

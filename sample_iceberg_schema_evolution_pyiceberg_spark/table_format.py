@@ -467,6 +467,29 @@ def _file_may_match(
     if bounds is None:
         return True
     lo, hi = bounds
+
+    # NaN soundness. Parquet footer min/max EXCLUDE NaN (a file holding
+    # [1.0, NaN, 2.0] records bounds [1.0, 2.0]) while Spark SQL orders
+    # NaN GREATER than every other value. Two consequences:
+    #   * a NaN LITERAL makes every Python bound comparison False, which
+    #     would read as "prune" — but e.g. `col < NaN` is TRUE for every
+    #     non-NaN row in Spark. Any NaN literal → keep the file.
+    #   * float/double COLUMN bounds are evidence about the non-NaN rows
+    #     only, so an upper-bound refutation of >/>= is unsound (an
+    #     uncovered NaN row would satisfy the predicate). Lower-bound
+    #     refutations (</<=) stay sound — NaN satisfies neither — and
+    #     =/IN stay sound for non-NaN literals (NaN equals only NaN).
+    def _is_nan(v: Any) -> bool:
+        return isinstance(v, float) and v != v
+
+    if op == "in":
+        if any(_is_nan(v) for v in lit):
+            return True
+    elif _is_nan(lit):
+        return True
+    # bounds typed float <=> source column is float/double (int and str
+    # columns never record float bounds; JSON round-trips preserve this)
+    nan_possible = isinstance(lo, float) or isinstance(hi, float)
     try:
         if op == "in":
             # IN-list: the file may match if ANY literal is in bounds
@@ -474,9 +497,9 @@ def _file_may_match(
         if op in ("=", "=="):
             return lo <= lit <= hi
         if op == ">":
-            return hi > lit
+            return True if nan_possible else hi > lit
         if op == ">=":
-            return hi >= lit
+            return True if nan_possible else hi >= lit
         if op == "<":
             return lo < lit
         if op == "<=":
@@ -541,7 +564,12 @@ class LakeCatalog:
         # a catalog-of-record layer asks for writer-unique metadata
         # names so even the CREATE race cannot overwrite objects
         t.unique_metadata_names = unique_metadata_names
+        # the v1 object is written BEFORE the catalog registration that
+        # will point at it — no pointer exists to diverge from yet, so
+        # the catalog-of-record commit guard does not apply to CREATE
+        t.allow_uncataloged_commit = True
         t._commit(version=1)
+        t.allow_uncataloged_commit = False
         return t
 
     def load_table(self, database: str, table: str) -> "LakeTable | None":
@@ -585,6 +613,11 @@ class LakeTable:
         # writer-unique name so racing commits can never overwrite
         # each other's objects (see _commit)
         self.unique_metadata_names = False
+        # explicit opt-out of the catalog-of-record commit guard: a
+        # caller who sets this True on a catalog-managed table commits
+        # to the store lineage KNOWING the catalog pointer will not
+        # follow (recovery/debug escape hatch; see _commit)
+        self.allow_uncataloged_commit = False
         # the metadata file this handle's state was loaded from — the
         # base a CAS publish compares the catalog pointer against
         self.loaded_from: str | None = None
@@ -611,6 +644,14 @@ class LakeTable:
             io=io,
         )
         t.loaded_from = meta_file
+        if t.properties.get("catalog-of-record"):
+            # catalog-managed table opened via the plain store path:
+            # never let it reuse deterministic v{N} object names (a
+            # racing catalog writer's uuid'd object must not be
+            # overwritable), and _commit refuses to advance the hint
+            # without a catalog publish hook (split-brain guard; see
+            # _commit)
+            t.unique_metadata_names = True
         return t
 
     def refresh(self) -> "LakeTable":
@@ -624,6 +665,26 @@ class LakeTable:
         return self
 
     def _commit(self, version: int | None = None) -> None:
+        if (
+            self.on_commit is None
+            and not self.allow_uncataloged_commit
+            and self.properties.get("catalog-of-record")
+        ):
+            # Split-brain guard (ADVICE r7): this table's commits are
+            # published through a catalog-of-record pointer CAS. A
+            # commit through a plain store handle would advance the
+            # version hint while the catalog pointer stays stale —
+            # hint readers and catalog readers silently diverge. Load
+            # through the owning catalog (e.g.
+            # GlueLakeCatalog.load_table) so the publish hook is
+            # installed, or set ``allow_uncataloged_commit=True`` to
+            # knowingly fork the store lineage away from the catalog.
+            raise TableFormatError(
+                f"table {self.identifier} is managed by catalog-of-record "
+                f"{self.properties['catalog-of-record']!r}; refusing to "
+                "commit without a catalog publish hook (load it via the "
+                "catalog, or set allow_uncataloged_commit=True)"
+            )
         meta_dir = self.location / "_meta"
         if version is None:
             hint_file = str(meta_dir / "version-hint.text")

@@ -250,7 +250,16 @@ def test_glue_catalog_concurrent_commit_conflict(spark, tmp_path, glue_s3):
     """Two handles to the same table: the first commit wins, the
     second must raise ConcurrentCommitError instead of silently
     overwriting the pointer — Iceberg's Glue optimistic-lock
-    contract."""
+    contract.
+
+    Endpoint caveat (on record, ADVICE r7): moto TRACKS VersionId but
+    does not ENFORCE it on UpdateTable, so what these tests exercise is
+    the client-side get->compare->update guard. Two writers racing
+    INSIDE that window could both pass the compare against moto; real
+    Glue rejects the second UpdateTable server-side via VersionId. The
+    sequential interleavings here (commit A fully, then commit B) are
+    exactly the races the client-side guard does catch on any
+    endpoint."""
     from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
         ConcurrentCommitError,
         GlueLakeCatalog,
@@ -815,3 +824,56 @@ def test_ref_commits_advance_glue_pointer(spark, tmp_path, glue_s3):
     fresh = cat.load_table("db", "t")
     assert fresh.tags == {"cut": t.tags["cut"]}
     assert fresh.to_df(spark).count() == 9
+
+
+def test_plain_handle_refuses_uncataloged_commit(spark, tmp_path, glue_s3):
+    """Split-brain guard (ADVICE r7): a Glue-managed table opened via
+    the plain store path (LakeTable.load) must refuse to commit — a
+    hint-advancing commit with no pointer publish would silently
+    diverge hint readers from catalog readers. The catalog-of-record
+    marker rides in table metadata, so the plain loader needs no Glue
+    access to enforce it; the explicit escape hatch still works and
+    keeps unique metadata names (cannot clobber a catalog writer's
+    object)."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeTable,
+        TableFormatError,
+    )
+
+    glue, store = glue_s3
+    io = ObjectStoreFileIO(store)
+    cat = GlueLakeCatalog(tmp_path / "wh", io=io, glue=glue)
+    schema = T.StructType([T.StructField("id", T.LongType(), True)])
+    t = cat.create_table("db", "t", schema)
+    assert t.properties["catalog-of-record"] == "glue"
+
+    plain = LakeTable.load(t.location, io=io)
+    assert plain.unique_metadata_names  # forced by the marker
+    with pytest.raises(TableFormatError, match="catalog-of-record"):
+        plain.commit_schema(
+            T.StructType(
+                [*schema.fields, T.StructField("x", T.LongType(), True)]
+            )
+        )
+    # catalog pointer and hint still agree; catalog handle commits fine
+    cat.load_table("db", "t").commit_schema(
+        T.StructType([*schema.fields, T.StructField("y", T.LongType(), True)])
+    )
+    assert cat.load_table("db", "t").schema.fieldNames() == ["id", "y"]
+
+    # escape hatch: explicit, and the store lineage fork is honest
+    plain2 = LakeTable.load(t.location, io=io)
+    plain2.allow_uncataloged_commit = True
+    plain2.commit_schema(
+        T.StructType([*schema.fields, T.StructField("z", T.LongType(), True)])
+    )
+    # hint moved, catalog pointer did not — exactly the documented fork
+    assert LakeTable.load(t.location, io=io).schema.fieldNames() == [
+        "id", "z",
+    ]
+    assert cat.load_table("db", "t").schema.fieldNames() == ["id", "y"]

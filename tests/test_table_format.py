@@ -370,6 +370,63 @@ def test_file_may_match_bound_logic():
     assert _file_may_match(stats, "id", "=", "not-an-int")  # TypeError
 
 
+def test_file_may_match_nan_soundness():
+    """Float/double bounds describe only the non-NaN rows (parquet
+    footers exclude NaN from min/max) while Spark orders NaN above
+    every value: upper-bound refutations of >/>= must keep the file,
+    lower-bound and equality refutations stay live, and a NaN literal
+    never prunes anything (Spark: ``col < NaN`` is true for every
+    non-NaN row; Python: every NaN comparison is False, which would
+    otherwise read as proof of emptiness)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _file_may_match,
+    )
+
+    nan = float("nan")
+    fstats = {"x": [1.0, 2.0]}
+    # a hidden NaN row would satisfy > / >= — bounds are not proof
+    assert _file_may_match(fstats, "x", ">", 5.0)
+    assert _file_may_match(fstats, "x", ">=", 5.0)
+    # NaN satisfies no < / <= and equals only NaN: these stay sound
+    assert not _file_may_match(fstats, "x", "<", 1.0)
+    assert not _file_may_match(fstats, "x", "<=", 0.5)
+    assert not _file_may_match(fstats, "x", "=", 5.0)
+    assert not _file_may_match(fstats, "x", "in", [5.0, 7.0])
+    assert _file_may_match(fstats, "x", "=", 1.5)
+    # NaN literals: conservative on every op and every column type
+    istats = {"id": [10, 20]}
+    for st, col in ((fstats, "x"), (istats, "id")):
+        for op in ("=", "<", "<=", ">", ">="):
+            assert _file_may_match(st, col, op, nan)
+        assert _file_may_match(st, col, "in", [nan])
+    # int/str bounds keep full two-sided pruning
+    assert not _file_may_match(istats, "id", ">", 20)
+
+
+def test_scan_pruning_keeps_nan_rows(spark, tmp_path):
+    """End to end (the ADVICE r7 scenario): a file whose float column
+    holds [1.0, NaN, 2.0] records footer bounds [1.0, 2.0]; a pruned
+    scan for ``x > 5.0`` must still return the NaN row — pruning is
+    never a filter."""
+    import math
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "id int, x double"
+    ).coalesce(1)
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "nantab", df.schema)
+    table.append(df)
+    got = table.to_df(spark, pruning=[("x", ">", 5.0)]).collect()
+    assert [r.id for r in got] == [2]
+    assert math.isnan(got[0].x)
+    # sound refutations still prune on the same table
+    assert table.to_df(spark, pruning=[("x", "<", 0.5)]).count() == 0
+    assert table.to_df(spark, pruning=[("x", "=", 5.0)]).count() == 0
+
+
 def test_footer_column_bounds_types_and_nulls(tmp_path):
     """Bounds come only from columns every row group can vouch for:
     all-null columns and non-JSON-safe types drop out; multi-row-group
