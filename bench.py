@@ -75,6 +75,10 @@ def plan_fingerprint(df) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # publish the resolved dir so session sizing (input-scaled shuffle
+    # partitions, session.scaled_shuffle_partitions) sees it even when
+    # the driver relied on the default
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # optional subset (comma-separated) for large-sf runs where a
     # deliberately stress-shaped query would dominate the wall clock

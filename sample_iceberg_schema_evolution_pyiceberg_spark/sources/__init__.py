@@ -260,12 +260,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # any failure; disable with SPARK_GRAFT_BUCKETED=0.
 # ---------------------------------------------------------------------------
 
-_BUCKETS = 32  # matches local core count; a cluster would size by data
+_BUCKETS = 32  # parallelism cap; actual count sized by data below
+
+
+def buckets_for(sf_dir: str) -> int:
+    """Bucket count sized by the input, same rule as shuffle sizing
+    (session.scaled_shuffle_partitions): a bucketed scan schedules one
+    task per bucket and a bucketed join one join task per bucket, so
+    an oversized count re-creates the tiny-task floor the layout
+    exists to avoid. Both join sides read the same sf_dir, so the
+    count always matches and the zero-exchange plan is preserved; the
+    layout-cache name embeds the count, so a re-sized run lays out
+    fresh instead of mixing bucket widths."""
+    from ..session import _dir_input_bytes, scaled_shuffle_partitions
+
+    if env := os.environ.get("SPARK_GRAFT_BUCKETS"):
+        return int(env)
+    nbytes = _dir_input_bytes(sf_dir)
+    return (
+        scaled_shuffle_partitions(nbytes, _BUCKETS) if nbytes else _BUCKETS
+    )
 
 
 def bucketed_table(
     spark: SparkSession, sf_dir: str, name: str, key: str,
-    buckets: int = _BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Catalog-registered bucketed copy of a testdata table, keyed on
     (sf_dir, table, key). ``repartition(buckets, key)`` before the
@@ -274,6 +293,8 @@ def bucketed_table(
     skip the per-partition sort (buckets are written sorted by key)."""
     if os.environ.get("SPARK_GRAFT_BUCKETED", "1") == "0":
         return load_table(spark, sf_dir, name)
+    if buckets is None:
+        buckets = buckets_for(sf_dir)
     base = load_table(spark, sf_dir, name)
     safe = "".join(
         ch if ch.isalnum() else "_" for ch in os.path.abspath(sf_dir)
