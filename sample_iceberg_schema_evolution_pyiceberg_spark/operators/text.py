@@ -211,8 +211,15 @@ def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     d = t(spark, sf, "documents")
-    w = d.select("doc_id", F.explode(words("text")).alias("term")).repartition(
-        "doc_id"
+    # repartition BEFORE the explode: the shuffle moves |docs| text
+    # rows, not |tokens| exploded rows (300x the row count, same
+    # bytes + per-row overhead — and with a single-split input the
+    # whole tokenize would also run in the lone scan task). Generate
+    # preserves the doc_id hash partitioning, so the (doc_id, term)
+    # aggregate and the per-doc window below still need no further
+    # exchange.
+    w = d.repartition("doc_id").select(
+        "doc_id", F.explode(words("text")).alias("term")
     )
     tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
