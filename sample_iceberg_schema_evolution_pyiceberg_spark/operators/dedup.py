@@ -75,6 +75,20 @@ def c01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Spark-SQL twin of functions.word_ngrams(ws, 3) — kept textually next
+# to its consumer so a change to either is a one-screen review; the
+# DuckDB oracle (_C04_ORACLE / _sig_sql) pins both to the same values
+# through the hash gate.
+_NGRAM3_SQL = (
+    "CASE WHEN size(ws) >= 3 THEN array_distinct(transform("
+    "sequence(0, size(ws) - 3), i -> concat_ws(' ', "
+    "element_at(ws, cast(i + 1 AS int)), "
+    "element_at(ws, cast(i + 2 AS int)), "
+    "element_at(ws, cast(i + 3 AS int))))) "
+    "ELSE cast(array() AS array<string>) END"
+)
+
+
 def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
     """doc_id + exploded distinct word-3-grams.
 
@@ -85,12 +99,19 @@ def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
     """
     d = t(spark, sf, "documents")
     par = spark.sparkContext.defaultParallelism
-    return (
-        d.repartition(par, "doc_id")
-        # ws-projection barrier: keeps split(lower(text)) out of the
-        # generator lambda (driver plan/codegen cost — see word_ngrams)
-        .select("doc_id", words("text").alias("ws"))
-        .select("doc_id", F.explode(word_ngrams(F.col("ws"), 3)).alias("gram"))
+    # one parameterized-SQL call (parsed and analyzed JVM-side) instead
+    # of per-Column py4j round trips — the plan is the same as the
+    # DataFrame chain it replaces: repartition BEFORE tokenize (full
+    # shingling parallelism from a single-split input), ws projected
+    # behind its own alias (the ws-projection barrier; see word_ngrams)
+    return spark.sql(
+        f"""
+        SELECT doc_id, explode({_NGRAM3_SQL}) AS gram
+        FROM (SELECT doc_id, split(lower(text), ' ') AS ws
+              FROM (SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
+                    FROM {{d}}))
+        """,
+        d=d,
     )
 
 
@@ -268,6 +289,10 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # the final broadcast join — without it the whole LSH pipeline
     # (signatures + band self-join + distinct) executes twice. cand is
     # post-LSH small (pairs, not corpus), so the cache is bounded.
+    # (A full-SQL formulation of this pipeline was tried and reverted:
+    # {df} parameter references defeat CacheManager substitution and
+    # re-registering temp views uncaches dependents, so the persisted
+    # intermediates stopped serving — the DataFrame chain keeps them.)
     cand = (
         a.join(b, ["band_id", "r0", "r1"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -373,15 +373,21 @@ def b13_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     per_key = ex.groupBy("l_returnflag", "kind", "key").agg(
         F.count(F.lit(1)).alias("dup_cnt")
     )
-    per_kind = per_key.groupBy("l_returnflag", "kind").agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("dup_cnt").alias("nr")
-    )
+    # fold the distinct (flag, kind, key) stream straight to per-flag
+    # counts: each surviving row IS one distinct key, so conditional
+    # sums deliver both distinct counts and (via the supplier-kind
+    # duplicate counts) the row total in ONE more aggregate — two
+    # exchanges end to end, not three (the (flag, kind) intermediate
+    # added an exchange + an AQE stage for no reduction: its input is
+    # already |keys|-sized)
     return (
-        per_kind.groupBy("l_returnflag")
+        per_key.groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(F.col("kind") == "s", F.col("nd"))).alias("n_suppliers"),
-            F.sum(F.when(F.col("kind") == "p", F.col("nd"))).alias("n_parts"),
-            F.max(F.when(F.col("kind") == "s", F.col("nr"))).alias("n_rows"),
+            F.sum(F.when(F.col("kind") == "s", 1)).alias("n_suppliers"),
+            F.sum(F.when(F.col("kind") == "p", 1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("kind") == "s", F.col("dup_cnt"))
+            ).alias("n_rows"),
         )
         .select("l_returnflag", "n_suppliers", "n_parts", "n_rows")
     )
@@ -1619,13 +1625,14 @@ def b62_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
     o = t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
-    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
-        F.col("o_orderkey").desc()
-    )
-    dim = (
-        o.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    # equal-time dedup as an AGGREGATE, not a ranking window: same
+    # keep-max-orderkey contract (orderkey is unique, so max_by ties
+    # are impossible), but partial aggregation shrinks the map side
+    # and no per-partition sort is needed — the asof union's own
+    # key-ordered window is the only sort in the plan
+    dim = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
     )
     res = asof_join(
         ev, dim, on=("user_id", "o_custkey"),
