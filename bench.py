@@ -182,8 +182,11 @@ def main() -> None:
     )
     # ... then a COMPACT machine line LAST: the driver archives only a
     # bounded tail of stdout, and the full record overflows it
-    # (BENCH_r04/r05 recorded "parsed": null) — query->median only,
-    # small enough to survive any reasonable capture window
+    # (BENCH_r04/r05 recorded "parsed": null) — query->median plus
+    # per-query [min, max] spread for BOTH engines (VERDICT r7 item 2:
+    # the r7 record carried DuckDB spread but the Spark side survived
+    # only as a single number, so the b03 +47% move could not be
+    # adjudicated), small enough to survive the capture window
     print(
         json.dumps(
             {
@@ -193,6 +196,12 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "duckdb_total": round(sum(duck_times.values()), 3),
+                "spread": {
+                    n: [s["min"], s["max"]] for n, s in spread.items()
+                },
+                "duckdb_spread_c": {
+                    n: [s["min"], s["max"]] for n, s in duck_spread.items()
+                },
             },
             separators=(",", ":"),
         )

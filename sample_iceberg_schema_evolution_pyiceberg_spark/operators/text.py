@@ -161,6 +161,10 @@ def c09_token_count(spark: SparkSession, sf: str) -> DataFrame:
     per-row independent (no shuffle, no state), so it scales exactly
     like the scan; the JVM->Arrow transfer is the known cost and is
     five times smaller than the java-regex penalty."""
+    # (no repartition ahead of the UDF: measured at sf0.1, an extra
+    # shuffle + N Python-worker spin-ups costs more than the serial
+    # RE2 pass over a tiny input; at cluster scale the input's own
+    # splits parallelize the per-row UDF for free)
     d = t(spark, sf, "documents")
     ws_tokens = F.size(F.split(F.col("text"), " "))
     bpe = _bpe_segment_count(F.col("text"))

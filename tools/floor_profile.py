@@ -50,7 +50,7 @@ def main() -> None:
     sc = spark.sparkContext
     for name in names:
         fn = QUERIES[name]
-        cons, act, tasks = [], [], []
+        cons, act, tasks, jobs = [], [], [], []
         for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -60,8 +60,9 @@ def main() -> None:
             materialize(df)
             t2 = time.time()
             after = tracker.getJobIdsForGroup(None)
+            new_jobs = set(after) - set(before)
             ntasks = 0
-            for jid in set(after) - set(before):
+            for jid in new_jobs:
                 ji = tracker.getJobInfo(jid)
                 if ji is None:
                     continue
@@ -72,11 +73,13 @@ def main() -> None:
             cons.append(t1 - t0)
             act.append(t2 - t1)
             tasks.append(ntasks)
+            jobs.append(len(new_jobs))
         med = lambda s: round(sorted(s)[len(s) // 2], 3)  # noqa: E731
         out[name] = {
             "construct": med(cons),
             "action": med(act),
             "tasks": sorted(tasks)[1],
+            "jobs": sorted(jobs)[1],
         }
     total_c = round(sum(v["construct"] for v in out.values()), 3)
     total_a = round(sum(v["action"] for v in out.values()), 3)
