@@ -37,10 +37,12 @@ _MODULES += [
 
 _PRIORITY = [
     # ---- Round-8 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1: queries whose CODE changed in r8 (b13 lost an exchange,
+    # Tier 1: NEW in r8 (c28 exact substring dedup, VERDICT item 5),
+    # then queries whose CODE changed in r8 (b13 lost an exchange,
     # b62 dedups via aggregate, c15 repartitions pre-explode, c02/c04/
     # c18 share the rebuilt SQL gram source; every plan additionally
     # re-sized under input-scaled shuffle/bucket counts, session.py).
+    "c28_substring_dup_spans",
     "b13_agg_count_distinct", "c15_tfidf_top_terms",
     "c18_dedup_cluster_resolution",
     # Tier 2: the queued r5-evidence band — exactly the 21 keys

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import rolling_hash, words
 from .registry import query, t
@@ -940,3 +941,162 @@ def c27_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
     planted near-dup clusters sit at frac 1.0 (keep=0), singletons at
     0.0 — so both branches of the gate do real work."""
     return dup_ngram_fraction(t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# c28 — exact substring dedup (cross-document duplicate span detection)
+#
+# The standard pipeline stage between exact doc-level dedup (c01) and
+# near-dup doc-level dedup (c02): find the exact token spans that are
+# REPEATED ACROSS DOCUMENTS, at k-token block granularity (the
+# suffix-array stage of production pre-training pipelines, approximated
+# by sorted gram-anchor extension — VERDICT r7 item 5).
+#
+# Granularity contract (documented, not hidden): with anchors at every
+# token position, a cross-document repeated substring of length
+# L >= _SUB_K tokens shares ALL of its L-k+1 k-gram anchors, so the
+# merged anchor span covers the full repeat exactly; repeats shorter
+# than k tokens are below the detection block and produce nothing.
+# Spans are unions of overlapping-or-adjacent duplicated k-blocks.
+# ---------------------------------------------------------------------------
+
+_SUB_K = 8  # anchor width: minimum duplicated-span length, in tokens
+_SUB_MIN_DOCS = 2  # "duplicated" = the block appears in >= this many docs
+
+
+def substring_dup_spans(
+    docs: DataFrame, k: int = _SUB_K, min_docs: int = _SUB_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): merged token spans
+    of each document covered by k-token blocks that occur in at least
+    ``min_docs`` distinct documents.
+
+    Scale shape (the point): positionally-anchored gram digests are
+    hashed to 60-bit longs INSIDE the gram transform, so nothing
+    heavier than (doc_id, pos, 8-byte digest) ever crosses a shuffle —
+    never gram text. Stages: one digest-keyed distinct + count for
+    document frequency, one digest-keyed probe join back to anchors
+    (corpus-dependent size — NO forced broadcast, AQE decides), and one
+    doc-keyed window for the sorted-anchor extension (gaps-and-islands
+    interval merge: new island when s > running max(e) + 1). Every
+    exchange is on well-distributed hash keys or doc ids; there is no
+    all-pairs stage anywhere — the posting list of a digest is the only
+    quadratic surface and it is exactly the duplication being measured.
+    """
+    from ..functions import words  # noqa: PLC0415
+
+    ws = docs.select("doc_id", words("text").alias("ws")).filter(
+        F.size("ws") >= k
+    )
+    # digest computed inside the transform lambda (one md5 per anchor,
+    # hashed before the explode); ws is projected behind its own alias
+    # first — the ws-projection barrier (see dup_ngram_fraction)
+    gh = F.expr(
+        f"transform(sequence(0, size(ws) - {k}), i -> "
+        f"cast(conv(substring(md5(array_join(slice(ws, i + 1, {k}), ' ')), "
+        f"1, 15), 16, 10) AS bigint))"
+    )
+    g = ws.select("doc_id", F.posexplode(gh).alias("pos", "ghash"))
+    dupg = (
+        g.select("doc_id", "ghash")
+        .distinct()
+        .groupBy("ghash")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("ghash")
+    )
+    anchors = g.join(dupg, "ghash").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + k - 1).cast("long").alias("e"),
+    )
+    # sorted-anchor extension: anchors are unique per (doc, pos), so
+    # ORDER BY s is total; merge overlapping-or-adjacent blocks
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    brk = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(prev), F.lit(-1)) + 1, 1
+    ).otherwise(0)
+    return (
+        anchors.withColumn("island", F.sum(brk).over(run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "c28_substring_dup_spans",
+    # full DuckDB replay of the span rule: same tokenizer, same 60-bit
+    # md5 digest, same >=2-distinct-docs duplication test, same
+    # gaps-and-islands merge — every value hash-gated
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents
+    ),
+    gi AS (
+      SELECT doc_id, ws,
+             UNNEST(RANGE(1, GREATEST(LEN(ws) - {_SUB_K} + 2, 1))) AS i
+      FROM ws
+      WHERE LEN(ws) >= {_SUB_K}
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             (('0x' || substr(md5(ARRAY_TO_STRING(ws[i:i + {_SUB_K} - 1],
+                ' ')), 1, 15))::BIGINT) AS ghash
+      FROM gi
+    ),
+    dupg AS (
+      SELECT ghash
+      FROM (SELECT DISTINCT doc_id, ghash FROM g)
+      GROUP BY ghash
+      HAVING COUNT(*) >= {_SUB_MIN_DOCS}
+    ),
+    a AS (
+      SELECT g.doc_id, pos AS s, pos + {_SUB_K} - 1 AS e
+      FROM g JOIN dupg USING (ghash)
+    ),
+    b AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM a
+    ),
+    c AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM b
+    )
+    SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           MAX(e) - MIN(s) + 1 AS span_tokens
+    FROM c
+    GROUP BY doc_id, island
+    """,
+)
+def c28_substring_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate wiring for ``substring_dup_spans`` over ``documents``:
+    8-token anchor blocks, duplicated = present in >= 2 docs. At
+    sf0.01 the planted near-dup clusters yield full-document spans and
+    partially-overlapping docs yield interior spans, so the interval
+    merge is exercised on real shapes."""
+    return substring_dup_spans(t(spark, sf, "documents"))

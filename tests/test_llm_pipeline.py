@@ -254,3 +254,63 @@ def test_dup_ngram_fraction_planted_duplicates(spark):
     assert got[2] == (4, 4, 0)
     assert got[3] == (5, 0, 1)
     assert got[4] == (0, 0, 1)
+
+
+def test_substring_dup_spans_planted(spark):
+    """c28 exact substring dedup: a >=k-token span shared verbatim by
+    two documents is recovered EXACTLY (anchor extension covers the
+    full repeat, nothing more); a repeat shorter than k tokens is
+    below the block granularity and yields nothing; a span repeated
+    only WITHIN one document is not cross-document duplication; two
+    disjoint shared spans in one doc merge only if overlapping or
+    adjacent."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        substring_dup_spans,
+    )
+
+    # tokens are single letters a0..; k=4 keeps the fixture readable
+    shared = "s1 s2 s3 s4 s5 s6"  # 6 tokens >= k
+    short = "x1 x2 x3"  # 3 tokens < k
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shared span at token offset 2..7
+            (1, f"a1 a2 {shared} a3 a4"),
+            # doc 2: same span at offset 0..5, plus the short repeat
+            (2, f"{shared} b1 {short} b2"),
+            # doc 3: only the short repeat — below block width
+            (3, f"c1 {short} c2 c3 c4 c5"),
+            # doc 4: within-doc repetition only (no other doc has it)
+            (4, "r1 r2 r3 r4 r1 r2 r3 r4 r1 r2 r3 r4"),
+            # doc 5: two disjoint copies of the shared span, separated
+            # by a gap token — two islands, not one
+            (5, f"{shared} gap1 gap2 {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = substring_dup_spans(docs, k=4, min_docs=2).collect()
+    spans = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens)
+                   for r in rows)
+    assert spans == [
+        (1, 2, 7, 6),   # exact recovery, offset preserved
+        (2, 0, 5, 6),
+        (5, 0, 5, 6),   # first copy
+        (5, 8, 13, 6),  # second copy: separate island across the gap
+    ]
+
+
+def test_substring_dup_spans_merges_overlap(spark):
+    """Overlapping and adjacent duplicated blocks merge into one span:
+    two docs sharing a long span report ONE island covering it, even
+    though every interior k-gram anchors separately."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        substring_dup_spans,
+    )
+
+    long_shared = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, long_shared), (2, f"pre1 pre2 {long_shared}")],
+        "doc_id long, text string",
+    )
+    rows = substring_dup_spans(docs, k=8, min_docs=2).collect()
+    spans = sorted((r.doc_id, r.span_start, r.span_end) for r in rows)
+    assert spans == [(1, 0, 19), (2, 2, 21)]
