@@ -1999,6 +1999,54 @@ class LakeTable:
             "is_live boolean, expired boolean",
         )
 
+    def topk_prune_threshold(self, column: str, k: int) -> "Any | None":
+        """Zone-map top-k bound for ``ORDER BY column DESC LIMIT k``,
+        served ENTIRELY from commit-time manifests — zero footer reads,
+        zero data-plane IO (VERDICT r7 item 6, composing the a20
+        manifest-stats machinery with the b21 footer-path fix,
+        sources.topk_prune_threshold).
+
+        Proof (file granularity): let t = the k-th largest per-file
+        upper bound. Each of those k files contains at least one row
+        equal to its own max >= t, so >= k rows satisfy ``column >= t``
+        and no true top-k row can lie below t. Filtering
+        ``to_df(pruning=[(column, '>=', t)])`` therefore retains every
+        top-k row while the manifest prunes files whose bounds prove
+        them dead. File bounds are coarser than the footer path's
+        row-group bounds, so this threshold is <= the footer one
+        (equal when files carry one row group) — weaker pruning, but
+        decided without opening a single footer, which at object-store
+        latency is the cost that matters (SCALE.md a20).
+
+        Soundness edges, all answered conservatively with ``None``
+        (caller scans unpruned): any live merge-on-read delete (a
+        removed row may have BEEN the file max, breaking the >= k
+        count), any file or snapshot without stats for ``column``, or
+        <= k stat-bearing files (nothing to prune). Float/double
+        columns stay sound end to end: parquet bounds exclude NaN, but
+        Spark orders NaN above every value, so NaN rows pass the
+        ``>= t`` ROW filter (they belong in a DESC top-k) and
+        ``_file_may_match`` keeps every float file rather than trusting
+        an upper bound a NaN row may exceed."""
+        if any(s.is_row_delete for s in self.snapshots):
+            return None
+        maxes: list[Any] = []
+        for s in self.snapshots:
+            if not s.data_dir:
+                continue
+            if s.files is None:
+                return None  # pre-manifest metadata: no commit stats
+            for f in s.files:
+                st = f.get("stats") or {}
+                bounds = st.get(column)
+                if bounds is None:
+                    return None  # an unaccounted file could hide top rows
+                maxes.append(bounds[1])
+        if len(maxes) <= k:
+            return None
+        maxes.sort(reverse=True)
+        return maxes[k - 1]
+
     def files_df(self, spark: SparkSession) -> DataFrame:
         """The live data-file inventory (Iceberg's ``db.tbl.files``):
         one row per parquet file with its owning snapshot, byte size,

@@ -838,3 +838,62 @@ def test_history_pinned_tag_stays_out_of_export_refs(spark, catalog):
     assert doc["refs"]["main"]["snapshot-id"] in exported_ids
     # engine-side, the tag still resolves and retains
     assert table.to_df(spark, as_of_snapshot="old").count() == 50
+
+
+def test_lake_topk_threshold_from_manifests(spark, tmp_path, monkeypatch):
+    """VERDICT r7 item 6: the lake serves the b21-style zone-map top-k
+    bound from commit-time manifests — zero parquet footer access at
+    plan time (asserted by poisoning read_metadata), value-equal to
+    the footer path's bound on single-row-group files, retention-sound
+    end to end, and conservatively None while merge-on-read deletes
+    are live or stats are missing."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    table = LakeCatalog(tmp_path / "wh").create_table(
+        "db", "tk", spark.range(1).select(F.col("id")).schema
+    )
+    for lo in (0, 100, 200, 300):
+        table.append(
+            spark.range(lo, lo + 100).select(F.col("id")).coalesce(1)
+        )
+
+    # footer-path parity target, computed BEFORE poisoning: the k-th
+    # largest row-group max across the table's files (single-row-group
+    # files => file bounds == row-group bounds)
+    k = 2
+    rg_maxes = []
+    for r in table.files_df(spark).collect():
+        md = pq.read_metadata(str(table.location / r.file_path))
+        ci = md.schema.names.index("id")
+        for g in range(md.num_row_groups):
+            rg_maxes.append(md.row_group(g).column(ci).statistics.max)
+    rg_maxes.sort(reverse=True)
+
+    def boom(*a, **kw):
+        raise AssertionError("topk threshold must not read footers")
+
+    monkeypatch.setattr(pq, "read_metadata", boom)
+    t = table.topk_prune_threshold("id", k)
+    assert t == rg_maxes[k - 1] == 299
+
+    # retention-sound composition: pruned scan + order/limit returns
+    # the exact top-k, while the manifest dropped dead files
+    pruned = table.to_df(spark, pruning=[("id", ">=", t)])
+    top = [r.id for r in pruned.orderBy(F.desc("id")).limit(k).collect()]
+    assert top == [399, 398]
+    assert len(pruned.inputFiles()) < 4
+
+    # conservative None: k >= file count, missing column
+    assert table.topk_prune_threshold("id", 4) is None
+    assert table.topk_prune_threshold("nope", 1) is None
+
+    # live merge-on-read delete: a removed row may have been a file
+    # max — refuse until compaction folds the delete
+    monkeypatch.undo()
+    table.delete_where(spark, "id >= 350", strategy="merge_on_read")
+    assert table.topk_prune_threshold("id", 2) is None
