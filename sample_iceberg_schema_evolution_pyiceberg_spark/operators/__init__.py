@@ -42,7 +42,7 @@ _PRIORITY = [
     # b62 dedups via aggregate, c15 repartitions pre-explode, c02/c04/
     # c18 share the rebuilt SQL gram source; every plan additionally
     # re-sized under input-scaled shuffle/bucket counts, session.py).
-    "c28_substring_dup_spans",
+    "c28_substring_dup_spans", "a23_zorder_clustering_episode",
     "b13_agg_count_distinct", "c15_tfidf_top_terms",
     "c18_dedup_cluster_resolution",
     # Tier 2: the queued r5-evidence band — exactly the 21 keys

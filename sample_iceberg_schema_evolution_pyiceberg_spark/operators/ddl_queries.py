@@ -913,3 +913,67 @@ def a22_write_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a23_zorder_clustering_episode",
+    # data outcome is a plain filter replay (rewrite invariance: the
+    # z-ordered layout lost/duplicated nothing); the two flags pin that
+    # the manifest bounds engaged on BOTH clustered dimensions —
+    # including the TRAILING one, which a lexicographic sort_by layout
+    # cannot prune (z-order's whole point; the layout puts the trailing
+    # column's bin MSB at the top interleave bit, so a low-range
+    # predicate on it always excludes the upper z-range files)
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total,
+           TRUE AS pruned_lead, TRUE AS pruned_trail
+    FROM orders WHERE o_orderkey <= 3000 AND o_orderkey <= 700
+    GROUP BY status
+    """,
+)
+def a23_zorder_clustering_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-dimensional clustering episode (Delta OPTIMIZE ZORDER BY /
+    Iceberg rewrite_data_files z-order strategy, which the reference's
+    PyIceberg control plane leaves to table maintenance —
+    /root/reference/lambda/iceberg_helper.py manages layout only via
+    partition specs): append an unclustered layout, rewrite with
+    ``compact(cluster_by=[ck, k])`` (interleaved-bit z-value from
+    one-pass sampled equi-depth bins, table_format._zorder_column),
+    then prune on EACH clustered dimension separately. The hashed
+    output carries the grouped aggregate of the trailing-dimension
+    pruned scan — proving the explicit file subset lost no rows — plus
+    per-dimension pruned-fewer flags proving the bounds engaged."""
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="zorder_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "zz", o.schema)
+        table.append(o.repartition(8))  # hash layout: nothing prunable
+        table.compact(spark, cluster_by=["ck", "k"], target_files=8)
+        full = len(table.to_df(spark).inputFiles())
+        lead = table.to_df(spark, pruning=[("ck", "<=", 300)])
+        trail = table.to_df(spark, pruning=[("k", "<=", 700)])
+        out = trail.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("total").cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("total"),
+        ).withColumn(
+            "pruned_lead", F.lit(len(lead.inputFiles()) < full)
+        ).withColumn(
+            "pruned_trail", F.lit(len(trail.inputFiles()) < full)
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

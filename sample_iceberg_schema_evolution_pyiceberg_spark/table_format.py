@@ -593,6 +593,68 @@ class LakeCatalog:
         return out
 
 
+_ZORDER_BITS = 6  # 64 equi-depth bins per clustered column
+
+
+def _zorder_column(df: DataFrame, cols: list[str]) -> Column:
+    """Interleaved-bit z-value over ``cols`` (Delta OPTIMIZE ZORDER /
+    Iceberg z-order rewrite strategy), built 100 TB-safe:
+
+    - **Bin boundaries** come from ONE distributed ``approxQuantile``
+      pass over all clustered columns (sampling-based GK sketch; the
+      driver receives only 63 cut points per column — the same
+      range-id-by-sampling approach Delta's z-order uses). Equi-depth
+      bins keep the interleave balanced under skew, where
+      min/max-scaled bit slicing would collapse.
+    - **Bin assignment** is a codegen ``filter`` HOF over the literal
+      boundary array (count of boundaries <= value) — no UDF.
+    - **Interleave** is shiftleft/bitwiseAND codegen arithmetic:
+      bit b of column i lands at position b*k + i, so all k columns
+      contribute equally to every z-value prefix.
+
+    Column typing: numerics (incl. decimal) bin by value; date /
+    timestamp bin by epoch position; string / binary / boolean bin by
+    ``xxhash64`` (equal values cluster together; range semantics do
+    not apply to them anyway — documented hash-order clustering).
+    """
+    if not 1 <= len(cols) <= 8:
+        raise TableFormatError("cluster_by takes 1..8 columns")
+    dtypes = dict(df.dtypes)
+    keyed = []
+    for c in cols:
+        if c not in dtypes:
+            raise TableFormatError(f"unknown cluster_by column {c!r}")
+        dt = dtypes[c]
+        if dt == "date":
+            keyed.append(F.datediff(F.col(c), F.lit("1970-01-01")))
+        elif dt.startswith("timestamp"):
+            keyed.append(F.col(c).cast("double"))
+        elif dt in ("string", "binary", "boolean"):
+            keyed.append(F.xxhash64(F.col(c)).cast("double"))
+        else:
+            keyed.append(F.col(c).cast("double"))
+    tmp = [f"__zk{i}" for i in range(len(cols))]
+    prepared = df.select(*[k.alias(n) for k, n in zip(keyed, tmp)])
+    nbins = 1 << _ZORDER_BITS
+    probs = [i / nbins for i in range(1, nbins)]
+    # one distributed pass for every column's boundaries
+    bounds = prepared.stat.approxQuantile(tmp, probs, 0.01)
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for i, (key, bnds) in enumerate(zip(keyed, bounds)):
+        # NULL and NaN order first (bin 0) to match Spark's sort order
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        bin_col = F.when(
+            key.isNull() | F.isnan(key), F.lit(0)
+        ).otherwise(F.size(F.filter(arr, lambda x: x <= key)))
+        for b in range(_ZORDER_BITS):
+            z = z + F.shiftleft(
+                F.shiftright(bin_col, b).bitwiseAND(F.lit(1)).cast("long"),
+                b * k + i,
+            )
+    return z
+
+
 class LakeTable:
     def __init__(
         self,
@@ -1528,6 +1590,7 @@ class LakeTable:
         spark: SparkSession,
         sort_by: list[str] | None = None,
         target_files: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> Snapshot:
         """Rewrite-data-files analog: merge all live snapshots into one
         (the reference's append pattern snowballs 1-20-row files —
@@ -1546,9 +1609,32 @@ class LakeTable:
         Iceberg's target-file-size knob expressed as a count (a size
         target divides the live bytes into a count anyway). Without
         it, Spark/AQE sizes the shuffle, which on small live sets
-        coalesces to one file — correct, but no longer range-prunable."""
+        coalesces to one file — correct, but no longer range-prunable.
+
+        ``cluster_by`` applies MULTI-DIMENSIONAL clustering (the
+        Z-order of Delta's OPTIMIZE ZORDER BY / Iceberg's
+        rewrite_data_files z-order strategy): rows are range-clustered
+        on an interleaved-bit z-value of the named columns, so per-file
+        min/max bounds stay tight on EVERY clustered column — a
+        lexicographic ``sort_by`` prunes only on the leading key, while
+        a predicate on the trailing key still scans every file. See
+        ``_zorder_column`` for the one-pass sampling + codegen
+        construction. Mutually exclusive with ``sort_by``."""
+        if sort_by and cluster_by:
+            raise TableFormatError(
+                "sort_by and cluster_by are mutually exclusive"
+            )
         df = self.to_df(spark)
-        if sort_by:
+        if cluster_by:
+            zcol = "__zorder_tmp"
+            df = df.withColumn(zcol, _zorder_column(df, list(cluster_by)))
+            nparts = [target_files] if target_files else []
+            df = (
+                df.repartitionByRange(*nparts, zcol)
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+        elif sort_by:
             nparts = [target_files] if target_files else []
             df = df.repartitionByRange(
                 *nparts, *sort_by
@@ -1558,6 +1644,10 @@ class LakeTable:
         snap = self._write(df, "overwrite")  # moves old live to history
         if sort_by:
             self.meta["sort_order"] = list(sort_by)
+            self.meta.pop("clustering", None)
+        if cluster_by:
+            self.meta["clustering"] = list(cluster_by)
+            self.meta.pop("sort_order", None)
         self._commit()
         return snap
 
