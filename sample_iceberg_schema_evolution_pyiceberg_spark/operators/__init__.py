@@ -43,6 +43,7 @@ _PRIORITY = [
     # c18 share the rebuilt SQL gram source; every plan additionally
     # re-sized under input-scaled shuffle/bucket counts, session.py).
     "c28_substring_dup_spans", "a23_zorder_clustering_episode",
+    "c29_incremental_ingest_dedup",
     "b13_agg_count_distinct", "c15_tfidf_top_terms",
     "c18_dedup_cluster_resolution",
     # Tier 2: the queued r5-evidence band — exactly the 21 keys
@@ -69,8 +70,11 @@ _PRIORITY = [
     "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
     "b20_window_running_frame", "b42_udtf_explode",
     "b54_sessionize_batch", "b33_json_funcs", "b35_cast_promotion",
-    "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
     # --- driver window boundary (50) ---
+    # (a23 + c29 joined the r8 head late in the round; b43/b44 slide
+    # just past the boundary and keep their r6 evidence — within the
+    # nothing-older-than-r6 policy, and first in line for r9)
+    "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
     # Everything below keeps r6/r7 evidence (nothing older than r6
     # anywhere once this window lands — VERDICT r7 item 4 done
     # criterion). r7-evidence keys rotate in r9.

@@ -636,3 +636,98 @@ def c21_dedup_keeper_selection(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "c29_incremental_ingest_dedup",
+    # the oracle replays the whole episode relationally: batch1 is the
+    # seed corpus; batch2 survivors are rows whose text digest appears
+    # neither in batch1 nor earlier (min doc_id) within batch2 itself;
+    # the final corpus is their union. delta_rows pins the CDC read:
+    # changes_between(s1, s2) must return exactly the appended
+    # survivors, no more, no less.
+    oracle="""
+    WITH batch1 AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id <= 300
+    ),
+    batch2 AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE doc_id > 200 AND doc_id <= 500
+    ),
+    survivors AS (
+      SELECT b2.doc_id, b2.source FROM batch2 b2
+      WHERE NOT EXISTS (SELECT 1 FROM batch1 b1
+                        WHERE MD5(b1.text) = MD5(b2.text))
+        AND b2.doc_id = (SELECT MIN(b2b.doc_id) FROM batch2 b2b
+                         WHERE MD5(b2b.text) = MD5(b2.text))
+    ),
+    corpus AS (
+      SELECT doc_id, source FROM batch1
+      UNION ALL SELECT doc_id, source FROM survivors
+    )
+    SELECT source, COUNT(*) AS n,
+           (SELECT COUNT(*) FROM survivors) AS delta_rows
+    FROM corpus GROUP BY source
+    """,
+)
+def c29_incremental_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus ingestion with cross-snapshot dedup — the
+    production shape of exact dedup (c01) once a corpus lives in a
+    lake table and grows by batches: new documents are admitted only
+    if their content digest is unseen in the CURRENT corpus snapshot
+    AND they are the first copy within their own batch; the survivors
+    are appended as a new snapshot, and downstream consumers pick up
+    exactly that delta via the CDC read (changes_between — Iceberg's
+    appendsBetween). Composes the lake layer with the dedup family:
+
+    - digest anti-join: 16-byte md5 keys shuffle, never text — the
+      corpus side at 100 TB is a digest projection of the table scan
+      (a covering digest column or manifest-level bloom skip both slot
+      in here; the join itself is the scale path either way).
+    - within-batch keep-first: digest-keyed min, batch-sized.
+    - CDC: incremental cost proportional to the DELTA, never the
+      corpus (the snapshot directories of the range are the only
+      input — table_format.changes_between).
+
+    The hashed output carries the final per-source corpus counts plus
+    the CDC row count, so a wrong admit, a lost append, or a fat delta
+    all flip the gate."""
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    d = t(spark, sf, "documents").select("doc_id", "source", "text")
+    b1 = d.filter(F.col("doc_id") <= 300)
+    b2 = d.filter((F.col("doc_id") > 200) & (F.col("doc_id") <= 500))
+    with tempfile.TemporaryDirectory(prefix="ingest_gate_") as wh:
+        table = LakeCatalog(wh).create_table("gate", "corpus", b1.schema)
+        s1 = table.append(b1)
+        corpus_digests = table.to_df(spark).select(
+            F.md5("text").alias("dg")
+        )
+        fresh = (
+            b2.withColumn("dg", F.md5("text"))
+            .join(corpus_digests, "dg", "left_anti")
+        )
+        survivors = (
+            fresh.withColumn(
+                "keep", F.min("doc_id").over(Window.partitionBy("dg"))
+            )
+            .filter(F.col("doc_id") == F.col("keep"))
+            .select("doc_id", "source", "text")
+        )
+        s2 = table.append(survivors)
+        delta = table.changes_between(
+            spark, from_snapshot=s1.snapshot_id, to_snapshot=s2.snapshot_id
+        )
+        out = (
+            table.to_df(spark)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("delta_rows", F.lit(delta.count()))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

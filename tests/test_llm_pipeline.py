@@ -314,3 +314,31 @@ def test_substring_dup_spans_merges_overlap(spark):
     rows = substring_dup_spans(docs, k=8, min_docs=2).collect()
     spans = sorted((r.doc_id, r.span_start, r.span_end) for r in rows)
     assert spans == [(1, 0, 19), (2, 2, 21)]
+
+
+def test_c29_incremental_ingest_dedup_invariants(spark):
+    """The episode's admit rule, checked against an independent
+    DataFrame-side replay (no DuckDB): the CDC delta equals the count
+    of batch-2 texts unseen in batch 1 (first copy per digest), and
+    the per-source corpus counts sum to |batch1| + delta."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c29_incremental_ingest_dedup,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+
+    out = c29_incremental_ingest_dedup(spark, SF).collect()
+    d = t(spark, SF, "documents").select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") <= 300)
+    b2 = d.filter((F.col("doc_id") > 200) & (F.col("doc_id") <= 500))
+    b1_digests = {r.dg for r in b1.select(F.md5("text").alias("dg")).collect()}
+    fresh_first = (
+        b2.select("doc_id", F.md5("text").alias("dg"))
+        .groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
+        .filter(~F.col("dg").isin(list(b1_digests)))
+    )
+    expected_delta = fresh_first.count()
+    assert expected_delta > 0  # testdata's planted exact dups make this real
+    assert {r.delta_rows for r in out} == {expected_delta}
+    assert sum(r.n for r in out) == b1.count() + expected_delta
