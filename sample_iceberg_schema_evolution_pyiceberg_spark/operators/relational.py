@@ -494,16 +494,31 @@ def b15_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b16_agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING over a per-customer money sum. Same fixed-point long
+    pattern as b12 (see its docstring for the quantization-equivalence
+    and hi/lo overflow argument; here the per-group bound scales with
+    orders-per-customer, not table size — the split is pure insurance):
+    sf1 0.66 -> 0.54 s measured, values bit-identical."""
     o = t(spark, sf, "orders")
     return (
-        o.groupBy("o_custkey")
+        o.selectExpr(
+            "o_custkey",
+            "cast(round(o_totalprice * 10000) as bigint) as tp_e4",
+        )
+        .groupBy("o_custkey")
         .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 6
-            ).alias("total_spent"),
+            F.expr("sum(tp_e4 div 1000000000)").alias("hi"),
+            F.expr("sum(tp_e4 % 1000000000)").alias("lo"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .filter(F.col("n_orders") >= 3)
+        .selectExpr(
+            "o_custkey",
+            "round(cast(cast(hi * 100000 as decimal(20,0))"
+            " + cast(lo as decimal(19,0)) / 10000 as double), 6)"
+            " as total_spent",
+            "n_orders",
+        )
     )
 
 
