@@ -101,9 +101,11 @@ def main() -> None:
     # steady-state protocol (applied identically to both engines): two
     # untimed warm-up passes (JVM JIT + codegen caches + file listing —
     # first execution of a Spark plan pays one-time compilation that a
-    # long-running cluster never re-pays), then median of three measured
-    # passes per query
-    warmups, runs = 2, 3
+    # long-running cluster never re-pays), then median of five measured
+    # passes per query (3 -> 5 in r8: box-state noise moved the
+    # 17-query total by up to +-8% between same-day runs; the wider
+    # median costs ~25 s of bench wall and tightens it)
+    warmups, runs = 2, 5
     # (tables are memoized per session, so repeated query constructions
     # share one logical plan — persist()s inside queries hit the same
     # CacheManager entry instead of leaking one copy per pass)
@@ -146,9 +148,12 @@ def main() -> None:
         for _ in range(warmups):
             for name in oracle_names:
                 con.execute(ORACLES[name]).fetchall()
+        # consecutive per-query, same as the Spark side (r8: the
+        # measured passes were interleaved here while Spark's were
+        # consecutive — asymmetric, and interleaving inflates medians)
         d_samples: dict[str, list[float]] = {n: [] for n in oracle_names}
-        for _ in range(runs):
-            for name in oracle_names:
+        for name in oracle_names:
+            for _ in range(runs):
                 t0 = time.time()
                 con.execute(ORACLES[name]).fetchall()
                 d_samples[name].append(time.time() - t0)
