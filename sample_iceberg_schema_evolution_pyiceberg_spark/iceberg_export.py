@@ -891,6 +891,8 @@ def export_to_iceberg(
             if snap.operation == "append"
             else "delete"
             if snap.is_row_delete
+            else "replace"
+            if snap.operation == "replace"
             else "overwrite"
         )
         entry: dict[str, Any] = {

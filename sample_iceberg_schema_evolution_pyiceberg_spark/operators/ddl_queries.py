@@ -310,7 +310,7 @@ def a12_sql_merge_conditional(spark: SparkSession, sf: str) -> DataFrame:
     "a14_metadata_tables",
     oracle="""
     SELECT 'append' AS metric, 3 AS val
-    UNION ALL SELECT 'overwrite', 1
+    UNION ALL SELECT 'replace', 1
     UNION ALL SELECT 'files_records',
       (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1500)
     """,
@@ -320,7 +320,8 @@ def a14_metadata_tables(spark: SparkSession, sf: str) -> DataFrame:
     ``db.tbl.snapshots`` (the commit log, liveness + tombstones) and
     ``db.tbl.files`` (live file inventory with footer row counts).
     Three appends then a compaction: the snapshot log must show 3
-    history appends + 1 live overwrite, and the file inventory's
+    history appends + 1 live replace (compaction's content-preserving
+    Iceberg summary label), and the file inventory's
     record_count sum must equal the table's rows — tying the
     metadata-table view to the data it describes."""
     o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1500)
@@ -976,4 +977,108 @@ def a23_zorder_clustering_episode(spark: SparkSession, sf: str) -> DataFrame:
         )
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a24_changelog_cdc",
+    # the oracle replays each commit's emission relationally: appends
+    # emit their batch, the merge-on-read DELETE emits the pre-state
+    # rows matching its predicate, and the copy-on-write UPDATE emits
+    # netted delete(pre-image)/insert(post-image) pairs under ONE
+    # ordinal — carry-over rows (status <> 'O') emit nothing
+    oracle="""
+    WITH b1 AS (SELECT * FROM orders WHERE o_orderkey <= 500),
+         b2 AS (SELECT * FROM orders
+                WHERE o_orderkey BETWEEN 501 AND 1000),
+         b3 AS (SELECT * FROM orders
+                WHERE o_orderkey BETWEEN 1001 AND 1500),
+         d AS (SELECT * FROM (SELECT * FROM b1
+                              UNION ALL SELECT * FROM b2)
+               WHERE o_orderstatus = 'F'),
+         live AS (SELECT * FROM (SELECT * FROM b1
+                                 UNION ALL SELECT * FROM b2)
+                  WHERE NOT (o_orderstatus = 'F')
+                  UNION ALL SELECT * FROM b3),
+         upd AS (SELECT * FROM live WHERE o_orderstatus = 'O')
+    SELECT CAST(0 AS INTEGER) AS ordinal, 'insert' AS change_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total
+    FROM b1
+    UNION ALL SELECT 1, 'insert', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM b2
+    UNION ALL SELECT 2, 'delete', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM d
+    UNION ALL SELECT 3, 'insert', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM b3
+    UNION ALL SELECT 4, 'delete', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM upd
+    UNION ALL SELECT 4, 'insert', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,4)))
+                 AS DOUBLE), 6)
+    FROM upd
+    """,
+)
+def a24_changelog_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Full CDC changelog episode (``LakeTable.changelog_between`` —
+    the Iceberg create_changelog_view / Delta change-data-feed analog;
+    the reference's PyIceberg control plane exposes snapshots but no
+    row-level change feed, /root/reference/lambda/iceberg_helper.py):
+    two appends, a merge-on-read predicate DELETE, a third append, a
+    copy-on-write UPDATE — then ONE changelog scan spanning all five
+    commits, aggregated per (ordinal, change_type). Hash-checks every
+    emission rule at once: append delta scans, pre-state predicate
+    complements, and the netted adjacent-state diff (carry-overs
+    silent, update as delete+insert under one ordinal)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1500)
+    with tempfile.TemporaryDirectory(prefix="cdc_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "cdc", o.schema)
+        table.append(o.filter(F.col("o_orderkey") <= 500))
+        table.append(o.filter(F.col("o_orderkey").between(501, 1000)))
+        table.delete_where(
+            spark, "o_orderstatus = 'F'", strategy="merge_on_read"
+        )
+        assert any(s.delete_predicate for s in table.snapshots)
+        table.append(o.filter(F.col("o_orderkey").between(1001, 1500)))
+        table.update_where(
+            spark,
+            "o_orderstatus = 'O'",
+            {"o_totalprice": "o_totalprice * 2"},
+            strategy="copy_on_write",
+        )
+        log = table.changelog_between(spark)
+        out = (
+            log.groupBy(
+                F.col("_change_ordinal").alias("ordinal"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,4)")
+                    ).cast("double"),
+                    6,
+                ).alias("total"),
+            )
+        )
+        # materialize before the temp dir vanishes (bounded: <= 6
+        # (ordinal, type) groups)
+        rows = out.collect()
+        # every commit kind must have emitted (TPC-H orderstatus
+        # guarantees F and O rows exist in any non-empty slice)
+        assert {(r["ordinal"], r["change_type"]) for r in rows} == {
+            (0, "insert"), (1, "insert"), (2, "delete"),
+            (3, "insert"), (4, "delete"), (4, "insert"),
+        }, rows
         return spark.createDataFrame(rows, out.schema)

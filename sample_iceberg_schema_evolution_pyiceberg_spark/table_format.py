@@ -1642,6 +1642,13 @@ class LakeTable:
         elif target_files:
             df = df.repartition(target_files)
         snap = self._write(df, "overwrite")  # moves old live to history
+        # relabel: compaction is logically content-preserving, which is
+        # exactly Iceberg's 'replace' snapshot summary (REPLACE ops emit
+        # nothing in a changelog scan; a plain 'overwrite' would force
+        # changelog_between into a full adjacent-state diff to prove the
+        # zero delta it can have by label)
+        snap.operation = "replace"
+        self.meta["snapshots"] = [snap.to_json()]
         if sort_by:
             self.meta["sort_order"] = list(sort_by)
             self.meta.pop("clustering", None)
@@ -2400,32 +2407,16 @@ class LakeTable:
                 )
         return out
 
-    def changes_between(
+    def _resolve_snapshot_range(
         self,
-        spark: SparkSession,
-        from_snapshot: str | None = None,
-        to_snapshot: str | None = None,
-    ) -> DataFrame:
-        """Incremental append scan (Iceberg's ``appendsBetween`` /
-        Spark's ``start-snapshot-id``/``end-snapshot-id`` read options):
-        rows committed strictly AFTER ``from_snapshot`` up to AND
-        INCLUDING ``to_snapshot``, aligned to the current schema and
-        tagged with ``_snapshot_id`` and ``_change_type`` ('insert')
-        metadata columns — the CDC shape downstream incremental
-        pipelines consume. Defaults span table-begin to current.
-
-        Only append snapshots have a row-level insert delta; a range
-        crossing an overwrite-family snapshot (``overwrite()``,
-        ``compact()``, row-level DELETE/UPDATE/MERGE rewrites) raises
-        ``TableFormatError`` — the same contract as Iceberg's
-        incremental append scan. Snapshots expired from the live list
-        by compaction remain servable from ``snapshot_history`` as long
-        as both endpoints predate the overwrite.
-
-        Scale: the scan reads ONLY the range's snapshot directories —
-        incremental cost is proportional to the delta, never to table
-        size (the point of CDC at 100 TB).
-        """
+        from_snapshot: str | None,
+        to_snapshot: str | None,
+    ) -> tuple[list[Snapshot], int, int]:
+        """Resolve a (from, to] incremental-read range over the full
+        commit log: refs resolve (tags/branches), unknown or expired
+        endpoints raise, and ``lo``/``hi`` index into the returned
+        canonical history. Shared by ``changes_between`` (append-only)
+        and ``changelog_between`` (full CDC)."""
         hist = self.all_snapshots()
         ids = [s.snapshot_id for s in hist]
 
@@ -2457,6 +2448,37 @@ class LakeTable:
                 f"to_snapshot {to_snapshot!r} precedes "
                 f"from_snapshot {from_snapshot!r}"
             )
+        return hist, lo, hi
+
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_snapshot: str | None = None,
+        to_snapshot: str | None = None,
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's ``appendsBetween`` /
+        Spark's ``start-snapshot-id``/``end-snapshot-id`` read options):
+        rows committed strictly AFTER ``from_snapshot`` up to AND
+        INCLUDING ``to_snapshot``, aligned to the current schema and
+        tagged with ``_snapshot_id`` and ``_change_type`` ('insert')
+        metadata columns — the CDC shape downstream incremental
+        pipelines consume. Defaults span table-begin to current.
+
+        Only append snapshots have a row-level insert delta; a range
+        crossing an overwrite-family snapshot (``overwrite()``,
+        ``compact()``, row-level DELETE/UPDATE/MERGE rewrites) raises
+        ``TableFormatError`` — the same contract as Iceberg's
+        incremental append scan. Snapshots expired from the live list
+        by compaction remain servable from ``snapshot_history`` as long
+        as both endpoints predate the overwrite.
+
+        Scale: the scan reads ONLY the range's snapshot directories —
+        incremental cost is proportional to the delta, never to table
+        size (the point of CDC at 100 TB).
+        """
+        hist, lo, hi = self._resolve_snapshot_range(
+            from_snapshot, to_snapshot
+        )
         rng = hist[lo + 1: hi + 1]
         bad = [s.snapshot_id for s in rng if s.operation != "append"]
         if bad:
@@ -2486,6 +2508,152 @@ class LakeTable:
                 .withColumn("_snapshot_id", F.lit(s.snapshot_id))
                 .withColumn("_change_type", F.lit("insert"))
             )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def changelog_between(
+        self,
+        spark: SparkSession,
+        from_snapshot: str | None = None,
+        to_snapshot: str | None = None,
+    ) -> DataFrame:
+        """Full CDC changelog (Iceberg's ``create_changelog_view`` /
+        Delta's change-data-feed analog): every row-level change
+        committed strictly AFTER ``from_snapshot`` up to AND INCLUDING
+        ``to_snapshot``, aligned to the current schema and tagged with
+        ``_change_ordinal`` (position of the emitting commit within the
+        requested range — Iceberg's ``_change_ordinal``),
+        ``_snapshot_id`` and ``_change_type`` ('insert' | 'delete').
+        Updates surface as delete(old) + insert(new) pairs, the default
+        changelog shape when no identifier columns are configured.
+
+        Unlike ``changes_between`` (the cheap append-only contract,
+        which refuses rewrite-crossing ranges), every snapshot kind is
+        servable. Per-commit emission and cost:
+
+        - ``append`` — inserts from the commit's data dir. Cost
+          proportional to the delta (never to table size).
+        - merge-on-read predicate DELETE — deletes = the pre-state
+          filtered by the stored predicate: exactly the complement of
+          the ``NOT (pred)`` mask every scan applies. Cost: one
+          pre-state scan.
+        - merge-on-read equality-delete (MERGE) — deletes = pre-state
+          semi-joined against the commit's key file (key columns cast
+          to the current schema like the scan-time anti-join); the
+          paired re-append commit then emits the post-image inserts.
+        - ``replace`` (compaction / clustering rewrites) — emits
+          NOTHING, by label, without scanning: the operation is
+          logically content-preserving (Iceberg's 'replace' summary).
+        - other rewrites (``overwrite`` and copy-on-write
+          DELETE/UPDATE/MERGE) — a multiset diff of the two adjacent
+          states: deletes = pre ``EXCEPT ALL`` post, inserts = post
+          ``EXCEPT ALL`` pre. This nets carry-over rows (rows the
+          rewrite copied untouched emit nothing) at the price Iceberg's
+          changelog pays for the same guarantee: both states are read.
+
+        Replay invariant (property-tested): state(from) minus emitted
+        deletes plus emitted inserts == state(to) as multisets, applied
+        in ordinal order.
+
+        Raises if the range needs the pre-state of a commit whose
+        predecessor was expired (`expire_snapshots`) — the deleted
+        row images are no longer reconstructible, same contract as
+        time travel to the tombstone itself.
+        """
+        hist, lo, hi = self._resolve_snapshot_range(
+            from_snapshot, to_snapshot
+        )
+        cur = self.schema
+        tagged = T.StructType(
+            list(cur.fields)
+            + [
+                T.StructField("_change_ordinal", T.IntegerType()),
+                T.StructField("_snapshot_id", T.StringType()),
+                T.StructField("_change_type", T.StringType()),
+            ]
+        )
+
+        def _tag(df: DataFrame, ordinal: int, sid: str, ct: str) -> DataFrame:
+            return (
+                df.withColumn("_change_ordinal", F.lit(ordinal))
+                .withColumn("_snapshot_id", F.lit(sid))
+                .withColumn("_change_type", F.lit(ct))
+            )
+
+        def _pre_state(i: int) -> DataFrame:
+            """State as of the commit BEFORE hist[i] (empty for the
+            first commit). Composes masks/segments exactly like any
+            time-travel read."""
+            if i == 0:
+                return spark.createDataFrame([], cur)
+            prev = hist[i - 1]
+            if prev.expired:
+                raise TableFormatError(
+                    f"changelog needs the pre-state of snapshot "
+                    f"{hist[i].snapshot_id!r}, but its predecessor "
+                    f"{prev.snapshot_id!r} was expired by "
+                    "expire_snapshots — deleted row images are not "
+                    "reconstructible for this range"
+                )
+            return self.to_df(spark, as_of_snapshot=prev.snapshot_id)
+
+        parts: list[DataFrame] = []
+        for ordinal, i in enumerate(range(lo + 1, hi + 1)):
+            s = hist[i]
+            if s.operation == "append":
+                df = spark.read.parquet(str(self.location / s.data_dir))
+                df = df.drop(
+                    *[
+                        c
+                        for c in df.columns
+                        if c.startswith(PARTITION_COL_PREFIX)
+                    ]
+                )
+                parts.append(
+                    _tag(_align_df(df, cur), ordinal, s.snapshot_id,
+                         "insert")
+                )
+            elif s.delete_predicate is not None:
+                deleted = _pre_state(i).filter(
+                    F.expr(s.delete_predicate)
+                )
+                parts.append(
+                    _tag(deleted, ordinal, s.snapshot_id, "delete")
+                )
+            elif s.delete_keys_dir is not None:
+                keys = spark.read.parquet(
+                    str(self.location / s.delete_keys_dir)
+                )
+                keys = keys.select(
+                    *[
+                        F.col(c).cast(cur[c].dataType).alias(c)
+                        for c in (s.delete_key_cols or [])
+                    ]
+                )
+                deleted = _pre_state(i).join(
+                    keys, s.delete_key_cols, "left_semi"
+                )
+                parts.append(
+                    _tag(deleted, ordinal, s.snapshot_id, "delete")
+                )
+            elif s.operation == "replace":
+                continue  # content-preserving rewrite: no changes
+            else:
+                # overwrite / copy-on-write DML: adjacent-state diff
+                pre = _pre_state(i)
+                post = self.to_df(spark, as_of_snapshot=s.snapshot_id)
+                parts.append(
+                    _tag(pre.exceptAll(post), ordinal, s.snapshot_id,
+                         "delete")
+                )
+                parts.append(
+                    _tag(post.exceptAll(pre), ordinal, s.snapshot_id,
+                         "insert")
+                )
+        if not parts:
+            return spark.createDataFrame([], tagged)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -606,7 +606,8 @@ def test_metadata_tables_sql(ddl):
         "(SELECT SUM(record_count) FROM db.mt.files) AS meta_rows"
     ).collect()[0]
     assert joined.rows == joined.meta_rows == 2
-    # compaction flips liveness: history appends + one live overwrite
+    # compaction flips liveness: history appends + one live replace
+    # (Iceberg's content-preserving rewrite summary)
     ddl.sql("CALL system.rewrite_data_files('db.mt')")
     ops = {
         (r.operation, r.is_live)
@@ -614,7 +615,7 @@ def test_metadata_tables_sql(ddl):
             "SELECT operation, is_live FROM db.mt.snapshots"
         ).collect()
     }
-    assert ops == {("append", False), ("overwrite", True)}
+    assert ops == {("append", False), ("replace", True)}
 
 
 def test_call_rollback_to_snapshot(ddl):
