@@ -104,15 +104,36 @@ def b03_join_inner_3way(spark: SparkSession, sf: str) -> DataFrame:
     l = bucketed_table(spark, sf, "lineitem", "l_orderkey")
     o = bucketed_table(spark, sf, "orders", "o_orderkey")
     c, n = t(spark, sf, "customer"), t(spark, sf, "nation")
-    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+    # money math in fixed-point longs through the join + partial agg
+    # (the b12 pattern, relational.py:319): quantize once to e4 units
+    # on the scan projection, multiply/sum as pure long codegen with
+    # the hi/lo split at 1e9 (safe past sf1000), recombine to exact
+    # decimals only in the |nations|-row final projection. Bit-
+    # identical to the decimal(18,4) formulation (A/B-verified at
+    # sf0.1) — no BigDecimal ever rides the fact-sized agg buffers.
+    l = l.selectExpr(
+        "l_orderkey",
+        "cast(round(l_extendedprice * 10000) as bigint)"
+        " * (10000 - cast(round(l_discount * 10000) as bigint))"
+        " as dp_e8",  # <= 1e14/row: long-exact
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+            F.expr("sum(dp_e8 div 1000000000)").alias("dhi"),
+            F.expr("sum(dp_e8 % 1000000000)").alias("dlo"),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .selectExpr(
+            "n_name",
+            # hi*1e9/1e8 = hi*10 long-exact; lo/1e8 -> scale 10, exact
+            "round(cast(cast(dhi * 10 as decimal(20,0))"
+            " + cast(dlo as decimal(19,0)) / 100000000 as double), 6)"
+            " as revenue",
+            "n_lineitems",
         )
     )
 
