@@ -431,7 +431,8 @@ class DdlFrontend:
             # must bind before the plain-identifier rewrite sees its
             # db.tbl prefix
             meta_re = re.compile(
-                ident.pattern + r"\.(snapshots|files|refs)\b", re.IGNORECASE
+                ident.pattern + r"\.(snapshots|files|refs|changes)\b",
+                re.IGNORECASE,
             )
 
             def meta_repl(m: re.Match) -> str:
@@ -441,6 +442,9 @@ class DdlFrontend:
                     "snapshots": table.snapshots_df,
                     "files": table.files_df,
                     "refs": table.refs_df,
+                    # full-range CDC changelog (changelog_between
+                    # defaults: table begin -> current)
+                    "changes": table.changelog_between,
                 }[kind](self.spark)
                 df.createOrReplaceTempView(view)
                 return view

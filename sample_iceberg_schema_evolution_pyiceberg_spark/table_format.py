@@ -2659,6 +2659,166 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def apply_changelog(
+        self,
+        spark: SparkSession,
+        changelog: DataFrame,
+        key_cols: list[str] | None = None,
+    ) -> Snapshot | None:
+        """Apply a CDC changelog (the ``changelog_between`` shape:
+        data columns + ``_change_ordinal``/``_snapshot_id``/
+        ``_change_type``) to THIS table — the consumer half of the CDC
+        round-trip (Delta's APPLY CHANGES INTO / the Iceberg
+        changelog-consumption pattern). Feeding table A's changelog to
+        replica B keeps B's state equal to A's (multiset semantics),
+        one sync per consumed range.
+
+        ``key_cols=None`` (copy-on-write): the replayed state
+        ``current ∪ inserts EXCEPT ALL deletes`` is committed as one
+        overwrite snapshot. Always correct; write cost proportional to
+        the replica, the right trade for small tables or rare syncs.
+
+        ``key_cols`` given (merge-on-read, **O(delta) sync** — the
+        production replication shape): the delete images' keys commit
+        as ONE equality-delete entry and each key's LATEST insert
+        image — latest ``_change_ordinal``, the insert post-image
+        winning inside a delete+insert pair — appends after it,
+        mirroring the MERGE commit pair. Latest-image-per-key is the
+        resolution Delta's APPLY CHANGES applies, and unlike a naive
+        ``inserts EXCEPT ALL deletes`` it survives a row rewritten to
+        an identical image (whose delete+insert pair would otherwise
+        cancel while the key mask still removed the replica's row).
+        Nothing in the replica is read or rewritten. REQUIRES
+        ``key_cols`` to be a unique key of the source table: the key
+        mask removes every replica row sharing a deleted key, which
+        matches source semantics only when a key identifies one row
+        (the same contract Delta's APPLY CHANGES puts on its KEYS
+        clause).
+
+        Returns the committed snapshot, or None for an empty
+        changelog. Syncs are idempotent only per-range — apply each
+        changelog range exactly once, in order (track the consumed
+        ``to_snapshot`` like any CDC consumer).
+        """
+        cdc_cols = ["_change_ordinal", "_snapshot_id", "_change_type"]
+        missing = [c for c in cdc_cols if c not in changelog.columns]
+        if missing:
+            raise TableFormatError(
+                f"not a changelog frame: missing {missing} "
+                "(expected the changelog_between column shape)"
+            )
+        names = [f.name for f in self.schema.fields]
+        absent = [c for c in names if c not in changelog.columns]
+        if absent:
+            raise TableFormatError(
+                f"changelog lacks data column(s) {absent} of "
+                f"{self.identifier}"
+            )
+        ins = changelog.filter(
+            F.col("_change_type") == "insert"
+        ).select(*names)
+        dels = changelog.filter(
+            F.col("_change_type") == "delete"
+        ).select(*names)
+        if key_cols is None:
+            # multiset fold: per-ordinal order is immaterial because
+            # every delete image is present in its commit's pre-state
+            new_live = self.to_df(spark).unionByName(ins).exceptAll(dels)
+            return self._replace_live(spark, new_live, "overwrite")
+        bad_keys = [k for k in key_cols if k not in names]
+        if bad_keys:
+            raise TableFormatError(
+                f"key column(s) {bad_keys} not in {self.identifier}"
+            )
+        # latest image per key: one O(delta) key-partitioned window
+        # (ordinal desc, the insert post-image outranking the delete
+        # pre-image inside one commit's pair); the winner appends iff
+        # it is an insert
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("_change_ordinal").desc(),
+            F.when(F.col("_change_type") == "insert", 1)
+            .otherwise(0)
+            .desc(),
+        )
+        ins_net = (
+            changelog.withColumn("__rn", F.row_number().over(w))
+            .filter(
+                (F.col("__rn") == 1)
+                & (F.col("_change_type") == "insert")
+            )
+            .select(*names)
+        )
+        import copy  # noqa: PLC0415
+
+        backup = copy.deepcopy(self.meta)
+        try:
+            keys_rel = f"data/keys-{uuid.uuid4().hex[:16]}"
+            dels.select(*key_cols).distinct().write.mode("error").parquet(
+                str(self.location / keys_rel)
+            )
+            keys_manifest = self._collect_manifest(keys_rel)
+            rel = self._write_files(ins_net)
+            app_manifest = self._collect_manifest(rel)
+            n_keys = self._manifest_rows(keys_manifest)
+            n_app = self._manifest_rows(app_manifest)
+            if n_keys == 0 and n_app == 0:
+                self.data_io.delete_recursive(str(self.location / keys_rel))
+                self.data_io.delete_recursive(str(self.location / rel))
+                return None
+            now = int(time.time() * 1000)
+            seq = int(self.meta.get("last_sequence_number", 0))
+            new_snaps: list[Snapshot] = []
+            if n_keys > 0:
+                seq += 1
+                new_snaps.append(
+                    Snapshot(
+                        snapshot_id=uuid.uuid4().hex[:16],
+                        timestamp_ms=now,
+                        operation="delete",
+                        schema_version=int(
+                            self.meta["current_schema_version"]
+                        ),
+                        spec_id=int(self.meta["current_spec_id"]),
+                        data_dir="",
+                        sequence_number=seq,
+                        delete_keys_dir=keys_rel,
+                        delete_key_cols=list(key_cols),
+                        files=keys_manifest,
+                    )
+                )
+            else:
+                self.data_io.delete_recursive(str(self.location / keys_rel))
+            if n_app > 0:
+                seq += 1
+                new_snaps.append(
+                    Snapshot(
+                        snapshot_id=rel.rsplit("snap-", 1)[1],
+                        timestamp_ms=now,
+                        operation="append",
+                        schema_version=int(
+                            self.meta["current_schema_version"]
+                        ),
+                        spec_id=int(self.meta["current_spec_id"]),
+                        data_dir=rel,
+                        sequence_number=seq,
+                        files=app_manifest,
+                    )
+                )
+            else:
+                self.data_io.delete_recursive(str(self.location / rel))
+            self.meta["last_sequence_number"] = seq
+            self.meta["snapshots"].extend(s.to_json() for s in new_snaps)
+            self._commit()
+            return new_snaps[-1]
+        except Exception:
+            # in-memory meta must never run ahead of disk (same guard
+            # as _merge_on_read); written dirs become orphans
+            # remove_orphan_files reaps
+            self.meta = backup
+            raise
+
 
 # ---------------------------------------------------------------------------
 # Schema alignment: reconcile a file-schema DataFrame to the current schema

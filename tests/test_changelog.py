@@ -260,3 +260,105 @@ def test_changelog_refuses_expired_pre_state(spark, catalog):
         table.changelog_between(spark, from_snapshot=expired_ids[0])
     # ranges fully inside retained history still work
     assert s_live.snapshot_id  # live rewrite retained
+
+
+# ---------------------------------------------------------------------------
+# apply_changelog: the CDC-consumer half (replication)
+# ---------------------------------------------------------------------------
+
+
+def _assert_same_state(a_df, b_df):
+    assert a_df.exceptAll(b_df).count() == 0
+    assert b_df.exceptAll(a_df).count() == 0
+
+
+def test_apply_changelog_cow_replicates(spark, catalog):
+    """Full-range changelog applied copy-on-write to an empty replica
+    reproduces the source state across every commit kind."""
+    src, df = _mk(spark, catalog, "src_cow")
+    src.append(df.filter("id < 50"))
+    src.delete_where(spark, "k = 3", strategy="merge_on_read")
+    src.append(df.filter("id >= 50"))
+    src.compact(spark)
+    src.update_where(spark, "k = 6", {"k": "k * 10"})
+    replica = catalog.create_table("db", "rep_cow", src.schema)
+    snap = replica.apply_changelog(spark, src.changelog_between(spark))
+    assert snap is not None and snap.operation == "overwrite"
+    _assert_same_state(src.to_df(spark), replica.to_df(spark))
+
+
+def test_apply_changelog_mor_incremental_sync(spark, catalog):
+    """Keyed (merge-on-read) apply: two consecutive ranges sync a
+    replica without ever rewriting it — each sync commits at most one
+    equality-delete entry plus one append."""
+    src, df = _mk(spark, catalog, "src_mor")
+    s1 = src.append(df.filter("id < 50"))
+    s2 = src.append(df.filter("id >= 50"))
+    replica = catalog.create_table("db", "rep_mor", src.schema)
+    # sync 1: the two appends
+    replica.apply_changelog(
+        spark,
+        src.changelog_between(spark, to_snapshot=s2.snapshot_id),
+        key_cols=["id"],
+    )
+    _assert_same_state(src.to_df(spark), replica.to_df(spark))
+    # source mutates: CoW update + MoR delete
+    src.update_where(spark, "k = 5", {"k": "k + 100"})
+    last = src.delete_where(spark, "k = 1", strategy="merge_on_read")
+    n_before = len(replica.snapshots)
+    replica.apply_changelog(
+        spark,
+        src.changelog_between(spark, from_snapshot=s2.snapshot_id),
+        key_cols=["id"],
+    )
+    _assert_same_state(src.to_df(spark), replica.to_df(spark))
+    # O(delta): the sync appended commits (delete entry + append),
+    # never rewrote the replica's live set
+    added = replica.snapshots[n_before:]
+    assert 1 <= len(added) <= 2
+    assert all(not s.is_rewrite for s in added)
+    assert any(s.delete_keys_dir for s in added)
+    assert last.snapshot_id  # lineage anchor used above
+
+
+def test_apply_changelog_keeps_identically_rewritten_rows(spark, catalog):
+    """A merge-on-read MERGE that rewrites rows to IDENTICAL images
+    emits delete+insert pairs of the same image; the keyed apply must
+    keep those rows (latest-image-per-key), not let the pair cancel
+    while the key mask deletes them."""
+    src, df = _mk(spark, catalog, "src_ident")
+    src.append(df)
+    # same value formula as _mk: post-image == pre-image for all
+    touched = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    src.merge_into(
+        spark, touched, ["id"],
+        when_matched_update={"k": "s_k"},
+        insert_not_matched=False,
+        strategy="merge_on_read",
+    )
+    log = src.changelog_between(spark)
+    # precondition: the identical pairs really are in the log
+    assert log.filter("_change_type = 'delete' AND id < 10").count() == 10
+    replica = catalog.create_table("db", "rep_ident", src.schema)
+    replica.apply_changelog(spark, log, key_cols=["id"])
+    _assert_same_state(src.to_df(spark), replica.to_df(spark))
+    assert replica.to_df(spark).filter("id < 10").count() == 10
+
+
+def test_apply_changelog_validates_shape(spark, catalog):
+    table, df = _mk(spark, catalog, "val")
+    table.append(df)
+    with pytest.raises(TableFormatError):
+        table.apply_changelog(spark, df)  # no CDC columns
+    log = table.changelog_between(spark)
+    with pytest.raises(TableFormatError):
+        table.apply_changelog(spark, log.drop("k"))  # missing data col
+    with pytest.raises(TableFormatError):
+        table.apply_changelog(spark, log, key_cols=["nope"])
+    # empty changelog is a no-op
+    empty = table.changelog_between(
+        spark, from_snapshot=table.snapshots[-1].snapshot_id
+    )
+    assert table.apply_changelog(spark, empty, key_cols=["id"]) is None

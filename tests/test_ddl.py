@@ -871,3 +871,18 @@ def test_ref_names_with_dashes_through_sql(ddl):
     assert n == 1
     assert not ddl.sql("ALTER TABLE db.rn DROP TAG first-batch").has_error
     assert not ddl.sql("ALTER TABLE db.rn DROP BRANCH wap.audit-1").has_error
+
+
+def test_changes_metadata_table_sql(ddl):
+    """db.tbl.changes binds the full-range CDC changelog into SQL."""
+    ddl.sql("CREATE TABLE db.cd (id BIGINT, v STRING)")
+    ddl.sql("INSERT INTO db.cd VALUES (1, 'a'), (2, 'b')")
+    ddl.sql("INSERT INTO db.cd VALUES (3, 'c')")
+    ddl.sql("DELETE FROM db.cd WHERE id = 1")
+    rows = ddl.query(
+        "SELECT _change_ordinal AS o, _change_type AS t, COUNT(*) AS n "
+        "FROM db.cd.changes GROUP BY o, t ORDER BY o, t"
+    ).collect()
+    assert [(r.o, r.t, r.n) for r in rows] == [
+        (0, "insert", 2), (1, "insert", 1), (2, "delete", 1),
+    ]
