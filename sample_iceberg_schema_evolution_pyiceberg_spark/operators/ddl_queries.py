@@ -1082,3 +1082,92 @@ def a24_changelog_cdc(spark: SparkSession, sf: str) -> DataFrame:
             (3, "insert"), (4, "delete"), (4, "insert"),
         }, rows
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a25_cdc_replication",
+    # the oracle replays the SOURCE's final state relationally — the
+    # replica is synced purely from changelog ranges, so equality
+    # proves the whole produce->consume CDC loop; the two flag columns
+    # pin the O(delta) contract (merge-on-read sync commits, zero
+    # replica rewrites)
+    oracle="""
+    WITH b1 AS (SELECT * FROM orders WHERE o_orderkey <= 700),
+         upd AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        CASE WHEN o_orderstatus = 'O'
+                             THEN o_totalprice * 2 ELSE o_totalprice
+                        END AS o_totalprice,
+                        o_orderdate, o_orderpriority
+                 FROM b1),
+         d AS (SELECT * FROM upd WHERE NOT (o_orderstatus = 'F')),
+         b2 AS (SELECT * FROM orders
+                WHERE o_orderkey BETWEEN 701 AND 1200),
+         fin AS (SELECT * FROM d UNION ALL SELECT * FROM b2)
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total,
+           TRUE AS mor_sync, TRUE AS no_rewrite
+    FROM fin GROUP BY status
+    """,
+)
+def a25_cdc_replication(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC replication episode — the produce->consume round-trip:
+    a source table mutates (append, copy-on-write UPDATE,
+    merge-on-read DELETE, append), a replica syncs from TWO
+    consecutive ``changelog_between`` ranges via keyed
+    ``apply_changelog`` (merge-on-read, O(delta): one equality-delete
+    entry + one latest-image-per-key append per sync — the replica's
+    live set is never read or rewritten), and the hashed output
+    aggregates the REPLICA. Equality with the oracle's relational
+    replay of the source proves both halves at once."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1200)
+    with tempfile.TemporaryDirectory(prefix="cdcrep_gate_") as wh:
+        cat = LakeCatalog(wh)
+        src = cat.create_table("gate", "src", o.schema)
+        src.append(o.filter(F.col("o_orderkey") <= 700))
+        src.update_where(
+            spark,
+            "o_orderstatus = 'O'",
+            {"o_totalprice": "o_totalprice * 2"},
+            strategy="copy_on_write",
+        )
+        mid = src.snapshots[-1]  # sync-1 consumes up to here
+        src.delete_where(
+            spark, "o_orderstatus = 'F'", strategy="merge_on_read"
+        )
+        src.append(o.filter(F.col("o_orderkey").between(701, 1200)))
+        replica = cat.create_table("gate", "rep", o.schema)
+        replica.apply_changelog(
+            spark,
+            src.changelog_between(spark, to_snapshot=mid.snapshot_id),
+            key_cols=["o_orderkey"],
+        )
+        n_before = len(replica.snapshots)
+        replica.apply_changelog(
+            spark,
+            src.changelog_between(spark, from_snapshot=mid.snapshot_id),
+            key_cols=["o_orderkey"],
+        )
+        synced = replica.snapshots[n_before:]
+        mor_sync = any(s.delete_keys_dir for s in synced)
+        no_rewrite = all(
+            not s.is_rewrite for s in replica.snapshots[1:]
+        ) and len(replica.snapshots) >= n_before + 1
+        out = (
+            replica.to_df(spark)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,4)")
+                    ).cast("double"),
+                    6,
+                ).alias("total"),
+            )
+            .withColumn("mor_sync", F.lit(bool(mor_sync)))
+            .withColumn("no_rewrite", F.lit(bool(no_rewrite)))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
