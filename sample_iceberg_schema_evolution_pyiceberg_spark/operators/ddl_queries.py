@@ -1171,3 +1171,70 @@ def a25_cdc_replication(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a26_scd2_dimension_history",
+    # the oracle constructs each interval class directly: every seed
+    # row opens at ordinal 0 (closed at 1 by the update if 'O', at 2
+    # by the merge-on-read delete if 'F', open otherwise); the update
+    # re-opens 'O' rows at ordinal 1 with the doubled price, current
+    oracle="""
+    WITH b1 AS (SELECT * FROM orders WHERE o_orderkey <= 300)
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 6)
+             AS total,
+           0 AS valid_from,
+           CASE WHEN o_orderstatus = 'O' THEN 1
+                WHEN o_orderstatus = 'F' THEN 2 END AS valid_to,
+           o_orderstatus NOT IN ('O', 'F') AS is_current
+    FROM b1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CAST(CAST(o_totalprice * 2 AS DECIMAL(18,4))
+                 AS DOUBLE), 6),
+           1, NULL, TRUE
+    FROM b1 WHERE o_orderstatus = 'O'
+    """,
+)
+def a26_scd2_dimension_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type 2 dimension history derived from the CDC changelog
+    (table_format.scd2_history — the warehouse pattern downstream of
+    any change feed): seed append, copy-on-write UPDATE (closes the
+    'O' images at ordinal 1, opens doubled-price versions), then a
+    merge-on-read DELETE (closes the 'F' images at ordinal 2). The
+    FULL history table hashes against the oracle's direct interval
+    construction — every version row, valid_from/valid_to/is_current
+    included, no aggregation hiding drift."""
+    from ..table_format import scd2_history  # noqa: PLC0415
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 300)
+    with tempfile.TemporaryDirectory(prefix="scd2_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "dim", o.schema)
+        table.append(o)
+        table.update_where(
+            spark,
+            "o_orderstatus = 'O'",
+            {"o_totalprice": "o_totalprice * 2"},
+            strategy="copy_on_write",
+        )
+        table.delete_where(
+            spark, "o_orderstatus = 'F'", strategy="merge_on_read"
+        )
+        hist = scd2_history(
+            table.changelog_between(spark), ["o_orderkey"]
+        )
+        out = hist.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,4)").cast("double"),
+                6,
+            ).alias("total"),
+            "valid_from", "valid_to", "is_current",
+        )
+        # materialize before the temp dir vanishes (bounded: the seed
+        # slice + its updated versions)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

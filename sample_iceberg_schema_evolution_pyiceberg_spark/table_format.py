@@ -2820,6 +2820,56 @@ class LakeTable:
             raise
 
 
+def scd2_history(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a CDC changelog
+    (the ``changelog_between`` shape): one row per version interval —
+    the data columns of the insert image that OPENED the interval,
+    plus ``valid_from`` (its ``_change_ordinal``), ``valid_to`` (the
+    ordinal of the delete that closed it; NULL while open) and
+    ``is_current``. The standard warehouse dimension-history build,
+    derived purely from the feed — no table read.
+
+    Mechanics: per key, events sorted by (ordinal, type) — 'delete' <
+    'insert' lexicographically, which is exactly the intra-ordinal
+    order a copy-on-write rewrite needs (the delete closes the old
+    image before the insert opens the new one). With ``key_cols`` a
+    unique key of the source (same contract as ``apply_changelog``),
+    events per key strictly alternate insert/delete, so each insert's
+    closing delete is simply the NEXT event — one ``lead()`` window,
+    one shuffle on the key, O(changelog) at any scale.
+
+    Build the full history with ``changelog_between()`` from table
+    begin; an incremental range appends new intervals whose
+    ``valid_from`` ordinals are range-relative (offset by the consumed
+    ranges' commit counts if a global ordinal is needed).
+    """
+    cdc_cols = ["_change_ordinal", "_snapshot_id", "_change_type"]
+    missing = [c for c in cdc_cols if c not in changelog.columns]
+    if missing:
+        raise TableFormatError(
+            f"not a changelog frame: missing {missing} "
+            "(expected the changelog_between column shape)"
+        )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    data_cols = [c for c in changelog.columns if c not in cdc_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_change_ordinal").asc(), F.col("_change_type").asc()
+    )
+    return (
+        changelog.withColumn(
+            "__next_ordinal", F.lead("_change_ordinal").over(w)
+        )
+        .filter(F.col("_change_type") == "insert")
+        .select(
+            *data_cols,
+            F.col("_change_ordinal").alias("valid_from"),
+            F.col("__next_ordinal").alias("valid_to"),
+            F.col("__next_ordinal").isNull().alias("is_current"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Schema alignment: reconcile a file-schema DataFrame to the current schema
 # ---------------------------------------------------------------------------

@@ -362,3 +362,54 @@ def test_apply_changelog_validates_shape(spark, catalog):
         spark, from_snapshot=table.snapshots[-1].snapshot_id
     )
     assert table.apply_changelog(spark, empty, key_cols=["id"]) is None
+
+
+# ---------------------------------------------------------------------------
+# scd2_history: dimension-history build from a changelog
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_intervals(spark, catalog):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        scd2_history,
+    )
+
+    table, df = _mk(spark, catalog, "scd")
+    table.append(df.filter("id < 20"))                       # ordinal 0
+    table.update_where(spark, "k = 3", {"k": "k + 100"})     # ordinal 1
+    table.delete_where(spark, "k = 5", strategy="merge_on_read")  # 2
+    table.append(df.filter("id >= 20 AND id < 30"))          # ordinal 3
+    hist = scd2_history(
+        table.changelog_between(spark), ["id"]
+    ).collect()
+    by_id = {}
+    for r in hist:
+        by_id.setdefault(r["id"], []).append(r)
+    # untouched row: one open interval from ordinal 0
+    assert [(r["valid_from"], r["valid_to"], r["is_current"], r["k"])
+            for r in by_id[0]] == [(0, None, True, 0)]
+    # updated row (id=3, k 3->103): closed [0,1) + open [1,)
+    ivs = sorted((r["valid_from"], r["valid_to"], r["k"]) for r in by_id[3])
+    assert ivs == [(0, 1, 3), (1, None, 103)]
+    # deleted row (id=5, k=5): closed [0,2), nothing current
+    assert [(r["valid_from"], r["valid_to"], r["is_current"])
+            for r in by_id[5]] == [(0, 2, False)]
+    # late append: open interval from ordinal 3
+    assert [(r["valid_from"], r["valid_to"]) for r in by_id[25]] \
+        == [(3, None)]
+    # exactly one current version per live key
+    live_ids = {r["id"] for r in catalog.load_table("db", "scd")
+                .to_df(spark).collect()}
+    current = [r for r in hist if r["is_current"]]
+    assert {r["id"] for r in current} == live_ids
+    assert len(current) == len(live_ids)
+
+
+def test_scd2_history_validates_shape(spark, catalog):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        scd2_history,
+    )
+
+    table, df = _mk(spark, catalog, "scdv")
+    with pytest.raises(TableFormatError):
+        scd2_history(df, ["id"])
