@@ -914,8 +914,35 @@ class LakeTable:
     def _write_files(self, df: DataFrame) -> str:
         """Write a new snapshot directory WITHOUT touching metadata;
         returns the relative dir. Crash-safe by construction: a dir no
-        commit ever references is an orphan remove_orphan_files reaps."""
+        commit ever references is an orphan remove_orphan_files reaps.
+
+        Honors Iceberg's ``write.distribution-mode`` table property
+        for partitioned tables: ``none`` (default — incoming task
+        layout wins, so T tasks × P live partition values can emit
+        T×P files, the reference's small-file snowball), ``hash``
+        (cluster rows by partition value before the write — one file
+        per partition value per append, the property Iceberg
+        recommends for partitioned writes), ``range`` (range-cluster
+        by partition value — like hash, plus adjacent values land in
+        adjacent tasks, which keeps min/max bounds tight when the
+        partition transform is temporal). Spark-side this is a
+        repartition on the HIDDEN partition columns, so the exchange
+        key is exactly the directory key at any scale."""
         aligned, pcols = self._prepare_write(df)
+        mode = (self.properties or {}).get(
+            "write.distribution-mode", "none"
+        )
+        if pcols and mode == "hash":
+            aligned = aligned.repartition(*[F.col(c) for c in pcols])
+        elif pcols and mode == "range":
+            aligned = aligned.repartitionByRange(
+                *[F.col(c) for c in pcols]
+            )
+        elif mode not in ("none", "hash", "range"):
+            raise TableFormatError(
+                f"unknown write.distribution-mode {mode!r} "
+                "(none | hash | range)"
+            )
         rel = f"data/snap-{uuid.uuid4().hex[:16]}"
         writer = aligned.write.mode("error")
         if pcols:

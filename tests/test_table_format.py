@@ -1002,3 +1002,54 @@ def test_zorder_typed_and_null_columns(spark, tmp_path):
     table.compact(spark, cluster_by=["s", "d", "v"], target_files=6)
     got = sorted(r.payload for r in table.to_df(spark).collect())
     assert got == list(range(300))
+
+
+def test_write_distribution_mode(spark, catalog, tmp_path):
+    """write.distribution-mode=hash must cluster rows by the HIDDEN
+    partition value before the write — one file per partition value
+    per append — where the default (none) lets the incoming task
+    layout multiply into files-per-(task, value)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    )
+    spec = PartitionSpec(
+        (PartitionField("bucket", "identity", "bucket_p", 100),)
+    )
+
+    def files_per_dir(table):
+        snap_dir = table.location / table.snapshots[-1].data_dir
+        counts = {}
+        for f in snap_dir.rglob("*.parquet"):
+            counts[f.parent.name] = counts.get(f.parent.name, 0) + 1
+        return counts
+
+    plain = catalog.create_table("db", "dm_none", df.schema, spec)
+    plain.append(df.repartition(8))  # 8 tasks x 4 values
+    assert max(files_per_dir(plain).values()) > 1
+
+    hashed = catalog.create_table(
+        "db", "dm_hash", df.schema, spec,
+        properties={"write.distribution-mode": "hash"},
+    )
+    hashed.append(df.repartition(8))
+    assert set(files_per_dir(hashed).values()) == {1}
+    assert hashed.to_df(spark).count() == 1000
+
+    ranged = catalog.create_table(
+        "db", "dm_range", df.schema, spec,
+        properties={"write.distribution-mode": "range"},
+    )
+    ranged.append(df.repartition(8))
+    assert set(files_per_dir(ranged).values()) == {1}
+
+    bad = catalog.create_table(
+        "db", "dm_bad", df.schema, spec,
+        properties={"write.distribution-mode": "zorder"},
+    )
+    with pytest.raises(TableFormatError):
+        bad.append(df)
