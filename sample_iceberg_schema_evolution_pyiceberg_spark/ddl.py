@@ -431,7 +431,8 @@ class DdlFrontend:
             # must bind before the plain-identifier rewrite sees its
             # db.tbl prefix
             meta_re = re.compile(
-                ident.pattern + r"\.(snapshots|files|refs|changes)\b",
+                ident.pattern
+                + r"\.(snapshots|files|refs|changes|history|partitions)\b",
                 re.IGNORECASE,
             )
 
@@ -445,6 +446,8 @@ class DdlFrontend:
                     # full-range CDC changelog (changelog_between
                     # defaults: table begin -> current)
                     "changes": table.changelog_between,
+                    "history": table.history_df,
+                    "partitions": table.partitions_df,
                 }[kind](self.spark)
                 df.createOrReplaceTempView(view)
                 return view

@@ -2227,6 +2227,92 @@ class LakeTable:
             "upper_bounds map<string,string>",
         )
 
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The table history (Iceberg's ``db.tbl.history`` metadata
+        table): when each snapshot became current, its parent, and
+        whether it is an ancestor of the CURRENT state. In this
+        log-structured format every retained commit is on the current
+        lineage (``rollback_to_snapshot`` is destructive — forks don't
+        linger), so ``is_current_ancestor`` is false only for
+        expire_snapshots tombstones. Metadata-sized: one row per
+        commit."""
+        hist = self.all_snapshots()
+        rows = [
+            (
+                s.timestamp_ms,
+                s.snapshot_id,
+                hist[i - 1].snapshot_id if i > 0 else None,
+                not s.expired,
+            )
+            for i, s in enumerate(hist)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id string, "
+            "parent_id string, is_current_ancestor boolean",
+        )
+
+    def partitions_df(self, spark: SparkSession) -> DataFrame:
+        """Per-partition statistics of the LIVE data (Iceberg's
+        ``db.tbl.partitions``): partition values, owning spec, file
+        count, row count, byte size. Served from the commit-time
+        manifests — partition values decoded from the hive-encoded
+        file paths, a pure metadata read like ``files_df`` (the
+        O(metadata) answer to 'which partitions are hot / skewed /
+        full of small files' that drives compaction targeting at
+        100 TB). Unpartitioned snapshots aggregate under an empty
+        partition map."""
+        from urllib.parse import unquote  # noqa: PLC0415
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        agg: dict[tuple, list] = {}
+        for s in self.snapshots:
+            if not s.data_dir:  # delete snapshot: no live data files
+                continue
+            if s.files is not None:
+                entries = [
+                    (f["path"], f["size_bytes"], f["record_count"])
+                    for f in s.files
+                ]
+            else:  # pre-manifest metadata: data-plane fallback
+                root = self.location / s.data_dir
+                entries = [
+                    (
+                        str(p.relative_to(self.location)),
+                        p.stat().st_size,
+                        pq.read_metadata(p).num_rows,
+                    )
+                    for p in sorted(root.rglob("*.parquet"))
+                ]
+            for path, size, nrec in entries:
+                # hive dirs carry the hidden-column prefix
+                # (_p_bucket_p=3); surface the spec's field name
+                parts = tuple(
+                    (
+                        seg.split("=", 1)[0].removeprefix(
+                            PARTITION_COL_PREFIX
+                        ),
+                        unquote(seg.split("=", 1)[1]),
+                    )
+                    for seg in path.split("/")[:-1]
+                    if "=" in seg
+                )
+                key = (parts, s.spec_id)
+                slot = agg.setdefault(key, [0, 0, 0])
+                slot[0] += 1
+                slot[1] += nrec
+                slot[2] += size
+        rows = [
+            (dict(parts), spec_id, fc, rc, sb)
+            for (parts, spec_id), (fc, rc, sb) in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition map<string,string>, spec_id int, "
+            "file_count long, record_count long, size_bytes long",
+        )
+
     # -- read path ---------------------------------------------------------
 
     def to_df(

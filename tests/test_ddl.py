@@ -886,3 +886,18 @@ def test_changes_metadata_table_sql(ddl):
     assert [(r.o, r.t, r.n) for r in rows] == [
         (0, "insert", 2), (1, "insert", 1), (2, "delete", 1),
     ]
+
+
+def test_history_partitions_metadata_tables_sql(ddl):
+    ddl.sql("CREATE TABLE db.hp (id BIGINT)")
+    ddl.sql("INSERT INTO db.hp VALUES (1), (2)")
+    ddl.sql("INSERT INTO db.hp VALUES (3)")
+    h = ddl.query(
+        "SELECT COUNT(*) AS n, "
+        "COUNT(parent_id) AS with_parent FROM db.hp.history"
+    ).collect()[0]
+    assert (h.n, h.with_parent) == (2, 1)
+    p = ddl.query(
+        "SELECT record_count FROM db.hp.partitions"
+    ).collect()
+    assert [r.record_count for r in p] == [3]

@@ -1053,3 +1053,56 @@ def test_write_distribution_mode(spark, catalog, tmp_path):
     )
     with pytest.raises(TableFormatError):
         bad.append(df)
+
+
+def test_history_df_parent_chain(spark, catalog):
+    table, df = _mk(spark, catalog, "hist1")
+    s1 = table.append(df.filter("id < 40"))
+    s2 = table.append(df.filter("id >= 40"))
+    s3 = table.compact(spark)
+    rows = table.history_df(spark).orderBy("made_current_at_ms").collect()
+    assert [r.snapshot_id for r in rows] == [
+        s1.snapshot_id, s2.snapshot_id, s3.snapshot_id,
+    ]
+    assert [r.parent_id for r in rows] == [
+        None, s1.snapshot_id, s2.snapshot_id,
+    ]
+    assert all(r.is_current_ancestor for r in rows)
+
+
+def test_partitions_df_per_partition_stats(spark, catalog):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    )
+    spec = PartitionSpec(
+        (PartitionField("bucket", "identity", "bucket_p", 100),)
+    )
+    table = catalog.create_table(
+        "db", "parts1", df.schema, spec,
+        properties={"write.distribution-mode": "hash"},
+    )
+    table.append(df)
+    table.append(df.filter("bucket = 1"))
+    rows = table.partitions_df(spark).collect()
+    by_val = {r.partition["bucket_p"]: r for r in rows}
+    assert set(by_val) == {"0", "1", "2", "3"}
+    assert by_val["1"].record_count == 50  # 25 + 25 second append
+    assert by_val["1"].file_count == 2
+    assert by_val["0"].record_count == 25
+    assert all(r.size_bytes > 0 for r in rows)
+    # totals tie back to the table
+    assert sum(r.record_count for r in rows) == 125
+
+
+def test_partitions_df_unpartitioned(spark, catalog):
+    table, df = _mk(spark, catalog, "parts2")
+    table.append(df)
+    rows = table.partitions_df(spark).collect()
+    assert len(rows) == 1
+    assert rows[0].partition == {}
+    assert rows[0].record_count == 100
