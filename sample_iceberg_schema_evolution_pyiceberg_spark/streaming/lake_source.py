@@ -41,6 +41,14 @@ way Iceberg's own streaming read walks its snapshot log:
   executor task per file); the full reader cannot cap safely because
   ``latestOffset()`` has no start argument — a guessed position
   could land behind a clean-shutdown checkpoint and duplicate rows.
+- CONTRACT — admission cap vs ``Trigger.AvailableNow``: Python data
+  sources cannot declare AvailableNow support, so Spark falls back to
+  SINGLE-batch execution. With a cap set, that one batch ends at the
+  cap and the query stops — everything past the first quantum is NOT
+  processed in this run (it resumes from the checkpoint on the next
+  start, but a one-shot availableNow run has silently read a prefix).
+  Use the cap with live triggers (processingTime), or availableNow
+  without a cap; the s10 gate pins the uncapped-availableNow path.
 
 The reader runs in its own worker process and re-reads the snapshot
 log each batch, so the table's metadata backend must be

@@ -455,3 +455,86 @@ def s09_stream_lake_source(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes (bounded: grouped agg)
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "s10_stream_lake_replication",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderstatus
+    """,
+)
+def s10_stream_lake_replication(spark: SparkSession, sf: str) -> DataFrame:
+    """Lake -> stream -> lake (s09's log-driven source composed with
+    s08's snapshot sink — continuous replication with no message bus):
+    three appends land in a source table, stream_changes replays them
+    (each micro-batch a snapshot append via foreachBatch, CDC columns
+    dropped — availableNow collapses Python-source catch-up into one
+    batch, a live trigger would commit one snapshot per batch), and
+    the gate aggregates the REPLICA against the relational oracle
+    over the original parquet — the streamed copy must be lossless
+    and duplicate-free across batch boundaries. NO admission cap
+    here: maxFilesPerTrigger under the Python-source availableNow
+    fallback (single-batch execution) caps the WHOLE run, silently
+    dropping everything past the first quantum — this gate caught
+    exactly that (1000 of 3000 rows replicated) when composed with
+    max_files_per_trigger=1. The
+    same pipeline left running with a processing-time trigger is
+    live table mirroring; the batch-side changelog/apply_changelog
+    family covers rewrite commits the append-only stream refuses."""
+    import tempfile  # noqa: PLC0415
+
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 3000)
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    with tempfile.TemporaryDirectory(prefix="stream_rep_") as wh:
+        cat = LakeCatalog(wh)
+        src = cat.create_table("stream", "rep_src", o.schema)
+        for lo, hi in ((0, 1000), (1001, 2000), (2001, 3000)):
+            src.append(o.filter(F.col("o_orderkey").between(lo, hi)))
+        replica = cat.create_table("stream", "rep_dst", o.schema)
+        spark.conf.set(key, "8")
+        try:
+            q = (
+                src.stream_changes(spark)
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: (
+                        replica.append(
+                            bdf.drop("_snapshot_id", "_change_type")
+                        ),
+                        None,
+                    )[1]
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{wh}/_chk")
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("lake replication stream timed out")
+        finally:
+            spark.conf.set(key, old)
+        # every batch committed as a snapshot append, nothing rewrote
+        assert replica.snapshots, "no snapshot committed"
+        assert all(s.operation == "append" for s in replica.snapshots)
+        out = (
+            replica.to_df(spark)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("total"),
+            )
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes (bounded: grouped agg)
+        return spark.createDataFrame(rows, out.schema)

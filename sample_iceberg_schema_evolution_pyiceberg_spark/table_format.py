@@ -2012,7 +2012,13 @@ class LakeTable:
                 reader = reader.option(k, v)
             if max_files_per_trigger:
                 # bound each micro-batch's file count (backfill /
-                # catch-up admission control; see lake_source.py)
+                # catch-up admission control; see lake_source.py).
+                # CONTRACT: combine with LIVE triggers only — under
+                # Trigger.AvailableNow, Python sources fall back to
+                # single-batch execution, so the cap bounds the WHOLE
+                # run and the query stops after one quantum (a prefix
+                # read; the checkpoint resumes next start, but a
+                # one-shot run has silently truncated).
                 reader = reader.option(
                     "maxFilesPerTrigger", str(max_files_per_trigger)
                 )

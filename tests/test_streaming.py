@@ -717,3 +717,50 @@ def test_lake_stream_capped_nested_struct_evolution_aligns(spark, tmp_path):
         assert out.filter("s.a IS NOT NULL").count() == 12
     finally:
         q2.stop()
+
+
+def test_lake_stream_cap_with_availablenow_truncates_documented(
+    spark, tmp_path
+):
+    """CONTRACT PIN (lake_source module docstring): Python sources
+    cannot declare Trigger.AvailableNow support, so Spark falls back
+    to single-batch execution — with an admission cap set, that one
+    batch ends at the cap and a one-shot availableNow run reads only
+    a PREFIX. This is why stream_changes documents the cap as
+    live-trigger-only. If this test ever FAILS because all rows
+    arrive, the Python API gained real AvailableNow support and the
+    documentation (and s10's design note) should be revisited."""
+    from pyspark.sql import functions as F
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 30).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "an", df.schema)
+    for lo in (0, 10, 20):
+        table.append(df.filter(f"id >= {lo} AND id < {lo + 10}").coalesce(1))
+    got: list[int] = []
+
+    def sink(batch_df, _bid):
+        got.append(batch_df.count())
+
+    q = (
+        table.stream_changes(spark, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert sum(got) == 10, got  # one capped quantum, not all 30
+    # the checkpoint owns correctness: a SECOND one-shot run resumes
+    # where the first stopped (no loss across runs, only within one)
+    q2 = (
+        table.stream_changes(spark, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    assert q2.awaitTermination(300)
+    assert sum(got) == 20, got
