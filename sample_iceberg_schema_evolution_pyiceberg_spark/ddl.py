@@ -575,13 +575,25 @@ class DdlFrontend:
 
     def _delete(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
         table = self._load_for_dml(m, resp, "DELETE")
-        strategy = self._write_mode_strategy(table, "write.delete.mode")
+        # extension value: 'merge-on-read-position' selects the
+        # position-delete granularity (DELETE only — the other DML ops
+        # keep the strict two-mode contract)
+        if (
+            table.properties.get("write.delete.mode")
+            == "merge-on-read-position"
+        ):
+            strategy = "merge_on_read_position"
+        else:
+            strategy = self._write_mode_strategy(
+                table, "write.delete.mode"
+            )
         snap = table.delete_where(
             self.spark, m.group("cond").strip(), strategy=strategy
         )
         resp.message_list.append(
             f"Deleted where {m.group('cond').strip()} "
-            f"({strategy}, snapshot {snap.snapshot_id})"
+            f"({strategy}, snapshot "
+            f"{snap.snapshot_id if snap else 'none — no row matched'})"
         )
 
     @staticmethod

@@ -764,6 +764,38 @@ def export_to_iceberg(
                     table.location / snap.delete_keys_dir
                 )
                 entries = _delete_file_entries(files, 2, eq_ids)
+            elif snap.delete_pos_dir:
+                # native position delete: the lake file already holds
+                # (file_path, pos) tuples, but with TABLE-RELATIVE
+                # paths (portable across moves); the spec's delete
+                # files must address data files exactly as the
+                # manifests do (plain absolute paths) — rewrite at
+                # export time, keeping the required (file, pos) order
+                pos_dir = (
+                    meta_dir / "deletes" / f"pos-{snap.snapshot_id}"
+                )
+                if not pos_dir.exists():
+                    from pyspark.sql import functions as F  # noqa: PLC0415
+
+                    (
+                        spark.read.parquet(
+                            str(table.location / snap.delete_pos_dir)
+                        )
+                        .select(
+                            F.concat(
+                                F.lit(str(table.location) + "/"),
+                                F.col("file_path"),
+                            ).alias("file_path"),
+                            "pos",
+                        )
+                        .sort("file_path", "pos")
+                        .coalesce(1)
+                        .write.mode("error")
+                        .parquet(str(pos_dir))
+                    )
+                entries = _delete_file_entries(
+                    _parquet_files_under(pos_dir), 1, None
+                )
             else:
                 # predicate delete -> position-delete files computed
                 # now (module docstring); lands under metadata/deletes

@@ -1238,3 +1238,77 @@ def a26_scd2_dimension_history(spark: SparkSession, sf: str) -> DataFrame:
         # slice + its updated versions)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a27_position_delete_episode",
+    # same relational replay shape as a16 (the predicate-granularity
+    # twin): the position mask must remove exactly the 'F' rows
+    # visible at delete time, leave the later append untouched, and
+    # survive compaction folding
+    oracle="""
+    WITH b12 AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+         d AS (SELECT * FROM b12 WHERE NOT (o_orderstatus = 'F')),
+         b3 AS (SELECT * FROM orders
+                WHERE o_orderkey BETWEEN 1001 AND 1500),
+         a AS (SELECT * FROM d UNION ALL SELECT * FROM b3)
+    SELECT 'after_delete' AS step, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total
+    FROM d
+    UNION ALL SELECT 'after_append', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+    FROM a
+    UNION ALL SELECT 'after_compact', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+    FROM a
+    """,
+)
+def a27_position_delete_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-delete episode (Iceberg v2's position-delete-file
+    granularity — delete_where(strategy='merge_on_read_position'),
+    completing the three-granularity merge-on-read family a16/a17
+    started): two appends, a DELETE committed as a (file, ordinal)
+    tuple file — predicate evaluated ONCE at delete time, nothing
+    rewritten, scan-time cost an exact anti-join — an append the mask
+    must NOT touch, then compact() folding the positions into data.
+    All three reads hash-match the relational replay."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1500)
+    with tempfile.TemporaryDirectory(prefix="posdel_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "pos", o.schema)
+        table.append(o.filter(F.col("o_orderkey") <= 500))
+        table.append(o.filter(F.col("o_orderkey").between(501, 1000)))
+        snap = table.delete_where(
+            spark, "o_orderstatus = 'F'",
+            strategy="merge_on_read_position",
+        )
+        assert snap is not None and snap.delete_pos_dir
+
+        def agg(step: str) -> DataFrame:
+            return (
+                table.to_df(spark)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(
+                        F.sum(
+                            F.col("o_totalprice").cast("decimal(18,4)")
+                        ).cast("double"),
+                        6,
+                    ).alias("total"),
+                )
+                .select(F.lit(step).alias("step"), "n", "total")
+            )
+
+        steps = [agg("after_delete")]
+        table.append(o.filter(F.col("o_orderkey").between(1001, 1500)))
+        steps.append(agg("after_append"))
+        table.compact(spark)
+        assert all(not s.is_row_delete for s in table.snapshots)
+        steps.append(agg("after_compact"))
+        out = steps[0]
+        for s_df in steps[1:]:
+            out = out.unionByName(s_df)
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

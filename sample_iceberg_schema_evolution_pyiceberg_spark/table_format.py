@@ -135,6 +135,14 @@ class Snapshot:
     # — the keys dir is metadata-plane, not table data.
     delete_keys_dir: str | None = None
     delete_key_cols: list[str] | None = None
+    # merge-on-read POSITION delete (Iceberg v2 position-delete-file
+    # analog, the spec's third delete granularity): a parquet dir of
+    # (file_path, pos) tuples — file_path RELATIVE to the table
+    # location, pos the parquet row ordinal (Spark's
+    # _metadata.row_index). Earlier snapshots' rows at those exact
+    # positions are masked at scan time via an anti-join on both
+    # columns. data_dir is "".
+    delete_pos_dir: str | None = None
     # commit-time file manifest (Iceberg's manifest-file analog): one
     # entry per parquet file of this snapshot's payload dir (data_dir,
     # or delete_keys_dir for equality-delete entries) with byte size
@@ -147,11 +155,13 @@ class Snapshot:
 
     @property
     def is_row_delete(self) -> bool:
-        """Merge-on-read delete entry of either granularity: a scan-
-        time predicate or an equality-delete key file."""
+        """Merge-on-read delete entry of any granularity: a scan-time
+        predicate, an equality-delete key file, or a position-delete
+        file."""
         return (
             self.delete_predicate is not None
             or self.delete_keys_dir is not None
+            or self.delete_pos_dir is not None
         )
 
     @property
@@ -189,6 +199,8 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
     if d.get("delete_keys_dir"):
         out["delete-keys-dir"] = d["delete_keys_dir"]  # ext field
         out["delete-key-cols"] = d["delete_key_cols"]
+    if d.get("delete_pos_dir"):
+        out["delete-pos-dir"] = d["delete_pos_dir"]  # ext field
     if d.get("files") is not None:
         # ext field — the spec keeps per-file stats in Avro manifests;
         # this format inlines them in the snapshot entry
@@ -225,6 +237,8 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
     if d.get("delete-keys-dir"):
         out["delete_keys_dir"] = d["delete-keys-dir"]
         out["delete_key_cols"] = d["delete-key-cols"]
+    if d.get("delete-pos-dir"):
+        out["delete_pos_dir"] = d["delete-pos-dir"]
     if d.get("manifest") is not None:
         out["files"] = [
             {
@@ -1122,7 +1136,7 @@ class LakeTable:
         spark: SparkSession,
         condition: str,
         strategy: str = "copy_on_write",
-    ) -> Snapshot:
+    ) -> "Snapshot | None":
         """Row-level DELETE. ``strategy="copy_on_write"`` (default)
         rewrites the live set minus matching rows as one overwrite
         snapshot — read-optimal, write cost proportional to table
@@ -1133,9 +1147,70 @@ class LakeTable:
         ``compact()`` later folds the predicates away (Iceberg's
         rewrite_position_delete_files analog). At 100 TB a
         one-partition delete must not rewrite the table; this is that
-        path. Both strategies share SQL DELETE semantics: removed =
-        rows where ``condition`` IS TRUE; FALSE and NULL rows are
-        kept (three-valued logic, see ``_null_safe``)."""
+        path. ``strategy="merge_on_read_position"`` commits a
+        POSITION-delete file instead (Iceberg v2's position-delete
+        granularity): one visible-state scan finds the matching rows'
+        (file, ordinal) addresses, the tuple file commits as the mask,
+        nothing is rewritten, and — unlike the predicate form — the
+        scan-time mask cost is an exact anti-join independent of
+        predicate complexity, the predicate is evaluated ONCE at
+        delete time (a later schema change can't reinterpret it), and
+        the commit is replayable row-for-row by the changelog. Returns
+        None if no row matched (an empty position mask would add a
+        scan arm for nothing). All strategies share SQL DELETE
+        semantics: removed = rows where ``condition`` IS TRUE; FALSE
+        and NULL rows are kept (three-valued logic, ``_null_safe``)."""
+        if strategy == "merge_on_read_position":
+            self._validate_predicate(spark, condition)
+            matched = (
+                self.to_df(spark, _with_positions=True)
+                .filter(self._null_safe(condition))
+                .select(
+                    F.col("_pos_file").alias("file_path"),
+                    F.col("_pos_index").alias("pos"),
+                )
+                # the spec's required delete-file ordering
+                .sort("file_path", "pos")
+                .coalesce(1)
+            )
+            import copy  # noqa: PLC0415
+
+            backup = copy.deepcopy(self.meta)
+            try:
+                pos_rel = f"data/pos-{uuid.uuid4().hex[:16]}"
+                matched.write.mode("error").parquet(
+                    str(self.location / pos_rel)
+                )
+                manifest = self._collect_manifest(pos_rel)
+                if self._manifest_rows(manifest) == 0:
+                    self.data_io.delete_recursive(
+                        str(self.location / pos_rel)
+                    )
+                    return None
+                seq = int(self.meta.get("last_sequence_number", 0)) + 1
+                self.meta["last_sequence_number"] = seq
+                snap = Snapshot(
+                    snapshot_id=uuid.uuid4().hex[:16],
+                    timestamp_ms=int(time.time() * 1000),
+                    operation="delete",
+                    schema_version=int(
+                        self.meta["current_schema_version"]
+                    ),
+                    spec_id=int(self.meta["current_spec_id"]),
+                    data_dir="",
+                    sequence_number=seq,
+                    delete_pos_dir=pos_rel,
+                    files=manifest,
+                )
+                self.meta["snapshots"].append(snap.to_json())
+                self._commit()
+                return snap
+            except Exception:
+                # in-memory meta must never run ahead of disk; the
+                # written dir becomes an orphan remove_orphan_files
+                # reaps (same guard as the other MoR paths)
+                self.meta = backup
+                raise
         if strategy == "merge_on_read":
             self._validate_predicate(spark, condition)
             import copy  # noqa: PLC0415
@@ -1871,6 +1946,10 @@ class LakeTable:
                 self.data_io.delete_recursive(
                     str(self.location / s["delete_keys_dir"])
                 )
+            if s.get("delete_pos_dir"):  # position-delete files
+                self.data_io.delete_recursive(
+                    str(self.location / s["delete_pos_dir"])
+                )
         return sorted(expired_ids)
 
     def remove_orphan_files(self) -> list[str]:
@@ -1894,11 +1973,19 @@ class LakeTable:
                 for s in b["snapshots"]
             ]
         )
-        referenced = {s["data_dir"] for s in all_entries} | {
-            s["delete_keys_dir"]
-            for s in all_entries
-            if s.get("delete_keys_dir")
-        }
+        referenced = (
+            {s["data_dir"] for s in all_entries}
+            | {
+                s["delete_keys_dir"]
+                for s in all_entries
+                if s.get("delete_keys_dir")
+            }
+            | {
+                s["delete_pos_dir"]
+                for s in all_entries
+                if s.get("delete_pos_dir")
+            }
+        )
         removed: list[str] = []
         data_root = self.location / "data"
         for child in self.data_io.list_subdirs(str(data_root)):
@@ -2098,6 +2185,10 @@ class LakeTable:
             if s.delete_keys_dir:  # equality-delete key files
                 self.data_io.delete_recursive(
                     str(self.location / s.delete_keys_dir)
+                )
+            if s.delete_pos_dir:  # position-delete files
+                self.data_io.delete_recursive(
+                    str(self.location / s.delete_pos_dir)
                 )
 
     # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
@@ -2328,6 +2419,7 @@ class LakeTable:
         as_of_snapshot: str | None = None,
         as_of_timestamp_ms: int | None = None,
         branch: str | None = None,
+        _with_positions: bool = False,
     ) -> DataFrame:
         """Scan the table aligned to the current schema.
 
@@ -2343,6 +2435,12 @@ class LakeTable:
         snapshot committed at-or-before the instant (Iceberg's
         timestamp travel); raises if no snapshot is that old or the
         resolved snapshot is an expired tombstone.
+
+        ``_with_positions`` (internal): append ``_pos_file`` (data-file
+        path relative to the table location) and ``_pos_index`` (the
+        parquet row ordinal, Spark's ``_metadata.row_index``) — the
+        address vocabulary of position deletes. Used by the
+        position-delete write path and the changelog.
         """
         if as_of_timestamp_ms is not None:
             if as_of_snapshot is not None:
@@ -2388,20 +2486,34 @@ class LakeTable:
                     "no longer readable"
                 )
             snaps = upto
-        # merge-on-read deletes: predicate/equality-key snapshots carry
-        # no data; each masks the rows of EARLIER data snapshots at
-        # scan time (filter for predicates, anti-join for key files)
+        # merge-on-read deletes: predicate/equality-key/position
+        # snapshots carry no data; each masks the rows of EARLIER data
+        # snapshots at scan time (filter for predicates, anti-join for
+        # key and position files)
         deletes = [s for s in snaps if s.is_row_delete]
         datas = [s for s in snaps if not s.is_row_delete]
+        # position masks need each row's (file, ordinal) address
+        need_pos = _with_positions or any(
+            d.delete_pos_dir for d in deletes
+        )
+        pos_fields = [
+            T.StructField("_pos_file", T.StringType()),
+            T.StructField("_pos_index", T.LongType()),
+        ]
+        out_schema = (
+            T.StructType(list(cur.fields) + pos_fields)
+            if _with_positions
+            else cur
+        )
         if not datas:
-            return spark.createDataFrame([], cur)
+            return spark.createDataFrame([], out_schema)
 
         def _keyfile_bytes(d: Snapshot) -> int:
             # commit-time manifest when present (metadata-priced);
             # data-plane stat fallback for pre-manifest metadata
             if d.files is not None:
                 return sum(f["size_bytes"] for f in d.files)
-            root = self.location / d.delete_keys_dir
+            root = self.location / (d.delete_keys_dir or d.delete_pos_dir)
             return sum(
                 p.stat().st_size for p in root.rglob("*.parquet")
             )
@@ -2409,7 +2521,7 @@ class LakeTable:
         keyfile_bytes = {
             d.snapshot_id: _keyfile_bytes(d)
             for d in deletes
-            if d.delete_keys_dir
+            if d.delete_keys_dir or d.delete_pos_dir
         }
         groups: dict[tuple[int, int], list[Snapshot]] = {}
         for s in datas:
@@ -2462,6 +2574,19 @@ class LakeTable:
                     pred = derive_pruning_predicate(spec, col, op, lit)
                     if pred is not None:
                         df = df.filter(pred)
+                if need_pos:
+                    # capture each row's (relative file, ordinal)
+                    # address BEFORE alignment drops metadata access
+                    prefix_len = len(str(self.location)) + 2
+                    df = df.select(
+                        "*",
+                        F.expr(
+                            "substring(regexp_replace("
+                            "_metadata.file_path, '^file:/+', '/'), "
+                            f"{prefix_len})"
+                        ).alias("_pos_file"),
+                        F.col("_metadata.row_index").alias("_pos_index"),
+                    )
                 df = df.drop(
                     *[
                         c
@@ -2469,15 +2594,19 @@ class LakeTable:
                         if c.startswith(PARTITION_COL_PREFIX)
                     ]
                 )
-                df = _align_df(df, cur)
+                df = _align_df(
+                    df,
+                    cur,
+                    keep=["_pos_file", "_pos_index"] if need_pos else None,
+                )
                 # masks from LATER delete snapshots apply to this
                 # snapshot's rows (post-alignment: predicates and key
                 # columns are named in current-schema terms); appends
                 # after a delete are untouched — standard SQL DELETE
-                # visibility. Equality-key masks anti-join the key
-                # file, broadcast only while its on-disk size is under
-                # _BROADCAST_KEYFILE_MAX_BYTES (one MERGE batch's
-                # matched keys — usually tiny); an explicit
+                # visibility. Equality-key and position masks anti-join
+                # their files, broadcast only while the on-disk size is
+                # under _BROADCAST_KEYFILE_MAX_BYTES (one batch's
+                # matched keys/positions — usually tiny); an explicit
                 # F.broadcast() hint is never demoted by AQE, so an
                 # unbounded bulk-upsert key set falls back to AQE's
                 # own strategy choice instead of a forced broadcast.
@@ -2486,6 +2615,21 @@ class LakeTable:
                         continue
                     if d.delete_predicate:
                         df = df.filter(f"NOT ({d.delete_predicate})")
+                    elif d.delete_pos_dir:
+                        pos = spark.read.parquet(
+                            str(self.location / d.delete_pos_dir)
+                        )
+                        if (
+                            keyfile_bytes[d.snapshot_id]
+                            <= _BROADCAST_KEYFILE_MAX_BYTES
+                        ):
+                            pos = F.broadcast(pos)
+                        df = df.join(
+                            pos,
+                            (df["_pos_file"] == pos["file_path"])
+                            & (df["_pos_index"] == pos["pos"]),
+                            "left_anti",
+                        )
                     else:
                         keys = spark.read.parquet(
                             str(self.location / d.delete_keys_dir)
@@ -2508,10 +2652,12 @@ class LakeTable:
                             d.delete_key_cols,
                             "left_anti",
                         )
+                if need_pos and not _with_positions:
+                    df = df.drop("_pos_file", "_pos_index")
                 parts.append(df)
         if not parts:
             # every arm pruned away by manifest bounds: provably empty
-            return spark.createDataFrame([], cur)
+            return spark.createDataFrame([], out_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2701,7 +2847,7 @@ class LakeTable:
                 .withColumn("_change_type", F.lit(ct))
             )
 
-        def _pre_state(i: int) -> DataFrame:
+        def _pre_state(i: int, with_positions: bool = False) -> DataFrame:
             """State as of the commit BEFORE hist[i] (empty for the
             first commit). Composes masks/segments exactly like any
             time-travel read."""
@@ -2716,7 +2862,11 @@ class LakeTable:
                     "expire_snapshots — deleted row images are not "
                     "reconstructible for this range"
                 )
-            return self.to_df(spark, as_of_snapshot=prev.snapshot_id)
+            return self.to_df(
+                spark,
+                as_of_snapshot=prev.snapshot_id,
+                _with_positions=with_positions,
+            )
 
         parts: list[DataFrame] = []
         for ordinal, i in enumerate(range(lo + 1, hi + 1)):
@@ -2754,6 +2904,23 @@ class LakeTable:
                 deleted = _pre_state(i).join(
                     keys, s.delete_key_cols, "left_semi"
                 )
+                parts.append(
+                    _tag(deleted, ordinal, s.snapshot_id, "delete")
+                )
+            elif s.delete_pos_dir is not None:
+                # position delete: the pre-state rows at exactly the
+                # masked (file, ordinal) addresses — delta-priced,
+                # replayable row-for-row
+                pos = spark.read.parquet(
+                    str(self.location / s.delete_pos_dir)
+                )
+                pre = _pre_state(i, with_positions=True)
+                deleted = pre.join(
+                    pos,
+                    (pre["_pos_file"] == pos["file_path"])
+                    & (pre["_pos_index"] == pos["pos"]),
+                    "left_semi",
+                ).drop("_pos_file", "_pos_index")
                 parts.append(
                     _tag(deleted, ordinal, s.snapshot_id, "delete")
                 )
@@ -2998,7 +3165,14 @@ def _df_type(df: DataFrame, name: str) -> T.DataType:
     return df.schema[name].dataType
 
 
-def _align_df(df: DataFrame, target: T.StructType) -> DataFrame:
+def _align_df(
+    df: DataFrame,
+    target: T.StructType,
+    keep: "list[str] | None" = None,
+) -> DataFrame:
+    """Project ``df`` onto ``target``'s fields (promoting/nulling as
+    needed); ``keep`` names extra passthrough columns appended as-is
+    (scan-position bookkeeping for position-delete masks)."""
     cols = []
     for f in target.fields:
         if f.name in df.columns:
@@ -3009,6 +3183,8 @@ def _align_df(df: DataFrame, target: T.StructType) -> DataFrame:
             )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    for k in keep or []:
+        cols.append(F.col(k))
     return df.select(*cols)
 
 

@@ -901,3 +901,21 @@ def test_history_partitions_metadata_tables_sql(ddl):
         "SELECT record_count FROM db.hp.partitions"
     ).collect()
     assert [r.record_count for r in p] == [3]
+
+
+def test_delete_mode_position_via_sql(ddl):
+    ddl.sql("CREATE TABLE db.pd (id BIGINT, k BIGINT) TBLPROPERTIES "
+            "('write.delete.mode' = 'merge-on-read-position')")
+    ddl.sql("INSERT INTO db.pd SELECT id, id % 7 FROM range(100)")
+    r = ddl.sql("DELETE FROM db.pd WHERE k = 3")
+    assert not r.has_error and "merge_on_read_position" in r.message_list[-1]
+    table = ddl.catalog.load_table("db", "pd")
+    assert any(s.delete_pos_dir for s in table.snapshots)
+    assert ddl.query(
+        "SELECT COUNT(*) AS n FROM db.pd"
+    ).collect()[0]["n"] == 100 - 14  # ids 3,10,...,94
+    # no-match DELETE: accumulated message, no commit
+    n = len(table.snapshots)
+    r = ddl.sql("DELETE FROM db.pd WHERE k = 999")
+    assert not r.has_error and "no row matched" in r.message_list[-1]
+    assert len(ddl.catalog.load_table("db", "pd").snapshots) == n

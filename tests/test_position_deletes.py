@@ -1,0 +1,192 @@
+"""Native position deletes (Iceberg v2's position-delete-file
+granularity, ``delete_where(strategy="merge_on_read_position")``):
+scan-time (file, ordinal) masks, composition with the other two delete
+granularities, lifecycle (compact/expire/orphans), changelog emission,
+and the v2 export roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+    LakeCatalog,
+    TableFormatError,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return LakeCatalog(tmp_path / "wh")
+
+
+def _mk(spark, catalog, name="pd"):
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    table = catalog.create_table("db", name, df.schema)
+    return table, df
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_position_delete_masks_rows(spark, catalog):
+    table, df = _mk(spark, catalog)
+    table.append(df)
+    snap = table.delete_where(
+        spark, "k = 3", strategy="merge_on_read_position"
+    )
+    assert snap is not None and snap.delete_pos_dir
+    assert snap.operation == "delete" and snap.data_dir == ""
+    got = table.to_df(spark)
+    assert _ids(got) == _ids(df.filter("k <> 3"))
+    # nothing rewritten: the original data snapshot is untouched
+    assert len([s for s in table.snapshots if s.data_dir]) == 1
+
+
+def test_position_delete_does_not_mask_later_appends(spark, catalog):
+    table, df = _mk(spark, catalog)
+    table.append(df.filter("id < 50"))
+    table.delete_where(spark, "k = 3", strategy="merge_on_read_position")
+    table.append(df.filter("id >= 50"))  # k=3 rows here must survive
+    got = table.to_df(spark)
+    want = df.filter("id >= 50 OR k <> 3")
+    assert _ids(got) == _ids(want)
+
+
+def test_position_delete_no_match_returns_none(spark, catalog):
+    table, df = _mk(spark, catalog)
+    table.append(df)
+    n = len(table.snapshots)
+    assert table.delete_where(
+        spark, "k = 999", strategy="merge_on_read_position"
+    ) is None
+    assert len(table.snapshots) == n  # nothing committed
+    # the empty position dir was reclaimed eagerly, not left as debris
+    assert not list((table.location / "data").glob("pos-*"))
+
+
+def test_position_delete_exactness_vs_duplicates(spark, catalog):
+    """THE property predicate/equality granularities cannot express:
+    deleting specific physical rows among full duplicates. Two
+    identical rows in one file — a predicate or key mask kills both;
+    the position mask removes exactly the addressed ordinals."""
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "id long, tag string"
+    ).coalesce(1)
+    table = catalog.create_table("db", "dup", df.schema)
+    table.append(df)
+    # address exactly ONE of the duplicates via a positional scan
+    addr = (
+        table.to_df(spark, _with_positions=True)
+        .filter("id = 1")
+        .sort("_pos_index")
+        .limit(1)
+        .collect()[0]
+    )
+    import pandas as pd  # noqa: F401  (spark csv-free write path)
+
+    pos_df = spark.createDataFrame(
+        [(addr["_pos_file"], addr["_pos_index"])],
+        "file_path string, pos long",
+    )
+    rel = "data/pos-manual0000000000"
+    pos_df.coalesce(1).write.parquet(str(table.location / rel))
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        Snapshot,
+    )
+    import time as _t
+
+    seq = int(table.meta["last_sequence_number"]) + 1
+    table.meta["last_sequence_number"] = seq
+    snap = Snapshot(
+        snapshot_id="manualpos0000000",
+        timestamp_ms=int(_t.time() * 1000),
+        operation="delete",
+        schema_version=1,
+        spec_id=0,
+        data_dir="",
+        sequence_number=seq,
+        delete_pos_dir=rel,
+        files=table._collect_manifest(rel),
+    )
+    table.meta["snapshots"].append(snap.to_json())
+    table._commit()
+    got = sorted((r.id, r.tag) for r in table.to_df(spark).collect())
+    assert got == [(1, "x"), (2, "y")]  # ONE duplicate survived
+
+
+def test_all_three_delete_granularities_compose(spark, catalog):
+    table, df = _mk(spark, catalog, "tri")
+    table.append(df)
+    table.delete_where(spark, "k = 1", strategy="merge_on_read")
+    table.merge_into(
+        spark,
+        df.filter("k = 2").select("id", "k"),
+        ["id"],
+        when_matched_delete=True,
+        insert_not_matched=False,
+        strategy="merge_on_read",
+    )
+    table.delete_where(spark, "k = 3", strategy="merge_on_read_position")
+    got = table.to_df(spark)
+    assert _ids(got) == _ids(df.filter("k NOT IN (1, 2, 3)"))
+    # compact folds all three mask kinds into data
+    table.compact(spark)
+    assert all(not s.is_row_delete for s in table.snapshots)
+    assert _ids(table.to_df(spark)) == _ids(df.filter("k NOT IN (1, 2, 3)"))
+
+
+def test_position_delete_time_travel_and_expire(spark, catalog):
+    import time as _t
+
+    table, df = _mk(spark, catalog, "tt")
+    s1 = table.append(df)
+    table.delete_where(spark, "k = 5", strategy="merge_on_read_position")
+    # pre-delete time travel sees everything
+    assert table.to_df(spark, as_of_snapshot=s1.snapshot_id).count() == 100
+    table.compact(spark)
+    table.expire_snapshots(
+        older_than_ms=int(_t.time() * 1000) + 10_000, retain_last=0
+    )
+    # expired position-delete dir is gone from disk
+    assert not list((table.location / "data").glob("pos-*"))
+    # current read unaffected
+    assert table.to_df(spark).count() == 100 - df.filter("k = 5").count()
+
+
+def test_position_delete_changelog_and_replay(spark, catalog):
+    table, df = _mk(spark, catalog, "cl")
+    table.append(df)
+    table.delete_where(spark, "k = 4", strategy="merge_on_read_position")
+    log = table.changelog_between(spark)
+    dels = log.filter("_change_type = 'delete'")
+    assert _ids(dels) == _ids(df.filter("k = 4"))
+    # replay invariant
+    ins = log.filter("_change_type = 'insert'").drop(
+        "_change_ordinal", "_snapshot_id", "_change_type"
+    )
+    d = dels.drop("_change_ordinal", "_snapshot_id", "_change_type")
+    replayed = ins.exceptAll(d)
+    target = table.to_df(spark)
+    assert replayed.exceptAll(target).count() == 0
+    assert target.exceptAll(replayed).count() == 0
+
+
+def test_position_delete_v2_export_roundtrip(spark, catalog):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+        read_iceberg_table,
+    )
+
+    table, df = _mk(spark, catalog, "exp")
+    table.append(df.filter("id < 50"))
+    table.append(df.filter("id >= 50"))
+    table.delete_where(spark, "k = 6", strategy="merge_on_read_position")
+    export_to_iceberg(table, spark=spark)
+    got, doc = read_iceberg_table(spark, table.location)
+    assert doc["format-version"] == 2
+    assert _ids(got) == _ids(table.to_df(spark))
+    assert _ids(got) == _ids(df.filter("k <> 6"))
