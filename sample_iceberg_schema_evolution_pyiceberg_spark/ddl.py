@@ -611,7 +611,16 @@ class DdlFrontend:
         table = self._load_for_dml(m, resp, "UPDATE")
         sets, cond = _split_where(m.group("body"))
         cond = cond or "true"
-        strategy = self._write_mode_strategy(table, "write.update.mode")
+        # same extension value as DELETE: position-granularity MoR
+        if (
+            table.properties.get("write.update.mode")
+            == "merge-on-read-position"
+        ):
+            strategy = "merge_on_read_position"
+        else:
+            strategy = self._write_mode_strategy(
+                table, "write.update.mode"
+            )
         snap = table.update_where(
             self.spark, cond, self._parse_assignments(sets),
             strategy=strategy,

@@ -1256,12 +1256,98 @@ class LakeTable:
         in a SINGLE metadata commit (no torn intermediate state) —
         write cost proportional to the matched rows, not the table.
         The delete predicate carries the same guards as
-        ``delete_where(strategy="merge_on_read")``. Returns ``None``
-        (and commits NOTHING) when no row matched — a no-op must not
-        add a permanent scan-time mask arm.
+        ``delete_where(strategy="merge_on_read")``.
+        ``strategy="merge_on_read_position"`` commits the same atomic
+        pair but masks the pre-update versions by (file, ordinal)
+        POSITION instead of by predicate — the shape production
+        Iceberg writers emit for MoR UPDATE: the predicate is
+        evaluated once at update time (a later schema change cannot
+        reinterpret the mask), and the scan-time cost is an exact
+        anti-join independent of predicate complexity. One
+        visible-state scan produces both the addresses and the
+        post-images. Returns ``None`` (and commits NOTHING) when no
+        row matched — a no-op must not add a permanent scan-time mask
+        arm.
         """
         self._check_assignment_targets(assignments)
         cond = F.expr(condition)
+        if strategy == "merge_on_read_position":
+            self._validate_predicate(spark, condition)
+            matched = (
+                self.to_df(spark, _with_positions=True)
+                .filter(self._null_safe(condition))
+                .persist()  # delta-sized; feeds both commits below
+            )
+            import copy  # noqa: PLC0415
+
+            backup = copy.deepcopy(self.meta)
+            try:
+                pos_rel = f"data/pos-{uuid.uuid4().hex[:16]}"
+                (
+                    matched.select(
+                        F.col("_pos_file").alias("file_path"),
+                        F.col("_pos_index").alias("pos"),
+                    )
+                    .sort("file_path", "pos")
+                    .coalesce(1)
+                    .write.mode("error")
+                    .parquet(str(self.location / pos_rel))
+                )
+                pos_manifest = self._collect_manifest(pos_rel)
+                if self._manifest_rows(pos_manifest) == 0:
+                    self.data_io.delete_recursive(
+                        str(self.location / pos_rel)
+                    )
+                    return None
+                changed = matched.select(
+                    *[
+                        F.expr(assignments[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in assignments
+                        else F.col(f.name)
+                        for f in self.schema.fields
+                    ]
+                )
+                rel = self._write_files(changed)
+                now = int(time.time() * 1000)
+                seq0 = int(self.meta.get("last_sequence_number", 0))
+                del_snap = Snapshot(
+                    snapshot_id=uuid.uuid4().hex[:16],
+                    timestamp_ms=now,
+                    operation="delete",
+                    schema_version=int(
+                        self.meta["current_schema_version"]
+                    ),
+                    spec_id=int(self.meta["current_spec_id"]),
+                    data_dir="",
+                    sequence_number=seq0 + 1,
+                    delete_pos_dir=pos_rel,
+                    files=pos_manifest,
+                )
+                app_snap = Snapshot(
+                    snapshot_id=rel.rsplit("snap-", 1)[1],
+                    timestamp_ms=now,
+                    operation="append",
+                    schema_version=int(
+                        self.meta["current_schema_version"]
+                    ),
+                    spec_id=int(self.meta["current_spec_id"]),
+                    data_dir=rel,
+                    sequence_number=seq0 + 2,
+                    files=self._collect_manifest(rel),
+                )
+                self.meta["last_sequence_number"] = seq0 + 2
+                self.meta["snapshots"].extend(
+                    [del_snap.to_json(), app_snap.to_json()]
+                )
+                self._commit()
+                return app_snap
+            except Exception:
+                self.meta = backup
+                raise
+            finally:
+                matched.unpersist()
         if strategy == "merge_on_read":
             self._validate_predicate(spark, condition)
             changed = self.to_df(spark).filter(cond).select(

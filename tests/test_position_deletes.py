@@ -190,3 +190,59 @@ def test_position_delete_v2_export_roundtrip(spark, catalog):
     assert doc["format-version"] == 2
     assert _ids(got) == _ids(table.to_df(spark))
     assert _ids(got) == _ids(df.filter("k <> 6"))
+
+
+def test_position_update_atomic_pair(spark, catalog):
+    """update_where(strategy='merge_on_read_position'): the pre-images
+    mask by position, the post-images append, one atomic commit pair —
+    and the changelog replays the update as delete+insert."""
+    table, df = _mk(spark, catalog, "upd")
+    table.append(df)
+    snap = table.update_where(
+        spark, "k = 2", {"k": "k + 100"},
+        strategy="merge_on_read_position",
+    )
+    assert snap is not None and snap.operation == "append"
+    snaps = table.snapshots
+    assert snaps[-2].delete_pos_dir and snaps[-2].operation == "delete"
+    assert snaps[-2].timestamp_ms == snaps[-1].timestamp_ms  # one pair
+    got = table.to_df(spark)
+    want = df.select(
+        "id",
+        F.when(F.col("k") == 2, F.col("k") + 100)
+        .otherwise(F.col("k"))
+        .alias("k"),
+    )
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # no-op update commits nothing
+    n = len(table.snapshots)
+    assert table.update_where(
+        spark, "k = 999", {"k": "k"},
+        strategy="merge_on_read_position",
+    ) is None
+    assert len(table.snapshots) == n
+    # changelog: update surfaces as delete(old)+insert(new)
+    log = table.changelog_between(spark)
+    dels = log.filter("_change_type = 'delete'")
+    assert _ids(dels) == _ids(df.filter("k = 2"))
+    ins = log.filter("_change_type = 'insert' AND k > 100")
+    assert _ids(ins) == _ids(df.filter("k = 2"))
+
+
+def test_position_update_via_sql(spark, catalog, tmp_path):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import (
+        DdlFrontend,
+    )
+
+    ddl = DdlFrontend(spark, LakeCatalog(tmp_path / "wh2"))
+    ddl.sql("CREATE TABLE db.pu (id BIGINT, k BIGINT) TBLPROPERTIES "
+            "('write.update.mode' = 'merge-on-read-position')")
+    ddl.sql("INSERT INTO db.pu SELECT id, id % 7 FROM range(50)")
+    r = ddl.sql("UPDATE db.pu SET k = k * 10 WHERE k = 4")
+    assert not r.has_error, r.message_list
+    table = ddl.catalog.load_table("db", "pu")
+    assert any(s.delete_pos_dir for s in table.snapshots)
+    assert ddl.query(
+        "SELECT COUNT(*) AS n FROM db.pu WHERE k = 40"
+    ).collect()[0]["n"] == 7
