@@ -1100,3 +1100,81 @@ def c28_substring_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     partially-overlapping docs yield interior spans, so the interval
     merge is exercised on real shapes."""
     return substring_dup_spans(t(spark, sf, "documents"))
+
+
+@query(
+    "c30_filter_funnel",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, LENGTH(text) AS n_chars,
+             LEN(STR_SPLIT(text, ' ')) AS n_words,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS punct_ratio,
+             CAST(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '),
+                   w -> LIST_CONTAINS(
+                     ['the','a','of','and','to','in','is','for'], w)))
+                  AS DOUBLE) / LEN(STR_SPLIT(text, ' ')) AS stop_ratio
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT source,
+             CASE WHEN n_chars < 100 THEN '1_too_short'
+                  WHEN n_chars > 5000 THEN '2_too_long'
+                  WHEN n_words < 20 THEN '3_low_words'
+                  WHEN punct_ratio > 0.10 THEN '4_high_punct'
+                  WHEN stop_ratio < 0.01 THEN '5_low_stopword'
+                  ELSE 'pass' END AS verdict,
+             n_chars
+      FROM scored
+    )
+    SELECT verdict, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM verdicts GROUP BY verdict
+    """,
+)
+def c30_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-filter FUNNEL (the observability stage every production
+    corpus pipeline runs next to its filters): each document is
+    annotated with the FIRST failing rule of an ordered cascade
+    (length floor/ceiling, word floor, punctuation ceiling, stopword
+    floor — the c08 rule family), then the funnel aggregates
+    docs/chars/sources per verdict. First-fail attribution is what
+    makes a filter cascade debuggable — per-rule independent rates
+    double-count, a funnel's stages sum to the corpus. One projection
+    + one |verdicts|-row aggregate; every rule is pure codegen, no
+    Python in the pipeline at any scale."""
+    d = t(spark, sf, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    punct = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast(
+            "double"
+        )
+        / n_chars
+    )
+    stop = (
+        F.size(
+            F.filter(words("text"), lambda w: w.isin(*_EN_MARKERS))
+        ).cast("double")
+        / n_words
+    )
+    verdict = (
+        F.when(n_chars < 100, "1_too_short")
+        .when(n_chars > 5000, "2_too_long")
+        .when(n_words < 20, "3_low_words")
+        .when(punct > 0.10, "4_high_punct")
+        .when(stop < 0.01, "5_low_stopword")
+        .otherwise("pass")
+    )
+    return (
+        d.select(
+            "source", verdict.alias("verdict"), n_chars.alias("n_chars")
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
