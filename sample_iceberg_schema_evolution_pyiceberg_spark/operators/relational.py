@@ -1719,3 +1719,68 @@ def b62_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderkey").alias("asof_orderkey"),
         F.col("o_totalprice").alias("asof_totalprice"),
     )
+
+
+@query(
+    "b63_recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT 'c' || c_custkey AS child, 'n' || c_nationkey AS parent
+      FROM customer WHERE c_custkey <= 2000
+      UNION ALL
+      SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+    ),
+    walk AS (
+      SELECT r_regionkey AS rk, 'r' || r_regionkey AS node, 0 AS depth
+      FROM region
+      UNION ALL
+      SELECT w.rk, e.child, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.node
+    )
+    SELECT r.r_name AS region_name,
+           CAST(SUM(CASE WHEN w.depth = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers,
+           CAST(MAX(w.depth) AS INTEGER) AS max_depth
+    FROM walk w JOIN region r ON r.r_regionkey = w.rk
+    GROUP BY region_name
+    """,
+)
+def b63_recursive_cte_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new in Spark 4.x; the standard
+    SQL hierarchy/transitive-closure operator): resolve every node of
+    a customer -> nation -> region hierarchy to its ROOT region by
+    iterated self-join over an edge list, then count the leaves and
+    depth per root. The recursion is data-bounded (each iteration is
+    one distributed join; it stops when an iteration adds no rows),
+    so the same query walks an N-level org or BOM hierarchy at any
+    scale — depth iterations of shuffles, never a driver loop. DuckDB
+    replays the identical recursion."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT concat('c', c_custkey) AS child,
+                 concat('n', c_nationkey) AS parent
+          FROM {c} WHERE c_custkey <= 2000
+          UNION ALL
+          SELECT concat('n', n_nationkey), concat('r', n_regionkey)
+          FROM {n}
+        ),
+        walk AS (
+          SELECT r_regionkey AS rk,
+                 concat('r', r_regionkey) AS node, 0 AS depth
+          FROM {r}
+          UNION ALL
+          SELECT w.rk, e.child, w.depth + 1
+          FROM walk w JOIN edges e ON e.parent = w.node
+        )
+        SELECT r.r_name AS region_name,
+               sum(CASE WHEN w.depth = 2 THEN 1 ELSE 0 END) AS n_customers,
+               cast(max(w.depth) AS int) AS max_depth
+        FROM walk w JOIN {r} r ON r.r_regionkey = w.rk
+        GROUP BY region_name
+        """,
+        c=c, n=n, r=r,
+    )
