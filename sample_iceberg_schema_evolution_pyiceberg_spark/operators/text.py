@@ -1178,3 +1178,51 @@ def c30_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@query(
+    "c31_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, LENGTH(text) AS n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(rn) AS BIGINT) AS max_rank
+    FROM ranked WHERE rn <= 50
+    GROUP BY source
+    """,
+)
+def c31_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified corpus subsampling with EXACT per-stratum quotas
+    (the mixture-construction stage next to c20's weighted sampler):
+    rank documents within each source by a deterministic content-free
+    key (md5 of the doc id — uniform, reproducible across engines and
+    runs, no RNG seed to disagree on) and keep the first N per
+    stratum. Unlike fraction-based sampleBy, quotas are exact and the
+    sample is stable under reordering/partitioning; the rank is one
+    window over the stratum key, O(corpus) with no skew beyond the
+    strata themselves. DuckDB replays the identical ranking."""
+    d = t(spark, sf, "documents")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.length("text").alias("n_chars")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max("rn").cast("bigint").alias("max_rank"),
+        )
+    )
