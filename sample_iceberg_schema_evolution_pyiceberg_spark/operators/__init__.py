@@ -47,7 +47,7 @@ _PRIORITY = [
     "a25_cdc_replication", "a26_scd2_dimension_history",
     "s10_stream_lake_replication", "a27_position_delete_episode",
     "c30_filter_funnel", "b63_recursive_cte_hierarchy",
-    "c31_stratified_sample",
+    "c31_stratified_sample", "b64_lateral_topn",
     "b13_agg_count_distinct", "c15_tfidf_top_terms",
     "c18_dedup_cluster_resolution",
     # Tier 2: the queued r5-evidence band — exactly the 21 keys
@@ -75,9 +75,9 @@ _PRIORITY = [
     "b20_window_running_frame", "b42_udtf_explode",
     "b54_sessionize_batch", "b33_json_funcs", "b35_cast_promotion",
     # --- driver window boundary (50) ---
-    # (a23/c29/a24/a25/a26/s10/a27/c30/b63/c31 joined the r8 head
+    # (a23/c29/a24/a25/a26/s10/a27/c30/b63/c31/b64 joined the r8 head
     # the round built them; each push slides one more key past the
-    # boundary — c04/b10/b11/b16/b20/b42/b54/b33/b35 and b43/b44 keep their r6/r7
+    # boundary — c03/c04/b10/b11/b16/b20/b42/b54/b33/b35 and b43/b44 keep their r6/r7
     # evidence, within the nothing-older-than-r6 policy, and are
     # first in line for r9)
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",

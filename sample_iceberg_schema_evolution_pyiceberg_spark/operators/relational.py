@@ -1784,3 +1784,37 @@ def b63_recursive_cte_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
         """,
         c=c, n=n, r=r,
     )
+
+
+@query(
+    "b64_lateral_topn",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_custkey AS custkey,
+           c.c_acctbal AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+)
+def b64_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table):
+    top-2 customers by balance PER NATION, the classic top-N-per-group
+    expressed as a correlated sub-select instead of a ranking window.
+    Catalyst decorrelates the lateral into a join + per-key limit
+    (DomainJoin rewrite), so the plan stays distributed — no
+    per-outer-row re-execution at any scale. DuckDB runs the identical
+    LATERAL."""
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, c.c_custkey AS custkey,
+               c.c_acctbal AS acctbal
+        FROM {n} n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM {c}
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """,
+        n=n, c=c,
+    )
