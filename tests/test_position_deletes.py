@@ -246,3 +246,19 @@ def test_position_update_via_sql(spark, catalog, tmp_path):
     assert ddl.query(
         "SELECT COUNT(*) AS n FROM db.pu WHERE k = 40"
     ).collect()[0]["n"] == 7
+
+
+def test_position_mask_composes_with_manifest_pruning(spark, catalog):
+    """Pruned scans (explicit surviving-file reads with basePath) must
+    still capture (file, ordinal) addresses and apply the position
+    mask — the two scan-planning features compose."""
+    table, df = _mk(spark, catalog, "prune")
+    # two appends with disjoint id ranges -> prunable manifest bounds
+    table.append(df.filter("id < 50").coalesce(1))
+    table.append(df.filter("id >= 50").coalesce(1))
+    table.delete_where(spark, "k = 3", strategy="merge_on_read_position")
+    got = table.to_df(spark, pruning=[("id", "<", 50)])
+    want = df.filter("id < 50 AND k <> 3")
+    assert _ids(got) == _ids(want)
+    # and the pruned+masked scan really skipped the other snapshot
+    assert len(got.inputFiles()) < len(table.to_df(spark).inputFiles())
