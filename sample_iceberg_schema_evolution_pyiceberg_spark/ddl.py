@@ -846,6 +846,7 @@ class DdlFrontend:
         "expire_metadata_versions": {"keep_last": int},
         "remove_orphan_files": {},
         "rewrite_data_files": {"sort_by": str, "target_files": int},
+        "rewrite_position_delete_files": {},
         "rollback_to_snapshot": {"snapshot_id": str},
         "fast_forward": {"branch": str},
     }
@@ -929,6 +930,16 @@ class DdlFrontend:
             resp.message_list.append(
                 f"expire_metadata_versions {db}.{tbl}: deleted "
                 f"{len(gone)} metadata file(s)"
+            )
+        elif proc == "rewrite_position_delete_files":
+            snap = table.compact_position_deletes(self.spark)
+            resp.message_list.append(
+                f"rewrite_position_delete_files {db}.{tbl}: "
+                + (
+                    f"merged into snapshot {snap.snapshot_id}"
+                    if snap is not None
+                    else "no-op (fewer than two position masks live)"
+                )
             )
         elif proc == "rollback_to_snapshot":
             sid = kwargs.get("snapshot_id")

@@ -1846,6 +1846,69 @@ class LakeTable:
         self._commit()
         return snap
 
+    def compact_position_deletes(self, spark: SparkSession) -> "Snapshot | None":
+        """Iceberg ``rewrite_position_delete_files`` analog: merge ALL
+        live position-delete entries into ONE tuple file — each merged
+        mask entry removed is one anti-join arm every scan no longer
+        pays — WITHOUT touching data files (``compact()`` is the full
+        fold; this is the cheap delete-plane maintenance between
+        compactions).
+
+        Safe by construction where merging predicate or equality masks
+        would NOT be: a position tuple matches only its own (file,
+        ordinal), and delete masks apply to snapshots earlier than the
+        mask's sequence number — the referenced files are always
+        earlier than their original delete commit, so re-committing
+        the union at the LATEST sequence number can never mask a row
+        the originals did not. Returns the merged snapshot, or None if
+        fewer than two position entries are live."""
+        pos_snaps = [s for s in self.snapshots if s.delete_pos_dir]
+        if len(pos_snaps) < 2:
+            return None
+        merged = spark.read.parquet(
+            *[str(self.location / s.delete_pos_dir) for s in pos_snaps]
+        ).dropDuplicates(["file_path", "pos"]).sort("file_path", "pos")
+        import copy  # noqa: PLC0415
+
+        backup = copy.deepcopy(self.meta)
+        try:
+            pos_rel = f"data/pos-{uuid.uuid4().hex[:16]}"
+            merged.coalesce(1).write.mode("error").parquet(
+                str(self.location / pos_rel)
+            )
+            manifest = self._collect_manifest(pos_rel)
+            seq = int(self.meta.get("last_sequence_number", 0)) + 1
+            self.meta["last_sequence_number"] = seq
+            snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                timestamp_ms=int(time.time() * 1000),
+                operation="delete",
+                schema_version=int(self.meta["current_schema_version"]),
+                spec_id=int(self.meta["current_spec_id"]),
+                data_dir="",
+                sequence_number=seq,
+                delete_pos_dir=pos_rel,
+                files=manifest,
+            )
+            # replaced entries move to history (time travel to a state
+            # BETWEEN the originals still applies them individually);
+            # the live log carries only the merged mask
+            merged_ids = {s.snapshot_id for s in pos_snaps}
+            self.meta.setdefault("snapshot_history", []).extend(
+                s for s in self.meta["snapshots"]
+                if s["snapshot_id"] in merged_ids
+            )
+            self.meta["snapshots"] = [
+                s for s in self.meta["snapshots"]
+                if s["snapshot_id"] not in merged_ids
+            ]
+            self.meta["snapshots"].append(snap.to_json())
+            self._commit()
+            return snap
+        except Exception:
+            self.meta = backup
+            raise
+
     # -- snapshot tags (Iceberg refs, tag type) ----------------------------
 
     @property

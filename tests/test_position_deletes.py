@@ -262,3 +262,59 @@ def test_position_mask_composes_with_manifest_pruning(spark, catalog):
     assert _ids(got) == _ids(want)
     # and the pruned+masked scan really skipped the other snapshot
     assert len(got.inputFiles()) < len(table.to_df(spark).inputFiles())
+
+
+def test_compact_position_deletes_merges_masks(spark, catalog):
+    """rewrite_position_delete_files analog: three position masks
+    merge into ONE live entry, state unchanged, time travel to a
+    between-state still applies the originals from history, and the
+    full-range changelog still replays."""
+    table, df = _mk(spark, catalog, "pdm")
+    table.append(df)
+    table.delete_where(spark, "k = 1", strategy="merge_on_read_position")
+    mid = table.snapshots[-1]
+    table.delete_where(spark, "k = 2", strategy="merge_on_read_position")
+    table.delete_where(spark, "k = 3", strategy="merge_on_read_position")
+    before = _ids(table.to_df(spark))
+    merged = table.compact_position_deletes(spark)
+    assert merged is not None and merged.delete_pos_dir
+    live_masks = [s for s in table.snapshots if s.is_row_delete]
+    assert len(live_masks) == 1  # one anti-join arm instead of three
+    assert _ids(table.to_df(spark)) == before
+    # between-state time travel: only k=1 deleted as of `mid`
+    tt = table.to_df(spark, as_of_snapshot=mid.snapshot_id)
+    assert _ids(tt) == _ids(df.filter("k <> 1"))
+    # changelog across the merge still replays (merged mask emits
+    # nothing new: its rows were already masked by the originals)
+    log = table.changelog_between(spark)
+    ins = log.filter("_change_type = 'insert'").drop(
+        "_change_ordinal", "_snapshot_id", "_change_type"
+    )
+    dels = log.filter("_change_type = 'delete'").drop(
+        "_change_ordinal", "_snapshot_id", "_change_type"
+    )
+    replayed = ins.exceptAll(dels)
+    target = table.to_df(spark)
+    assert replayed.exceptAll(target).count() == 0
+    assert target.exceptAll(replayed).count() == 0
+    # fewer than two masks -> no-op
+    assert table.compact_position_deletes(spark) is None
+
+
+def test_rewrite_position_delete_files_via_sql(spark, catalog, tmp_path):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import (
+        DdlFrontend,
+    )
+
+    ddl = DdlFrontend(spark, LakeCatalog(tmp_path / "wh3"))
+    ddl.sql("CREATE TABLE db.rp (id BIGINT, k BIGINT) TBLPROPERTIES "
+            "('write.delete.mode' = 'merge-on-read-position')")
+    ddl.sql("INSERT INTO db.rp SELECT id, id % 7 FROM range(100)")
+    ddl.sql("DELETE FROM db.rp WHERE k = 1")
+    ddl.sql("DELETE FROM db.rp WHERE k = 2")
+    r = ddl.sql("CALL system.rewrite_position_delete_files('db.rp')")
+    assert not r.has_error and "merged into snapshot" in r.message_list[-1]
+    table = ddl.catalog.load_table("db", "rp")
+    assert len([s for s in table.snapshots if s.is_row_delete]) == 1
+    n = ddl.query("SELECT COUNT(*) AS n FROM db.rp").collect()[0]["n"]
+    assert n == 100 - 15 - 14  # k=1: ids 1..99 (15), k=2: ids 2..93 (14)
