@@ -413,3 +413,31 @@ def test_scd2_history_validates_shape(spark, catalog):
     table, df = _mk(spark, catalog, "scdv")
     with pytest.raises(TableFormatError):
         scd2_history(df, ["id"])
+
+
+def test_changelog_across_schema_evolution(spark, catalog):
+    """A changelog spanning an ADD COLUMN aligns every emission to the
+    CURRENT schema: pre-evolution insert images null-fill the new
+    column, post-evolution images carry it — and the replay invariant
+    holds across the boundary."""
+    import pyspark.sql.types as T
+
+    table, df = _mk(spark, catalog, "evo")
+    table.append(df.filter("id < 50"))
+    new_schema = T.StructType(
+        list(table.schema.fields) + [T.StructField("tag", T.StringType())]
+    )
+    table.commit_schema(new_schema)
+    df2 = spark.range(50, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.lit("v2").alias("tag")
+    )
+    last = table.append(df2)
+    table.delete_where(spark, "k = 3", strategy="merge_on_read_position")
+    log = table.changelog_between(spark)
+    assert set(log.columns) >= {"id", "k", "tag"}
+    pre = log.filter("_change_type = 'insert' AND id < 50")
+    assert pre.filter("tag IS NOT NULL").count() == 0  # null-filled
+    post = log.filter("_change_type = 'insert' AND id >= 50")
+    assert post.filter("tag = 'v2'").count() == 50
+    _replay(table, spark, None, None if last is None else
+            table.snapshots[-1].snapshot_id)
