@@ -362,6 +362,44 @@ class DdlFrontend:
                 self.catalog.list_tables() or [("", "")],
                 "database string, table string",
             ).filter("database != ''")
+        if sm := re.match(
+            r"^SHOW\s+CREATE\s+TABLE\s+"
+            r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)$",
+            stmt,
+            re.IGNORECASE,
+        ):
+            table = self.catalog.load_table(sm.group(1), sm.group(2))
+            if table is None:
+                raise DdlError(
+                    f"table {sm.group(1)}.{sm.group(2)} does not exist"
+                )
+            # Spark's own DDL rendering of the schema (types + NOT
+            # NULL), so the emitted statement re-executes through this
+            # front-end's CREATE parser — round-trip tested
+            cols = (
+                self.spark.createDataFrame([], table.schema)
+                ._jdf.schema()
+                .toDDL()
+            )
+            ddl = f"CREATE TABLE {sm.group(1)}.{sm.group(2)} ({cols})"
+            spec = table.partition_spec
+            if spec.fields:
+                parts = ", ".join(
+                    f.source_column
+                    if f.transform == "identity"
+                    else f"{f.transform}({f.source_column})"
+                    for f in spec.fields
+                )
+                ddl += f" PARTITIONED BY ({parts})"
+            if table.properties:
+                props = ", ".join(
+                    f"'{k}' = '{v}'"
+                    for k, v in sorted(table.properties.items())
+                )
+                ddl += f" TBLPROPERTIES ({props})"
+            return self.spark.createDataFrame(
+                [(ddl,)], "create_statement string"
+            )
         if dm := re.match(
             r"^DESCRIBE\s+(?:TABLE\s+)?"
             r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)$",

@@ -919,3 +919,26 @@ def test_delete_mode_position_via_sql(ddl):
     r = ddl.sql("DELETE FROM db.pd WHERE k = 999")
     assert not r.has_error and "no row matched" in r.message_list[-1]
     assert len(ddl.catalog.load_table("db", "pd").snapshots) == n
+
+
+def test_show_create_table_roundtrip(ddl):
+    """SHOW CREATE TABLE emits a statement this front-end re-executes
+    to an equivalent table — schema (incl. nested + NOT NULL),
+    partition spec, and properties all survive the round trip."""
+    ddl.sql(
+        "CREATE TABLE sc.src (ts TIMESTAMP_NTZ, v INT NOT NULL, "
+        "address STRUCT<city: STRING, zip: STRING>) "
+        "PARTITIONED BY (days(ts)) "
+        "TBLPROPERTIES ('write.target-size' = '512m')"
+    )
+    stmt = ddl.query("SHOW CREATE TABLE sc.src").collect()[0][0]
+    assert stmt.startswith("CREATE TABLE sc.src (")
+    # re-execute under a new name
+    r = ddl.sql(stmt.replace("sc.src", "sc.dst", 1))
+    assert not r.has_error, (stmt, r.message_list)
+    a = ddl.catalog.load_table("sc", "src")
+    b = ddl.catalog.load_table("sc", "dst")
+    assert _norm(a.schema) == _norm(b.schema)
+    assert [(f.source_column, f.transform) for f in a.partition_spec.fields] \
+        == [(f.source_column, f.transform) for f in b.partition_spec.fields]
+    assert b.properties.get("write.target-size") == "512m"
