@@ -441,3 +441,69 @@ def test_changelog_across_schema_evolution(spark, catalog):
     assert post.filter("tag = 'v2'").count() == 50
     _replay(table, spark, None, None if last is None else
             table.snapshots[-1].snapshot_id)
+
+
+def test_changelog_replay_random_lineages(spark, tmp_path):
+    """Property: for ANY mutation sequence (appends, copy-on-write and
+    merge-on-read deletes of every granularity, updates, compactions),
+    the full-range changelog replays to the final state. Randomized
+    over seeded op sequences — the hand-written lineage tests above
+    pin shapes; this sweeps the composition space."""
+    import random
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    catalog = LakeCatalog(tmp_path / "wh_prop")
+    base = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        table = catalog.create_table("db", f"prop{seed}", base.schema)
+        cursor = 0
+
+        def do_append():
+            nonlocal cursor
+            n = rng.randrange(10, 40)
+            table.append(
+                base.filter(f"id >= {cursor} AND id < {cursor + n}")
+            )
+            cursor += n
+
+        do_append()  # lineages start with data
+        ops = ["append", "cow_del", "mor_del", "pos_del", "upd",
+               "pos_upd", "compact"]
+        for _ in range(rng.randrange(4, 7)):
+            op = rng.choice(ops)
+            k = rng.randrange(7)
+            if op == "append":
+                do_append()
+            elif op == "cow_del":
+                table.delete_where(spark, f"k = {k}")
+            elif op == "mor_del":
+                table.delete_where(
+                    spark, f"k = {k}", strategy="merge_on_read"
+                )
+            elif op == "pos_del":
+                table.delete_where(
+                    spark, f"k = {k}",
+                    strategy="merge_on_read_position",
+                )
+            elif op == "upd":
+                table.update_where(spark, f"k = {k}", {"k": "k + 10"})
+            elif op == "pos_upd":
+                table.update_where(
+                    spark, f"k = {k}", {"k": "k + 10"},
+                    strategy="merge_on_read_position",
+                )
+            elif op == "compact":
+                table.compact(spark)
+        log = table.changelog_between(spark)
+        ins = log.filter("_change_type = 'insert'").drop(*CDC_COLS)
+        dels = log.filter("_change_type = 'delete'").drop(*CDC_COLS)
+        replayed = ins.exceptAll(dels)
+        target = table.to_df(spark)
+        assert replayed.exceptAll(target).count() == 0, f"seed {seed}"
+        assert target.exceptAll(replayed).count() == 0, f"seed {seed}"
