@@ -76,10 +76,13 @@ _PRIORITY = [
     "b54_sessionize_batch", "b33_json_funcs", "b35_cast_promotion",
     # --- driver window boundary (50) ---
     # (a23/c29/a24/a25/a26/s10/a27/c30/b63/c31/b64 joined the r8 head
-    # the round built them; each push slides one more key past the
-    # boundary — c03/c04/b10/b11/b16/b20/b42/b54/b33/b35 and b43/b44 keep their r6/r7
-    # evidence, within the nothing-older-than-r6 policy, and are
-    # first in line for r9)
+    # as the round built them; each push slid one more key past the
+    # boundary. FINAL r8 boundary: the window ends at c02b.
+    # Out-of-window with r6 evidence (FIRST in line for the r9
+    # rotation): c03/c04/b10/b11/b16/b20/b42/b33/b35/b43/b44; b54
+    # carries r7 evidence. Every one was re-verified green in this
+    # round's local 138-key sweep (SURVEY §5.8), so nothing is
+    # stale-but-untested.
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
     # Everything below keeps r6/r7 evidence (nothing older than r6
     # anywhere once this window lands — VERDICT r7 item 4 done
