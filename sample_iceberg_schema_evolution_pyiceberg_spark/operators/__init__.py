@@ -48,6 +48,7 @@ _PRIORITY = [
     "s10_stream_lake_replication", "a27_position_delete_episode",
     "c30_filter_funnel", "b63_recursive_cte_hierarchy",
     "c31_stratified_sample", "b64_lateral_topn",
+    "c32_leakage_safe_split",
     "b13_agg_count_distinct", "c15_tfidf_top_terms",
     "c18_dedup_cluster_resolution",
     # Tier 2: the queued r5-evidence band — exactly the 21 keys
@@ -75,11 +76,11 @@ _PRIORITY = [
     "b20_window_running_frame", "b42_udtf_explode",
     "b54_sessionize_batch", "b33_json_funcs", "b35_cast_promotion",
     # --- driver window boundary (50) ---
-    # (a23/c29/a24/a25/a26/s10/a27/c30/b63/c31/b64 joined the r8 head
+    # (a23/c29/a24/a25/a26/s10/a27/c30/b63/c31/b64/c32 joined the r8 head
     # as the round built them; each push slid one more key past the
-    # boundary. FINAL r8 boundary: the window ends at c02b.
+    # boundary. FINAL r8 boundary: the window ends at c02.
     # Out-of-window with r6 evidence (FIRST in line for the r9
-    # rotation): c03/c04/b10/b11/b16/b20/b42/b33/b35/b43/b44; b54
+    # rotation): c02b/c03/c04/b10/b11/b16/b20/b42/b33/b35/b43/b44; b54
     # carries r7 evidence. Every one was re-verified green in this
     # round's local 138-key sweep (SURVEY §5.8), so nothing is
     # stale-but-untested.

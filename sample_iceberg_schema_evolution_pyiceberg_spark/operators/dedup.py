@@ -731,3 +731,101 @@ def c29_incremental_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+# two leading hex chars of md5 -> 0..255, portable across engines
+# (Spark and DuckDB hash functions differ; md5 hex text is identical)
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "c32_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_C04_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    ck AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS ck
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    s AS (
+      SELECT doc_id, ck,
+             CASE WHEN b <= 7 THEN 'train'
+                  WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, ck,
+              (16 * (INSTR('{_HEX}',
+                     SUBSTR(MD5(CAST(ck AS VARCHAR)), 1, 1)) - 1)
+               + (INSTR('{_HEX}',
+                     SUBSTR(MD5(CAST(ck AS VARCHAR)), 2, 1)) - 1)
+              ) % 10 AS b
+            FROM ck)
+    ),
+    integ AS (
+      SELECT MAX(cnt) = 1 AS ok FROM (
+        SELECT ck, COUNT(DISTINCT split) AS cnt FROM s GROUP BY ck)
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT ck) AS n_clusters,
+           (SELECT ok FROM integ) AS no_straddle
+    FROM s GROUP BY split
+    """,
+)
+def c32_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (the stage after dedup that
+    production pipelines get wrong by splitting per-document): the
+    split key is the NEAR-DUP CLUSTER (c18's resolution; singletons
+    are their own cluster), hashed to a deterministic bucket — so a
+    document and its near-duplicates can never straddle train and
+    test, the eval-contamination mode document-level random splits
+    permit. 80/10/10 by md5 bucket of the cluster id — content-free,
+    reproducible across engines/runs/partitionings. The output carries
+    a computed ``no_straddle`` integrity flag (max distinct splits
+    per cluster == 1), so the guarantee is ASSERTED by the hash gate,
+    not assumed. One join + two aggregates beyond the c18 resolution
+    it composes."""
+    labels = c18_dedup_cluster_resolution(spark, sf).select(
+        "doc_id", "cluster_id"
+    )
+    d = t(spark, sf, "documents").select("doc_id")
+    ck = d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("ck"),
+    )
+    md5s = F.md5(F.col("ck").cast("string"))
+    bucket = (
+        (F.instr(F.lit(_HEX), F.substring(md5s, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(_HEX), F.substring(md5s, 2, 1)) - 1)
+    ) % 10
+    s = ck.withColumn(
+        "split",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test"),
+    )
+    integ = (
+        s.groupBy("ck")
+        .agg(F.countDistinct("split").alias("cnt"))
+        .agg((F.max("cnt") == 1).alias("ok"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ck").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(integ))  # one row
+        .withColumnRenamed("ok", "no_straddle")
+    )
