@@ -342,3 +342,29 @@ def test_c29_incremental_ingest_dedup_invariants(spark):
     assert expected_delta > 0  # testdata's planted exact dups make this real
     assert {r.delta_rows for r in out} == {expected_delta}
     assert sum(r.n for r in out) == b1.count() + expected_delta
+
+
+def test_leakage_safe_split_cluster_integrity(spark):
+    """c32's guarantee, asserted structurally: every near-dup cluster
+    lands WHOLLY inside one split, the three splits partition the
+    corpus, and the assignment is deterministic across invocations."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.dedup import (
+        c18_dedup_cluster_resolution,
+        c32_leakage_safe_split,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+
+    out = {r.split: r for r in c32_leakage_safe_split(spark, SF).collect()}
+    assert set(out) <= {"train", "val", "test"} and "train" in out
+    assert all(r.no_straddle for r in out.values())
+    n_docs = t(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in out.values()) == n_docs  # a partition
+    # determinism: re-run assigns identical counts
+    again = {r.split: r.n_docs for r in
+             c32_leakage_safe_split(spark, SF).collect()}
+    assert again == {s: r.n_docs for s, r in out.items()}
+    # and the flag is not vacuous: clusters with >1 member exist
+    clusters = c18_dedup_cluster_resolution(spark, SF)
+    assert clusters.groupBy("cluster_id").count().filter(
+        "count > 1"
+    ).count() > 0
