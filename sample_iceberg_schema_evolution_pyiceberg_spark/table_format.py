@@ -3305,6 +3305,85 @@ def scd2_history(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    ordinal_offset: int,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: merge a NEW changelog range into
+    an existing ``scd2_history`` table without rebuilding from table
+    begin — the nightly-dimension-refresh shape. ``ordinal_offset``
+    maps the range's relative ordinals onto the history's global
+    timeline (pass the number of commits already consumed; it must
+    exceed every open interval's ``valid_from``).
+
+    Mechanics: CLOSED intervals pass through untouched (history is
+    immutable once closed); each OPEN interval re-enters the event
+    stream as a synthetic insert at its own ``valid_from``, unions
+    with the offset new events, and the same one-window
+    latest/next-event fold recomputes the affected keys' intervals —
+    an open interval either survives (no new events for its key) or
+    closes at exactly the first new delete. Incremental cost is
+    O(open-history + new-changelog), never O(full history).
+
+    Idempotent per range like ``apply_changelog``: apply each consumed
+    range once, in order. Equality with the from-scratch rebuild is
+    property-tested (same frame, ordinal-for-ordinal).
+    """
+    for c in ("valid_from", "valid_to", "is_current"):
+        if c not in history.columns:
+            raise TableFormatError(
+                f"not an SCD2 history frame: missing {c!r}"
+            )
+    cdc_cols = ["_change_ordinal", "_snapshot_id", "_change_type"]
+    missing = [c for c in cdc_cols if c not in changelog.columns]
+    if missing:
+        raise TableFormatError(
+            f"not a changelog frame: missing {missing} "
+            "(expected the changelog_between column shape)"
+        )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    data_cols = [
+        c
+        for c in history.columns
+        if c not in ("valid_from", "valid_to", "is_current")
+    ]
+    closed = history.filter(~F.col("is_current"))
+    open_events = history.filter(F.col("is_current")).select(
+        *data_cols,
+        F.col("valid_from").alias("_change_ordinal"),
+        F.lit("(open)").alias("_snapshot_id"),
+        F.lit("insert").alias("_change_type"),
+    )
+    new_events = changelog.select(
+        *data_cols,
+        (F.col("_change_ordinal") + F.lit(ordinal_offset)).alias(
+            "_change_ordinal"
+        ),
+        "_snapshot_id",
+        "_change_type",
+    )
+    events = open_events.unionByName(new_events)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_change_ordinal").asc(), F.col("_change_type").asc()
+    )
+    recomputed = (
+        events.withColumn(
+            "__next_ordinal", F.lead("_change_ordinal").over(w)
+        )
+        .filter(F.col("_change_type") == "insert")
+        .select(
+            *data_cols,
+            F.col("_change_ordinal").alias("valid_from"),
+            F.col("__next_ordinal").alias("valid_to"),
+            F.col("__next_ordinal").isNull().alias("is_current"),
+        )
+    )
+    return closed.select(recomputed.columns).unionByName(recomputed)
+
+
 # ---------------------------------------------------------------------------
 # Schema alignment: reconcile a file-schema DataFrame to the current schema
 # ---------------------------------------------------------------------------

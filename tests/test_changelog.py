@@ -507,3 +507,44 @@ def test_changelog_replay_random_lineages(spark, tmp_path):
         target = table.to_df(spark)
         assert replayed.exceptAll(target).count() == 0, f"seed {seed}"
         assert target.exceptAll(replayed).count() == 0, f"seed {seed}"
+
+
+def test_scd2_apply_equals_full_rebuild(spark, catalog):
+    """Incremental SCD2 maintenance: history built from range 1 plus
+    scd2_apply of range 2 must equal the from-scratch rebuild over the
+    full changelog — frame-for-frame, ordinals included."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    table, df = _mk(spark, catalog, "scdi")
+    table.append(df.filter("id < 30"))                        # ord 0
+    table.update_where(spark, "k = 2", {"k": "k + 100"})      # ord 1
+    mid = table.snapshots[-1]
+    n_consumed = 2
+    table.delete_where(spark, "k = 4", strategy="merge_on_read")  # 2
+    table.append(df.filter("id >= 30 AND id < 50"))           # ord 3
+    table.update_where(                                        # ord 4
+        spark, "k = 6", {"k": "k + 200"},
+        strategy="merge_on_read_position",
+    )
+
+    hist1 = scd2_history(
+        table.changelog_between(spark, to_snapshot=mid.snapshot_id),
+        ["id"],
+    )
+    incremental = scd2_apply(
+        hist1,
+        table.changelog_between(spark, from_snapshot=mid.snapshot_id),
+        ["id"],
+        ordinal_offset=n_consumed,
+    )
+    full = scd2_history(table.changelog_between(spark), ["id"])
+    assert incremental.exceptAll(full).count() == 0
+    assert full.exceptAll(incremental).count() == 0
+    # shape guards
+    with pytest.raises(TableFormatError):
+        scd2_apply(df, table.changelog_between(spark), ["id"], 0)
+    with pytest.raises(TableFormatError):
+        scd2_apply(hist1, df, ["id"], 0)
