@@ -48,7 +48,7 @@ _PRIORITY = [
     "s10_stream_lake_replication", "a27_position_delete_episode",
     "c30_filter_funnel", "b63_recursive_cte_hierarchy",
     "c31_stratified_sample", "b64_lateral_topn",
-    "c32_leakage_safe_split",
+    "c32_leakage_safe_split", "b65_window_time_range_frame",
     "b13_agg_count_distinct", "c15_tfidf_top_terms",
     "c18_dedup_cluster_resolution",
     # Tier 2: the queued r5-evidence band — exactly the 21 keys
@@ -76,14 +76,16 @@ _PRIORITY = [
     "b20_window_running_frame", "b42_udtf_explode",
     "b54_sessionize_batch", "b33_json_funcs", "b35_cast_promotion",
     # --- driver window boundary (50) ---
-    # (a23/c29/a24/a25/a26/s10/a27/c30/b63/c31/b64/c32 joined the r8 head
+    # (a23/c29/a24-a27/s10/c30-c32/b63-b65 joined the r8 head
     # as the round built them; each push slid one more key past the
-    # boundary. FINAL r8 boundary: the window ends at c02.
+    # boundary. FINAL r8 boundary: the window ends at c01.
     # Out-of-window with r6 evidence (FIRST in line for the r9
-    # rotation): c02b/c03/c04/b10/b11/b16/b20/b42/b33/b35/b43/b44; b54
-    # carries r7 evidence. Every one was re-verified green in this
-    # round's local 138-key sweep (SURVEY §5.8), so nothing is
-    # stale-but-untested.
+    # rotation): c02/c02b/c03/c04/b10/b11/b16/b20/b42/b33/b35/b43/b44;
+    # b54 carries r7 evidence. Note c02/c04 carry r8 CODE changes (the
+    # SQL gram source) without fresh driver-window evidence — the 13
+    # r8-new keys outrank them for slots; both were re-verified green
+    # in this round's local full-registry sweep (SURVEY §5.8), as was
+    # every other out-of-window key, so nothing is stale-but-untested.
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
     # Everything below keeps r6/r7 evidence (nothing older than r6
     # anywhere once this window lands — VERDICT r7 item 4 done

@@ -1818,3 +1818,41 @@ def b64_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
         """,
         n=n, c=c,
     )
+
+
+@query(
+    "b65_window_time_range_frame",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+                 AS DOUBLE), 6) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def b65_window_time_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING —
+    value-based frame boundaries, the family b20/b21's ROWS frames
+    cannot express): each event's trailing-one-hour per-user count and
+    value sum. The frame is defined by the ORDER BY column's VALUE, so
+    ties and gaps behave by time, not by row position — the standard
+    rolling-window feature shape. Decimal accumulation keeps the sum
+    order-independent under ts ties. Same one-exchange-per-partition-
+    key plan as any window; DuckDB runs the identical frame."""
+    e = t(spark, sf, "events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               count(*) OVER w AS n_1h,
+               round(cast(sum(cast(value AS decimal(18,6))) OVER w
+                     AS double), 6) AS sum_1h
+        FROM {e}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+        """,
+        e=e,
+    )
