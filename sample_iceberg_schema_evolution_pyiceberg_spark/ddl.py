@@ -71,6 +71,7 @@ from .partitioning import (
     TRANSFORMS,
     PartitionField,
     PartitionSpec,
+    default_partition_name,
 )
 from .response import ProcessSchemaResponse
 from .table_format import LakeCatalog, LakeTable
@@ -138,8 +139,54 @@ def _parse_col_def(spark: SparkSession, text: str) -> T.StructField:
     )
 
 
+def _q(s: str) -> str:
+    """Escape a value for a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+def _render_partition_field(
+    f: PartitionField, identity_fn: bool = False
+) -> str:
+    """Render a spec field back to re-parseable DDL: bare column for
+    identity (or ``identity(col)`` for DESCRIBE), ``bucket(N, col)`` /
+    ``truncate(W, col)`` for parameterized transforms,
+    ``transform(col)`` otherwise."""
+    if f.param is not None:
+        return f"{f.base_transform}({f.param}, {f.source_column})"
+    if f.transform == "identity" and not identity_fn:
+        return f.source_column
+    return f"{f.transform}({f.source_column})"
+
+
 def _parse_partition_entry(text: str) -> tuple[str, str, str | None]:
-    """'years(c) [AS name]' | 'c' -> (source_column, transform, name)."""
+    """'years(c) [AS name]' | 'c' | 'bucket(16, c)' | 'truncate(4, c)'
+    -> (source_column, transform, name). Two-arg transforms accept the
+    parameter in either position (Iceberg's Spark DDL wrote
+    ``truncate(col, W)`` historically, ``truncate(W, col)`` today)."""
+    m2 = re.match(
+        r"^\s*(\w+)\s*\(\s*([A-Za-z_]\w*|\d+)\s*,\s*([A-Za-z_]\w*|\d+)"
+        r"\s*\)(?:\s+AS\s+([A-Za-z_]\w*))?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m2:
+        fn, a, b, alias = m2.groups()
+        fn = fn.lower()
+        if fn not in ("bucket", "truncate"):
+            raise DdlError(
+                f"unsupported two-argument partition transform {fn!r} "
+                "(supported: bucket(N, col), truncate(W, col))"
+            )
+        if a.isdigit() and not b.isdigit():
+            n, col = a, b
+        elif b.isdigit() and not a.isdigit():
+            n, col = b, a
+        else:
+            raise DdlError(
+                f"cannot parse partition field: {text!r} (need one "
+                "integer parameter and one column)"
+            )
+        return col, f"{fn}[{int(n)}]", alias
     m = re.match(
         r"^\s*(?:(\w+)\s*\(\s*([A-Za-z_]\w*)\s*\)|([A-Za-z_]\w*))"
         r"(?:\s+AS\s+([A-Za-z_]\w*))?\s*$",
@@ -156,7 +203,8 @@ def _parse_partition_entry(text: str) -> tuple[str, str, str | None]:
     if transform not in TRANSFORMS:
         raise DdlError(
             f"unsupported partition transform {fn!r} (supported: "
-            f"{', '.join(TRANSFORMS)} and plural aliases)"
+            f"{', '.join(TRANSFORMS)} and plural aliases, plus "
+            "bucket(N, col) / truncate(W, col))"
         )
     return col, transform, alias
 
@@ -164,10 +212,12 @@ def _parse_partition_entry(text: str) -> tuple[str, str, str | None]:
 def _parse_properties(text: str) -> dict[str, str]:
     props = {}
     for entry in _split_top_level(text):
-        m = re.match(r"^\s*'([^']*)'\s*=\s*'([^']*)'\s*$", entry)
+        m = re.match(
+            r"^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", entry
+        )
         if not m:
             raise DdlError(f"cannot parse property: {entry!r}")
-        props[m.group(1)] = m.group(2)
+        props[m.group(1).replace("''", "'")] = m.group(2).replace("''", "'")
     return props
 
 
@@ -385,15 +435,14 @@ class DdlFrontend:
             spec = table.partition_spec
             if spec.fields:
                 parts = ", ".join(
-                    f.source_column
-                    if f.transform == "identity"
-                    else f"{f.transform}({f.source_column})"
-                    for f in spec.fields
+                    _render_partition_field(f) for f in spec.fields
                 )
                 ddl += f" PARTITIONED BY ({parts})"
             if table.properties:
+                # embedded quotes double up ('' — ANSI string escaping)
+                # so the emitted statement always re-parses
                 props = ", ".join(
-                    f"'{k}' = '{v}'"
+                    f"'{_q(k)}' = '{_q(v)}'"
                     for k, v in sorted(table.properties.items())
                 )
                 ddl += f" TBLPROPERTIES ({props})"
@@ -415,7 +464,7 @@ class DdlFrontend:
             ] + [
                 (
                     f"# partition: {f.name}",
-                    f"{f.transform}({f.source_column})",
+                    _render_partition_field(f, identity_fn=True),
                     True,
                 )
                 for f in table.partition_spec.fields
@@ -853,7 +902,10 @@ class DdlFrontend:
                 raise DdlError(f"partition source column {col!r} not in schema")
             fields.append(
                 PartitionField(
-                    col, transform, alias or f"{col}_{transform}", fid
+                    col,
+                    transform,
+                    alias or default_partition_name(col, transform),
+                    fid,
                 )
             )
             fid += 1
@@ -1214,7 +1266,7 @@ class DdlFrontend:
         resp: ProcessSchemaResponse,
     ) -> None:
         col, transform, alias = _parse_partition_entry(entry.strip())
-        name = alias or f"{col}_{transform}"
+        name = alias or default_partition_name(col, transform)
         live = table.partition_spec
         if add:
             if col not in {f.name for f in table.schema.fields}:

@@ -269,11 +269,21 @@ def spec_to_iceberg(
     schema_doc: dict[str, Any] | None = None,
     spec_id: int = 0,
     source_ids: "dict[str, int] | _StableIds | None" = None,
+    void_fields: "frozenset[str] | set[str]" = frozenset(),
 ) -> dict[str, Any]:
     """``source_ids`` may be a path->id mapping (covers columns from any
     schema version); falls back to the given schema doc's root fields.
     Partition field-ids reuse the engine's real spec_field_id (minted
-    from 1000, unique across spec evolution — the Iceberg convention)."""
+    from 1000, unique across spec evolution — the Iceberg convention).
+
+    ``bucket[N]``/``truncate[W]`` transform strings are already the
+    spec's serialization and pass through verbatim. ``void_fields``
+    names fields exported with the spec's ``void`` transform instead:
+    used for Spark-bucket-LAYOUT fields, whose physical bucket ids come
+    from Spark's hash (not the spec's murmur3-seed-0), so advertising
+    ``bucket[N]`` would make external readers prune wrongly — ``void``
+    is the conservative, spec-legal downgrade (readers keep every
+    file; Iceberg itself uses it for dropped v1 partition fields)."""
     if source_ids is None:
         source_ids = {f["name"]: f["id"] for f in schema_doc["fields"]}
     # a _StableIds registry must NOT mint here — an unknown partition
@@ -295,7 +305,9 @@ def spec_to_iceberg(
         fields.append(
             {
                 "name": f.name,
-                "transform": f.transform,
+                "transform": (
+                    "void" if f.name in void_fields else f.transform
+                ),
                 "source-id": sid,
                 "field-id": f.spec_field_id,
             }
@@ -306,6 +318,11 @@ def spec_to_iceberg(
 def _partition_avro_type(transform: str, source_type: T.DataType) -> Any:
     if transform in ("year", "month", "day", "hour"):
         return "int"
+    if transform.startswith("bucket["):
+        return "int"  # spec: bucket result type is int
+    # void and truncate[W] carry the source value's representation
+    # (void values are always null; the declared type is moot but
+    # must be schema-valid) — fall through to the identity mapping
     if isinstance(source_type, (T.IntegerType, T.ShortType, T.ByteType)):
         return "int"
     if isinstance(source_type, T.DateType):
@@ -326,6 +343,13 @@ def encode_partition_value(transform: str, raw: str, source_type: T.DataType):
     from urllib.parse import unquote  # noqa: PLC0415
 
     raw = unquote(raw)
+    if transform == "void":
+        return None  # spec: void always produces null
+    if transform.startswith("bucket["):
+        return int(raw)  # bucket ids are ints in the dir names
+    # truncate[W] falls through: the partition value has the source
+    # column's representation (ints for integral sources, the prefix
+    # string for string sources) — exactly the identity decoding below
     if transform == "year":
         return int(raw) - 1970
     if transform == "month":
@@ -656,9 +680,15 @@ def export_to_iceberg(
     # from the stable column-id registry so a spec referencing a column
     # only present in an older schema version still resolves
     current_spec_id = int(table.meta["current_spec_id"])
+    # Spark-bucket-LAYOUT fields export as void (see spec_to_iceberg)
+    _sbf = table._spark_bucket_field()
+    _void = frozenset({_sbf.name}) if _sbf is not None else frozenset()
     spec_docs = {
         sid: spec_to_iceberg(
-            table.spec_at(sid), spec_id=sid, source_ids=col_ids
+            table.spec_at(sid),
+            spec_id=sid,
+            source_ids=col_ids,
+            void_fields=_void,
         )
         for sid in sorted(int(s) for s in table.meta["specs"])
     }

@@ -408,3 +408,160 @@ def a13_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a28_bucket_truncate_episode",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total
+    FROM orders
+    WHERE o_orderkey <= 5000 AND o_custkey IN (7, 13, 26)
+    GROUP BY o_orderpriority
+    """,
+)
+def a28_bucket_truncate_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """bucket[8]/truncate[2] spec end-to-end (VERDICT r8 item 1): write
+    orders into a lake table partitioned by (bucket(8, o_custkey),
+    truncate(2, o_orderpriority)), scan back with an IN-list pruning
+    predicate on the BUCKETED key, aggregate; the oracle reads the raw
+    parquet. The episode also asserts the manifest actually SKIPPED
+    files outside the literals' buckets (hash-membership pruning, the
+    thing bucket[N] buys at 100 TB)."""
+    from ..partitioning import compile_partition_spec, iceberg_bucket_of  # noqa: PLC0415
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    keys = [7, 13, 26]
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 5000).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory(prefix="bt_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table(
+            "gate",
+            "orders_bt",
+            src.schema,
+            partition_spec=compile_partition_spec(
+                {
+                    "partitions": [
+                        {"column_name": "o_custkey", "transform": "bucket[8]"},
+                        {
+                            "column_name": "o_orderpriority",
+                            "transform": "truncate[2]",
+                        },
+                    ]
+                }
+            ),
+            # one file per live partition value (the write layout
+            # Iceberg recommends for partitioned tables) — without it
+            # every write task emits a file into every value dir
+            properties={"write.distribution-mode": "hash"},
+        )
+        table.append(src)
+        # manifest-level hash-membership skip is live: files outside
+        # the literals' buckets never reach the scan
+        snap = table.snapshots[-1]
+        want = {str(iceberg_bucket_of(k, 8)) for k in keys}
+        kept = [
+            f
+            for f in snap.files
+            if f["partition"]["o_custkey_bucket"] in want
+        ]
+        assert 0 < len(kept) < len(snap.files), (
+            len(kept), len(snap.files)
+        )
+        out = (
+            table.to_df(spark, pruning=[("o_custkey", "in", keys)])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("total"),
+            )
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "b66_lake_bucket_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey <= 20000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def b66_lake_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The b03 fact-fact arm as a LAKE-RESIDENT layout (VERDICT r8
+    item 1 payoff): both facts land in lake tables whose spec is
+    bucket[8] on the orderkey with the Spark-native bucket layout
+    (write.bucket-layout=spark), and the join of the two lake scans is
+    asserted to schedule with NO exchange on either side — the
+    zero-shuffle fact-fact join a 100 TB deployment writes at ingest,
+    now expressed (and replayed) entirely through the table format."""
+    from ..partitioning import compile_partition_spec  # noqa: PLC0415
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    li = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 20000)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 20000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    with tempfile.TemporaryDirectory(prefix="lbj_gate_") as wh:
+        cat = LakeCatalog(wh)
+
+        def mk(name, df, key):
+            spec = compile_partition_spec(
+                {"partitions": [{"column_name": key, "transform": "bucket[8]"}]}
+            )
+            tbl = cat.create_table(
+                "gate", name, df.schema, partition_spec=spec,
+                properties={"write.bucket-layout": "spark"},
+            )
+            tbl.append(df)
+            return tbl
+
+        tl = mk("li_bkt", li, "l_orderkey")
+        to = mk("ord_bkt", orders, "o_orderkey")
+        dl, do = tl.to_df(spark), to.to_df(spark)
+        joined = dl.join(do, dl.l_orderkey == do.o_orderkey)
+        # the layout claim, verified in-episode: no exchange feeds the
+        # join (broadcast disabled so the bucketed path is exercised)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            out = joined.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (1 - F.col("l_discount").cast("decimal(18,4)"))
+                    ).cast("double"),
+                    6,
+                ).alias("revenue"),
+            )
+            rows = out.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

@@ -89,9 +89,15 @@ from pyspark.sql import types as T
 from .fileio import FileIO, LocalFileIO
 from .partitioning import (
     PARTITION_COL_PREFIX,
+    PartitionField,
     PartitionSpec,
     derive_pruning_predicate,
+    spark_bucket_of,
 )
+
+# Spark bucket files carry their bucket id in the name:
+# part-00000-<uuid>_00007.c000.snappy.parquet -> bucket 7
+_SPARK_BUCKET_FILE_RE = re.compile(r"_(\d{5})\.c\d+")
 
 FORMAT_VERSION = 1
 
@@ -523,6 +529,103 @@ def _file_may_match(
     return True  # unknown operator: cannot prune
 
 
+def _partition_values_from_path(rel_in_snap: str) -> dict[str, Any]:
+    """Hive partition dirs of a data file's path inside its snapshot
+    dir -> {spec field name: value string} (the manifest's partition
+    tuple). Values are hive-unescaped; the null-sentinel dir maps to
+    None (Iceberg manifests store null partition values as null)."""
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    out: dict[str, Any] = {}
+    for comp in rel_in_snap.split("/")[:-1]:
+        if "=" not in comp or not comp.startswith(PARTITION_COL_PREFIX):
+            continue
+        key, raw = comp.split("=", 1)
+        val = unquote(raw)
+        out[key[len(PARTITION_COL_PREFIX):]] = (
+            None if val == "__HIVE_DEFAULT_PARTITION__" else val
+        )
+    return out
+
+
+def _partition_value_may_match(
+    field: PartitionField,
+    pval: Any,
+    op: str,
+    lit: Any,
+    spark_layout_field: "PartitionField | None" = None,
+) -> bool:
+    """Manifest-level partition-tuple file skip: False ONLY when the
+    file's recorded partition value PROVES no row satisfies
+    ``source op lit``. Conservative on any doubt. ``pval`` is the
+    manifest-recorded value (string from hive dirs, int for Spark
+    bucket ids); None means the file holds only NULL source values,
+    which satisfy no comparison predicate — skippable."""
+    if pval is None:
+        return False  # whole file is NULL-valued for this source: no match
+    def _is_int(v: Any) -> bool:
+        return isinstance(v, int) and not isinstance(v, bool)
+
+    if field is spark_layout_field:
+        # Spark-native bucket layout: membership via SPARK's hash
+        if op in ("=", "=="):
+            if not _is_int(lit):
+                return True
+            return spark_bucket_of(lit, field.param) == int(pval)
+        if op == "in":
+            vals = list(lit)
+            if not all(_is_int(v) for v in vals):
+                return True
+            return any(
+                spark_bucket_of(v, field.param) == int(pval) for v in vals
+            )
+        return True  # hash destroys order
+    if op == "in":
+        vals = [field.truncate_literal(v) for v in lit]
+        if any(v is None for v in vals):
+            return True
+        return any(_pv_cmp(pval, "=", v) for v in vals)
+    mapped = field.truncate_literal(lit)
+    if mapped is None:
+        return True
+    if field.base_transform == "bucket":
+        if op in ("=", "=="):
+            return _pv_cmp(pval, "=", mapped)
+        return True
+    # order-preserving transforms: x > v  =>  t >= trunc(v) etc.
+    if op in ("=", "=="):
+        return _pv_cmp(pval, "=", mapped)
+    if op in (">", ">="):
+        return _pv_cmp(pval, ">=", mapped)
+    if op in ("<", "<="):
+        return _pv_cmp(pval, "<=", mapped)
+    return True
+
+
+def _pv_cmp(pval: Any, op: str, mapped: Any) -> bool:
+    """Compare a manifest partition value (usually a dir STRING)
+    against a mapped literal, coercing to the literal's type; any
+    coercion failure answers True (cannot prune)."""
+    try:
+        if isinstance(mapped, bool):
+            return True
+        if isinstance(mapped, int):
+            p: Any = int(pval)
+        elif isinstance(mapped, float):
+            p = float(pval)
+        else:
+            p, mapped = str(pval), str(mapped)
+        if op == "=":
+            return p == mapped
+        if op == ">=":
+            return p >= mapped
+        if op == "<=":
+            return p <= mapped
+    except (TypeError, ValueError):
+        return True
+    return True
+
+
 class LakeCatalog:
     """Catalog over a warehouse namespace: ``{warehouse}/{db}/{table}``
     (the reference derives ``s3://{bucket}/{database}/{table}``,
@@ -906,11 +1009,52 @@ class LakeTable:
             ]
         )
         spec = self.partition_spec
+        sbf = self._spark_bucket_field()
         pcols = []
         for pf in spec.fields:
-            aligned = aligned.withColumn(pf.partition_column, pf.expression())
+            if sbf is not None and pf.name == sbf.name:
+                continue  # spark layout: bucketBy owns this field
+            aligned = aligned.withColumn(
+                pf.partition_column,
+                pf.expression(schema[pf.source_column].dataType),
+            )
             pcols.append(pf.partition_column)
         return aligned, pcols
+
+    def _spark_bucket_field(self):
+        """The bucket PartitionField handled by the Spark-native bucket
+        layout, or None. Activated by table property
+        ``write.bucket-layout=spark`` on a spec whose single bucket
+        field sources an integral column: data files are written as
+        REAL Spark bucket files (``bucketBy`` — Spark's murmur3 of the
+        source key, bucket id in the file name) instead of Iceberg-
+        murmur3 hive dirs. The payoff is Catalyst-visible co-location:
+        ``to_df`` can re-declare the snapshot dir as a catalog bucketed
+        table, so fact-fact joins on the bucket key schedule with NO
+        exchange on either side; key =/IN predicates skip files at
+        manifest level via the Spark-hash twin (spark_bucket_of). The
+        trade, documented: per-file partition VALUES for
+        this field are Spark bucket ids, not Iceberg bucket ids, so the
+        Iceberg export maps the field to the spec's ``void`` transform
+        (conservative and spec-legal — readers keep every file)."""
+        if (self.properties or {}).get("write.bucket-layout") != "spark":
+            return None
+        buckets = [
+            f for f in self.partition_spec.fields
+            if f.base_transform == "bucket"
+        ]
+        if len(buckets) != 1:
+            return None
+        f = buckets[0]
+        try:
+            dtype = self.schema[f.source_column].dataType
+        except KeyError:
+            return None
+        if not isinstance(
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return None
+        return f
 
     def append(self, df: DataFrame, branch: "str | None" = None) -> Snapshot:
         """One append = one snapshot commit (reference:
@@ -958,6 +1102,31 @@ class LakeTable:
                 "(none | hash | range)"
             )
         rel = f"data/snap-{uuid.uuid4().hex[:16]}"
+        sbf = self._spark_bucket_field()
+        if sbf is not None:
+            # Spark-native bucket layout (see _spark_bucket_field):
+            # repartition on the key aligns write tasks with bucket ids
+            # (same murmur3 pmod), one sorted file per bucket. bucketBy
+            # requires the catalog API, so write through a throwaway
+            # EXTERNAL table handle — DROP removes only the catalog
+            # entry, the snapshot dir stays (crash between saveAsTable
+            # and DROP leaks a catalog name in the in-memory session
+            # catalog only; the files are governed by our commit).
+            spark = aligned.sparkSession
+            tmp = f"lake_bw_{uuid.uuid4().hex[:12]}"
+            writer = (
+                aligned.repartition(sbf.param, F.col(sbf.source_column))
+                .write.mode("error")
+                .format("parquet")
+                .option("path", str(self.location / rel))
+                .bucketBy(sbf.param, sbf.source_column)
+                .sortBy(sbf.source_column)
+            )
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.saveAsTable(tmp)
+            spark.sql(f"DROP TABLE `{tmp}`")
+            return rel
         writer = aligned.write.mode("error")
         if pcols:
             writer = writer.partitionBy(*pcols)
@@ -976,17 +1145,34 @@ class LakeTable:
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         root = self.location / rel
+        sbf = self._spark_bucket_field()
         out = []
         for p in sorted(root.rglob("*.parquet")):
             md = pq.read_metadata(p)
-            out.append(
-                {
-                    "path": str(p.relative_to(self.location)),
-                    "size_bytes": p.stat().st_size,
-                    "record_count": md.num_rows,
-                    "stats": _footer_column_bounds(md),
-                }
+            entry = {
+                "path": str(p.relative_to(self.location)),
+                "size_bytes": p.stat().st_size,
+                "record_count": md.num_rows,
+                "stats": _footer_column_bounds(md),
+            }
+            # Iceberg manifests record each data file's partition
+            # tuple; ours comes from the hive dirs (hidden partition
+            # values) plus, under the Spark bucket layout, the bucket
+            # id Spark encoded in the file name — both serve the
+            # manifest-level hash-membership/equality file skip.
+            pvals = _partition_values_from_path(
+                str(p.relative_to(root))
             )
+            if sbf is not None:
+                m = _SPARK_BUCKET_FILE_RE.search(p.name)
+                if m:
+                    pvals[sbf.name] = int(m.group(1))
+                    # mark HOW the bucket value was minted: spark ids
+                    # and iceberg ids prune with different hash twins
+                    entry["layout"] = "spark-bucket"
+            if pvals:
+                entry["partition"] = pvals
+            out.append(entry)
         return out
 
     @staticmethod
@@ -2688,16 +2874,37 @@ class LakeTable:
                 # a 100 TB scan into its matching partitions' files.
                 keep_paths: list[str] | None = None
                 if pruning and s.files is not None:
-                    kept = [
-                        f
-                        for f in s.files
-                        if all(
-                            _file_may_match(
+
+                    def _keep(f: dict) -> bool:
+                        for (col, op, lit) in pruning:
+                            if not _file_may_match(
                                 f.get("stats") or {}, col, op, lit
-                            )
-                            for (col, op, lit) in pruning
-                        )
-                    ]
+                            ):
+                                return False
+                            # manifest partition tuple (Iceberg's
+                            # per-file partition values): bucket
+                            # hash-membership + transform-value skips
+                            pv = f.get("partition") or {}
+                            is_spark = f.get("layout") == "spark-bucket"
+                            for fld in spec.fields:
+                                if (
+                                    fld.source_column != col
+                                    or fld.name not in pv
+                                ):
+                                    continue
+                                slf = (
+                                    fld
+                                    if is_spark
+                                    and fld.base_transform == "bucket"
+                                    else None
+                                )
+                                if not _partition_value_may_match(
+                                    fld, pv[fld.name], op, lit, slf
+                                ):
+                                    return False
+                        return True
+
+                    kept = [f for f in s.files if _keep(f)]
                     if not kept:
                         continue  # whole arm provably empty
                     if len(kept) < len(s.files):
@@ -2717,10 +2924,39 @@ class LakeTable:
                         "basePath", str(self.location / s.data_dir)
                     ).parquet(*keep_paths)
                 else:
-                    df = spark.read.parquet(str(self.location / s.data_dir))
-                # hidden-partition pruning for this group's spec
+                    df = None
+                    if not need_pos:
+                        # Spark-bucket-layout snapshots scan through a
+                        # catalog adoption so Catalyst SEES the bucket
+                        # co-location: joins on the bucket key schedule
+                        # with no exchange, and key-equality filters
+                        # get Spark's own (sound: same hash) bucket
+                        # pruning. Plain parquet fallback is value-
+                        # identical — bucket files are ordinary parquet.
+                        df = self._adopt_bucketed_scan(spark, s)
+                    if df is None:
+                        df = spark.read.parquet(
+                            str(self.location / s.data_dir)
+                        )
+                # hidden-partition pruning for this group's spec; a
+                # Spark-bucket-layout snapshot has NO _p_ dir column
+                # for its bucket field (the id lives in file names and
+                # prunes at manifest level above), so exclude it from
+                # the directory rewrite
+                dspec = spec
+                if any(
+                    f.get("layout") == "spark-bucket"
+                    for f in (s.files or [])
+                ):
+                    dspec = PartitionSpec(
+                        tuple(
+                            pf
+                            for pf in spec.fields
+                            if pf.base_transform != "bucket"
+                        )
+                    )
                 for (col, op, lit) in pruning or []:
-                    pred = derive_pruning_predicate(spec, col, op, lit)
+                    pred = derive_pruning_predicate(dspec, col, op, lit)
                     if pred is not None:
                         df = df.filter(pred)
                 if need_pos:
@@ -2820,6 +3056,55 @@ class LakeTable:
                     f"{col} {'=' if op == '==' else op} '{lit}'"
                 )
         return out
+
+    def _adopt_bucketed_scan(
+        self, spark: SparkSession, snap: Snapshot
+    ) -> "DataFrame | None":
+        """Re-declare a Spark-bucket-layout snapshot dir as an EXTERNAL
+        catalog bucketed table (same adoption pattern as
+        sources.bucketed_table) and return its scan — the step that
+        makes the lake's bucket[N] layout visible to Catalyst's
+        exchange planning. Returns None (caller falls back to a plain
+        parquet read) unless the snapshot was verifiably written by the
+        Spark bucket layout: single-bucket-field spec and EVERY data
+        file carrying the Spark bucket-id name pattern."""
+        sbf = self._spark_bucket_field()
+        if sbf is None or snap.files is None or not snap.files:
+            return None
+        spec = self.spec_at(snap.spec_id)
+        if len(spec.fields) != 1 or spec.fields[0].name != sbf.name:
+            return None
+        if not all(
+            f.get("layout") == "spark-bucket"
+            and _SPARK_BUCKET_FILE_RE.search(f["path"])
+            for f in snap.files
+        ):
+            return None
+        fs = self.schema_at(snap.schema_version)
+        if sbf.source_column not in fs.fieldNames():
+            return None
+        import hashlib  # noqa: PLC0415
+
+        key = hashlib.md5(
+            f"{self.location}|{snap.snapshot_id}".encode()
+        ).hexdigest()[:16]
+        name = f"lake_adopt_{key}"
+        try:
+            if not spark.catalog.tableExists(name):
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in fs.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE `{name}` ({cols}) USING parquet "
+                    f"CLUSTERED BY (`{sbf.source_column}`) "
+                    f"SORTED BY (`{sbf.source_column}`) "
+                    f"INTO {sbf.param} BUCKETS "
+                    f"LOCATION '{self.location / snap.data_dir}'"
+                )
+            return spark.table(name)
+        except Exception:  # noqa: BLE001 — adoption is an optimization
+            return None
 
     def _resolve_snapshot_range(
         self,

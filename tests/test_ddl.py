@@ -109,9 +109,17 @@ def test_partition_field_errors_and_tblproperties(ddl):
     assert [(f.source_column, f.transform) for f in t.partition_spec.fields] == [
         ("ts", "day")
     ]
+    # bucket(16, v) is a supported transform (r9): lands as bucket[16]
+    r2 = ddl.sql("ALTER TABLE d.p ADD PARTITION FIELD bucket(16, v)")
+    assert not r2.has_error, r2.message_list
+    t = ddl.catalog.load_table("d", "p")
+    assert ("v", "bucket[16]") in [
+        (f.source_column, f.transform) for f in t.partition_spec.fields
+    ]
+    # a genuinely unknown transform still errors
     assert ddl.sql(
-        "ALTER TABLE d.p ADD PARTITION FIELD bucket(16, v)"
-    ).has_error  # unsupported transform
+        "ALTER TABLE d.p ADD PARTITION FIELD zorder(16, v)"
+    ).has_error
     assert ddl.sql("CREATE TABLE d.q (a INT) PARTITIONED BY (days(b))").has_error
 
 
