@@ -161,9 +161,33 @@ TABLE_DEF_METAMODEL: dict[str, Any] = {
                 "properties": {
                     "column_name": {"type": "string"},
                     "transform": {
-                        "enum": ["identity", "year", "month", "day", "hour"]
+                        "anyOf": [
+                            {
+                                "enum": [
+                                    "identity", "year", "month",
+                                    "day", "hour",
+                                ]
+                            },
+                            # Iceberg's parameterized transforms,
+                            # serialized exactly as the spec writes them
+                            {"pattern": r"^(bucket|truncate)\[[0-9]+\]$"},
+                        ]
                     },
                     "name": {"type": "string"},
+                },
+            },
+        },
+        # explicit rename directives: the diff reads a missing+new
+        # column pair as drop+add (the reference's destructive
+        # reading); a rename entry preserves column identity instead
+        "renames": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "required": ["from", "to"],
+                "properties": {
+                    "from": {"type": "string", "minLength": 1},
+                    "to": {"type": "string", "minLength": 1},
                 },
             },
         },

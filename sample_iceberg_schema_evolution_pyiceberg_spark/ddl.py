@@ -14,12 +14,14 @@ dotted paths address nested fields, ``col.element.child`` for
 array-element structs, matching schema_diff path addressing):
 
     CREATE TABLE [IF NOT EXISTS] db.tbl ( col TYPE [NOT NULL], ... )
-        [PARTITIONED BY ( years(c) | months(c) | days(c) | hours(c) | c, ... )]
+        [PARTITIONED BY ( years(c) | months(c) | days(c) | hours(c) | c
+                          | bucket(N, c) | truncate(W, c), ... )]
         [TBLPROPERTIES ( 'k' = 'v', ... )]
     CREATE TABLE [IF NOT EXISTS] db.tbl [PARTITIONED BY (...)] AS <select>
     ALTER TABLE db.tbl ADD COLUMN  path TYPE [NOT NULL]
     ALTER TABLE db.tbl ADD COLUMNS ( path TYPE [NOT NULL], ... )
     ALTER TABLE db.tbl DROP COLUMN path
+    ALTER TABLE db.tbl RENAME COLUMN old TO new
     ALTER TABLE db.tbl ALTER COLUMN path TYPE newtype
     ALTER TABLE db.tbl ALTER COLUMN path FIRST | AFTER other
     ALTER TABLE db.tbl ADD PARTITION FIELD years(c)|... [AS name]
@@ -1080,6 +1082,16 @@ class DdlFrontend:
         ):
             self._require_path(table, am.group(1))
             self._evolve(table, _drop_path(table.schema, am.group(1)), resp)
+        elif am := re.match(
+            r"^RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
+            action,
+            re.IGNORECASE,
+        ):
+            old, new = am.group(1), am.group(2)
+            v = table.rename_column(old, new)
+            resp.message_list.append(
+                f"Renamed column {old} to {new} (schema v{v})"
+            )
         elif am := re.match(
             r"^ALTER\s+COLUMN\s+([A-Za-z_][\w.]*)\s+TYPE\s+(.+)$",
             action,

@@ -55,10 +55,31 @@ def evolve_table(
     table: LakeTable,
     target_schema: T.StructType,
     target_spec: PartitionSpec | None = None,
+    renames: "list[dict] | None" = None,
 ) -> EvolutionResult:
     """Diff live schema vs target and apply the evolution transaction
-    (metadata-only; no data rewrite)."""
+    (metadata-only; no data rewrite).
+
+    ``renames`` ([{from, to}] — the table-def's explicit rename
+    directives) apply FIRST, so the subsequent diff sees the renamed
+    column as unchanged rather than drop+add. Documented divergence
+    from the reference (iceberg_helper.py:254-295), whose config diff
+    has no rename vocabulary and destroys column history on rename."""
     res = EvolutionResult()
+    for r in renames or []:
+        frm, to = r["from"], r["to"]
+        if frm == to:
+            continue
+        live_names = set(table.schema.fieldNames())
+        if frm not in live_names and to in live_names:
+            continue  # already applied (idempotent re-run of a config)
+        try:
+            res.new_schema_version = table.rename_column(frm, to)
+        except Exception as e:  # noqa: BLE001 — accumulate, don't raise
+            res.errors.append(f"Rename {frm} -> {to} failed: {e}")
+            return res
+        res.messages.append(f"Renamed column {frm} to {to}")
+        res.changed = True
     live = table.schema
     changes = diff_schemas(live, target_schema)
 

@@ -87,7 +87,12 @@ def process_event(
         # ALTER path (reference: iceberg_helper.py:247-389)
         resp.change_type = "ALTER TABLE"
         table = catalog.load_table(db, tbl)
-        result = evolve_table(table, target_schema, target_spec)
+        result = evolve_table(
+            table,
+            target_schema,
+            target_spec,
+            renames=table_def.get("renames"),
+        )
         resp.message_list.extend(result.messages)
         if result.has_error:
             resp.message_list.extend(result.errors)

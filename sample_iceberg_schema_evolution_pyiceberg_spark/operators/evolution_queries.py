@@ -565,3 +565,55 @@ def b66_lake_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a29_rename_evolution_episode",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS price_total
+    FROM orders WHERE o_orderkey <= 6000
+    GROUP BY o_orderstatus
+    """,
+)
+def a29_rename_evolution_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Column RENAME evolution end-to-end (VERDICT r8 item 5): append
+    half of orders, RENAME o_totalprice -> price_total (metadata-only),
+    append the second half under the NEW name, then aggregate the full
+    table — pre-rename rows must surface under price_total with values
+    intact. The oracle reads the raw parquet (one column name
+    throughout), so a lost or mis-mapped pre-rename file changes the
+    hash."""
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 6000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory(prefix="rn_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "orders_rn", src.schema)
+        table.append(src.filter(F.col("o_orderkey") <= 3000))
+        table.rename_column("o_totalprice", "price_total")
+        table.append(
+            src.filter(F.col("o_orderkey") > 3000).withColumnRenamed(
+                "o_totalprice", "price_total"
+            )
+        )
+        out = (
+            table.to_df(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("price_total").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("price_total"),
+            )
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

@@ -1226,3 +1226,185 @@ def c31_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
             F.max("rn").cast("bigint").alias("max_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c33 — duplicate-span REMOVAL (the cut step after c28's detection)
+#
+# Lee et al.'s exact-substring dedup keeps ONE copy of each repeated
+# span and removes the rest; c28 finds the spans, this operator cuts
+# them. Keeper rule: per duplicated k-block, the MINIMUM doc_id keeps
+# its occurrence; every other doc's anchor is removable. Removable
+# anchors merge into spans (the c28 islands logic) and the document is
+# rebuilt from the tokens OUTSIDE those spans. VERDICT r8 item 8.
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, k: int = _SUB_K, min_docs: int = _SUB_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_clean): each document with
+    its cross-document duplicated spans cut, keep-first-occurrence
+    (min doc_id per duplicated block keeps it). ``text_clean`` is the
+    tokenizer-normalized rebuild (lowercased, single-space joined) —
+    byte-lossless for already-normalized corpora, token-lossless
+    always.
+
+    Scale shape mirrors c28 (nothing heavier than (doc_id, pos,
+    8-byte digest) crosses a shuffle); the one addition is the final
+    doc-keyed join of merged spans back onto the token arrays, where
+    span subtraction runs as JVM higher-order functions (zip_with /
+    filter / exists) — no Python in the rebuild."""
+    ws = docs.select("doc_id", words("text").alias("ws"))
+    anchored = ws.filter(F.size("ws") >= k)
+    gh = F.expr(
+        f"transform(sequence(0, size(ws) - {k}), i -> "
+        f"cast(conv(substring(md5(array_join(slice(ws, i + 1, {k}), ' ')), "
+        f"1, 15), 16, 10) AS bigint))"
+    )
+    g = anchored.select("doc_id", F.posexplode(gh).alias("pos", "ghash"))
+    # duplicated blocks + their keeper doc in ONE digest-keyed agg
+    km = (
+        g.groupBy("ghash")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= min_docs)
+        .select("ghash", "keeper")
+    )
+    rem = (
+        g.join(km, "ghash")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + k - 1).cast("long").alias("e"),
+        )
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    brk = F.when(
+        F.col("s") > F.coalesce(F.max("e").over(prev), F.lit(-1)) + 1, 1
+    ).otherwise(0)
+    spans = (
+        rem.withColumn("island", F.sum(brk).over(run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("se"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ss"), F.col("se")))
+            ).alias("spans")
+        )
+    )
+    out = ws.join(spans, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.expr("array()"))
+    )
+    return out.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(spans, 0L, (acc, sp) -> acc + sp.se - sp.ss + 1)"
+        ).alias("n_removed"),
+        F.expr(
+            "array_join(transform(filter("
+            "zip_with(ws, sequence(0, size(ws) - 1), (w, i) -> struct(w, i)),"
+            " x -> NOT exists(spans, sp -> x.i >= sp.ss AND x.i <= sp.se)),"
+            " x -> x.w), ' ')"
+        ).alias("text_clean"),
+    )
+
+
+@query(
+    "c33_dup_span_removal",
+    # full DuckDB replay: same tokenizer/digests as c28, keeper =
+    # min(doc_id) per duplicated block, islands merge, positional
+    # anti-join rebuild — every value (including the rebuilt text)
+    # hash-gated
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents
+    ),
+    gi AS (
+      SELECT doc_id, ws,
+             UNNEST(RANGE(1, GREATEST(LEN(ws) - {_SUB_K} + 2, 1))) AS i
+      FROM ws
+      WHERE LEN(ws) >= {_SUB_K}
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             (('0x' || substr(md5(ARRAY_TO_STRING(ws[i:i + {_SUB_K} - 1],
+                ' ')), 1, 15))::BIGINT) AS ghash
+      FROM gi
+    ),
+    km AS (
+      SELECT ghash, MIN(doc_id) AS keeper
+      FROM g
+      GROUP BY ghash
+      HAVING COUNT(DISTINCT doc_id) >= {_SUB_MIN_DOCS}
+    ),
+    rem AS (
+      SELECT g.doc_id, pos AS s, pos + {_SUB_K} - 1 AS e
+      FROM g JOIN km USING (ghash)
+      WHERE g.doc_id <> km.keeper
+    ),
+    b AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM rem
+    ),
+    c AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM b
+    ),
+    spans AS (
+      SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+      FROM c GROUP BY doc_id, island
+    ),
+    removed_pos AS (
+      SELECT doc_id, UNNEST(RANGE(ss, se + 1)) AS p FROM spans
+    ),
+    toks AS (
+      SELECT ws.doc_id, ws.ws[i] AS w, i - 1 AS p
+      FROM ws, UNNEST(RANGE(1, LEN(ws.ws) + 1)) AS r(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.w, t.p
+      FROM toks t
+      LEFT JOIN removed_pos r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL
+    )
+    SELECT w.doc_id,
+           CAST(LEN(w.ws) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nr.n, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.txt, '') AS text_clean
+    FROM ws w
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM removed_pos
+               GROUP BY doc_id) nr ON w.doc_id = nr.doc_id
+    LEFT JOIN (SELECT doc_id, STRING_AGG(w, ' ' ORDER BY p) AS txt
+               FROM kept GROUP BY doc_id) k ON w.doc_id = k.doc_id
+    """,
+)
+def c33_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate wiring for ``remove_duplicate_spans`` over ``documents``:
+    8-token blocks, duplicated = >= 2 docs, keep-first by min doc_id.
+    The planted near-dup clusters lose their repeated bodies in every
+    doc but the cluster minimum; partial overlaps lose interior spans
+    only."""
+    return remove_duplicate_spans(t(spark, sf, "documents"))

@@ -987,6 +987,96 @@ class LakeTable:
         self._commit()
         return v
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Iceberg's renameColumn, metadata-only: the column keeps its
+        identity, data files are untouched, and every snapshot —
+        including pre-rename ones — reads back under the NEW name.
+
+        The mapping is carried by an explicit rename log in the table
+        metadata ({version, from, to}, composed at scan time), not by
+        field ids: tables created from raw Spark schemas carry no
+        field-id metadata, and the log works for both. Root-level
+        columns only (nested renames are a documented gap). Divergence
+        from the reference (iceberg_helper.py:254-295): the reference's
+        config diff has no rename vocabulary, so a renamed column reads
+        as drop+add and loses history; here an explicit rename
+        directive preserves it.
+
+        Refused while the column anchors a partition spec field (the
+        spec references source columns by NAME here — evolve the spec
+        away from the column first) or while merge-on-read delete
+        entries are live (their predicates/key files name columns in
+        the schema they were written against)."""
+        schema = self.schema
+        names = set(schema.fieldNames())
+        if old not in names:
+            raise TableFormatError(f"no column {old!r} to rename")
+        if new in names:
+            raise TableFormatError(
+                f"cannot rename {old!r} to {new!r}: name already in use"
+            )
+        if any(
+            f.source_column == old for f in self.partition_spec.fields
+        ):
+            raise TableFormatError(
+                f"cannot rename {old!r}: it anchors a partition field — "
+                "evolve the partition spec first"
+            )
+        if any(s.is_row_delete for s in self.snapshots):
+            raise TableFormatError(
+                f"cannot rename {old!r} while merge-on-read delete "
+                "entries are live — run compact() first"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    dict(f.metadata),
+                )
+                for f in schema.fields
+            ]
+        )
+        # the log entry and the schema land in ONE commit:
+        # commit_schema persists the whole metadata document
+        self.meta.setdefault("renames", []).append(
+            {
+                "version": int(self.meta["current_schema_version"]) + 1,
+                "from": old,
+                "to": new,
+            }
+        )
+        return self.commit_schema(new_schema)
+
+    def _renames_since(self, schema_version: int) -> dict[str, str]:
+        """Composed {name-as-written -> current name} for data files
+        written under ``schema_version``: every rename committed AFTER
+        that version applies, chained (a->b then b->c maps a->c)."""
+        mapping: dict[str, str] = {}
+        for r in self.meta.get("renames", []) or []:
+            if int(r["version"]) <= schema_version:
+                continue
+            frm, to = r["from"], r["to"]
+            src = next(
+                (k for k, v in mapping.items() if v == frm), None
+            )
+            if src is not None:
+                mapping[src] = to
+            else:
+                mapping[frm] = to
+        return {k: v for k, v in mapping.items() if k != v}
+
+    def _map_renames(self, df: DataFrame, schema_version: int) -> DataFrame:
+        """Project a raw file scan's columns forward through the rename
+        log (no-op without renames)."""
+        ren = self._renames_since(schema_version)
+        if not ren:
+            return df
+        return df.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+        )
+
     def commit_spec(self, new_spec: PartitionSpec) -> int:
         sid = int(self.meta["current_spec_id"]) + 1
         self.meta["specs"][str(sid)] = new_spec.to_json()
@@ -2979,6 +3069,10 @@ class LakeTable:
                         if c.startswith(PARTITION_COL_PREFIX)
                     ]
                 )
+                # rename log: files written pre-rename carry the old
+                # column names; map them forward so name-based
+                # alignment (and every consumer) sees current names
+                df = self._map_renames(df, sv)
                 df = _align_df(
                     df,
                     cur,
@@ -3202,6 +3296,7 @@ class LakeTable:
             df = df.drop(
                 *[c for c in df.columns if c.startswith(PARTITION_COL_PREFIX)]
             )
+            df = self._map_renames(df, s.schema_version)
             parts.append(
                 _align_df(df, cur)
                 .withColumn("_snapshot_id", F.lit(s.snapshot_id))
@@ -3314,6 +3409,7 @@ class LakeTable:
                         if c.startswith(PARTITION_COL_PREFIX)
                     ]
                 )
+                df = self._map_renames(df, s.schema_version)
                 parts.append(
                     _tag(_align_df(df, cur), ordinal, s.snapshot_id,
                          "insert")

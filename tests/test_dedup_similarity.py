@@ -294,3 +294,37 @@ def test_ivf_trained_codebook_improves_objective(spark, planted_vectors):
     got = {r["vec_id"] for r in c06d_ann_ivf_trained_topk(spark, planted_vectors).collect()}
     recall = len(got & {900, 901, 902, 903, 904}) / 5
     assert recall >= 0.8, f"trained-IVF recall {recall} on planted near-copies"
+
+
+def test_dup_span_removal_keeps_first_occurrence(spark):
+    """Planted cross-document repeat: the minimum doc_id keeps the
+    span, every other doc loses EXACTLY the repeated tokens, unrelated
+    docs pass through untouched (c33, VERDICT r8 item 8)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12-token block
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon zeta eta"),
+            (2, f"one two three four {shared} five six seven eight"),
+            (3, "totally unrelated words that never repeat anywhere else"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, k=8, min_docs=2).collect()
+    }
+    # doc 1 is the keeper: nothing removed, text normalized only
+    assert got[1].n_removed == 0
+    assert got[1].text_clean == f"alpha beta gamma {shared} delta epsilon zeta eta"
+    # doc 2 loses exactly the 12 shared tokens
+    assert got[2].n_removed == 12
+    assert got[2].text_clean == "one two three four five six seven eight"
+    assert got[2].n_tokens == 20
+    # doc 3 untouched
+    assert got[3].n_removed == 0
+    assert got[3].text_clean == got[3].text_clean.lower()
+    assert "unrelated" in got[3].text_clean
