@@ -470,21 +470,21 @@ def s09_stream_lake_source(spark: SparkSession, sf: str) -> DataFrame:
 def s10_stream_lake_replication(spark: SparkSession, sf: str) -> DataFrame:
     """Lake -> stream -> lake (s09's log-driven source composed with
     s08's snapshot sink — continuous replication with no message bus):
-    three appends land in a source table, stream_changes replays them
-    (each micro-batch a snapshot append via foreachBatch, CDC columns
-    dropped — availableNow collapses Python-source catch-up into one
-    batch, a live trigger would commit one snapshot per batch), and
-    the gate aggregates the REPLICA against the relational oracle
-    over the original parquet — the streamed copy must be lossless
-    and duplicate-free across batch boundaries. NO admission cap
-    here: maxFilesPerTrigger under the Python-source availableNow
-    fallback (single-batch execution) caps the WHOLE run, silently
-    dropping everything past the first quantum — this gate caught
-    exactly that (1000 of 3000 rows replicated) when composed with
-    max_files_per_trigger=1. The
-    same pipeline left running with a processing-time trigger is
-    live table mirroring; the batch-side changelog/apply_changelog
-    family covers rewrite commits the append-only stream refuses."""
+    three appends land in a source table, and a CAPPED one-shot drain
+    (``drain_changes``, max 1 file per micro-batch) replicates them —
+    each micro-batch a snapshot append via foreachBatch, CDC columns
+    dropped. The gate aggregates the REPLICA against the relational
+    oracle over the original parquet: the streamed copy must be
+    lossless and duplicate-free across batch boundaries, under
+    admission control. History: raw availableNow + cap truncated the
+    run to one quantum (this gate caught 1000 of 3000 rows in r8 —
+    the Python-source single-batch fallback); drain_changes is the
+    r9 fix, multi-batch capped catch-up with complete drainage, and
+    the multi-snapshot assert below would fail on any regression to
+    one-gulp behavior. The same pipeline left running with a
+    processing-time trigger is live table mirroring; the batch-side
+    changelog/apply_changelog family covers rewrite commits the
+    append-only stream refuses."""
     import tempfile  # noqa: PLC0415
 
     from ..table_format import LakeCatalog  # noqa: PLC0415
@@ -496,31 +496,31 @@ def s10_stream_lake_replication(spark: SparkSession, sf: str) -> DataFrame:
         cat = LakeCatalog(wh)
         src = cat.create_table("stream", "rep_src", o.schema)
         for lo, hi in ((0, 1000), (1001, 2000), (2001, 3000)):
-            src.append(o.filter(F.col("o_orderkey").between(lo, hi)))
+            src.append(
+                o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1)
+            )
         replica = cat.create_table("stream", "rep_dst", o.schema)
         spark.conf.set(key, "8")
         try:
-            q = (
-                src.stream_changes(spark)
-                .writeStream.foreachBatch(
+            batches = src.drain_changes(
+                spark,
+                lambda s: s.writeStream.foreachBatch(
                     lambda bdf, _bid: (
                         replica.append(
                             bdf.drop("_snapshot_id", "_change_type")
                         ),
                         None,
                     )[1]
-                )
-                .trigger(availableNow=True)
-                .option("checkpointLocation", f"{wh}/_chk")
-                .start()
+                ).option("checkpointLocation", f"{wh}/_chk"),
+                max_files_per_trigger=1,
             )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("lake replication stream timed out")
         finally:
             spark.conf.set(key, old)
-        # every batch committed as a snapshot append, nothing rewrote
-        assert replica.snapshots, "no snapshot committed"
+        # every batch committed as a snapshot append, nothing rewrote,
+        # and the cap actually chunked the catch-up (3 source files ->
+        # >= 3 non-empty batches — one gulp would be a regression)
+        assert batches >= 3, batches
+        assert len(replica.snapshots) >= 3, len(replica.snapshots)
         assert all(s.operation == "append" for s in replica.snapshots)
         out = (
             replica.to_df(spark)

@@ -2551,6 +2551,47 @@ class LakeTable:
             .parquet(str(self.location / "data"))
         )
 
+    def drain_changes(
+        self,
+        spark: SparkSession,
+        build_writer,
+        max_files_per_trigger: int = 0,
+    ) -> int:
+        """One-shot CAPPED catch-up over the snapshot log — the
+        ``Trigger.AvailableNow`` shape the Python streaming API cannot
+        express natively (VERDICT r8 item 6). Python sources fall back
+        to single-batch execution under availableNow, so an admission
+        cap there truncates the run to one quantum; this method gets
+        the availableNow CONTRACT (start, drain everything, stop)
+        with the cap honored PER BATCH by running the capped stream
+        under a live trigger and blocking until the log is drained.
+
+        ``build_writer`` maps the streaming DataFrame to a configured
+        ``DataStreamWriter`` (sink + checkpoint; no trigger — the
+        method owns the lifecycle). Blocks via
+        ``processAllAvailable()``: each micro-batch admits at most
+        ``max_files_per_trigger`` files (0 = unbounded), batches
+        repeat until the reader reports no more available offsets,
+        then the query stops. Restart-safe like any checkpointed
+        stream: a second drain resumes where the first finished.
+        Returns the number of non-empty micro-batches executed."""
+        stream = self.stream_changes(
+            spark, max_files_per_trigger=max_files_per_trigger
+        )
+        q = build_writer(stream).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def _rows(p) -> int:
+            v = getattr(p, "numInputRows", None)
+            if v is None:  # older API surfaces progress as dicts
+                v = p.get("numInputRows", 0) if hasattr(p, "get") else 0
+            return int(v or 0)
+
+        return sum(1 for p in q.recentProgress if _rows(p) > 0)
+
     def rollback_to_snapshot(self, snapshot_id: str) -> None:
         """Iceberg ``rollback_to_snapshot`` analog: make the table's
         CURRENT state the state as of ``snapshot_id``. Metadata-only

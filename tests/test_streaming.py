@@ -719,17 +719,13 @@ def test_lake_stream_capped_nested_struct_evolution_aligns(spark, tmp_path):
         q2.stop()
 
 
-def test_lake_stream_cap_with_availablenow_truncates_documented(
-    spark, tmp_path
-):
-    """CONTRACT PIN (lake_source module docstring): Python sources
-    cannot declare Trigger.AvailableNow support, so Spark falls back
-    to single-batch execution — with an admission cap set, that one
-    batch ends at the cap and a one-shot availableNow run reads only
-    a PREFIX. This is why stream_changes documents the cap as
-    live-trigger-only. If this test ever FAILS because all rows
-    arrive, the Python API gained real AvailableNow support and the
-    documentation (and s10's design note) should be revisited."""
+def test_lake_stream_capped_drain_completes(spark, tmp_path):
+    """drain_changes (VERDICT r8 item 6): the one-shot CAPPED catch-up.
+    Raw ``trigger(availableNow=True)`` on a Python source falls back to
+    single-batch execution, so an admission cap truncates the run to
+    one quantum — pinned below. ``drain_changes`` delivers the
+    availableNow contract instead: multi-batch offset-chunked catch-up,
+    cap honored per batch, COMPLETE drainage, then stop."""
     from pyspark.sql import functions as F
     from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
         LakeCatalog,
@@ -739,28 +735,62 @@ def test_lake_stream_cap_with_availablenow_truncates_documented(
     table = LakeCatalog(tmp_path / "wh").create_table("db", "an", df.schema)
     for lo in (0, 10, 20):
         table.append(df.filter(f"id >= {lo} AND id < {lo + 10}").coalesce(1))
+
     got: list[int] = []
 
     def sink(batch_df, _bid):
-        got.append(batch_df.count())
+        n = batch_df.count()
+        if n:
+            got.append(n)
 
+    batches = table.drain_changes(
+        spark,
+        lambda s: s.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", str(tmp_path / "chk_drain")
+        ),
+        max_files_per_trigger=1,
+    )
+    assert sum(got) == 30, got            # complete drainage
+    assert all(n <= 10 for n in got), got  # cap held per batch (1 file)
+    assert len(got) >= 3 and batches >= 3  # offset-chunked, not one gulp
+    # restart safety: a second drain over the same checkpoint is a no-op
+    got2: list[int] = []
+
+    def sink2(batch_df, _bid):
+        n = batch_df.count()
+        if n:
+            got2.append(n)
+
+    table.drain_changes(
+        spark,
+        lambda s: s.writeStream.foreachBatch(sink2).option(
+            "checkpointLocation", str(tmp_path / "chk_drain")
+        ),
+        max_files_per_trigger=1,
+    )
+    assert got2 == [], got2
+    # ...and it picks up NEW appends from where it left off
+    table.append(df.filter("id < 5").coalesce(1))
+    table.drain_changes(
+        spark,
+        lambda s: s.writeStream.foreachBatch(sink2).option(
+            "checkpointLocation", str(tmp_path / "chk_drain")
+        ),
+        max_files_per_trigger=1,
+    )
+    assert sum(got2) == 5, got2
+
+    # CONTRACT PIN (the motivation): raw availableNow + cap still
+    # truncates to one quantum — if this half ever fails because all
+    # rows arrive, the Python API gained real AvailableNow support
+    # and drain_changes can delegate to it
+    raw: list[int] = []
     q = (
         table.stream_changes(spark, max_files_per_trigger=1)
-        .writeStream.foreachBatch(sink)
+        .writeStream.foreachBatch(lambda b, _i: raw.append(b.count()))
         .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "chk"))
+        .option("checkpointLocation", str(tmp_path / "chk_raw"))
         .start()
     )
     assert q.awaitTermination(300)
-    assert sum(got) == 10, got  # one capped quantum, not all 30
-    # the checkpoint owns correctness: a SECOND one-shot run resumes
-    # where the first stopped (no loss across runs, only within one)
-    q2 = (
-        table.stream_changes(spark, max_files_per_trigger=1)
-        .writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "chk"))
-        .start()
-    )
-    assert q2.awaitTermination(300)
-    assert sum(got) == 20, got
+    assert sum(raw) == 10, raw  # one capped quantum, not all 35
