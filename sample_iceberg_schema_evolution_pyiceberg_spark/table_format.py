@@ -1300,10 +1300,14 @@ class LakeTable:
         )
         if branch is not None:
             self._branch(branch)["snapshots"].append(snap.to_json())
-        elif operation == "overwrite":
-            # old live set moves to history (time travel keeps working
-            # across every rewrite flavor — overwrite()/compact()/DML
-            # all funnel through here)
+        elif operation != "append":
+            # rewrite commit (overwrite / replace / delete / update /
+            # merge): old live set moves to history — time travel keeps
+            # working across every rewrite flavor, and committing under
+            # the FINAL label means no crash window can leave a rewrite
+            # durably mislabeled 'overwrite' (the changelog's
+            # emit-nothing-by-'replace'-label optimization depends on
+            # the label surviving)
             self.meta.setdefault("snapshot_history", []).extend(
                 self.meta["snapshots"]
             )
@@ -2026,12 +2030,15 @@ class LakeTable:
         """Materialize a rewritten live set, then commit it as the one
         live snapshot (old snapshots move to history for time travel).
         The staging write IS the materialization — no driver round-trip.
-        """
-        snap = self._write(df, "overwrite")  # moves old live to history
-        snap.operation = operation
-        self.meta["snapshots"] = [snap.to_json()]
-        self._commit()
-        return snap
+        One commit under the FINAL label (delete/update/merge/
+        overwrite): _write's rewrite branch handles any non-append
+        label identically, so no relabel window exists — a crash can
+        only leave the previous state or the fully-labeled rewrite."""
+        if operation == "append":
+            raise TableFormatError(
+                "_replace_live is for rewrite operations only"
+            )
+        return self._write(df, operation)  # moves old live to history
 
     # -- incremental reads -------------------------------------------------
 
@@ -2105,22 +2112,20 @@ class LakeTable:
             ).sortWithinPartitions(*sort_by)
         elif target_files:
             df = df.repartition(target_files)
-        snap = self._write(df, "overwrite")  # moves old live to history
-        # relabel: compaction is logically content-preserving, which is
+        # label: compaction is logically content-preserving, which is
         # exactly Iceberg's 'replace' snapshot summary (REPLACE ops emit
         # nothing in a changelog scan; a plain 'overwrite' would force
         # changelog_between into a full adjacent-state diff to prove the
-        # zero delta it can have by label)
-        snap.operation = "replace"
-        self.meta["snapshots"] = [snap.to_json()]
+        # zero delta it can have by label). Layout metadata mutates
+        # BEFORE _write so the label, layout, and rewrite land in ONE
+        # commit — no crash window can leave a durable 'overwrite'.
         if sort_by:
             self.meta["sort_order"] = list(sort_by)
             self.meta.pop("clustering", None)
         if cluster_by:
             self.meta["clustering"] = list(cluster_by)
             self.meta.pop("sort_order", None)
-        self._commit()
-        return snap
+        return self._write(df, "replace")  # moves old live to history
 
     def compact_position_deletes(self, spark: SparkSession) -> "Snapshot | None":
         """Iceberg ``rewrite_position_delete_files`` analog: merge ALL
@@ -2850,13 +2855,20 @@ class LakeTable:
                 ]
             for path, size, nrec in entries:
                 # hive dirs carry the hidden-column prefix
-                # (_p_bucket_p=3); surface the spec's field name
+                # (_p_bucket_p=3); surface the spec's field name.
+                # Hive's null sentinel decodes to None — Iceberg's
+                # partitions table reports null partition values as
+                # null, not as the sentinel string
+                def _val(seg: str) -> "str | None":
+                    v = unquote(seg.split("=", 1)[1])
+                    return None if v == "__HIVE_DEFAULT_PARTITION__" else v
+
                 parts = tuple(
                     (
                         seg.split("=", 1)[0].removeprefix(
                             PARTITION_COL_PREFIX
                         ),
-                        unquote(seg.split("=", 1)[1]),
+                        _val(seg),
                     )
                     for seg in path.split("/")[:-1]
                     if "=" in seg
@@ -3092,14 +3104,39 @@ class LakeTable:
                         df = df.filter(pred)
                 if need_pos:
                     # capture each row's (relative file, ordinal)
-                    # address BEFORE alignment drops metadata access
-                    prefix_len = len(str(self.location)) + 2
+                    # address BEFORE alignment drops metadata access.
+                    # The relative path comes from an EXPLICIT prefix
+                    # match against the location (as-declared and
+                    # fs-resolved, covering symlinked locations); a
+                    # file outside both prefixes fails LOUDLY instead
+                    # of silently minting addresses no delete file can
+                    # ever match.
+                    cands: list[str] = []
+                    for c in (
+                        str(self.location),
+                        str(Path(self.location).resolve()),
+                    ):
+                        if c not in cands:
+                            cands.append(c)
+                    norm = (
+                        "regexp_replace(_metadata.file_path, "
+                        "'^file:/+', '/')"
+                    )
+                    arms = " ".join(
+                        "WHEN startswith({n}, '{p}/') "
+                        "THEN substring({n}, {off})".format(
+                            n=norm,
+                            p=c.replace("'", "\\'"),
+                            off=len(c) + 2,
+                        )
+                        for c in cands
+                    )
                     df = df.select(
                         "*",
                         F.expr(
-                            "substring(regexp_replace("
-                            "_metadata.file_path, '^file:/+', '/'), "
-                            f"{prefix_len})"
+                            f"CASE {arms} ELSE raise_error(concat("
+                            "'data file outside table location: ', "
+                            f"{norm})) END"
                         ).alias("_pos_file"),
                         F.col("_metadata.row_index").alias("_pos_index"),
                     )
@@ -3422,7 +3459,23 @@ class LakeTable:
             first commit). Composes masks/segments exactly like any
             time-travel read."""
             if i == 0:
-                return spark.createDataFrame([], cur)
+                # the empty frame must carry the SAME shape a real
+                # pre-state read would — including the position-address
+                # fields when requested — so a position-delete entry as
+                # the first resolvable commit semi-joins cleanly
+                # instead of dying on an unresolved column
+                shape = (
+                    T.StructType(
+                        list(cur.fields)
+                        + [
+                            T.StructField("_pos_file", T.StringType()),
+                            T.StructField("_pos_index", T.LongType()),
+                        ]
+                    )
+                    if with_positions
+                    else cur
+                )
+                return spark.createDataFrame([], shape)
             prev = hist[i - 1]
             if prev.expired:
                 raise TableFormatError(
