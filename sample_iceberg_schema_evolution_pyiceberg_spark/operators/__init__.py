@@ -36,63 +36,45 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- Round-8 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1: NEW in r8 (c28 exact substring dedup, VERDICT item 5),
-    # then queries whose CODE changed in r8 (b13 lost an exchange,
-    # b62 dedups via aggregate, c15 repartitions pre-explode, c02/c04/
-    # c18 share the rebuilt SQL gram source; every plan additionally
-    # re-sized under input-scaled shuffle/bucket counts, session.py).
-    "c28_substring_dup_spans", "a23_zorder_clustering_episode",
-    "c29_incremental_ingest_dedup", "a24_changelog_cdc",
-    "a25_cdc_replication", "a26_scd2_dimension_history",
-    "s10_stream_lake_replication", "a27_position_delete_episode",
-    "c30_filter_funnel", "b63_recursive_cte_hierarchy",
-    "c31_stratified_sample", "b64_lateral_topn",
-    "c32_leakage_safe_split", "b65_window_time_range_frame",
-    "b13_agg_count_distinct", "c15_tfidf_top_terms",
-    "c18_dedup_cluster_resolution",
-    # Tier 2: the queued r5-evidence band — exactly the 21 keys
-    # VERDICT r7 item 4 names (3 rounds old; freshest-first policy).
-    "b24_union_distinct", "b25_intersect", "b26_except",
-    "b27_string_funcs", "b28_date_funcs", "b29_math_funcs",
-    "b30_conditional_null", "b31_array_funcs", "b32_map_struct_funcs",
-    "b34_from_json_schema", "b36_dedup_keep_first", "b39_python_udf",
-    "b40_pandas_udf", "b41_grouped_agg_pandas_udf", "b50_python_udtf",
-    "b51_window_first_last", "b53_percentile_median", "b62_asof_join",
-    "c09_token_count", "s04_stream_session_window",
-    "s07_stream_stream_join",
-    # Tier 3: r6-evidence refresh, 26 slots — lake/Tier-A episodes
-    # first (table_format changed in r8: NaN-sound pruning +
-    # catalog-of-record commit guard), then the r8-perf-adjacent
-    # relational/dedup keys.
-    "a01_evolution_episode", "a02_partition_transforms",
-    "a03_lake_roundtrip", "a04_schema_diff_report", "a05_merge_upsert",
-    "a06_delete_update_where", "a07_time_travel", "a09_sql_ddl_episode",
-    "a11_sql_dml_episode", "a15_sql_rollback_episode",
-    "b45_lake_overwrite_sink",
-    "c01_dedup_exact", "c02_dedup_minhash_lsh", "c02b_minhash_signatures",
+    # ---- Round-9 window (first 50 slots, oracle-bearing only) ----
+    # Tier 1 (4): NEW in r9 — bucket/truncate transforms (VERDICT r8
+    # item 1), rename evolution (item 5), span removal (item 8).
+    "a28_bucket_truncate_episode", "b66_lake_bucket_join",
+    "a29_rename_evolution_episode", "c33_dup_span_removal",
+    # Tier 2 (12): keys whose CODE CHANGED in r9 — s10 now drains
+    # under admission control (drain_changes, item 6); the atomic
+    # rewrite-label change re-routes every compaction/CoW-DML commit
+    # (a05/a06/a08/a12/a16/a17/a23); the changelog/CDC family rides
+    # the _pre_state + _pos_file fixes (a24/a25/a27); incremental
+    # reads gained rename mapping (a13).
+    "s10_stream_lake_replication", "a08_compaction_invariance",
+    "a23_zorder_clustering_episode", "a24_changelog_cdc",
+    "a25_cdc_replication", "a27_position_delete_episode",
+    "a16_merge_on_read_delete", "a17_merge_on_read_merge",
+    "a12_sql_merge_conditional", "a13_incremental_read",
+    "a05_merge_upsert", "a06_delete_update_where",
+    # Tier 3 (34): the ENTIRE r6-evidence band — with these slots the
+    # window closes VERDICT r8 item 4's done criterion (no
+    # oracle-bearing key's driver evidence older than r7).
+    "c02_dedup_minhash_lsh", "c02b_minhash_signatures",
     "c03_dedup_simhash", "c04_dedup_ngram_jaccard",
     "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
     "b20_window_running_frame", "b42_udtf_explode",
     "b54_sessionize_batch", "b33_json_funcs", "b35_cast_promotion",
-    # --- driver window boundary (50) ---
-    # (a23/c29/a24-a27/s10/c30-c32/b63-b65 joined the r8 head
-    # as the round built them; each push slid one more key past the
-    # boundary. FINAL r8 boundary: the window ends at c01.
-    # Out-of-window with r6 evidence (FIRST in line for the r9
-    # rotation): c02/c02b/c03/c04/b10/b11/b16/b20/b42/b33/b35/b43/b44;
-    # b54 carries r7 evidence. Note c02/c04 carry r8 CODE changes (the
-    # SQL gram source) without fresh driver-window evidence — the 13
-    # r8-new keys outrank them for slots; both were re-verified green
-    # in this round's local full-registry sweep (SURVEY §5.8), as was
-    # every other out-of-window key, so nothing is stale-but-untested.
     "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
-    # Everything below keeps r6/r7 evidence (nothing older than r6
-    # anywhere once this window lands — VERDICT r7 item 4 done
-    # criterion). r7-evidence keys rotate in r9.
     "b37b_deterministic_sample", "b52_grouping_sets", "b55_pivot",
     "b56_unpivot", "b57_string_agg", "b58_grouped_map_pandas",
-    "b59_map_hof", "b61_null_safe_join",
+    "b59_map_hof", "b61_null_safe_join", "c21_dedup_keeper_selection",
+    "c05_cosine_topk_brute", "c13_dedup_embedding_cosine",
+    "c06b_knn_join_sampled", "c07_text_langid", "c08_text_quality",
+    "c10_text_fingerprint", "c20_weighted_mixture", "c22_chunk_overlap",
+    "c19_sequence_packing", "c11_multimodal_binary_meta",
+    "c12_multimodal_decode_features",
+    # --- driver window boundary (50) ---
+    # Out-of-window: everything else carries r7/r8 evidence (nothing
+    # older than r6 exists once this lands; the r7 band of ~47 keys is
+    # the r10 rotation). Full-registry local sweeps cover the gaps
+    # between driver windows (SURVEY §5.8).
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,
@@ -102,7 +84,7 @@ _PRIORITY = [
     "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
     "s05_stream_late_data_drop", "s06_stream_stateful_counter",
     "c06d_ann_ivf_trained_topk",
-    # Everything unlisted (r6/r7-green) keeps registration order.
+    # Everything unlisted (r7/r8-green) keeps registration order.
 ]
 
 # (b37/b38/b60 moved into _PRIORITY's r1 band this round — the tail
