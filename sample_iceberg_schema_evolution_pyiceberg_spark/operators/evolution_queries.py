@@ -560,10 +560,11 @@ def b66_lake_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
                     6,
                 ).alias("revenue"),
             )
+            # materialize before the temp dir vanishes (bounded: one
+            # row per orderpriority)
             rows = out.collect()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
 
 
