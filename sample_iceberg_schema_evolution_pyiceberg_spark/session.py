@@ -45,12 +45,21 @@ def scaled_shuffle_partitions(input_bytes: int, cpus: int) -> int:
 
 
 def _dir_input_bytes(sf_dir: str) -> int:
+    """Total bytes of the declared input dir. Tables may be single
+    files (table.parquet) or chunked directories (table.parquet/
+    part-*.parquet — the large derived decades); both count, else a
+    chunked 39 GB lineitem would size the session as a 0-byte input."""
     total = 0
     try:
         for name in os.listdir(sf_dir):
             p = os.path.join(sf_dir, name)
             if os.path.isfile(p):
                 total += os.path.getsize(p)
+            elif os.path.isdir(p):
+                for f in os.listdir(p):
+                    fp = os.path.join(p, f)
+                    if os.path.isfile(fp):
+                        total += os.path.getsize(fp)
     except OSError:
         return 0
     return total
