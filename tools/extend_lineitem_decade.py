@@ -67,16 +67,29 @@ def main() -> None:
 
     cols = [c[0] for c in con.sql(
         f"DESCRIBE SELECT * FROM read_parquet('{li}')").fetchall()]
+    # one output file per (copy, source chunk): footer size stays at the
+    # source chunk's scale. A single 13 GB file carries a ~4.5 MB
+    # serialized footer that EVERY 2 MB-split scan task re-parses —
+    # measured 4x wall on b12 at sf300 before this was split (199 s vs
+    # ~50 s). Real lakes never write 13 GB files either; ~1 GB is the
+    # conventional target.
+    src_chunks = (
+        sorted(str(p) for p in (src / "lineitem.parquet").glob("*.parquet"))
+        if (src / "lineitem.parquet").is_dir()
+        else [str(src / "lineitem.parquet")]
+    )
     for g in range(args.copies):
         exprs = [
             f"{g} * {stride[c]} + {c} AS {c}" if c in stride else c
             for c in cols
         ]
-        con.execute(
-            f"COPY (SELECT {', '.join(exprs)} FROM read_parquet('{li}')) "
-            f"TO '{out}/copy{g:02d}.parquet' (FORMAT parquet)"
-        )
-        print("copy", g, "written")
+        for i, chunk in enumerate(src_chunks):
+            con.execute(
+                f"COPY (SELECT {', '.join(exprs)} "
+                f"FROM read_parquet('{chunk}')) "
+                f"TO '{out}/copy{g:02d}_{i:03d}.parquet' (FORMAT parquet)"
+            )
+        print("copy", g, "written", f"({len(src_chunks)} chunks)")
     n = con.sql(
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
