@@ -413,6 +413,37 @@ def _hint_to_version(hint: str) -> int:
 _STATS_MAX_COLUMNS = 32
 
 
+def _estimated_row_width(schema: T.StructType) -> int:
+    """Bootstrap bytes-per-row estimate for a table with no committed
+    data files yet (write.target-file-size-bytes needs SOME width to
+    turn bytes into a row cap before the first manifest exists).
+    Deliberately generous per field — parquet encodes most of these
+    smaller — because overestimating width only makes first-commit
+    files smaller than target; the calibrated manifest width takes
+    over from the second commit."""
+
+    def w(dt: T.DataType) -> int:
+        if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType,
+                           T.TimestampNTZType, T.DecimalType)):
+            return 8
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        if isinstance(dt, (T.ShortType, T.ByteType, T.BooleanType)):
+            return 2
+        if isinstance(dt, T.StringType):
+            return 32
+        if isinstance(dt, T.BinaryType):
+            return 64
+        if isinstance(dt, T.StructType):
+            return sum(w(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return 8 * w(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 8 * (w(dt.keyType) + w(dt.valueType))
+        return 16
+    return max(1, sum(w(f.dataType) for f in schema.fields))
+
+
 def _footer_column_bounds(md) -> dict[str, list]:
     """Per-column [min, max] from a parquet footer's row-group
     statistics — the data Iceberg stores as manifest lower/upper
@@ -1159,6 +1190,50 @@ class LakeTable:
         snap = self._write(df, "overwrite")
         return snap
 
+    def _max_records_per_file(self) -> "int | None":
+        """``write.target-file-size-bytes`` (Iceberg's write-path
+        file-size knob) expressed as Spark's ``maxRecordsPerFile``
+        write option. Oversized data files are a measured scan-time
+        hazard, not a style point: a 13 GB / 600 M-row parquet file
+        carries a ~4.5 MB serialized footer that every fine-grained
+        scan task re-parses — 4× wall on a full-table aggregate at
+        sf300 vs the same rows in ~1 GB files (SCALE.md round-9).
+
+        The bytes→rows conversion is calibrated from the table's OWN
+        commit manifests (total size / total rows across live data
+        files — O(metadata), no data-plane reads, the same stats
+        Iceberg keeps per data file). A first commit with no observed
+        files falls back to a deliberately WIDE per-field estimate:
+        overestimating row width yields smaller-than-target files
+        (harmless), underestimating yields the oversized files the
+        knob exists to prevent."""
+        raw = (self.properties or {}).get("write.target-file-size-bytes")
+        if raw is None:
+            return None
+        try:
+            target = int(raw)
+        except (TypeError, ValueError):
+            raise TableFormatError(
+                f"write.target-file-size-bytes must be an integer byte "
+                f"count, got {raw!r}"
+            ) from None
+        if target <= 0:
+            raise TableFormatError(
+                f"write.target-file-size-bytes must be positive, got {target}"
+            )
+        tot_bytes = tot_rows = 0
+        for s in self.snapshots:
+            if s.is_row_delete or not s.files:
+                continue  # delete manifests count key tuples, not rows
+            for f in s.files:
+                tot_bytes += f["size_bytes"]
+                tot_rows += f["record_count"]
+        if tot_rows > 0:
+            width = max(1, tot_bytes // tot_rows)
+        else:
+            width = _estimated_row_width(self.schema)
+        return max(1, target // width)
+
     def _write_files(self, df: DataFrame) -> str:
         """Write a new snapshot directory WITHOUT touching metadata;
         returns the relative dir. Crash-safe by construction: a dir no
@@ -1192,8 +1267,15 @@ class LakeTable:
                 "(none | hash | range)"
             )
         rel = f"data/snap-{uuid.uuid4().hex[:16]}"
+        cap = self._max_records_per_file()
         sbf = self._spark_bucket_field()
         if sbf is not None:
+            # deliberately NOT capped: the Spark bucket layout's scan
+            # contract is one sorted file per bucket (single-file
+            # ordering feeds exchange- and sort-free joins); file size
+            # is governed by the bucket count N, Iceberg's own sizing
+            # lever for bucketed tables.
+            cap = None
             # Spark-native bucket layout (see _spark_bucket_field):
             # repartition on the key aligns write tasks with bucket ids
             # (same murmur3 pmod), one sorted file per bucket. bucketBy
@@ -1218,6 +1300,8 @@ class LakeTable:
             spark.sql(f"DROP TABLE `{tmp}`")
             return rel
         writer = aligned.write.mode("error")
+        if cap is not None:
+            writer = writer.option("maxRecordsPerFile", cap)
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(str(self.location / rel))

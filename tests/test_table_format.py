@@ -1055,6 +1055,44 @@ def test_write_distribution_mode(spark, catalog, tmp_path):
         bad.append(df)
 
 
+def test_write_target_file_size(spark, catalog):
+    """write.target-file-size-bytes must bound data-file sizes on the
+    ordinary append path (Iceberg's write-path file-size knob —
+    motivated by the measured 4x scan cost of one oversized file,
+    SCALE.md round-9). First commit sizes by the schema estimate;
+    later commits calibrate bytes/row from the table's own manifests."""
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.concat(F.lit("pad-"), F.col("id").cast("string"),
+                 F.lit("-" + "y" * 40)).alias("pad"),
+    )
+    table = catalog.create_table(
+        "db", "tfs", df.schema,
+        properties={"write.target-file-size-bytes": "65536"},
+    )
+    s1 = table.append(df.coalesce(1))  # one task: cap is the only splitter
+    assert len(s1.files) > 1, "first-commit bootstrap estimate must split"
+
+    # second append calibrates from the observed manifest width: files
+    # land near the target (within 2x — parquet framing is per-file)
+    s2 = table.append(df.coalesce(1))
+    assert len(s2.files) > 1
+    assert max(f["size_bytes"] for f in s2.files) < 2 * 65536
+    assert table.to_df(spark).count() == 40_000
+
+    # unbounded by default: same write, no property -> one task, one file
+    plain = catalog.create_table("db", "tfs_plain", df.schema)
+    sp = plain.append(df.coalesce(1))
+    assert len(sp.files) == 1
+
+    bad = catalog.create_table(
+        "db", "tfs_bad", df.schema,
+        properties={"write.target-file-size-bytes": "not-bytes"},
+    )
+    with pytest.raises(TableFormatError):
+        bad.append(df)
+
+
 def test_history_df_parent_chain(spark, catalog):
     table, df = _mk(spark, catalog, "hist1")
     s1 = table.append(df.filter("id < 40"))
