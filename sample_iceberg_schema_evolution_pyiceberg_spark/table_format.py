@@ -2179,6 +2179,14 @@ class LakeTable:
             raise TableFormatError(
                 "sort_by and cluster_by are mutually exclusive"
             )
+        # NOTE: when the table declares write.target-file-size-bytes,
+        # the commit below is already size-bounded by _write_files'
+        # maxRecordsPerFile cap — a compaction that would AQE-coalesce a
+        # large live set into one oversized-footer file (the measured 4x
+        # scan hazard, SCALE.md round-9) splits at the target without
+        # the extra shuffle an explicit target_files repartition costs.
+        # target_files stays the explicit COUNT knob for range-prunable
+        # layouts (sort_by/cluster_by want a real range partitioning).
         df = self.to_df(spark)
         if cluster_by:
             zcol = "__zorder_tmp"

@@ -1080,6 +1080,13 @@ def test_write_target_file_size(spark, catalog):
     assert max(f["size_bytes"] for f in s2.files) < 2 * 65536
     assert table.to_df(spark).count() == 40_000
 
+    # compaction inherits the bound through the same write path: the
+    # merged live set must NOT coalesce into one oversized file
+    sc = table.compact(spark)
+    assert len(sc.files) > 1
+    assert max(f["size_bytes"] for f in sc.files) < 2 * 65536
+    assert table.to_df(spark).count() == 40_000
+
     # unbounded by default: same write, no property -> one task, one file
     plain = catalog.create_table("db", "tfs_plain", df.schema)
     sp = plain.append(df.coalesce(1))
