@@ -69,6 +69,11 @@ def plan_fingerprint(df) -> str:
     s = re.sub(r"\[id=#?\d*\]", "", s)
     s = re.sub(r"/[^\s,)\]]*(?:testdata|benchdata)[^\s,)\]]*", "<path>", s)
     s = re.sub(r"/tmp/[^\s,)\]]*", "<tmp>", s)
+    # bucketed-layout cache tables embed a size-mtime source stamp in
+    # the name (sources._source_stamp); a container rebuild changes the
+    # stamp with zero plan change — strip it so fingerprints compare
+    # across rounds/boxes
+    s = re.sub(r"\b(bkt_[a-z0-9_]+?)_\d+_\d+\b", r"\1", s)
     s = re.sub(r"\s+", " ", s)
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
