@@ -220,6 +220,22 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
                     if f.get("stats") is not None
                     else {}
                 ),
+                # Iceberg manifests store each data file's partition
+                # tuple; losing it on the JSON round-trip silently
+                # disabled manifest partition pruning and bucket-layout
+                # adoption on every RELOADED handle (found live: the
+                # lake-bucketed join exchanged after a cross-session
+                # reload while the in-handle gate episode didn't)
+                **(
+                    {"partition": f["partition"]}
+                    if f.get("partition") is not None
+                    else {}
+                ),
+                **(
+                    {"layout": f["layout"]}
+                    if f.get("layout") is not None
+                    else {}
+                ),
             }
             for f in d["files"]
         ]
@@ -254,6 +270,16 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
                 **(
                     {"stats": f["stats"]}
                     if f.get("stats") is not None
+                    else {}
+                ),
+                **(
+                    {"partition": f["partition"]}
+                    if f.get("partition") is not None
+                    else {}
+                ),
+                **(
+                    {"layout": f["layout"]}
+                    if f.get("layout") is not None
                     else {}
                 ),
             }
@@ -444,7 +470,9 @@ def _estimated_row_width(schema: T.StructType) -> int:
     return max(1, sum(w(f.dataType) for f in schema.fields))
 
 
-def _footer_column_bounds(md) -> dict[str, list]:
+def _footer_column_bounds(
+    md, metrics: "tuple[str, dict[str, str]] | None" = None
+) -> dict[str, list]:
     """Per-column [min, max] from a parquet footer's row-group
     statistics — the data Iceberg stores as manifest lower/upper
     bounds. Conservative by construction: only TOP-LEVEL columns whose
@@ -453,18 +481,34 @@ def _footer_column_bounds(md) -> dict[str, list]:
     a missing entry always means 'cannot prune', never 'no rows'.
     Width-capped to the first ``_STATS_MAX_COLUMNS`` TOP-LEVEL columns
     (nested leaves don't consume cap slots — a leading wide struct must
-    not disable stats for the flat columns after it)."""
+    not disable stats for the flat columns after it).
+
+    ``metrics`` is the compiled ``write.metadata.metrics`` selection
+    (default mode, per-column overrides — Iceberg's metrics config,
+    which exists because a 1000-column table must not pay 1000 bounds
+    per file): mode 'none' drops a column's bounds, 'full' keeps them;
+    per-column entries override the default. Explicit 'full' columns
+    are exempt from the width cap (naming a column IS the width
+    decision). Dropping bounds only ever disables pruning for that
+    column — consumers already treat a missing entry as 'keep'."""
     if md.num_row_groups == 0:
         return {}
+    default_mode, per_col = metrics if metrics else ("full", {})
     allowed: list[str] = []
     g0 = md.row_group(0)
     for ci in range(g0.num_columns):
         name = g0.column(ci).path_in_schema
         if "." in name or name in allowed:
             continue
+        mode = per_col.get(name, default_mode)
+        if mode == "none":
+            continue
+        if name in per_col:
+            allowed.append(name)  # named columns bypass the width cap
+            continue
+        if sum(1 for a in allowed if a not in per_col) >= _STATS_MAX_COLUMNS:
+            continue
         allowed.append(name)
-        if len(allowed) >= _STATS_MAX_COLUMNS:
-            break
     allowed_set = set(allowed)
     agg: dict[str, list] = {}
     dead: set[str] = set()
@@ -668,7 +712,19 @@ class LakeCatalog:
 
     def __init__(self, warehouse: str | Path, io: FileIO | None = None):
         self.io = io or LocalFileIO()
-        self.warehouse = Path(warehouse)
+        warehouse = Path(warehouse)
+        if isinstance(self.io, LocalFileIO) and not warehouse.is_absolute():
+            # Spark resolves relative paths inconsistently across its
+            # IO surfaces: read.parquet resolves against the app cwd,
+            # but a relative saveAsTable `path` option lands under
+            # spark.sql.warehouse.dir — so a relative LOCAL warehouse
+            # could commit a bucket-layout snapshot whose manifest
+            # points at a data dir Spark wrote somewhere else entirely
+            # (found live: the dir vanished with the throwaway catalog
+            # entry). Custom FileIO backends keep their own keyspace
+            # untouched.
+            warehouse = warehouse.resolve()
+        self.warehouse = warehouse
         self.io.mkdirs(str(self.warehouse))
 
     def _table_dir(self, database: str, table: str) -> Path:
@@ -845,6 +901,8 @@ class LakeTable:
     def load(location: str | Path, io: FileIO | None = None) -> "LakeTable":
         io = io or LocalFileIO()
         location = Path(location)
+        if isinstance(io, LocalFileIO) and not location.is_absolute():
+            location = location.resolve()  # same rule as LakeCatalog
         hint = io.read_text(
             str(location / "_meta" / "version-hint.text")
         ).strip()
@@ -1190,6 +1248,34 @@ class LakeTable:
         snap = self._write(df, "overwrite")
         return snap
 
+    _METRICS_PREFIX = "write.metadata.metrics.column."
+
+    def _metrics_config(self) -> "tuple[str, dict[str, str]] | None":
+        """Compiled ``write.metadata.metrics`` selection (Iceberg's
+        metrics config): ``write.metadata.metrics.default`` = 'full'
+        (bounds, the default) | 'none', plus per-column
+        ``write.metadata.metrics.column.<name>`` overrides. Named
+        'full' columns bypass the ``_STATS_MAX_COLUMNS`` width cap —
+        naming a column IS the width decision (Iceberg's config exists
+        precisely so a wide table can still carry bounds on its
+        predicate columns). Returns None when everything is default."""
+        props = self.properties or {}
+        default = props.get("write.metadata.metrics.default", "full")
+        per_col = {
+            k[len(self._METRICS_PREFIX):]: v
+            for k, v in props.items()
+            if k.startswith(self._METRICS_PREFIX)
+        }
+        for v in (default, *per_col.values()):
+            if v not in ("full", "none"):
+                raise TableFormatError(
+                    "write.metadata.metrics values must be 'full' or "
+                    f"'none', got {v!r}"
+                )
+        if default == "full" and not per_col:
+            return None
+        return default, per_col
+
     def _max_records_per_file(self) -> "int | None":
         """``write.target-file-size-bytes`` (Iceberg's write-path
         file-size knob) expressed as Spark's ``maxRecordsPerFile``
@@ -1320,6 +1406,7 @@ class LakeTable:
 
         root = self.location / rel
         sbf = self._spark_bucket_field()
+        metrics = self._metrics_config()
         out = []
         for p in sorted(root.rglob("*.parquet")):
             md = pq.read_metadata(p)
@@ -1327,7 +1414,7 @@ class LakeTable:
                 "path": str(p.relative_to(self.location)),
                 "size_bytes": p.stat().st_size,
                 "record_count": md.num_rows,
-                "stats": _footer_column_bounds(md),
+                "stats": _footer_column_bounds(md, metrics),
             }
             # Iceberg manifests record each data file's partition
             # tuple; ours comes from the hive dirs (hidden partition

@@ -238,6 +238,64 @@ def test_spark_bucket_layout_zero_exchange_join(spark, tmp_path):
     assert len(kept) == 1
 
 
+def test_bucket_layout_and_partition_tuples_survive_reload(spark, tmp_path):
+    """The manifest's per-file partition tuples and spark-bucket layout
+    markers must survive the metadata JSON round-trip: before the fix
+    the serializer dropped both, so a RELOADED handle (any new session
+    — the production case) silently lost bucket adoption (the join
+    re-exchanged, measured 1.9x slower at sf10) and manifest partition
+    pruning, while same-handle gate episodes kept passing."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.plans import (
+        physical_plan,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeTable,
+    )
+
+    f1 = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    cat = LakeCatalog(tmp_path / "wh")
+    spec = compile_partition_spec(
+        {"partitions": [{"column_name": "k", "transform": "bucket[8]"}]}
+    )
+    t1 = cat.create_table(
+        "db", "rf1", f1.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark"},
+    )
+    t1.append(f1)
+
+    fresh = LakeTable.load(tmp_path / "wh" / "db" / "rf1")
+    snap = fresh.snapshots[-1]
+    assert all(f.get("layout") == "spark-bucket" for f in snap.files)
+    assert all("partition" in f for f in snap.files)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lhs = fresh.to_df(spark)
+        rhs = fresh.to_df(spark).select(
+            F.col("k"), F.col("a").alias("a2")
+        )
+        j = lhs.join(rhs, "k").select(
+            (F.col("a") + F.col("a2")).alias("v")
+        )
+        plan = physical_plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 20000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    # manifest =-pruning works on the reloaded handle too
+    got = fresh.to_df(spark, pruning=[("k", "=", 777)]).collect()
+    assert [(r.k, r.a) for r in got] == [(777, 1554)]
+    want = spark_bucket_of(777, 8)
+    kept = [
+        f for f in snap.files if f["partition"]["k_bucket"] == want
+    ]
+    assert len(kept) == 1
+
+
 def test_spark_bucket_layout_survives_append_and_deletes(spark, tmp_path):
     """Multiple snapshots and MoR masks fall back to plain parquet
     scans — value-identical, adoption is only an optimization."""

@@ -507,6 +507,53 @@ def test_scan_prunes_files_by_manifest_bounds(spark, tmp_path):
     assert sorted(r.id for r in both.collect()) == list(range(100, 150))
 
 
+def test_metadata_metrics_selectors(spark, tmp_path):
+    """write.metadata.metrics (Iceberg's metrics config): default mode
+    plus per-column overrides pick which columns carry manifest bounds.
+    default=none + one named full column -> only that column has stats;
+    pruning on it still skips files, pruning on an unselected column
+    conservatively keeps everything (missing stats == cannot prune).
+    Named columns bypass the width cap; bad values are rejected."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    cat = LakeCatalog(tmp_path / "wh")
+    table = cat.create_table(
+        "db", "mm", df.schema,
+        properties={
+            "write.metadata.metrics.default": "none",
+            "write.metadata.metrics.column.id": "full",
+        },
+    )
+    table.append(df.repartitionByRange(4, "id"))
+    stats_cols = {
+        c for s in table.snapshots for f in s.files for c in f["stats"]
+    }
+    assert stats_cols == {"id"}
+
+    pruned = table.to_df(spark, pruning=[("id", ">=", 350)])
+    assert sorted(r.id for r in pruned.collect()) == list(range(350, 400))
+    assert len(pruned.inputFiles()) < 4
+    # unselected column: no stats -> keep every file, rows still exact
+    unpruned = table.to_df(spark, pruning=[("v", ">=", 700)])
+    assert sorted(r.id for r in unpruned.collect()) == list(range(350, 400))
+    assert len(unpruned.inputFiles()) == 4
+
+    bad = cat.create_table(
+        "db", "mm_bad", df.schema,
+        properties={"write.metadata.metrics.default": "truncate(16)"},
+    )
+    with pytest.raises(TableFormatError):
+        bad.append(df)
+
+
 def test_scan_pruning_composes_with_hidden_partitions(spark, tmp_path):
     """File bounds + hidden-partition directory pruning on the same
     scan: identical rows to the unpruned filter, and the basePath
@@ -1098,6 +1145,46 @@ def test_write_target_file_size(spark, catalog):
     )
     with pytest.raises(TableFormatError):
         bad.append(df)
+
+
+def test_relative_warehouse_bucket_layout(spark, tmp_path, monkeypatch):
+    """A RELATIVE local warehouse path must not strand bucket-layout
+    data: Spark resolves a relative saveAsTable path option against
+    spark.sql.warehouse.dir (not the cwd read.parquet uses), so before
+    the catalog resolved local paths the committed manifest pointed at
+    a data dir that vanished with the throwaway catalog entry (found
+    live at sf10). The catalog now pins local warehouses absolute."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        compile_partition_spec,
+    )
+
+    from pathlib import Path
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeTable,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    cat = LakeCatalog("rel_wh")  # relative on purpose
+    assert cat.warehouse.is_absolute()
+    spec = compile_partition_spec(
+        {"partitions": [{"column_name": "k", "transform": "bucket[4]"}]}
+    )
+    table = cat.create_table(
+        "db", "bt", df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark"},
+    )
+    snap = table.append(df)
+    data_dir = table.location / snap.data_dir
+    assert data_dir.exists() and list(data_dir.rglob("*.parquet"))
+    assert table.to_df(spark).count() == 2000
+    # reload through the relative path too
+    reloaded = LakeTable.load(Path("rel_wh") / "db" / "bt")
+    assert reloaded.location.is_absolute()
+    assert reloaded.to_df(spark).count() == 2000
 
 
 def test_history_df_parent_chain(spark, catalog):
