@@ -297,8 +297,11 @@ def test_bucket_layout_and_partition_tuples_survive_reload(spark, tmp_path):
 
 
 def test_spark_bucket_layout_survives_append_and_deletes(spark, tmp_path):
-    """Multiple snapshots and MoR masks fall back to plain parquet
-    scans — value-identical, adoption is only an optimization."""
+    """Append chains and MoR masks stay value-identical. (Append
+    fragments in fact KEEP adoption — Spark 4 propagates compatible
+    bucketing through the union, asserted in
+    test_compact_restores_bucket_layout_adoption — so the plain-scan
+    fallback is only the MoR/mixed-spec escape hatch.)"""
     f1 = spark.range(0, 100).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("a")
     )
@@ -320,6 +323,76 @@ def test_spark_bucket_layout_survives_append_and_deletes(spark, tmp_path):
     t1.delete_where(spark, "k >= 140")
     t1 = t1.refresh()
     assert t1.to_df(spark).count() == 140
+
+
+def test_compact_restores_bucket_layout_adoption(spark, tmp_path):
+    """The production lifecycle of a bucketed fact under appends: each
+    append snapshot adopts as its own bucketed scan and Spark 4
+    propagates compatible bucketing THROUGH the union, so even the
+    fragmented table joins with zero exchange (stronger than the
+    documented per-snapshot guarantee); compact() then folds the
+    fragments into ONE spark-bucket snapshot (rewrite_data_files' job)
+    and the join stays exchange-free with a single scan per side."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.plans import (
+        physical_plan,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    spec = compile_partition_spec(
+        {"partitions": [{"column_name": "k", "transform": "bucket[4]"}]}
+    )
+    schema = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").alias("a")
+    ).schema
+    t1 = cat.create_table(
+        "db", "cf1", schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark"},
+    )
+    t1.append(spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    ))
+    t1.append(spark.range(10000, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    ))
+    t2 = cat.create_table(
+        "db", "cf2", t1.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark"},
+    )
+    t2.append(spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    ).withColumnRenamed("b", "a"))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def join_plan():
+            rhs = t2.to_df(spark).select(
+                F.col("k"), F.col("a").alias("a2")
+            )
+            j = t1.to_df(spark).join(rhs, "k")
+            return physical_plan(j), j
+
+        plan, j = join_plan()
+        # fragmented (2 snapshots): union of identically-bucketed
+        # scans still satisfies the join's distribution — no exchange
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 3  # 2 fragments + rhs
+        assert j.count() == 20000
+
+        t1.compact(spark)
+        assert len([s for s in t1.snapshots if not s.is_row_delete]) >= 1
+        snap = t1.snapshots[-1]
+        assert all(
+            f.get("layout") == "spark-bucket" for f in snap.files
+        )
+        plan, j = join_plan()
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2  # folded to one scan
+        assert "Union" not in plan
+        assert j.count() == 20000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
 
 
 # ---------------------------------------------------------------------------
