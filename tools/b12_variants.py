@@ -58,11 +58,11 @@ def v_dec38(spark: SparkSession, sf: str) -> DataFrame:
             "l_returnflag", "l_linestatus",
             "cast(round(l_quantity * 10000) as bigint) as qty_e4",
             "cast(round(l_extendedprice * 10000) as bigint) as ext_e4",
+            "10000 - cast(round(l_discount * 10000) as bigint) as f_e4",
         )
         .selectExpr(
             "l_returnflag", "l_linestatus", "qty_e4", "ext_e4",
-            "ext_e4 * (10000 - cast(round(l_discount * 10000) as bigint))"
-            " as dp_e8",
+            "ext_e4 * f_e4 as dp_e8",
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -89,11 +89,11 @@ def v_intkey(spark: SparkSession, sf: str) -> DataFrame:
             "ascii(l_returnflag) * 256 + ascii(l_linestatus) as gk",
             "cast(round(l_quantity * 10000) as bigint) as qty_e4",
             "cast(round(l_extendedprice * 10000) as bigint) as ext_e4",
+            "10000 - cast(round(l_discount * 10000) as bigint) as f_e4",
         )
         .selectExpr(
             "gk", "qty_e4", "ext_e4",
-            "ext_e4 * (10000 - cast(round(l_discount * 10000) as bigint))"
-            " as dp_e8",
+            "ext_e4 * f_e4 as dp_e8",
         )
         .groupBy("gk")
         .agg(
