@@ -353,7 +353,20 @@ def bucketed_table(
                     .saveAsTable(tbl)
                 )
         return spark.table(tbl)
-    except Exception:  # noqa: BLE001 — layout is an optimization only
+    except Exception as e:  # noqa: BLE001 — layout is an optimization only
+        import warnings  # noqa: PLC0415
+
+        # LOUD fallback: the value path is identical, but the PLAN is
+        # not — a silently degraded layout once benched a re-exchanging
+        # join as if it were the bucketed one (disk-full during the
+        # layout build, r9). Anyone measuring must see this.
+        warnings.warn(
+            f"bucketed layout unavailable for {name} ({e!r}); "
+            "falling back to a plain scan — joins on this table will "
+            "re-exchange",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return base
 
 

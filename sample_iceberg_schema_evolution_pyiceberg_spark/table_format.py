@@ -3454,7 +3454,20 @@ class LakeTable:
                     f"LOCATION '{self.location / snap.data_dir}'"
                 )
             return spark.table(name)
-        except Exception:  # noqa: BLE001 — adoption is an optimization
+        except Exception as e:  # noqa: BLE001 — adoption is an optimization
+            import warnings  # noqa: PLC0415
+
+            # LOUD fallback, same reason as sources.bucketed_table: a
+            # silent adoption failure serves identical VALUES through a
+            # plan that re-exchanges — the r9 reload bug hid behind
+            # exactly this kind of quiet degradation.
+            warnings.warn(
+                f"bucket-layout adoption failed for {self.identifier} "
+                f"snapshot {snap.snapshot_id} ({e!r}); plain scan — "
+                "joins on the bucket key will re-exchange",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return None
 
     def _resolve_snapshot_range(
