@@ -346,6 +346,17 @@ def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
             name: {"snapshots": [_snap_to_spec(s) for s in b["snapshots"]]}
             for name, b in sorted(meta["branches"].items())
         }
+    if meta.get("renames"):
+        # ext field: the identity-preserving rename log. LOSING this on
+        # the round-trip silently turned every reloaded handle's
+        # pre-rename data into drop+add NULLs — the exact destruction
+        # rename_column exists to prevent (found live, r9; regression:
+        # tests/test_rename_column.py reload test + the spec round-trip
+        # property test).
+        doc["column-renames"] = [
+            {"schema-id": r["version"], "from": r["from"], "to": r["to"]}
+            for r in meta["renames"]
+        ]
     if meta.get("sort_order"):
         doc["default-sort-order-id"] = 1
         doc["sort-orders"] = [
@@ -407,6 +418,11 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
             name: {"snapshots": [_snap_from_spec(s) for s in b["snapshots"]]}
             for name, b in doc["branches"].items()
         }
+    if doc.get("column-renames"):
+        meta["renames"] = [
+            {"version": r["schema-id"], "from": r["from"], "to": r["to"]}
+            for r in doc["column-renames"]
+        ]
     if doc.get("sort-orders"):
         meta["sort_order"] = [
             f["source-column"] for f in doc["sort-orders"][0]["fields"]

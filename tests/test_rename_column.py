@@ -52,6 +52,30 @@ def test_rename_golden_old_snapshots_read_under_new_name(spark, tmp_path):
     assert old.count() == 100
 
 
+def test_rename_log_survives_reload(spark, tmp_path):
+    """The rename log must survive the metadata JSON round-trip: before
+    the fix the serializer dropped meta['renames'], so every RELOADED
+    handle (any session after the renaming one) read pre-rename files
+    as drop+add — silently NULLing the column the feature exists to
+    protect, while same-handle tests kept passing."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeTable,
+    )
+
+    cat, tbl, src = _mk(spark, tmp_path)
+    tbl.rename_column("amount", "cost")
+    tbl.append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("cost")
+        )
+    )
+    fresh = LakeTable.load(tmp_path / "wh" / "db" / "rn")
+    assert fresh.meta.get("renames"), "rename log lost on reload"
+    got = fresh.to_df(spark).selectExpr("sum(cost) AS s").collect()[0].s
+    assert got == sum(i * 2 for i in range(200))
+    assert fresh.to_df(spark).filter("cost IS NULL").count() == 0
+
+
 def test_rename_chain_composes(spark, tmp_path):
     _cat, tbl, _src = _mk(spark, tmp_path)
     tbl.rename_column("amount", "amt")
