@@ -46,23 +46,52 @@ def scaled_shuffle_partitions(input_bytes: int, cpus: int) -> int:
 
 def _dir_input_bytes(sf_dir: str) -> int:
     """Total bytes of the declared input dir. Tables may be single
-    files (table.parquet) or chunked directories (table.parquet/
-    part-*.parquet — the large derived decades); both count, else a
-    chunked 39 GB lineitem would size the session as a 0-byte input."""
+    files (table.parquet), chunked directories (table.parquet/
+    part-*.parquet — the large derived decades), or hive-partitioned
+    trees (arbitrary depth); os.walk counts them all, else a chunked
+    39 GB lineitem would size the session as a 0-byte input. OSErrors
+    are scoped per entry — one unreadable file skips that file, not
+    the whole estimate (a zeroed estimate silently mis-sizes every
+    shuffle in the session)."""
     total = 0
-    try:
-        for name in os.listdir(sf_dir):
-            p = os.path.join(sf_dir, name)
-            if os.path.isfile(p):
-                total += os.path.getsize(p)
-            elif os.path.isdir(p):
-                for f in os.listdir(p):
-                    fp = os.path.join(p, f)
-                    if os.path.isfile(fp):
-                        total += os.path.getsize(fp)
-    except OSError:
-        return 0
+    for dirpath, _dirs, files in os.walk(sf_dir, onerror=lambda e: None):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                continue
     return total
+
+
+# Below this much declared input, AQE is overhead with nothing to
+# adapt: every exchange becomes its own job boundary (a query-shape
+# stage materialization + re-plan round trip), measured +30% wall on
+# the fixed-cost-dominated headline queries at sf0.1 (1.083 s AQE-on
+# vs 0.753 s off over b16/b18/b42/c01/c05; tools/aqe_experiment.py,
+# r10). Partitions are already input-sized (scaled_shuffle_partitions:
+# a 17 MB input runs 8 x 2 MB partitions), so coalescing has nothing
+# to merge and a skewed key cannot materialize. Any real input — a
+# cluster decade, 100 TB — keeps AQE on: skew-join splitting and
+# runtime coalescing are strictly worth it there. Override with
+# SPARK_GRAFT_AQE=true|false.
+_AQE_MIN_INPUT_BYTES = 64 * 1024 * 1024
+
+
+def adaptive_enabled(input_bytes: int) -> bool:
+    """Input-sized AQE gate: off below 64 MB declared input (see
+    _AQE_MIN_INPUT_BYTES rationale), on for anything real."""
+    forced = os.environ.get("SPARK_GRAFT_AQE")
+    if forced:
+        return forced.lower() == "true"
+    return input_bytes >= _AQE_MIN_INPUT_BYTES
+
+
+def declared_input_bytes() -> int:
+    """Bytes of the driver-declared input dir (SPARK_GRAFT_SF_DIR), or
+    0 when none is declared — the shared basis for every input-scaled
+    session decision (shuffle partition count, AQE gate)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    return _dir_input_bytes(sf_dir) if sf_dir else 0
 
 
 def get_spark(
@@ -82,22 +111,26 @@ def get_spark(
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 0)
     )
+    nbytes = declared_input_bytes()
     if not shuffle:
         # no explicit setting: size to the declared input when the
         # driver contract names one (bench/driver set
         # SPARK_GRAFT_SF_DIR), else the static default
-        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
-        nbytes = _dir_input_bytes(sf_dir) if sf_dir else 0
         shuffle = (
             scaled_shuffle_partitions(nbytes, int(cpus))
             if nbytes
             else DEFAULT_SHUFFLE_PARTITIONS
         )
+    # AQE is input-sized too: on for any real input (100 TB posture —
+    # skew-join splits, runtime coalescing), off below 64 MB where its
+    # per-exchange re-plan round trip is pure fixed cost (see
+    # adaptive_enabled). No declared input -> on (the safe default).
+    aqe = str(adaptive_enabled(nbytes) if nbytes else True).lower()
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Spark's own recommendation: respect the advisory target when
         # coalescing instead of maximizing parallelism — tiny reduce

@@ -12,6 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sample_iceberg_schema_evolution_pyiceberg_spark.session import (
+    adaptive_enabled,
+    declared_input_bytes,
+)
+
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -109,11 +114,20 @@ def ensure_session_confs(spark: SparkSession) -> None:
             return
     except Exception:  # noqa: BLE001
         pass
+    _nbytes = declared_input_bytes()
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.adaptive.enabled", "true"),
+        # input-sized AQE gate (session.adaptive_enabled): on for real
+        # inputs (skew-join splits, runtime coalescing — the 100 TB
+        # posture), off below 64 MB where the per-exchange re-plan
+        # round trip is pure fixed cost (+30% wall measured at sf0.1,
+        # tools/aqe_experiment.py r10)
+        (
+            "spark.sql.adaptive.enabled",
+            str(adaptive_enabled(_nbytes) if _nbytes else True).lower(),
+        ),
         # local-bench split sizing: the split-cache files are ~0.5 MB, so
         # pack at 2 MB to keep one split per core (cluster deployments
         # keep Spark's 128 MB default — inputs there have real splits)
