@@ -1118,6 +1118,10 @@ class DdlFrontend:
         ):
             props = _parse_properties(am.group(1))
             table.meta["properties"].update(props)
+            if "write.sort-order" in props:
+                # declaration surface: re-derive the table sort order
+                # (validates columns; lands in the SAME commit)
+                table.refresh_declared_sort_order()
             table._commit()
             resp.message_list.append(
                 f"Set properties {sorted(props)} on {db}.{tbl}"
@@ -1132,6 +1136,8 @@ class DdlFrontend:
             ]
             for k in keys:
                 table.meta["properties"].pop(k, None)
+            if "write.sort-order" in keys:
+                table.refresh_declared_sort_order()
             table._commit()
             resp.message_list.append(
                 f"Unset properties {sorted(keys)} on {db}.{tbl}"

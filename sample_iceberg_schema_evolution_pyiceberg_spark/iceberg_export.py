@@ -229,6 +229,38 @@ def _iceberg_field_stable(
     }
 
 
+def _sort_orders_json(
+    table: "LakeTable", col_ids: "_StableIds"
+) -> dict[str, Any]:
+    """``sort-orders`` + ``default-sort-order-id`` for the metadata
+    doc. Unsorted tables export the spec's canonical empty order 0;
+    a declared sort order (write.sort-order property or compact
+    sort_by — see table_format.refresh_declared_sort_order) exports
+    as order 1 with identity-transform fields, directions, and
+    null-orders, resolved to stable source-ids."""
+    from .table_format import _sort_fields  # noqa: PLC0415
+
+    fields = _sort_fields(table.meta)
+    orders: list[dict[str, Any]] = [{"order-id": 0, "fields": []}]
+    if not fields:
+        return {"sort-orders": orders, "default-sort-order-id": 0}
+    orders.append(
+        {
+            "order-id": 1,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": col_ids.for_path(f["column"]),
+                    "direction": f["direction"],
+                    "null-order": f["null-order"],
+                }
+                for f in fields
+            ],
+        }
+    )
+    return {"sort-orders": orders, "default-sort-order-id": 1}
+
+
 def schema_history_to_iceberg(
     table: "LakeTable",
 ) -> tuple[list[dict[str, Any]], int, _StableIds]:
@@ -1000,8 +1032,13 @@ def export_to_iceberg(
             ]
             + [999]
         ),
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
+        # declared table sort order (write.sort-order / compact
+        # sort_by): exported as a REAL sort-orders entry — order 0
+        # (unsorted) stays present as the spec's baseline, order 1
+        # carries the identity sort fields with source-ids from the
+        # stable column-id registry (table_format._sort_fields is the
+        # engine-side source of truth)
+        **_sort_orders_json(table, col_ids),
         "properties": dict(table.meta.get("properties") or {}),
         "current-snapshot-id": current_id if current_id is not None else -1,
         "snapshots": snapshots_json,

@@ -36,44 +36,43 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- Round-9 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1 (4): NEW in r9 — bucket/truncate transforms (VERDICT r8
-    # item 1), rename evolution (item 5), span removal (item 8).
-    "a28_bucket_truncate_episode", "b66_lake_bucket_join",
-    "a29_rename_evolution_episode", "c33_dup_span_removal",
-    # Tier 2 (12): keys whose CODE CHANGED in r9 — s10 now drains
-    # under admission control (drain_changes, item 6); the atomic
-    # rewrite-label change re-routes every compaction/CoW-DML commit
-    # (a05/a06/a08/a12/a16/a17/a23); the changelog/CDC family rides
-    # the _pre_state + _pos_file fixes (a24/a25/a27); incremental
-    # reads gained rename mapping (a13).
-    "s10_stream_lake_replication", "a08_compaction_invariance",
-    "a23_zorder_clustering_episode", "a24_changelog_cdc",
-    "a25_cdc_replication", "a27_position_delete_episode",
-    "a16_merge_on_read_delete", "a17_merge_on_read_merge",
-    "a12_sql_merge_conditional", "a13_incremental_read",
-    "a05_merge_upsert", "a06_delete_update_where",
-    # Tier 3 (34): the ENTIRE r6-evidence band — with these slots the
-    # window closes VERDICT r8 item 4's done criterion (no
-    # oracle-bearing key's driver evidence older than r7).
-    "c02_dedup_minhash_lsh", "c02b_minhash_signatures",
-    "c03_dedup_simhash", "c04_dedup_ngram_jaccard",
-    "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
-    "b20_window_running_frame", "b42_udtf_explode",
-    "b54_sessionize_batch", "b33_json_funcs", "b35_cast_promotion",
-    "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
-    "b37b_deterministic_sample", "b52_grouping_sets", "b55_pivot",
-    "b56_unpivot", "b57_string_agg", "b58_grouped_map_pandas",
-    "b59_map_hof", "b61_null_safe_join", "c21_dedup_keeper_selection",
-    "c05_cosine_topk_brute", "c13_dedup_embedding_cosine",
-    "c06b_knn_join_sampled", "c07_text_langid", "c08_text_quality",
-    "c10_text_fingerprint", "c20_weighted_mixture", "c22_chunk_overlap",
-    "c19_sequence_packing", "c11_multimodal_binary_meta",
-    "c12_multimodal_decode_features",
+    # ---- Round-10 window (first 50 slots, oracle-bearing only) ----
+    # Tier 1: a30 leads — the one registry key that has never held a
+    # driver-window slot (VERDICT r9 item 2 names it first), followed
+    # by keys NEW in r10 as the round builds them.
+    "a30_scd2_incremental_apply",
+    "a31_sort_order_episode", "a32_spec_bucket_join",
+    "s11_stream_backfill_capped", "a33_column_metrics_episode",
+    # Tier 2: the ENTIRE r7-evidence band (42 keys) — with these slots
+    # no oracle-bearing key's driver evidence is older than r8
+    # (VERDICT r9 item 2's done criterion). Lake/Tier-A episodes and
+    # streaming first (table_format carries this round's sort-order +
+    # metrics-config changes), then relational/pipeline keys.
+    "a10_iceberg_export_roundtrip", "a14_metadata_tables",
+    "a18_merge_on_read_export", "a19_glue_catalog_episode",
+    "a20_pruned_scan_episode", "a21_snapshot_tags_episode",
+    "a22_write_audit_publish",
+    "s01_stream_tumbling_window", "s02_stream_sliding_window",
+    "s03_stream_dedup", "s08_stream_lake_sink", "s09_stream_lake_source",
+    "b01_scan_projection", "b02_filter_predicates",
+    "b03_join_inner_3way", "b04_join_left_outer", "b05_join_right_outer",
+    "b06_join_full_outer", "b07_join_left_semi", "b08_join_left_anti",
+    "b09_join_cross", "b12_agg_pricing_summary", "b14_agg_rollup",
+    "b15_agg_cube", "b17_agg_minmax_stats", "b18_window_ranking",
+    "b19_window_lag_lead", "b21_topk", "b22_sort_nulls",
+    "b23_union_all", "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
+    "b48_in_subquery_sql", "b49_cte_sql",
+    "c16_salted_hot_key_agg", "c17_corpus_prep_pipeline",
+    "c23_decontamination", "c24_pii_scrub", "c25_repetition_stats",
+    "c26_domain_cap_filter", "c27_dup_ngram_fraction",
+    "c14_multimodal_frame_sample",
+    # Tier 3 (top-up to 50): oldest r8-evidence lake keys most exposed
+    # to this round's table_format changes.
+    "a01_evolution_episode", "a03_lake_roundtrip", "a07_time_travel",
     # --- driver window boundary (50) ---
-    # Out-of-window: everything else carries r7/r8 evidence (nothing
-    # older than r6 exists once this lands; the r7 band of ~47 keys is
-    # the r10 rotation). Full-registry local sweeps cover the gaps
+    # Out-of-window: everything else carries r8/r9 evidence (nothing
+    # older than r7 once this lands; the r8 band of ~43 keys is the
+    # r11 rotation). Full-registry local sweeps cover the gaps
     # between driver windows (SURVEY §5.8).
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only

@@ -1384,3 +1384,109 @@ def a27_position_delete_episode(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a31_sort_order_episode",
+    # data outcome is a filter replay over orders; the flag columns pin
+    # the layout claims: bounds tile (sorted files), the pruned plan
+    # touched fewer files, SHOW CREATE re-parses to the same declared
+    # order, and the Iceberg export carries a real sort-orders entry
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS total,
+           TRUE AS bounds_tiled, TRUE AS pruned_fewer,
+           TRUE AS show_create_roundtrip, TRUE AS exported_order
+    FROM orders WHERE o_orderkey <= 4000 AND o_orderkey > 3000
+    GROUP BY status
+    """,
+)
+def a31_sort_order_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-table-sort-order episode (Iceberg ``sort-orders`` /
+    ``write.sort-order``): CREATE with the property, plain appends land
+    range-clustered + sorted (no explicit compact needed), per-file
+    manifest bounds tile the key space, a range predicate prunes files
+    at plan time, SHOW CREATE round-trips the declaration, and
+    export_to_iceberg emits a real order-id-1 ``sort-orders`` entry
+    (direction + null-order + stable source-id). Iceberg analog:
+    ``ALTER TABLE ... WRITE ORDERED BY`` metadata consumed by sorted
+    writes and scan planning."""
+    import json  # noqa: PLC0415
+
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+        # deliberately unsorted input: the WRITE must arrange layout
+        .orderBy(F.md5(F.col("k").cast("string")))
+    )
+    with tempfile.TemporaryDirectory(prefix="sort_gate_") as wh:
+        cat = LakeCatalog(wh)
+        ddl = DdlFrontend(spark, cat)
+        table = cat.create_table(
+            "gate",
+            "so",
+            o.schema,
+            properties={
+                "write.sort-order": "k ASC NULLS FIRST",
+                # split the sorted stream so bounds have files to tile
+                "write.target-file-size-bytes": "20000",
+            },
+        )
+        # two plain appends — each write honors the declared order
+        table.append(o.filter(F.col("k") <= 2000))
+        table.append(o.filter(F.col("k") > 2000))
+        live = [f for s in table.snapshots for f in s.files]
+        spans = sorted(
+            (f["stats"]["k"][0], f["stats"]["k"][1]) for f in live
+        )
+        # bounds tile PER APPEND; across the two appends the k ranges
+        # are disjoint by construction, so the global spans tile too
+        tiled = len(spans) >= 4 and all(
+            spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)
+        )
+        full = table.to_df(spark)
+        pruned = table.to_df(
+            spark, pruning=[("k", ">", 3000), ("k", "<=", 4000)]
+        )
+        fewer = len(pruned.inputFiles()) < len(full.inputFiles())
+        # SHOW CREATE round-trip: re-run the emitted DDL in a second
+        # namespace; the declared order must survive the parse
+        stmt = ddl.query("SHOW CREATE TABLE gate.so").collect()[0][0]
+        r = ddl.sql(stmt.replace("gate.so", "gate2.so", 1))
+        assert not r.has_error, r.message_list
+        twin = cat.load_table("gate2", "so")
+        roundtrip = twin.sort_order_fields == table.sort_order_fields
+        # exported metadata carries the real sort order
+        meta_dir = export_to_iceberg(table)
+        docs = sorted(meta_dir.glob("v*.metadata.json"))
+        doc = json.loads(docs[-1].read_text())
+        orders = {o_["order-id"]: o_ for o_ in doc["sort-orders"]}
+        exported = (
+            doc["default-sort-order-id"] == 1
+            and orders[1]["fields"][0]["direction"] == "asc"
+            and orders[1]["fields"][0]["null-order"] == "nulls-first"
+        )
+        out = (
+            pruned.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("total").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("total"),
+            )
+            .withColumn("bounds_tiled", F.lit(tiled))
+            .withColumn("pruned_fewer", F.lit(fewer))
+            .withColumn("show_create_roundtrip", F.lit(roundtrip))
+            .withColumn("exported_order", F.lit(exported))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

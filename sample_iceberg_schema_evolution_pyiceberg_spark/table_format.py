@@ -288,6 +288,82 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+def _sort_fields(meta: dict[str, Any]) -> list[dict[str, str]]:
+    """The table's declared sort order as normalized field dicts
+    ``{"column", "direction", "null-order"}``. Accepts the legacy
+    shape (plain column-name strings, written by pre-r10
+    ``compact(sort_by=...)`` commits) so old metadata keeps reading."""
+    out = []
+    for f in meta.get("sort_order") or []:
+        if isinstance(f, str):
+            f = {"column": f, "direction": "asc", "null-order": "nulls-first"}
+        out.append(f)
+    return out
+
+
+def parse_sort_order(raw: str, schema: T.StructType) -> list[dict[str, str]]:
+    """Parse a ``write.sort-order`` declaration — Iceberg sort-order
+    semantics on the identity transform: ``"col [ASC|DESC] [NULLS
+    FIRST|NULLS LAST], ..."``. Defaults mirror both Iceberg's and
+    Spark's: ASC is nulls-first, DESC is nulls-last. Columns must be
+    top-level schema fields (identity sort sources)."""
+    fields: list[dict[str, str]] = []
+    names = {f.name for f in schema.fields}
+    for part in raw.split(","):
+        m = re.match(
+            r"^\s*([A-Za-z_]\w*)"
+            r"(?:\s+(ASC|DESC))?"
+            r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+            part,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise TableFormatError(
+                f"unparseable write.sort-order field {part!r} "
+                "(expected 'col [ASC|DESC] [NULLS FIRST|LAST]')"
+            )
+        col, direction, nulls = m.group(1), m.group(2), m.group(3)
+        if col not in names:
+            raise TableFormatError(
+                f"write.sort-order column {col!r} not in schema "
+                f"(have {sorted(names)})"
+            )
+        direction = (direction or "asc").lower()
+        null_order = (
+            f"nulls-{nulls.lower()}"
+            if nulls
+            else ("nulls-first" if direction == "asc" else "nulls-last")
+        )
+        fields.append(
+            {"column": col, "direction": direction, "null-order": null_order}
+        )
+    if not fields:
+        raise TableFormatError("write.sort-order declares no fields")
+    return fields
+
+
+def _sort_columns(fields: list[dict[str, str]]) -> list[Column]:
+    """Normalized sort fields -> Spark sort expressions (consumed by
+    repartitionByRange / sortWithinPartitions)."""
+    out = []
+    for f in fields:
+        c = F.col(f["column"])
+        if f["direction"] == "desc":
+            c = (
+                c.desc_nulls_first()
+                if f["null-order"] == "nulls-first"
+                else c.desc_nulls_last()
+            )
+        else:
+            c = (
+                c.asc_nulls_last()
+                if f["null-order"] == "nulls-last"
+                else c.asc_nulls_first()
+            )
+        out.append(c)
+    return out
+
+
 def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
     live = meta["snapshots"]
     doc: dict[str, Any] = {
@@ -365,11 +441,11 @@ def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
                 "fields": [
                     {
                         "transform": "identity",
-                        "source-column": c,
-                        "direction": "asc",
-                        "null-order": "nulls-first",
+                        "source-column": f["column"],
+                        "direction": f["direction"],
+                        "null-order": f["null-order"],
                     }
-                    for c in meta["sort_order"]
+                    for f in _sort_fields(meta)
                 ],
             }
         ]
@@ -425,7 +501,12 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
         ]
     if doc.get("sort-orders"):
         meta["sort_order"] = [
-            f["source-column"] for f in doc["sort-orders"][0]["fields"]
+            {
+                "column": f["source-column"],
+                "direction": f.get("direction", "asc"),
+                "null-order": f.get("null-order", "nulls-first"),
+            }
+            for f in doc["sort-orders"][0]["fields"]
         ]
     return meta
 
@@ -781,6 +862,10 @@ class LakeCatalog:
             "snapshots": [],
         }
         t = LakeTable(loc, meta, io=self.io)
+        # CREATE-time sort-order declaration (write.sort-order): parse
+        # and validate against the schema before the v1 commit so a
+        # bad declaration fails the CREATE, not the first append
+        t.refresh_declared_sort_order()
         # a catalog-of-record layer asks for writer-unique metadata
         # names so even the CREATE race cannot overwrite objects
         t.unique_metadata_names = unique_metadata_names
@@ -1023,6 +1108,37 @@ class LakeTable:
     @property
     def properties(self) -> dict[str, str]:
         return self.meta["properties"]
+
+    @property
+    def sort_order_fields(self) -> list[dict[str, str]]:
+        """Declared table sort order (normalized field dicts), or []."""
+        return _sort_fields(self.meta)
+
+    def refresh_declared_sort_order(self) -> None:
+        """Re-derive ``meta['sort_order']`` from the
+        ``write.sort-order`` table property — the declaration surface
+        (Iceberg: ``ALTER TABLE ... WRITE ORDERED BY``, carried as
+        ``sort-orders`` + ``default-sort-order-id`` metadata). Called
+        at CREATE and after SET/UNSET TBLPROPERTIES, so the property
+        document and the metadata sort order are one document
+        (``compact(sort_by=...)`` mirrors into the property for the
+        same reason, keeping the property the single source of
+        truth). Does NOT commit — the caller owns the commit
+        boundary."""
+        raw = (self.properties or {}).get("write.sort-order")
+        if raw is not None:
+            if self._spark_bucket_field() is not None:
+                raise TableFormatError(
+                    "write.sort-order is not supported together with "
+                    "write.bucket-layout=spark: the bucket layout's "
+                    "scan contract is one file per bucket sorted by "
+                    "the bucket key (exchange- and sort-free joins); "
+                    "declare one or the other"
+                )
+            self.meta["sort_order"] = parse_sort_order(raw, self.schema)
+            self.meta.pop("clustering", None)
+        else:
+            self.meta.pop("sort_order", None)
 
     @property
     def partition_spec(self) -> PartitionSpec:
@@ -1336,7 +1452,7 @@ class LakeTable:
             width = _estimated_row_width(self.schema)
         return max(1, target // width)
 
-    def _write_files(self, df: DataFrame) -> str:
+    def _write_files(self, df: DataFrame, presorted: bool = False) -> str:
         """Write a new snapshot directory WITHOUT touching metadata;
         returns the relative dir. Crash-safe by construction: a dir no
         commit ever references is an orphan remove_orphan_files reaps.
@@ -1357,6 +1473,7 @@ class LakeTable:
         mode = (self.properties or {}).get(
             "write.distribution-mode", "none"
         )
+        sort_fields = self.sort_order_fields
         if pcols and mode == "hash":
             aligned = aligned.repartition(*[F.col(c) for c in pcols])
         elif pcols and mode == "range":
@@ -1368,6 +1485,29 @@ class LakeTable:
                 f"unknown write.distribution-mode {mode!r} "
                 "(none | hash | range)"
             )
+        if presorted:
+            # the caller (compact) already arranged the exact layout —
+            # range-clustered + sorted with its own target_files count;
+            # re-applying the declared order here would both double-
+            # shuffle and destroy the pinned file count
+            sort_fields = []
+        if sort_fields and self._spark_bucket_field() is None:
+            # Declared table sort order (write.sort-order): every
+            # write honors it, Iceberg's sorted-write contract. An
+            # unpartitioned, undistributed write range-clusters across
+            # tasks first (Iceberg's default distribution-mode for
+            # sorted tables is range) so file-level min/max bounds
+            # tile the key space — that's what turns range predicates
+            # into manifest file-skips (to_df pruning, a20/a31); a
+            # partitioned or explicitly-distributed write keeps its
+            # exchange and sorts within it. Cost at scale: one range
+            # exchange per append, the price of a prunable layout —
+            # and zero extra exchanges when a distribution mode
+            # already shuffles.
+            exprs = _sort_columns(sort_fields)
+            if not pcols and mode == "none":
+                aligned = aligned.repartitionByRange(*exprs)
+            aligned = aligned.sortWithinPartitions(*exprs)
         rel = f"data/snap-{uuid.uuid4().hex[:16]}"
         cap = self._max_records_per_file()
         sbf = self._spark_bucket_field()
@@ -1457,7 +1597,11 @@ class LakeTable:
         return sum(f["record_count"] for f in files)
 
     def _write(
-        self, df: DataFrame, operation: str, branch: "str | None" = None
+        self,
+        df: DataFrame,
+        operation: str,
+        branch: "str | None" = None,
+        presorted: bool = False,
     ) -> Snapshot:
         if branch is not None:
             # validate BEFORE the Spark write: a typo'd branch name or
@@ -1471,7 +1615,7 @@ class LakeTable:
                     f"branch writes are append-only; {operation!r} "
                     "must go through main"
                 )
-        rel = self._write_files(df)
+        rel = self._write_files(df, presorted=presorted)
         snap_id = rel.rsplit("snap-", 1)[1]
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
         self.meta["last_sequence_number"] = seq
@@ -2282,6 +2426,20 @@ class LakeTable:
             raise TableFormatError(
                 "sort_by and cluster_by are mutually exclusive"
             )
+        declared = self.sort_order_fields
+        if not sort_by and not cluster_by and declared:
+            # a plain compact() on a table with a DECLARED sort order
+            # applies it (Iceberg's rewrite_data_files sort strategy
+            # defaults to the table sort order) — maintenance must not
+            # silently destroy the declared layout
+            sort_fields = declared
+        elif sort_by:
+            sort_fields = [
+                {"column": c, "direction": "asc", "null-order": "nulls-first"}
+                for c in sort_by
+            ]
+        else:
+            sort_fields = []
         # NOTE: when the table declares write.target-file-size-bytes,
         # the commit below is already size-bounded by _write_files'
         # maxRecordsPerFile cap — a compaction that would AQE-coalesce a
@@ -2300,11 +2458,12 @@ class LakeTable:
                 .sortWithinPartitions(zcol)
                 .drop(zcol)
             )
-        elif sort_by:
+        elif sort_fields:
             nparts = [target_files] if target_files else []
+            exprs = _sort_columns(sort_fields)
             df = df.repartitionByRange(
-                *nparts, *sort_by
-            ).sortWithinPartitions(*sort_by)
+                *nparts, *exprs
+            ).sortWithinPartitions(*exprs)
         elif target_files:
             df = df.repartition(target_files)
         # label: compaction is logically content-preserving, which is
@@ -2315,12 +2474,20 @@ class LakeTable:
         # BEFORE _write so the label, layout, and rewrite land in ONE
         # commit — no crash window can leave a durable 'overwrite'.
         if sort_by:
-            self.meta["sort_order"] = list(sort_by)
+            # an EXPLICIT sort_by (re)declares the table sort order;
+            # mirror into write.sort-order so the property document
+            # stays the single source of truth (SHOW CREATE, export,
+            # refresh_declared_sort_order all read one place)
+            self.meta["sort_order"] = sort_fields
+            self.properties["write.sort-order"] = ", ".join(sort_by)
             self.meta.pop("clustering", None)
         if cluster_by:
             self.meta["clustering"] = list(cluster_by)
             self.meta.pop("sort_order", None)
-        return self._write(df, "replace")  # moves old live to history
+            self.properties.pop("write.sort-order", None)
+        return self._write(
+            df, "replace", presorted=True
+        )  # moves old live to history
 
     def compact_position_deletes(self, spark: SparkSession) -> "Snapshot | None":
         """Iceberg ``rewrite_position_delete_files`` analog: merge ALL

@@ -78,7 +78,9 @@ def test_sorted_compaction_clusters_files(spark, catalog):
     table.append(df.filter("id % 3 = 2"))
     before = sorted(r["id"] for r in table.to_df(spark).collect())
     table.compact(spark, sort_by=["id"])
-    assert table.meta.get("sort_order") == ["id"]
+    assert [f["column"] for f in table.sort_order_fields] == ["id"]
+    # an explicit sort_by (re)declares: mirrored into the property
+    assert table.properties["write.sort-order"] == "id"
     after = sorted(r["id"] for r in table.to_df(spark).collect())
     assert after == before
 
