@@ -73,7 +73,11 @@ def plan_fingerprint(df) -> str:
     # the name (sources._source_stamp); a container rebuild changes the
     # stamp with zero plan change — strip it so fingerprints compare
     # across rounds/boxes
-    s = re.sub(r"\b(bkt_[a-z0-9_]+?)_\d+_\d+\b", r"\1", s)
+    # the stamp is _{size_bytes}_{mtime_ns}: mtime is a ns-epoch (19
+    # digits for any date after 2001), so anchor on that width — a
+    # genuinely different bkt table whose name merely ends in short
+    # numeric segments keeps its own fingerprint (ADVICE r9)
+    s = re.sub(r"\b(bkt_[a-z0-9_]+?)_\d+_\d{16,19}\b", r"\1", s)
     s = re.sub(r"\s+", " ", s)
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 

@@ -1490,3 +1490,112 @@ def a31_sort_order_episode(spark: SparkSession, sf: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a33_column_metrics_episode",
+    # data outcome replays the pruned filter; flags pin the per-column
+    # metrics selection: full-bounds column prunes, counts column has
+    # no bounds, truncate(4) bounds are <= 4 chars with the upper
+    # rounded up, and SHOW CREATE re-parses the whole property set
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           TRUE AS full_prunes, TRUE AS counts_dropped_bounds,
+           TRUE AS truncated_sound, TRUE AS show_create_roundtrip
+    FROM orders WHERE o_orderkey <= 4000 AND o_orderkey <= 900
+    GROUP BY status
+    """,
+)
+def a33_column_metrics_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column metrics config driven from the reference's CONFIG
+    DOCUMENT plane (one JSON document: columns + properties{}, the
+    shape lambda_helper.load_table_def consumes): a table-def declaring
+    ``write.metadata.metrics.default=counts`` with per-column ``full``
+    and ``truncate(4)`` overrides lands via process_event, appends
+    collect exactly the selected bounds, the full column still prunes
+    files, and SHOW CREATE round-trips the property set. Iceberg
+    analog: MetricsConfig properties, declared in the same table
+    properties Iceberg's own CREATE carries."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from ..handler import process_event
+
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("clerk"),
+        )
+        .orderBy("k")
+    )
+    table_def = {
+        "database_name": "gate",
+        "table_name": "metrics_t",
+        "columns": [
+            {"column_name": "k", "data_type": "long", "required": True},
+            {"column_name": "status", "data_type": "string"},
+            {"column_name": "clerk", "data_type": "string"},
+        ],
+        "properties": {
+            "write.metadata.metrics.default": "counts",
+            "write.metadata.metrics.column.k": "full",
+            "write.metadata.metrics.column.clerk": "truncate(4)",
+            "write.sort-order": "k",
+            "write.target-file-size-bytes": "20000",
+        },
+    }
+    with tempfile.TemporaryDirectory(prefix="metrics_gate_") as wh:
+        defpath = os.path.join(wh, "def.json")
+        with open(defpath, "w") as fh:
+            json.dump(table_def, fh)
+        cat = LakeCatalog(os.path.join(wh, "warehouse"))
+        r = process_event(spark, cat, defpath)
+        assert not r.has_error, r.message_list
+        table = cat.load_table("gate", "metrics_t")
+        table.append(o)
+        files = table.snapshots[-1].files
+        stats = [f["stats"] for f in files]
+        counts_dropped = all("status" not in st for st in stats)
+        full_ok = all("k" in st for st in stats)
+        trunc_ok = all(
+            "clerk" in st
+            and len(st["clerk"][0]) <= 4
+            and len(st["clerk"][1]) <= 4
+            for st in stats
+        )
+        # the truncated UPPER bound must still enclose the real max
+        real_max = o.agg(F.max("clerk")).collect()[0][0]
+        trunc_ok = trunc_ok and all(
+            st["clerk"][1] >= real_max[:4] for st in stats
+        )
+        full = table.to_df(spark)
+        pruned = table.to_df(spark, pruning=[("k", "<=", 900)])
+        full_prunes = len(pruned.inputFiles()) < len(full.inputFiles())
+        ddl = DdlFrontend(spark, cat)
+        stmt = ddl.query("SHOW CREATE TABLE gate.metrics_t").collect()[0][0]
+        rr = ddl.sql(stmt.replace("gate.metrics_t", "gate2.metrics_t", 1))
+        assert not rr.has_error, rr.message_list
+        twin = cat.load_table("gate2", "metrics_t")
+        roundtrip = {
+            k_: v_
+            for k_, v_ in twin.properties.items()
+            if k_.startswith("write.metadata.metrics")
+        } == {
+            k_: v_
+            for k_, v_ in table.properties.items()
+            if k_.startswith("write.metadata.metrics")
+        }
+        out = (
+            pruned.filter(F.col("k") <= 900)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("full_prunes", F.lit(full_prunes))
+            .withColumn("counts_dropped_bounds", F.lit(counts_dropped))
+            .withColumn("truncated_sound", F.lit(trunc_ok))
+            .withColumn("show_create_roundtrip", F.lit(roundtrip))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

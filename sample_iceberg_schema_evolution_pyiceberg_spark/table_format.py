@@ -598,7 +598,9 @@ def _footer_column_bounds(
         if "." in name or name in allowed:
             continue
         mode = per_col.get(name, default_mode)
-        if mode == "none":
+        if mode in ("none", "counts"):
+            # counts-mode columns keep their per-file record_count
+            # (always recorded) but carry no bounds
             continue
         if name in per_col:
             allowed.append(name)  # named columns bypass the width cap
@@ -643,7 +645,45 @@ def _footer_column_bounds(
                 cur[1] = max(cur[1], hi)
     for name in dead:
         agg.pop(name, None)
+    # truncate(N) bounds: applied once over the file-level aggregate
+    # (equivalent to truncating per row group, and cheaper). Lower
+    # truncates down; upper rounds UP via last-char increment so the
+    # pair remains a sound enclosure of every value in the file.
+    for name, bounds in agg.items():
+        mode = per_col.get(name, default_mode)
+        m = re.fullmatch(r"truncate\((\d+)\)", mode)
+        if not m:
+            continue
+        n = int(m.group(1))
+        lo, hi = bounds
+        if isinstance(lo, str) and len(lo) > n:
+            bounds[0] = lo[:n]
+        if isinstance(hi, str) and len(hi) > n:
+            up = _truncate_upper(hi, n)
+            if up is not None:
+                bounds[1] = up
+            # else: no valid truncated upper exists (all chars at the
+            # max code point) — keep the full value, still sound
     return agg
+
+
+def _truncate_upper(value: str, n: int) -> "str | None":
+    """Iceberg's UnicodeUtil.truncateStringMax rule: the shortest
+    string of length <= n that is >= every string with this prefix —
+    take the n-char prefix and increment its last incrementable code
+    point, dropping everything after it. None when no such string
+    exists (every prefix char is U+10FFFF)."""
+    prefix = value[:n]
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000  # skip the surrogate block (not scalar values)
+            chars[i] = chr(nxt)
+            return "".join(chars[: i + 1])
+    return None
 
 
 def _file_may_match(
@@ -1384,10 +1424,24 @@ class LakeTable:
 
     def _metrics_config(self) -> "tuple[str, dict[str, str]] | None":
         """Compiled ``write.metadata.metrics`` selection (Iceberg's
-        metrics config): ``write.metadata.metrics.default`` = 'full'
-        (bounds, the default) | 'none', plus per-column
-        ``write.metadata.metrics.column.<name>`` overrides. Named
-        'full' columns bypass the ``_STATS_MAX_COLUMNS`` width cap —
+        metrics config): ``write.metadata.metrics.default`` plus
+        per-column ``write.metadata.metrics.column.<name>`` overrides,
+        each one of Iceberg's four modes —
+
+        - ``full``: untruncated [min, max] bounds (OUR default; real
+          Iceberg defaults to truncate(16) — divergence documented in
+          ICEBERG_CONFORMANCE.md, our manifests are JSON not Avro so
+          long bounds cost bytes, not correctness)
+        - ``truncate(N)``: bounds with string values truncated to N
+          chars — lower truncates down, upper rounds UP (last kept
+          char incremented, Iceberg's UnicodeUtil rule) so the pair
+          stays a sound enclosure
+        - ``counts``: record counts only, no bounds (counts are
+          always kept per file — ``record_count`` — so for this
+          format the mode simply drops the bounds entry)
+        - ``none``: no metrics for the column
+
+        Named columns bypass the ``_STATS_MAX_COLUMNS`` width cap —
         naming a column IS the width decision (Iceberg's config exists
         precisely so a wide table can still carry bounds on its
         predicate columns). Returns None when everything is default."""
@@ -1399,10 +1453,19 @@ class LakeTable:
             if k.startswith(self._METRICS_PREFIX)
         }
         for v in (default, *per_col.values()):
-            if v not in ("full", "none"):
+            if v not in ("full", "none", "counts") and not re.fullmatch(
+                r"truncate\((\d+)\)", v
+            ):
                 raise TableFormatError(
-                    "write.metadata.metrics values must be 'full' or "
-                    f"'none', got {v!r}"
+                    "write.metadata.metrics values must be 'full', "
+                    "'none', 'counts', or 'truncate(N)', got "
+                    f"{v!r}"
+                )
+            if (m := re.fullmatch(r"truncate\((\d+)\)", v)) and int(
+                m.group(1)
+            ) < 1:
+                raise TableFormatError(
+                    f"truncate length must be >= 1, got {v!r}"
                 )
         if default == "full" and not per_col:
             return None
@@ -1440,8 +1503,18 @@ class LakeTable:
                 f"write.target-file-size-bytes must be positive, got {target}"
             )
         tot_bytes = tot_rows = 0
-        for s in self.snapshots:
-            if s.is_row_delete or not s.files:
+        # calibrate from the LIVE segment only (the fold scans read:
+        # from the last rewrite forward) — expired tombstones and
+        # superseded pre-overwrite files can carry a different row
+        # width (schema evolution, re-sorted encodings) and a stale
+        # underestimate yields exactly the oversized files this knob
+        # exists to prevent (ADVICE r9)
+        live = self.snapshots
+        seg = (
+            self._segment_ending_at(live[-1].snapshot_id) if live else []
+        )
+        for s in seg:
+            if s.is_row_delete or s.expired or not s.files:
                 continue  # delete manifests count key tuples, not rows
             for f in s.files:
                 tot_bytes += f["size_bytes"]

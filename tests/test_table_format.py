@@ -548,9 +548,13 @@ def test_metadata_metrics_selectors(spark, tmp_path):
     assert sorted(r.id for r in unpruned.collect()) == list(range(350, 400))
     assert len(unpruned.inputFiles()) == 4
 
+    # truncate(16) — real Iceberg's default — is ACCEPTED since r10
+    # (a property set copied from a genuine Iceberg table must not
+    # hard-fail the append; modes test: test_metrics_modes_counts_and_
+    # truncate); a genuinely unknown mode still fails loudly
     bad = cat.create_table(
         "db", "mm_bad", df.schema,
-        properties={"write.metadata.metrics.default": "truncate(16)"},
+        properties={"write.metadata.metrics.default": "bounds-ish"},
     )
     with pytest.raises(TableFormatError):
         bad.append(df)
@@ -1240,3 +1244,84 @@ def test_partitions_df_unpartitioned(spark, catalog):
     assert len(rows) == 1
     assert rows[0].partition == {}
     assert rows[0].record_count == 100
+
+
+# ---------------------------------------------------------------------------
+# write.metadata.metrics modes: counts / truncate(N) (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_upper_rounding_rules():
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _truncate_upper,
+    )
+
+    # plain increment of the last kept char
+    assert _truncate_upper("abcdef", 3) == "abd"
+    # carry: last char at max -> increment an earlier one, drop tail
+    assert _truncate_upper("ab" + chr(0x10FFFF) + "z", 3) == "ac"
+    # all at max -> no valid truncated upper
+    assert _truncate_upper(chr(0x10FFFF) * 4, 2) is None
+    # surrogate block is skipped (not unicode scalar values)
+    assert _truncate_upper("a" + chr(0xD7FF) + "x", 2) == "a"
+
+
+def test_metrics_modes_counts_and_truncate(spark, tmp_path):
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"status_{i % 3}", f"priority_string_{i:05d}") for i in range(500)],
+        "k long, status string, pri string",
+    )
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "d",
+        "m",
+        df.schema,
+        properties={
+            "write.metadata.metrics.default": "counts",
+            "write.metadata.metrics.column.k": "full",
+            "write.metadata.metrics.column.pri": "truncate(10)",
+        },
+    )
+    t.append(df)
+    files = t.snapshots[-1].files
+    assert all("status" not in f["stats"] for f in files)  # counts mode
+    # full: exact global enclosure across the per-file bounds
+    assert min(f["stats"]["k"][0] for f in files) == 0
+    assert max(f["stats"]["k"][1] for f in files) == 499
+    for f in files:
+        lo, hi = f["stats"]["pri"]
+        assert len(lo) <= 10 and len(hi) <= 10
+    # the truncated upper still encloses the file's true max
+    assert max(f["stats"]["pri"][1] for f in files) >= "priority_s"
+    # a property set copied from a real Iceberg table (its default
+    # truncate(16)) must NOT fail the append (ADVICE r9)
+    t2 = cat.create_table(
+        "d",
+        "m16",
+        df.schema,
+        properties={"write.metadata.metrics.default": "truncate(16)"},
+    )
+    t2.append(df)
+    assert t2.to_df(spark).count() == 500
+    # invalid modes still fail loudly
+    bad = cat.create_table(
+        "d",
+        "bad",
+        df.schema,
+        properties={"write.metadata.metrics.default": "bogus"},
+    )
+    with pytest.raises(TableFormatError, match="metrics"):
+        bad.append(df)
+    bad0 = cat.create_table(
+        "d",
+        "bad0",
+        df.schema,
+        properties={"write.metadata.metrics.default": "truncate(0)"},
+    )
+    with pytest.raises(TableFormatError, match="truncate length"):
+        bad0.append(df)
