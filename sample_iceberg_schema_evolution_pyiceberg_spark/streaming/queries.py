@@ -538,3 +538,95 @@ def s10_stream_lake_replication(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes (bounded: grouped agg)
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "s11_stream_backfill_capped",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS total,
+           TRUE AS cap_honored, TRUE AS multi_batch, TRUE AS drained
+    FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 5400
+    GROUP BY o_orderstatus
+    """,
+)
+def s11_stream_backfill_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-limited streaming BACKFILL (VERDICT r9 item 7): a lake
+    table with eight single-file appends is drained through
+    ``drain_changes`` under a 2-files-per-micro-batch admission cap
+    into a replica. The availableNow contract (start, drain
+    EVERYTHING, stop) composes with the cap: >= 4 non-empty batches,
+    no batch ever admits more than the cap (observed per batch inside
+    foreachBatch via distinct source snapshots — each append is one
+    file), and the replica hash-matches the relational oracle over the
+    same parquet. This is the production catch-up shape: a new
+    downstream bootstrapping from a table's full history without one
+    unbounded gulp sizing the first micro-batch at the table's entire
+    backlog (at 100 TB the cap IS the memory bound; throughput comes
+    from files-per-trigger, not batch width)."""
+    import tempfile  # noqa: PLC0415
+
+    from ..table_format import LakeCatalog  # noqa: PLC0415
+
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 5400)
+    )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    with tempfile.TemporaryDirectory(prefix="stream_backfill_") as wh:
+        cat = LakeCatalog(wh)
+        src = cat.create_table("stream", "bf_src", o.schema)
+        for i in range(8):
+            lo, hi = 3000 + i * 300, 3300 + i * 300
+            src.append(
+                o.filter(
+                    (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+                ).coalesce(1)
+            )
+        replica = cat.create_table("stream", "bf_dst", o.schema)
+        per_batch: list[int] = []
+
+        def _sink(bdf, _bid):
+            snaps = bdf.select("_snapshot_id").distinct().count()
+            if snaps:
+                per_batch.append(snaps)
+                replica.append(bdf.drop("_snapshot_id", "_change_type"))
+
+        spark.conf.set(key, "8")
+        try:
+            batches = src.drain_changes(
+                spark,
+                lambda s: s.writeStream.foreachBatch(_sink).option(
+                    "checkpointLocation", f"{wh}/_chk"
+                ),
+                max_files_per_trigger=2,
+            )
+        finally:
+            spark.conf.set(key, old)
+        cap_honored = bool(per_batch) and all(c <= 2 for c in per_batch)
+        multi_batch = batches >= 4 and len(per_batch) >= 4
+        drained = sum(per_batch) == 8
+        assert cap_honored and multi_batch and drained, (
+            batches,
+            per_batch,
+        )
+        out = (
+            replica.to_df(spark)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("total"),
+            )
+            .withColumn("cap_honored", F.lit(cap_honored))
+            .withColumn("multi_batch", F.lit(multi_batch))
+            .withColumn("drained", F.lit(drained))
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes (bounded: grouped agg)
+        return spark.createDataFrame(rows, out.schema)

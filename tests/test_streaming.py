@@ -794,3 +794,48 @@ def test_lake_stream_capped_drain_completes(spark, tmp_path):
     )
     assert q.awaitTermination(300)
     assert sum(raw) == 10, raw  # one capped quantum, not all 35
+
+
+def test_backfill_cap_honored_per_batch(spark, tmp_path):
+    """drain_changes admission contract (s11): with N single-file
+    appends and max_files_per_trigger=K, NO micro-batch admits more
+    than K source snapshots, it takes >= ceil(N/K) non-empty batches,
+    and drainage is complete — the availableNow contract under a cap
+    (a one-gulp regression or a truncated drain both fail here)."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 700).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    src = cat.create_table("s", "bf", df.schema)
+    for i in range(7):
+        src.append(
+            df.filter(
+                (F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)
+            ).coalesce(1)
+        )
+    seen: list[int] = []
+    rows: list[int] = []
+
+    def _sink(bdf, _bid):
+        n = bdf.select("_snapshot_id").distinct().count()
+        if n:
+            seen.append(n)
+            rows.append(bdf.count())
+
+    batches = src.drain_changes(
+        spark,
+        lambda s: s.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", str(tmp_path / "chk")
+        ),
+        max_files_per_trigger=3,
+    )
+    assert all(n <= 3 for n in seen), seen  # cap per batch
+    assert len(seen) >= 3 and batches >= 3, (seen, batches)  # ceil(7/3)
+    assert sum(seen) == 7  # complete drainage, no snapshot skipped
+    assert sum(rows) == 700  # ... and no row lost or duplicated
