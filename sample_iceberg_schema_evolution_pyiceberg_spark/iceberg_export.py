@@ -712,9 +712,22 @@ def export_to_iceberg(
     # from the stable column-id registry so a spec referencing a column
     # only present in an older schema version still resolves
     current_spec_id = int(table.meta["current_spec_id"])
-    # Spark-bucket-LAYOUT fields export as void (see spec_to_iceberg)
+    # Spark-bucket-LAYOUT fields export as void (see spec_to_iceberg);
+    # DUAL-layout files carry the spec's own murmur3 value in their
+    # partition tuples (the hive dir level), so their field exports as
+    # real bucket[N] and external readers prune correctly. Void only
+    # when any live file's bucket value was minted by Spark's hash.
     _sbf = table._spark_bucket_field()
-    _void = frozenset({_sbf.name}) if _sbf is not None else frozenset()
+    _void = (
+        frozenset({_sbf.name})
+        if _sbf is not None
+        and any(
+            f.get("layout") == "spark-bucket"
+            for s_ in table.snapshots
+            for f in (s_.files or [])
+        )
+        else frozenset()
+    )
     spec_docs = {
         sid: spec_to_iceberg(
             table.spec_at(sid),

@@ -236,6 +236,11 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
                     if f.get("layout") is not None
                     else {}
                 ),
+                **(
+                    {"spark-bucket": f["spark_bucket"]}
+                    if f.get("spark_bucket") is not None
+                    else {}
+                ),
             }
             for f in d["files"]
         ]
@@ -280,6 +285,11 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
                 **(
                     {"layout": f["layout"]}
                     if f.get("layout") is not None
+                    else {}
+                ),
+                **(
+                    {"spark_bucket": f["spark-bucket"]}
+                    if f.get("spark-bucket") is not None
                     else {}
                 ),
             }
@@ -1361,16 +1371,39 @@ class LakeTable:
         )
         spec = self.partition_spec
         sbf = self._spark_bucket_field()
+        dual = self._bucket_layout_mode() == "dual"
         pcols = []
         for pf in spec.fields:
-            if sbf is not None and pf.name == sbf.name:
+            if sbf is not None and pf.name == sbf.name and not dual:
                 continue  # spark layout: bucketBy owns this field
+                # (dual layout keeps the hive column: its dirs carry
+                # the SPEC's murmur3 value for export + external reads
+                # while bucketBy owns the files inside each dir)
             aligned = aligned.withColumn(
                 pf.partition_column,
                 pf.expression(schema[pf.source_column].dataType),
             )
             pcols.append(pf.partition_column)
         return aligned, pcols
+
+    def _bucket_layout_mode(self) -> "str | None":
+        """``write.bucket-layout``: 'spark' (bucketBy files, Spark
+        hash owns the partition value — export must void the field),
+        'dual' (hive dirs carry the SPEC's murmur3 bucket value AND
+        the files inside each dir are real Spark bucket files — the
+        export carries ``bucket[N]`` verbatim and Spark still joins
+        with zero exchanges; costs one more directory level), or None
+        (plain spec-murmur hive layout, a28). Any other value raises —
+        a silently-ignored layout property would bench a re-exchanging
+        join as if it were bucketed."""
+        mode = (self.properties or {}).get("write.bucket-layout")
+        if mode is None:
+            return None
+        if mode not in ("spark", "dual"):
+            raise TableFormatError(
+                f"unknown write.bucket-layout {mode!r} (spark | dual)"
+            )
+        return mode
 
     def _spark_bucket_field(self):
         """The bucket PartitionField handled by the Spark-native bucket
@@ -1388,7 +1421,7 @@ class LakeTable:
         this field are Spark bucket ids, not Iceberg bucket ids, so the
         Iceberg export maps the field to the spec's ``void`` transform
         (conservative and spec-legal — readers keep every file)."""
-        if (self.properties or {}).get("write.bucket-layout") != "spark":
+        if self._bucket_layout_mode() is None:
             return None
         buckets = [
             f for f in self.partition_spec.fields
@@ -1655,7 +1688,14 @@ class LakeTable:
             )
             if sbf is not None:
                 m = _SPARK_BUCKET_FILE_RE.search(p.name)
-                if m:
+                if m and self._bucket_layout_mode() == "dual":
+                    # dual layout: the partition TUPLE keeps the hive
+                    # dir's spec-murmur value (export-true); the Spark
+                    # bucket id rides a sidecar for Spark-hash file
+                    # skips and adoption checks
+                    entry["spark_bucket"] = int(m.group(1))
+                    entry["layout"] = "dual-bucket"
+                elif m:
                     pvals[sbf.name] = int(m.group(1))
                     # mark HOW the bucket value was minted: spark ids
                     # and iceberg ids prune with different hash twins
@@ -3681,10 +3721,15 @@ class LakeTable:
         spec = self.spec_at(snap.spec_id)
         if len(spec.fields) != 1 or spec.fields[0].name != sbf.name:
             return None
+        layouts = {f.get("layout") for f in snap.files}
+        if layouts == {"spark-bucket"}:
+            dual = False
+        elif layouts == {"dual-bucket"}:
+            dual = True
+        else:
+            return None  # mixed or unmarked: structured not-eligible
         if not all(
-            f.get("layout") == "spark-bucket"
-            and _SPARK_BUCKET_FILE_RE.search(f["path"])
-            for f in snap.files
+            _SPARK_BUCKET_FILE_RE.search(f["path"]) for f in snap.files
         ):
             return None
         fs = self.schema_at(snap.schema_version)
@@ -3702,13 +3747,31 @@ class LakeTable:
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in fs.fields
                 )
-                spark.sql(
-                    f"CREATE TABLE `{name}` ({cols}) USING parquet "
-                    f"CLUSTERED BY (`{sbf.source_column}`) "
-                    f"SORTED BY (`{sbf.source_column}`) "
-                    f"INTO {sbf.param} BUCKETS "
-                    f"LOCATION '{self.location / snap.data_dir}'"
-                )
+                if dual:
+                    # dual layout: the hive dir level carries the
+                    # SPEC's murmur3 value — declare it as a catalog
+                    # partition column (recovered from the dirs) so
+                    # the scan sees BOTH partition pruning and bucket
+                    # co-location; the caller's hidden-column rewrite
+                    # can keep pruning on it like any a28 table
+                    pcol = sbf.partition_column
+                    spark.sql(
+                        f"CREATE TABLE `{name}` ({cols}, `{pcol}` int) "
+                        f"USING parquet PARTITIONED BY (`{pcol}`) "
+                        f"CLUSTERED BY (`{sbf.source_column}`) "
+                        f"SORTED BY (`{sbf.source_column}`) "
+                        f"INTO {sbf.param} BUCKETS "
+                        f"LOCATION '{self.location / snap.data_dir}'"
+                    )
+                    spark.sql(f"MSCK REPAIR TABLE `{name}`")
+                else:
+                    spark.sql(
+                        f"CREATE TABLE `{name}` ({cols}) USING parquet "
+                        f"CLUSTERED BY (`{sbf.source_column}`) "
+                        f"SORTED BY (`{sbf.source_column}`) "
+                        f"INTO {sbf.param} BUCKETS "
+                        f"LOCATION '{self.location / snap.data_dir}'"
+                    )
             return spark.table(name)
         except Exception as e:  # noqa: BLE001 — adoption is an optimization
             import warnings  # noqa: PLC0415

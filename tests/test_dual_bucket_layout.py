@@ -1,0 +1,149 @@
+"""write.bucket-layout=dual: hive dirs carry the SPEC's murmur3
+bucket value while each dir's files are real Spark bucket files — the
+export stays spec-true (bucket[N] verbatim, external readers prune
+correctly) AND Spark joins on the key with zero exchanges.
+
+Closes the b66 divergence where spark-layout fields export as void
+(VERDICT r9 item 5, option b: the manifest carries both values — the
+spec's in the partition tuple, Spark's in a sidecar).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+    export_to_iceberg,
+)
+from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+    compile_partition_spec,
+    iceberg_bucket_of,
+)
+from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+    LakeCatalog,
+    LakeTable,
+    TableFormatError,
+)
+
+
+def _mk(spark, wh, name, mode, n=20000, buckets=8):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("v")
+    )
+    cat = LakeCatalog(wh)
+    spec = compile_partition_spec(
+        {"partitions": [{"column_name": "k",
+                         "transform": f"bucket[{buckets}]"}]}
+    )
+    t = cat.create_table(
+        "d", name, df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": mode},
+    )
+    t.append(df)
+    return t
+
+
+def test_dual_write_shape_and_sidecar(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "wh"), "dualt", "dual")
+    files = t.snapshots[-1].files
+    assert {f.get("layout") for f in files} == {"dual-bucket"}
+    for f in files:
+        # partition tuple = the spec's value (from the hive dir) ...
+        assert "_p_k_bucket=" in f["path"]
+        assert f["partition"]["k_bucket"] == f["path"].split(
+            "_p_k_bucket="
+        )[1].split("/")[0]
+        # ... and the Spark bucket id rides the sidecar
+        assert isinstance(f["spark_bucket"], int)
+    # the external-reader rule, against the DATA: every row in a file
+    # hashes (spec murmur3) to the file's recorded partition value
+    import pyarrow.parquet as pq
+
+    probe = files[0]
+    vals = pq.read_table(
+        str(t.location / probe["path"]), columns=["k"]
+    )["k"].to_pylist()
+    want = int(probe["partition"]["k_bucket"])
+    assert all(iceberg_bucket_of(int(x), 8) == want for x in vals)
+
+
+def test_dual_zero_exchange_join_and_reload(spark, tmp_path):
+    t1 = _mk(spark, str(tmp_path / "wh"), "a", "dual")
+    t2 = _mk(spark, str(tmp_path / "wh"), "b", "dual")
+    # cross-session shape: reloaded handles must keep the layout
+    r1 = LakeTable.load(t1.location)
+    r2 = LakeTable.load(t2.location)
+    assert r1.snapshots[-1].files[0].get("spark_bucket") is not None
+    d1, d2 = r1.to_df(spark), r2.to_df(spark)
+    assert sorted(d1.columns) == ["k", "v"]  # hive col never surfaces
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = d1.join(d2.select(F.col("k"), F.col("v").alias("v2")), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dual_exports_verbatim_spark_exports_void(spark, tmp_path):
+    td = _mk(spark, str(tmp_path / "whd"), "dualt", "dual", n=2000)
+    ts = _mk(spark, str(tmp_path / "whs"), "sparkt", "spark", n=2000)
+    dd = json.loads(
+        sorted(export_to_iceberg(td).glob("v*.metadata.json"))[-1].read_text()
+    )
+    ds = json.loads(
+        sorted(export_to_iceberg(ts).glob("v*.metadata.json"))[-1].read_text()
+    )
+    assert dd["partition-specs"][0]["fields"][0]["transform"] == "bucket[8]"
+    assert ds["partition-specs"][0]["fields"][0]["transform"] == "void"
+
+
+def test_dual_manifest_pruning_keeps_answers_exact(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "wh"), "dualt", "dual", n=5000)
+    # key-equality pruning goes through the SPEC hash on the tuple
+    pred = [("k", "=", 4321)]
+    pruned = t.to_df(spark, pruning=pred)
+    assert len(pruned.inputFiles()) < len(t.to_df(spark).inputFiles())
+    assert pruned.filter(F.col("k") == 4321).count() == 1
+
+
+def test_mixed_layout_snapshot_not_adopted(spark, tmp_path):
+    """A table whose property flips spark->dual mid-history keeps
+    per-snapshot adoption: each snapshot adopts under its OWN marker
+    shape, and a hand-mixed manifest is refused (plain scan, exact)."""
+    t = _mk(spark, str(tmp_path / "wh"), "flip", "spark", n=2000)
+    t.properties["write.bucket-layout"] = "dual"
+    t._commit()
+    df = spark.range(2000, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("v")
+    )
+    t.append(df)
+    layouts = [
+        {f.get("layout") for f in s.files} for s in t.snapshots
+    ]
+    assert layouts == [{"spark-bucket"}, {"dual-bucket"}]
+    assert t.to_df(spark).count() == 4000
+    # hand-mix one snapshot's markers: adoption must refuse (None) and
+    # the scan must still answer exactly through the plain path
+    t.meta["snapshots"][1]["files"][0]["layout"] = "spark-bucket"
+    assert t._adopt_bucketed_scan(spark, t.snapshots[1]) is None
+    assert t.to_df(spark).count() == 4000
+
+
+def test_unknown_bucket_layout_rejected(spark, tmp_path):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    spec = compile_partition_spec(
+        {"partitions": [{"column_name": "k", "transform": "bucket[4]"}]}
+    )
+    t = cat.create_table(
+        "d", "bad", df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "hybrid"},
+    )
+    with pytest.raises(TableFormatError, match="bucket-layout"):
+        t.append(df)

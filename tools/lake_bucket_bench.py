@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -72,6 +73,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--layout", default="spark", choices=("spark", "dual"),
+        help="write.bucket-layout for the lake ingest (dual = spec-"
+             "murmur hive dirs + Spark bucket files; export-true)",
+    )
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
@@ -92,7 +98,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     buckets = buckets_for(args.sf_dir)
 
-    wh = str(Path(args.sf_dir).parent / f"lake_bkt_wh_sf{args.sf}")
+    suffix = "" if args.layout == "spark" else f"_{args.layout}"
+    wh = str(
+        Path(args.sf_dir).parent / f"lake_bkt_wh_sf{args.sf}{suffix}"
+    )
     ingest = {}
     if not Path(wh).exists():
         cat = LakeCatalog(wh)
@@ -105,7 +114,7 @@ def main() -> None:
             )
             tbl = cat.create_table(
                 "bench", name, df.schema, partition_spec=spec,
-                properties={"write.bucket-layout": "spark"},
+                properties={"write.bucket-layout": args.layout},
             )
             t0 = time.time()
             tbl.append(df)
@@ -113,7 +122,9 @@ def main() -> None:
             print("ingest", name, ingest[name], "s", flush=True)
 
     variants = {
-        "lake_bucketed": lambda: lake_join(spark, wh, args.sf_dir),
+        f"lake_bucketed_{args.layout}": lambda: lake_join(
+            spark, wh, args.sf_dir
+        ),
         "parquet_cache (b03)": lambda: QUERIES["b03_join_inner_3way"](
             spark, args.sf_dir
         ),
@@ -138,9 +149,14 @@ def main() -> None:
     # nothing below the fact-fact SortMergeJoin may be an Exchange
     ex = lake_join(spark, wh, args.sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
-    below_smj = ex.split("SortMergeJoin", 1)[-1]
-    fact_arm = below_smj.split("BroadcastExchange", 1)[0]
-    no_exchange = "Exchange" not in fact_arm
+    # the claim: no shuffle ever repartitions a fact side on the
+    # orderkey. Covers both physical shapes — the SMJ decade plan
+    # (bucketed scans joined exchange-free) and the small-sf shape
+    # where the orders side BROADCASTS (equally fact-shuffle-free;
+    # the only hash exchange left is the final |groups| aggregate).
+    no_exchange = not re.search(
+        r"Exchange hashpartitioning\((?:l_orderkey|o_orderkey)", ex
+    )
     spark.stop()
 
     import duckdb
@@ -164,6 +180,7 @@ def main() -> None:
 
     record = {
         "metric": "lake_bucketed_join_decade",
+        "layout": args.layout,
         "sf": args.sf,
         "buckets": buckets,
         "ingest_sec": ingest,
