@@ -328,3 +328,77 @@ def test_dup_span_removal_keeps_first_occurrence(spark):
     assert got[3].n_removed == 0
     assert got[3].text_clean == got[3].text_clean.lower()
     assert "unrelated" in got[3].text_clean
+
+
+def test_ivf_recall_at_scale_fixture(spark):
+    """The measured ANN contract (VERDICT r9 item 6): on the 1M x 64
+    clustered fixture (tools/ann_scale_bench.py), a trained-codebook
+    IVF probe must beat the recall floor its bench recorded — probe-4
+    recall@10 >= 0.9 touching ~12% of the corpus (the bench measured
+    0.9656; bench_results/ann_1m_r10.json). Runs only when the fixture
+    exists (it is a ~300 MB generated artifact, not repo content);
+    the small planted-recall property tests above are the always-on
+    contract."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    fixture = "benchdata/ann1m/embeddings.parquet"
+    if not os.path.exists(fixture):
+        _pytest.skip("1M ANN fixture not built (tools/ann_scale_bench.py)")
+
+    import sys
+
+    sys.path.insert(0, "tools")
+    from ann_scale_bench import TOPK, brute_topk, queries_matrix
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        cosine,
+        ivf_assign_udf,
+        train_ivf_codebook,
+    )
+
+    df = spark.read.parquet(fixture)
+    qm = queries_matrix()[:8]  # 8 queries keep the test under ~1 min
+    truth = {}
+    for r in brute_topk(spark, df, qm).collect():
+        truth.setdefault(r.qid, set()).add(r.vec_id)
+    # a leaner codebook than the bench's (k=256, 1 Lloyd iteration on
+    # a 2% sample) — the recall floor must hold even for the cheap
+    # training recipe; cells are assigned fresh for THIS codebook
+    cb = train_ivf_codebook(df.sample(0.02, seed=7), k=256, iters=1)
+    qsims = qm @ cb.T
+    probe = 4
+    indexed = df.withColumn(
+        "cell", F.element_at(ivf_assign_udf(1, cb)("embedding"), 1)
+    )
+    qcells = np.argsort(-qsims, axis=1)[:, :probe]
+    qrows = [
+        (int(qi), [float(x) for x in qm[qi]], int(c))
+        for qi in range(qm.shape[0])
+        for c in qcells[qi]
+    ]
+    qdf = spark.createDataFrame(qrows, "qid int, qvec array<float>, cell int")
+    cells = sorted({int(c) for row in qcells for c in row})
+    cand = indexed.filter(F.col("cell").isin(cells)).join(
+        F.broadcast(qdf), "cell"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    got_rows = (
+        cand.select(
+            "qid", "vec_id",
+            cosine(F.col("embedding"), F.col("qvec")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .collect()
+    )
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(got.get(q, set()) & truth[q]) / TOPK for q in truth]
+    assert float(np.mean(recalls)) >= 0.9, recalls
