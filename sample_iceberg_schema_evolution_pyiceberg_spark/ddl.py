@@ -1112,6 +1112,31 @@ class DdlFrontend:
         ):
             self._reorder(table, am.group(1), am.group(2), resp)
         elif am := re.match(
+            r"^WRITE\s+ORDERED\s+BY\s+(.+)$",
+            action,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            # Iceberg's own DDL verb for the declared sort order —
+            # sugar over the write.sort-order property (one document:
+            # SHOW CREATE round-trips it as TBLPROPERTIES)
+            table.meta["properties"]["write.sort-order"] = (
+                am.group(1).strip()
+            )
+            table.refresh_declared_sort_order()
+            table._commit()
+            resp.message_list.append(
+                f"Set write order {am.group(1).strip()!r} on {db}.{tbl}"
+            )
+        elif am := re.match(
+            r"^WRITE\s+UNORDERED\s*$",
+            action,
+            re.IGNORECASE,
+        ):
+            table.meta["properties"].pop("write.sort-order", None)
+            table.refresh_declared_sort_order()
+            table._commit()
+            resp.message_list.append(f"Cleared write order on {db}.{tbl}")
+        elif am := re.match(
             r"^SET\s+TBLPROPERTIES\s*\((.+)\)\s*$",
             action,
             re.IGNORECASE | re.DOTALL,

@@ -214,3 +214,29 @@ def test_export_carries_real_sort_order(spark, wh):
         sorted(export_to_iceberg(t2).glob("v*.metadata.json"))[-1].read_text()
     )
     assert doc2["default-sort-order-id"] == 0
+
+
+def test_write_ordered_by_ddl_verbs(spark, wh):
+    """Iceberg's own DDL spelling: ALTER TABLE ... WRITE ORDERED BY /
+    WRITE UNORDERED — sugar over the write.sort-order property."""
+    df = _source(spark, 1000)
+    cat = LakeCatalog(wh)
+    ddl = DdlFrontend(spark, cat)
+    cat.create_table("d", "s", df.schema)
+    r = ddl.sql("ALTER TABLE d.s WRITE ORDERED BY k DESC NULLS LAST, g")
+    assert not r.has_error, r.message_list
+    t = cat.load_table("d", "s")
+    assert t.sort_order_fields == [
+        {"column": "k", "direction": "desc", "null-order": "nulls-last"},
+        {"column": "g", "direction": "asc", "null-order": "nulls-first"},
+    ]
+    assert t.properties["write.sort-order"] == "k DESC NULLS LAST, g"
+    # bad column fails the DDL; committed state unchanged
+    r = ddl.sql("ALTER TABLE d.s WRITE ORDERED BY nope")
+    assert r.has_error
+    assert cat.load_table("d", "s").sort_order_fields[0]["column"] == "k"
+    r = ddl.sql("ALTER TABLE d.s WRITE UNORDERED")
+    assert not r.has_error, r.message_list
+    t = cat.load_table("d", "s")
+    assert t.sort_order_fields == []
+    assert "write.sort-order" not in t.properties
