@@ -1457,6 +1457,7 @@ def a31_sort_order_episode(spark: SparkSession, sf: str) -> DataFrame:
         fewer = len(pruned.inputFiles()) < len(full.inputFiles())
         # SHOW CREATE round-trip: re-run the emitted DDL in a second
         # namespace; the declared order must survive the parse
+        # (bounded episode metadata: a one-row DDL statement)
         stmt = ddl.query("SHOW CREATE TABLE gate.so").collect()[0][0]
         r = ddl.sql(stmt.replace("gate.so", "gate2.so", 1))
         assert not r.has_error, r.message_list
@@ -1488,6 +1489,7 @@ def a31_sort_order_episode(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("show_create_roundtrip", F.lit(roundtrip))
             .withColumn("exported_order", F.lit(exported))
         )
+        # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
 
@@ -1567,6 +1569,7 @@ def a33_column_metrics_episode(spark: SparkSession, sf: str) -> DataFrame:
             for st in stats
         )
         # the truncated UPPER bound must still enclose the real max
+        # (bounded episode metadata: a 1-row aggregate)
         real_max = o.agg(F.max("clerk")).collect()[0][0]
         trunc_ok = trunc_ok and all(
             st["clerk"][1] >= real_max[:4] for st in stats
@@ -1575,6 +1578,7 @@ def a33_column_metrics_episode(spark: SparkSession, sf: str) -> DataFrame:
         pruned = table.to_df(spark, pruning=[("k", "<=", 900)])
         full_prunes = len(pruned.inputFiles()) < len(full.inputFiles())
         ddl = DdlFrontend(spark, cat)
+        # (bounded episode metadata: a one-row DDL statement)
         stmt = ddl.query("SHOW CREATE TABLE gate.metrics_t").collect()[0][0]
         rr = ddl.sql(stmt.replace("gate.metrics_t", "gate2.metrics_t", 1))
         assert not rr.has_error, rr.message_list
@@ -1597,5 +1601,6 @@ def a33_column_metrics_episode(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("truncated_sound", F.lit(trunc_ok))
             .withColumn("show_create_roundtrip", F.lit(roundtrip))
         )
+        # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -722,6 +722,7 @@ def a32_spec_bucket_join(spark: SparkSession, sf: str) -> DataFrame:
                 .withColumn("spec_exported_verbatim", F.lit(exported_ok))
                 .withColumn("tuples_spec_exact", F.lit(tuples_ok))
             )
+            # materialize before the temp dir vanishes (bounded agg)
             rows = out.collect()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1634,8 +1634,27 @@ class LakeTable:
             # catalog only; the files are governed by our commit).
             spark = aligned.sparkSession
             tmp = f"lake_bw_{uuid.uuid4().hex[:12]}"
+            # Repartition on the EXPLICIT bucket-id expression
+            # (pmod(hash(key), N) — Spark's own bucket id), not the
+            # bare key column: when the incoming plan is a union of
+            # already-bucket-partitioned scans (compact() folding a
+            # fragmented table), the optimizer REMOVES a plain
+            # repartition(N, key) as redundant per arm, the write runs
+            # with arms × buckets input tasks, and bucketBy emits one
+            # file per (task, bucket) — compaction silently becomes a
+            # layout no-op (found live at sf100: 10 appends compacted
+            # to 320 files, 10 per bucket; regression:
+            # test_compact_folds_spark_bucket_files). The bucket-id
+            # expression is not recognizable as the child partitioning
+            # so the exchange survives, and every bucket lands wholly
+            # in one task — one file per bucket, the scan contract.
             writer = (
-                aligned.repartition(sbf.param, F.col(sbf.source_column))
+                aligned.repartition(
+                    sbf.param,
+                    F.pmod(
+                        F.hash(F.col(sbf.source_column)), F.lit(sbf.param)
+                    ),
+                )
                 .write.mode("error")
                 .format("parquet")
                 .option("path", str(self.location / rel))

@@ -487,3 +487,50 @@ def test_export_serializes_bucket_truncate_and_voids_spark_layout(
     assert [
         f["transform"] for f in meta2["partition-specs"][-1]["fields"]
     ] == ["void"]
+
+
+def test_compact_folds_spark_bucket_files(spark, tmp_path):
+    """compact() on a fragmented spark-bucket-layout table must fold
+    to ONE file per bucket. Regression for a live sf100 bug: the
+    optimizer removed the write path's plain repartition(N, key) as
+    redundant over a union of already-bucket-partitioned adopted
+    scans, so 10 appends 'compacted' to 10 files per bucket — the
+    write now repartitions on the explicit bucket-id expression,
+    which is not elidable and lands each bucket wholly in one task."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        compile_partition_spec,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _SPARK_BUCKET_FILE_RE,
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    spec = compile_partition_spec(
+        {"partitions": [{"column_name": "k", "transform": "bucket[8]"}]}
+    )
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t = cat.create_table(
+        "d", "c", df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark"},
+    )
+    for i in range(3):
+        t.append(
+            df.filter(
+                (F.col("k") >= i * 10000) & (F.col("k") < (i + 1) * 10000)
+            )
+        )
+    t.compact(spark)
+    files = t.snapshots[-1].files
+    cnt = collections.Counter(
+        int(_SPARK_BUCKET_FILE_RE.search(f["path"]).group(1))
+        for f in files
+    )
+    assert len(files) == 8 and all(v == 1 for v in cnt.values()), cnt
+    assert t.to_df(spark).count() == 30000

@@ -99,13 +99,16 @@ def test_no_driver_collect_in_operators():
         for i, line in enumerate(lines):
             if ".collect()" in line or ".toPandas()" in line:
                 window = "\n".join(lines[max(0, i - 2) : i + 2])
-                # two allowed collect shapes, each marked at the call
-                # site: a final tiny aggregate of a gate episode, and
+                # three allowed collect shapes, each marked at the
+                # call site: a final tiny aggregate of a gate episode,
                 # model-parameter materialization (k-row init / k x dim
-                # centroid pulls in train_ivf_codebook)
+                # centroid pulls in train_ivf_codebook), and bounded
+                # episode metadata (a one-row DDL statement / 1-row
+                # aggregate a gate episode inspects)
                 assert (
                     "materialize before the temp dir" in window
                     or "model parameters" in window
+                    or "bounded episode metadata" in window
                 ), f"driver-side collect at {mod}:{i + 1}"
 
 

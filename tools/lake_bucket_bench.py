@@ -74,6 +74,16 @@ def main() -> None:
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", default=None)
     ap.add_argument(
+        "--lake-only", action="store_true",
+        help="sf dir holds only the dims (facts live in the lake "
+             "warehouse): skip the parquet-cache variant and the "
+             "DuckDB denominator (compare against a recorded run)",
+    )
+    ap.add_argument(
+        "--wh", default=None,
+        help="existing lake warehouse to measure (skips ingest)",
+    )
+    ap.add_argument(
         "--layout", default="spark", choices=("spark", "dual"),
         help="write.bucket-layout for the lake ingest (dual = spec-"
              "murmur hive dirs + Spark bucket files; export-true)",
@@ -99,7 +109,7 @@ def main() -> None:
     buckets = buckets_for(args.sf_dir)
 
     suffix = "" if args.layout == "spark" else f"_{args.layout}"
-    wh = str(
+    wh = args.wh or str(
         Path(args.sf_dir).parent / f"lake_bkt_wh_sf{args.sf}{suffix}"
     )
     ingest = {}
@@ -125,10 +135,11 @@ def main() -> None:
         f"lake_bucketed_{args.layout}": lambda: lake_join(
             spark, wh, args.sf_dir
         ),
-        "parquet_cache (b03)": lambda: QUERIES["b03_join_inner_3way"](
-            spark, args.sf_dir
-        ),
     }
+    if not args.lake_only:
+        variants["parquet_cache (b03)"] = lambda: QUERIES[
+            "b03_join_inner_3way"
+        ](spark, args.sf_dir)
     results, fps = {}, {}
     for name, fn in variants.items():
         plan = fn()._jdf.queryExecution().executedPlan().toString()
@@ -157,6 +168,9 @@ def main() -> None:
     no_exchange = not re.search(
         r"Exchange hashpartitioning\((?:l_orderkey|o_orderkey)", ex
     )
+    # SelectedBucketsCount from the measured session: the bucketed
+    # scans must actually engage bucket scheduling
+    selected = ex.count("SelectedBucketsCount")
     spark.stop()
 
     import duckdb
@@ -168,15 +182,17 @@ def main() -> None:
         tb = p.name.replace(".parquet", "")
         glob = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{glob}')")
-    sql = ORACLES["b03_join_inner_3way"]
-    for _ in range(2):
-        con.execute(sql).fetchall()
-    s = []
-    for _ in range(3):
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        s.append(time.time() - t0)
-    duck = round(sorted(s)[1], 3)
+    duck = None
+    if not args.lake_only:
+        sql = ORACLES["b03_join_inner_3way"]
+        for _ in range(2):
+            con.execute(sql).fetchall()
+        s = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            s.append(time.time() - t0)
+        duck = round(sorted(s)[1], 3)
 
     record = {
         "metric": "lake_bucketed_join_decade",
@@ -187,8 +203,13 @@ def main() -> None:
         "variants": results,
         "plan_fingerprints": fps,
         "no_exchange_on_fact_arms": no_exchange,
+        "selected_buckets_scans": selected,
         "duckdb": duck,
-        "ratios": {k: round(v["median"] / duck, 2) for k, v in results.items()},
+        "ratios": (
+            {k: round(v["median"] / duck, 2) for k, v in results.items()}
+            if duck
+            else None
+        ),
     }
     line = json.dumps(record)
     print(line)
