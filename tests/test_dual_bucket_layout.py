@@ -147,3 +147,59 @@ def test_unknown_bucket_layout_rejected(spark, tmp_path):
     )
     with pytest.raises(TableFormatError, match="bucket-layout"):
         t.append(df)
+
+
+def test_dual_export_external_read_and_pruning_rule(spark, tmp_path):
+    """External-reader contract for the dual layout (conformance 26d):
+    a reader driven ONLY by the exported Iceberg metadata reproduces
+    the engine scan, its manifests carry real int bucket[8] partition
+    values, and pruning by the SPEC's bucket function is lossless —
+    for a key-equality predicate, the files whose manifest tuple
+    equals iceberg_bucket_of(key) contain every matching row."""
+    import pyarrow.parquet as pq
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+    from tests.test_iceberg_export import read_avro_jvm
+
+    t = _mk(spark, str(tmp_path / "wh"), "dualt", "dual", n=5000)
+    meta_dir = export_to_iceberg(t)
+    # 1) value identity: exported metadata -> rows == engine scan
+    ext, doc = read_iceberg_table(spark, t.location)
+    got = sorted((r.k, r.v) for r in ext.collect())
+    want = sorted((r.k, r.v) for r in t.to_df(spark).collect())
+    assert got == want
+    # 2) manifests carry real int bucket values that match the spec
+    #    transform of every row in the file
+    snap = doc["snapshots"][-1]
+    files = []
+    for m in read_avro_jvm(spark, snap["manifest-list"]):
+        for e in read_avro_jvm(spark, m["manifest_path"]):
+            df_rec = e["data_file"]
+            files.append(
+                (df_rec["file_path"], df_rec["partition"]["k_bucket"])
+            )
+    assert files and all(isinstance(b, int) for _, b in files)
+    probe_key = 4321
+    want_bucket = iceberg_bucket_of(probe_key, 8)
+    # 3) the pruning rule: scanning ONLY the matching-bucket files
+    #    yields every row with k = probe_key
+    keep = [p for p, b in files if b == want_bucket]
+    assert keep and len(keep) < len(files)
+    pruned_rows = [
+        k
+        for p in keep
+        for k in pq.read_table(p, columns=["k"])["k"].to_pylist()
+        if k == probe_key
+    ]
+    assert pruned_rows == [probe_key]
+    # ... and no other file holds the key (the skip was sound)
+    skipped_rows = [
+        k
+        for p, b in files
+        if b != want_bucket
+        for k in pq.read_table(p, columns=["k"])["k"].to_pylist()
+        if k == probe_key
+    ]
+    assert skipped_rows == []
