@@ -12,6 +12,7 @@ surface its users would reach for first. No code copied.
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -240,3 +241,52 @@ def test_write_ordered_by_ddl_verbs(spark, wh):
     t = cat.load_table("d", "s")
     assert t.sort_order_fields == []
     assert "write.sort-order" not in t.properties
+
+
+def test_streaming_sink_honors_declared_sort_order(spark, wh):
+    """Composition: a lake SINK table with a declared sort order gets
+    sorted, bounds-tiled files from every micro-batch append — the
+    streaming path and the batch path share _write_files, so the
+    declaration applies to both without sink-side code."""
+    df = _source(spark, 6000)
+    cat = LakeCatalog(wh)
+    t = cat.create_table(
+        "s",
+        "sink",
+        df.schema,
+        properties={
+            "write.sort-order": "k",
+            "write.target-file-size-bytes": "20000",
+        },
+    )
+
+    def _sink(bdf, _bid):
+        t.append(bdf)
+
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "2000")
+        .option("numPartitions", "2")
+        .load()
+        .selectExpr(
+            "value * 7 % 6000 as k",  # deliberately unsorted stream
+            "value % 7 as g",
+            "cast(value as double) as v",
+        )
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(Path(wh) / "_chk"))
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    snaps = [s for s in t.snapshots if s.files]
+    assert snaps, "no appends landed"
+    for s in snaps:
+        spans = sorted(
+            (f["stats"]["k"][0], f["stats"]["k"][1]) for f in s.files
+        )
+        # bounds tile WITHIN each micro-batch append
+        assert all(
+            spans[i][1] <= spans[i + 1][0]
+            for i in range(len(spans) - 1)
+        ), (s.snapshot_id, spans)
