@@ -10,6 +10,7 @@ parquet naive timestamps round-trip unchanged (DuckDB-oracle parity).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -94,6 +95,31 @@ def declared_input_bytes() -> int:
     return _dir_input_bytes(sf_dir) if sf_dir else 0
 
 
+def parse_mem_bytes(mem: str) -> int:
+    """'8g' / '512m' / '24g' -> bytes (JVM -Xmx suffix grammar)."""
+    m = re.fullmatch(r"(\d+)([kmgt]?)", mem.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable memory size {mem!r}")
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
+def broadcast_threshold_bytes(heap: str) -> int:
+    """autoBroadcastJoinThreshold sized to the executor heap:
+    min(64 MB, heap/256). The threshold compares against Spark's
+    PRUNED-COMPRESSED size estimate, but the built hash relation runs
+    ~10-25x that (measured at sf100: the 15 M-row customer estimated
+    39.8 MB — 135 MB parquet x a 2-of-7 column ratio — and built a
+    ~1 GB relation that OOMed an 8 GB heap). A flat raised threshold
+    is therefore a cluster OOM hazard; heap/256 keeps the worst-case
+    relation (~25x blowup) under ~10% of the heap: 8 GB -> 32 MB
+    (the sf100 customer correctly falls back to a sort-merge join and
+    the query COMPLETES), 24 GB -> 64 MB cap (the broadcast plan,
+    measured faster, stays). Dims that matter at every scale (nation,
+    region, sf<=10 customer) sit far under either value."""
+    return min(64 * 1024 * 1024, parse_mem_bytes(heap) // 256)
+
+
 def get_spark(
     app_name: str = "sample-iceberg-schema-evolution-spark",
     master: str | None = None,
@@ -156,7 +182,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.files.openCostInBytes", "512k")
         # dims under 64 MB broadcast; 100 TB fact sides never qualify
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # heap-scaled: see broadcast_threshold_bytes (100 TB fact
+        # sides never qualify regardless)
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(
+                broadcast_threshold_bytes(
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+                )
+            ),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 
 from sample_iceberg_schema_evolution_pyiceberg_spark.session import (
     adaptive_enabled,
+    broadcast_threshold_bytes,
     declared_input_bytes,
 )
 
@@ -133,9 +134,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
         # keep Spark's 128 MB default — inputs there have real splits)
         ("spark.sql.files.maxPartitionBytes", "2m"),
         ("spark.sql.files.openCostInBytes", "512k"),
-        # dims under 64 MB broadcast (the 100 TB fact side never
+        # heap-scaled broadcast threshold (the 100 TB fact side never
         # qualifies); kills the orders-side shuffle in the star joins
-        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        # while keeping the worst-case hash relation (~25x the pruned-
+        # compressed estimate) under ~10% of the heap — see
+        # session.broadcast_threshold_bytes
+        (
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(
+                broadcast_threshold_bytes(
+                    spark.conf.get("spark.driver.memory", "8g")
+                )
+            ),
+        ),
         # bucketed fact scans (bucketed_table below) are written one
         # sorted file per bucket; expose that ordering so sort-merge
         # joins on the bucket key skip both the exchange AND the sort
