@@ -249,7 +249,12 @@ def _sort_orders_json(
             "order-id": 1,
             "fields": [
                 {
-                    "transform": "identity",
+                    # the spec's sort-transform vocabulary is the
+                    # partition-transform vocabulary; our normalized
+                    # field dicts already carry the spec string form
+                    # ("identity" | "year".."hour" | "truncate[W]" |
+                    # "bucket[N]"), so it exports verbatim
+                    "transform": f.get("transform", "identity"),
                     "source-id": col_ids.for_path(f["column"]),
                     "direction": f["direction"],
                     "null-order": f["null-order"],

@@ -1604,3 +1604,143 @@ def a33_column_metrics_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a34_bucket_sort_compose",
+    # data outcome is the a32-style zero-exchange lake join on a
+    # narrower key range; the flag columns pin the r11 composition
+    # claims: the join planned with no exchange on either fact arm
+    # even though a sort order is declared, the bucket files are
+    # physically sorted (key, then sort column) inside, and the
+    # export carries BOTH the verbatim bucket spec field and the
+    # order-1 sort order
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+             AS revenue,
+           TRUE AS zero_exchange, TRUE AS files_sorted,
+           TRUE AS export_bucket_verbatim, TRUE AS export_sort_order1
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey <= 6000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a34_bucket_sort_compose(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg's standard fact-table layout, composed (VERDICT r10
+    item 1): ``bucket[16]`` partition spec + declared ``write.sort-
+    order`` on a second column, under ``write.bucket-layout=dual``.
+    The bucket writer sorts each file by (bucket key, sort columns) —
+    the key stays the ordering PREFIX, so the exchange- and sort-free
+    join contract is untouched — while the secondary sort orders rows
+    within equal keys (row-group bounds on the sort column tighten for
+    key-point + range predicates, and the export's consumers see the
+    standard bucket-plus-sort declaration). Reference parity: the
+    reference's metadata plane carries ``sort-orders`` alongside
+    ``partition-specs``; composing them is what its users' fact
+    tables do in production."""
+    import json  # noqa: PLC0415
+
+    from ..partitioning import compile_partition_spec  # noqa: PLC0415
+
+    li = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 6000)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    with tempfile.TemporaryDirectory(prefix="bucket_sort_") as wh:
+        cat = LakeCatalog(wh)
+        spec = compile_partition_spec(
+            {"partitions": [{"column_name": "l_orderkey",
+                             "transform": "bucket[16]"}]}
+        )
+        tl = cat.create_table(
+            "gate", "li_sorted", li.schema, partition_spec=spec,
+            properties={
+                "write.bucket-layout": "dual",
+                "write.sort-order": "l_extendedprice",
+            },
+        )
+        tl.append(li)
+        ospec = compile_partition_spec(
+            {"partitions": [{"column_name": "o_orderkey",
+                             "transform": "bucket[16]"}]}
+        )
+        to = cat.create_table(
+            "gate", "ord_dual", orders.schema, partition_spec=ospec,
+            properties={"write.bucket-layout": "dual"},
+        )
+        to.append(orders)
+        # physical claim, against the DATA: inside one bucket file the
+        # rows are sorted by (key, sort column) — the write applied
+        # the declaration, it is not metadata-only
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        probe = next(
+            f for f in tl.snapshots[-1].files if f["record_count"] > 1
+        )
+        tb = pq.read_table(
+            str(tl.location / probe["path"]),
+            columns=["l_orderkey", "l_extendedprice"],
+        )
+        pairs = list(
+            zip(tb["l_orderkey"].to_pylist(),
+                tb["l_extendedprice"].to_pylist())
+        )
+        files_sorted = pairs == sorted(pairs) and probe.get(
+            "sorted_by"
+        ) == ["l_orderkey", "l_extendedprice"]
+        # export-side claim: bucket spec verbatim AND order-1 sort
+        doc = json.loads(
+            sorted(
+                export_to_iceberg(tl).glob("v*.metadata.json")
+            )[-1].read_text()
+        )
+        spec_fields = doc["partition-specs"][0]["fields"]
+        bucket_ok = (
+            len(spec_fields) == 1
+            and spec_fields[0]["transform"] == "bucket[16]"
+        )
+        so = {o_["order-id"]: o_ for o_ in doc["sort-orders"]}
+        sort_ok = (
+            doc["default-sort-order-id"] == 1
+            and [f["transform"] for f in so[1]["fields"]] == ["identity"]
+            and so[1]["fields"][0]["direction"] == "asc"
+        )
+        dl, do = tl.to_df(spark), to.to_df(spark)
+        joined = dl.join(do, dl.l_orderkey == do.o_orderkey)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            zero_exchange = "Exchange" not in plan
+            out = (
+                joined.groupBy("o_orderpriority")
+                .agg(
+                    F.count(F.lit(1)).alias("n_items"),
+                    F.round(
+                        F.sum(
+                            F.col("l_extendedprice").cast("decimal(18,4)")
+                            * (1 - F.col("l_discount").cast("decimal(18,4)"))
+                        ).cast("double"),
+                        6,
+                    ).alias("revenue"),
+                )
+                .withColumn("zero_exchange", F.lit(zero_exchange))
+                .withColumn("files_sorted", F.lit(files_sorted))
+                .withColumn("export_bucket_verbatim", F.lit(bucket_ok))
+                .withColumn("export_sort_order1", F.lit(sort_ok))
+            )
+            # materialize before the temp dir vanishes (bounded agg)
+            rows = out.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return spark.createDataFrame(rows, out.schema)

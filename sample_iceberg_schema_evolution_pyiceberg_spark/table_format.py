@@ -307,36 +307,122 @@ def _sort_fields(meta: dict[str, Any]) -> list[dict[str, str]]:
     for f in meta.get("sort_order") or []:
         if isinstance(f, str):
             f = {"column": f, "direction": "asc", "null-order": "nulls-first"}
+        else:
+            f = dict(f)
+        # pre-r11 metadata wrote identity-only fields without the
+        # transform key; normalize so consumers (export, SHOW CREATE
+        # round-trip equality) see one shape
+        f.setdefault("transform", "identity")
         out.append(f)
     return out
 
 
+# transform(args) sort-field head: year(ts) / truncate(4, comment) /
+# bucket(16, id). parse_sort_order splits on top-level commas first,
+# so the two-arg forms keep their internal comma.
+_SORT_TRANSFORM_RE = re.compile(
+    r"^\s*(year|month|day|hour)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+    r"|^\s*(truncate|bucket)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)",
+    re.IGNORECASE,
+)
+
+# source types each sort transform accepts (Iceberg spec §Sorting:
+# sort transforms are the partition transforms, same typing rules)
+_TEMPORAL_SORT_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _split_top_level(raw: str) -> list[str]:
+    """Split a sort-order declaration on commas NOT inside parens —
+    ``"truncate(4, comment), ts DESC"`` is two fields."""
+    parts, depth, cur = [], 0, []
+    for ch in raw:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def parse_sort_order(raw: str, schema: T.StructType) -> list[dict[str, str]]:
     """Parse a ``write.sort-order`` declaration — Iceberg sort-order
-    semantics on the identity transform: ``"col [ASC|DESC] [NULLS
-    FIRST|NULLS LAST], ..."``. Defaults mirror both Iceberg's and
-    Spark's: ASC is nulls-first, DESC is nulls-last. Columns must be
-    top-level schema fields (identity sort sources)."""
+    semantics: ``"field [ASC|DESC] [NULLS FIRST|NULLS LAST], ..."``
+    where ``field`` is a top-level column (identity transform) or a
+    transform application from the spec's sort vocabulary —
+    ``year(ts)`` / ``month(ts)`` / ``day(ts)`` / ``hour(ts)`` /
+    ``truncate(W, col)`` / ``bucket(N, col)`` (Iceberg sort orders
+    admit the partition transforms; the kernels are shared with
+    partitioning.PartitionField so sort and partition values agree
+    bit-for-bit). Defaults mirror both Iceberg's and Spark's: ASC is
+    nulls-first, DESC is nulls-last."""
     fields: list[dict[str, str]] = []
     names = {f.name for f in schema.fields}
-    for part in raw.split(","):
+    for part in _split_top_level(raw):
+        transform = "identity"
+        tm = _SORT_TRANSFORM_RE.match(part)
+        if tm:
+            if tm.group(1):  # temporal: year(ts)
+                transform, col = tm.group(1).lower(), tm.group(2)
+            else:  # parameterized: truncate(4, col) / bucket(16, col)
+                transform = f"{tm.group(3).lower()}[{int(tm.group(4))}]"
+                col = tm.group(5)
+            rest = part[tm.end():]
+        else:
+            cm = re.match(r"^\s*([A-Za-z_]\w*)", part)
+            if not cm:
+                raise TableFormatError(
+                    f"unparseable write.sort-order field {part!r} "
+                    "(expected 'col|transform(col) [ASC|DESC] "
+                    "[NULLS FIRST|LAST]')"
+                )
+            col, rest = cm.group(1), part[cm.end():]
         m = re.match(
-            r"^\s*([A-Za-z_]\w*)"
-            r"(?:\s+(ASC|DESC))?"
-            r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
-            part,
+            r"^(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+            rest,
             re.IGNORECASE,
         )
         if not m:
             raise TableFormatError(
                 f"unparseable write.sort-order field {part!r} "
-                "(expected 'col [ASC|DESC] [NULLS FIRST|LAST]')"
+                "(expected 'col|transform(col) [ASC|DESC] "
+                "[NULLS FIRST|LAST]')"
             )
-        col, direction, nulls = m.group(1), m.group(2), m.group(3)
+        direction, nulls = m.group(1), m.group(2)
         if col not in names:
             raise TableFormatError(
                 f"write.sort-order column {col!r} not in schema "
                 f"(have {sorted(names)})"
+            )
+        dtype = schema[col].dataType
+        base = transform.split("[")[0]
+        if base in ("year", "month", "day", "hour") and not isinstance(
+            dtype, _TEMPORAL_SORT_TYPES
+        ):
+            raise TableFormatError(
+                f"sort transform {base}({col}) needs a date/timestamp "
+                f"source, got {dtype.simpleString()}"
+            )
+        if base == "truncate" and not isinstance(
+            dtype, _INTEGRAL_TYPES + (T.StringType,)
+        ):
+            raise TableFormatError(
+                f"sort transform truncate on {col!r} needs an integral "
+                f"or string source, got {dtype.simpleString()}"
+            )
+        if base == "bucket" and not isinstance(
+            dtype,
+            _INTEGRAL_TYPES
+            + (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType),
+        ):
+            raise TableFormatError(
+                f"sort transform bucket on {col!r} unsupported for "
+                f"source type {dtype.simpleString()}"
             )
         direction = (direction or "asc").lower()
         null_order = (
@@ -345,19 +431,43 @@ def parse_sort_order(raw: str, schema: T.StructType) -> list[dict[str, str]]:
             else ("nulls-first" if direction == "asc" else "nulls-last")
         )
         fields.append(
-            {"column": col, "direction": direction, "null-order": null_order}
+            {
+                "column": col,
+                "transform": transform,
+                "direction": direction,
+                "null-order": null_order,
+            }
         )
     if not fields:
         raise TableFormatError("write.sort-order declares no fields")
     return fields
 
 
-def _sort_columns(fields: list[dict[str, str]]) -> list[Column]:
+def _sort_columns(
+    fields: list[dict[str, str]], schema: "T.StructType | None" = None
+) -> list[Column]:
     """Normalized sort fields -> Spark sort expressions (consumed by
-    repartitionByRange / sortWithinPartitions)."""
+    repartitionByRange / sortWithinPartitions). Transform sort fields
+    sort by the TRANSFORM value (Iceberg sort-order semantics) through
+    the same kernels the partition spec uses (PartitionField.
+    expression), so e.g. ``truncate(4, c)``-sorted files cluster ``c``
+    by prefix — monotone transforms keep source-column file bounds
+    tight, which is what feeds the a20 manifest-pruning seam."""
+    from .partitioning import PartitionField  # noqa: PLC0415
+
     out = []
     for f in fields:
-        c = F.col(f["column"])
+        tr = f.get("transform", "identity")
+        if tr == "identity":
+            c = F.col(f["column"])
+        else:
+            dtype = schema[f["column"]].dataType if schema is not None else None
+            c = PartitionField(
+                source_column=f["column"],
+                transform=tr,
+                name=f["column"],
+                spec_field_id=-1,
+            ).expression(dtype)
         if f["direction"] == "desc":
             c = (
                 c.desc_nulls_first()
@@ -450,7 +560,7 @@ def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
                 "order-id": 1,
                 "fields": [
                     {
-                        "transform": "identity",
+                        "transform": f.get("transform", "identity"),
                         "source-column": f["column"],
                         "direction": f["direction"],
                         "null-order": f["null-order"],
@@ -513,6 +623,7 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
         meta["sort_order"] = [
             {
                 "column": f["source-column"],
+                "transform": f.get("transform", "identity"),
                 "direction": f.get("direction", "asc"),
                 "null-order": f.get("null-order", "nulls-first"),
             }
@@ -1177,15 +1288,35 @@ class LakeTable:
         boundary."""
         raw = (self.properties or {}).get("write.sort-order")
         if raw is not None:
-            if self._spark_bucket_field() is not None:
-                raise TableFormatError(
-                    "write.sort-order is not supported together with "
-                    "write.bucket-layout=spark: the bucket layout's "
-                    "scan contract is one file per bucket sorted by "
-                    "the bucket key (exchange- and sort-free joins); "
-                    "declare one or the other"
-                )
-            self.meta["sort_order"] = parse_sort_order(raw, self.schema)
+            fields = parse_sort_order(raw, self.schema)
+            sbf = self._spark_bucket_field()
+            if sbf is not None:
+                # Iceberg's standard fact-table layout: bucket
+                # partition + table sort order. The bucket layout's
+                # scan contract (one file per bucket, sorted by the
+                # bucket key first — exchange- and sort-free joins) is
+                # COMPATIBLE with a secondary in-file sort: bucketBy's
+                # sortBy(key, *order) still satisfies the join's
+                # required ordering prefix on the key, and the
+                # secondary sort tightens parquet row-group bounds on
+                # the sort column. Spark's bucketed SORTED BY can only
+                # express ascending identity columns, so that is the
+                # composable subset; anything else stays a loud error
+                # rather than a silently-dropped declaration.
+                for f in fields:
+                    if (
+                        f.get("transform", "identity") != "identity"
+                        or f["direction"] != "asc"
+                        or f["null-order"] != "nulls-first"
+                    ):
+                        raise TableFormatError(
+                            "write.sort-order under write.bucket-layout="
+                            f"{self._bucket_layout_mode()} supports only "
+                            "ascending nulls-first identity columns "
+                            "(Spark bucketed writes sort via sortBy, "
+                            f"which is asc-only); got {f!r}"
+                        )
+            self.meta["sort_order"] = fields
             self.meta.pop("clustering", None)
         else:
             self.meta.pop("sort_order", None)
@@ -1610,7 +1741,7 @@ class LakeTable:
             # exchange per append, the price of a prunable layout —
             # and zero extra exchanges when a distribution mode
             # already shuffles.
-            exprs = _sort_columns(sort_fields)
+            exprs = _sort_columns(sort_fields, self.schema)
             if not pcols and mode == "none":
                 aligned = aligned.repartitionByRange(*exprs)
             aligned = aligned.sortWithinPartitions(*exprs)
@@ -1648,6 +1779,20 @@ class LakeTable:
             # expression is not recognizable as the child partitioning
             # so the exchange survives, and every bucket lands wholly
             # in one task — one file per bucket, the scan contract.
+            # Secondary in-file sort: a declared write.sort-order on a
+            # bucket-layout table composes as sortBy(key, *order) —
+            # the file stays sorted by the bucket key FIRST (the
+            # ordering prefix the exchange-free join needs, so the
+            # join plan fingerprint is unchanged) and the sort columns
+            # order rows WITHIN equal keys, which tightens parquet
+            # row-group bounds on the sort column for pushed-down
+            # range predicates. Validated asc-identity-only at
+            # declaration time (refresh_declared_sort_order).
+            sort_cols = [sbf.source_column] + [
+                f["column"]
+                for f in self.sort_order_fields
+                if f["column"] != sbf.source_column
+            ]
             writer = (
                 aligned.repartition(
                     sbf.param,
@@ -1659,7 +1804,7 @@ class LakeTable:
                 .format("parquet")
                 .option("path", str(self.location / rel))
                 .bucketBy(sbf.param, sbf.source_column)
-                .sortBy(sbf.source_column)
+                .sortBy(*sort_cols)
             )
             if pcols:
                 writer = writer.partitionBy(*pcols)
@@ -1719,6 +1864,17 @@ class LakeTable:
                     # mark HOW the bucket value was minted: spark ids
                     # and iceberg ids prune with different hash twins
                     entry["layout"] = "spark-bucket"
+                if m and self.sort_order_fields:
+                    # record the secondary in-file sort the writer
+                    # applied (sortBy(key, *order)) so adoption can
+                    # declare SORTED BY truthfully per SNAPSHOT —
+                    # snapshots written before the declaration carry
+                    # no claim and adopt with the key-only sort
+                    entry["sorted_by"] = [sbf.source_column] + [
+                        f["column"]
+                        for f in self.sort_order_fields
+                        if f["column"] != sbf.source_column
+                    ]
             if pvals:
                 entry["partition"] = pvals
             out.append(entry)
@@ -2590,12 +2746,16 @@ class LakeTable:
                 .sortWithinPartitions(zcol)
                 .drop(zcol)
             )
-        elif sort_fields:
+        elif sort_fields and self._spark_bucket_field() is None:
             nparts = [target_files] if target_files else []
-            exprs = _sort_columns(sort_fields)
+            exprs = _sort_columns(sort_fields, self.schema)
             df = df.repartitionByRange(
                 *nparts, *exprs
             ).sortWithinPartitions(*exprs)
+            # (spark-bucket tables skip this pre-shuffle: the bucket
+            # writer owns the layout end-to-end — repartition on the
+            # bucket-id expression + sortBy(key, *order) — so a range
+            # exchange here would be shuffled away again immediately)
         elif target_files:
             df = df.repartition(target_files)
         # label: compaction is logically content-preserving, which is
@@ -2610,9 +2770,12 @@ class LakeTable:
             # mirror into write.sort-order so the property document
             # stays the single source of truth (SHOW CREATE, export,
             # refresh_declared_sort_order all read one place)
-            self.meta["sort_order"] = sort_fields
             self.properties["write.sort-order"] = ", ".join(sort_by)
-            self.meta.pop("clustering", None)
+            # route through the declaration parser so compact(sort_by)
+            # gets the same validation CREATE/SET get (bucket-layout
+            # composition rules, schema membership) and the stored
+            # fields carry the normalized shape incl. transform
+            self.refresh_declared_sort_order()
         if cluster_by:
             self.meta["clustering"] = list(cluster_by)
             self.meta.pop("sort_order", None)
@@ -3760,6 +3923,22 @@ class LakeTable:
             f"{self.location}|{snap.snapshot_id}".encode()
         ).hexdigest()[:16]
         name = f"lake_adopt_{key}"
+        # SORTED BY must claim exactly what the writer sorted: every
+        # file of this snapshot records its sortBy columns (sorted_by,
+        # _collect_manifest) when a sort order was declared at write
+        # time. A uniform recorded claim adopts verbatim — the catalog
+        # metadata then lets Catalyst elide sorts whose required
+        # ordering is a prefix of (key, *order). Pre-declaration
+        # snapshots (no claim) adopt with the key-only sort; mixed
+        # claims fall back to the key (never over-claim — a false
+        # SORTED BY would let the planner skip a sort the files don't
+        # satisfy, a wrong-results class of bug).
+        claims = {tuple(f.get("sorted_by") or ()) for f in snap.files}
+        if len(claims) == 1 and next(iter(claims)):
+            sorted_cols = list(next(iter(claims)))
+        else:
+            sorted_cols = [sbf.source_column]
+        sorted_by_sql = ", ".join(f"`{c}`" for c in sorted_cols)
         try:
             if not spark.catalog.tableExists(name):
                 cols = ", ".join(
@@ -3778,7 +3957,7 @@ class LakeTable:
                         f"CREATE TABLE `{name}` ({cols}, `{pcol}` int) "
                         f"USING parquet PARTITIONED BY (`{pcol}`) "
                         f"CLUSTERED BY (`{sbf.source_column}`) "
-                        f"SORTED BY (`{sbf.source_column}`) "
+                        f"SORTED BY ({sorted_by_sql}) "
                         f"INTO {sbf.param} BUCKETS "
                         f"LOCATION '{self.location / snap.data_dir}'"
                     )
@@ -3787,7 +3966,7 @@ class LakeTable:
                     spark.sql(
                         f"CREATE TABLE `{name}` ({cols}) USING parquet "
                         f"CLUSTERED BY (`{sbf.source_column}`) "
-                        f"SORTED BY (`{sbf.source_column}`) "
+                        f"SORTED BY ({sorted_by_sql}) "
                         f"INTO {sbf.param} BUCKETS "
                         f"LOCATION '{self.location / snap.data_dir}'"
                     )

@@ -102,7 +102,8 @@ def test_meta_spec_roundtrip_preserves_every_populated_field():
         "branches": {"audit": {"snapshots": [dict(FULL_SNAPSHOT)]}},
         "renames": [{"version": 2, "from": "old_k", "to": "k"}],
         "sort_order": [
-            {"column": "k", "direction": "asc", "null-order": "nulls-first"}
+            {"column": "k", "transform": "identity", "direction": "asc",
+             "null-order": "nulls-first"}
         ],
     }
     got = _meta_from_spec(_meta_to_spec(dict(meta)))

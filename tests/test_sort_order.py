@@ -50,17 +50,58 @@ def wh(tmp_path):
 def test_parse_sort_order_shapes(spark):
     schema = _source(spark).schema
     assert parse_sort_order("k", schema) == [
-        {"column": "k", "direction": "asc", "null-order": "nulls-first"}
+        {"column": "k", "transform": "identity", "direction": "asc",
+         "null-order": "nulls-first"}
     ]
     # DESC defaults nulls-last (Iceberg + Spark convention)
     assert parse_sort_order("k DESC, g NULLS LAST", schema) == [
-        {"column": "k", "direction": "desc", "null-order": "nulls-last"},
-        {"column": "g", "direction": "asc", "null-order": "nulls-last"},
+        {"column": "k", "transform": "identity", "direction": "desc",
+         "null-order": "nulls-last"},
+        {"column": "g", "transform": "identity", "direction": "asc",
+         "null-order": "nulls-last"},
     ]
     with pytest.raises(TableFormatError, match="not in schema"):
         parse_sort_order("nope", schema)
     with pytest.raises(TableFormatError, match="unparseable"):
         parse_sort_order("k SIDEWAYS", schema)
+
+
+def test_parse_sort_order_transforms(spark):
+    """Iceberg sort orders admit the partition transforms — the spec's
+    sort vocabulary (truncate/bucket/year/month/day/hour), VERDICT r10
+    item 3. Typing rules are the partition-transform rules."""
+    schema = (
+        spark.range(1)
+        .selectExpr(
+            "cast(id as long) k",
+            "cast('x' as string) s",
+            "cast('2024-03-01' as date) d",
+            "timestamp'2024-03-01 10:00:00' ts",
+        )
+        .schema
+    )
+    assert parse_sort_order("truncate(4, s) DESC, k", schema) == [
+        {"column": "s", "transform": "truncate[4]", "direction": "desc",
+         "null-order": "nulls-last"},
+        {"column": "k", "transform": "identity", "direction": "asc",
+         "null-order": "nulls-first"},
+    ]
+    assert parse_sort_order("month(ts), day(d)", schema) == [
+        {"column": "ts", "transform": "month", "direction": "asc",
+         "null-order": "nulls-first"},
+        {"column": "d", "transform": "day", "direction": "asc",
+         "null-order": "nulls-first"},
+    ]
+    assert parse_sort_order("bucket(16, k) NULLS LAST", schema)[0][
+        "transform"
+    ] == "bucket[16]"
+    # typing rules enforced at declaration, not first append
+    with pytest.raises(TableFormatError, match="date/timestamp"):
+        parse_sort_order("year(k)", schema)
+    with pytest.raises(TableFormatError, match="integral or string"):
+        parse_sort_order("truncate(4, d)", schema)
+    with pytest.raises(TableFormatError, match="not in schema"):
+        parse_sort_order("month(nope)", schema)
 
 
 def test_sorted_appends_tile_bounds_and_prune(spark, wh):
@@ -114,7 +155,8 @@ def test_declaration_survives_reload_and_plain_compact(spark, wh):
     t.append(df)
     t2 = LakeTable.load(t.location)
     assert t2.sort_order_fields == [
-        {"column": "k", "direction": "desc", "null-order": "nulls-last"}
+        {"column": "k", "transform": "identity", "direction": "desc",
+         "null-order": "nulls-last"}
     ]
     # plain maintenance applies (not destroys) the declared order
     t2.compact(spark, target_files=4)
@@ -159,7 +201,12 @@ def test_set_unset_tblproperties_declaration(spark, wh):
     assert t.sort_order_fields == []
 
 
-def test_bucket_layout_conflict_rejected(spark, wh):
+def test_bucket_layout_sort_composition_rules(spark, wh):
+    """r11: write.sort-order COMPOSES with write.bucket-layout=spark
+    (Iceberg's standard fact layout: bucket partition + sort order) —
+    the composable subset is ascending nulls-first identity columns
+    (Spark's bucketed sortBy is asc-only); anything else stays a loud
+    declaration-time error, never a silently-dropped sort."""
     from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
         PartitionField,
         PartitionSpec,
@@ -167,16 +214,46 @@ def test_bucket_layout_conflict_rejected(spark, wh):
 
     df = _source(spark, 100)
     cat = LakeCatalog(wh)
-    spec = PartitionSpec([PartitionField("k", "bucket[4]", "k_bucket", 1000)])
-    with pytest.raises(TableFormatError, match="bucket-layout"):
+
+    def _spec():
+        return PartitionSpec(
+            [PartitionField("k", "bucket[4]", "k_bucket", 1000)]
+        )
+
+    # asc identity on a second column: allowed (the r11 composition)
+    t = cat.create_table(
+        "d",
+        "ok",
+        df.schema,
+        partition_spec=_spec(),
+        properties={
+            "write.bucket-layout": "spark",
+            "write.sort-order": "g",
+        },
+    )
+    assert t.sort_order_fields[0]["column"] == "g"
+    # DESC cannot ride sortBy — rejected at declaration
+    with pytest.raises(TableFormatError, match="asc-only"):
         cat.create_table(
             "d",
-            "b",
+            "bad_desc",
             df.schema,
-            partition_spec=spec,
+            partition_spec=_spec(),
             properties={
                 "write.bucket-layout": "spark",
-                "write.sort-order": "g",
+                "write.sort-order": "g DESC",
+            },
+        )
+    # transform sort fields cannot ride sortBy either
+    with pytest.raises(TableFormatError, match="asc-only"):
+        cat.create_table(
+            "d",
+            "bad_tr",
+            df.schema,
+            partition_spec=_spec(),
+            properties={
+                "write.bucket-layout": "spark",
+                "write.sort-order": "truncate(2, g)",
             },
         )
 
@@ -228,8 +305,10 @@ def test_write_ordered_by_ddl_verbs(spark, wh):
     assert not r.has_error, r.message_list
     t = cat.load_table("d", "s")
     assert t.sort_order_fields == [
-        {"column": "k", "direction": "desc", "null-order": "nulls-last"},
-        {"column": "g", "direction": "asc", "null-order": "nulls-first"},
+        {"column": "k", "transform": "identity", "direction": "desc",
+         "null-order": "nulls-last"},
+        {"column": "g", "transform": "identity", "direction": "asc",
+         "null-order": "nulls-first"},
     ]
     assert t.properties["write.sort-order"] == "k DESC NULLS LAST, g"
     # bad column fails the DDL; committed state unchanged
@@ -290,3 +369,253 @@ def test_streaming_sink_honors_declared_sort_order(spark, wh):
             spans[i][1] <= spans[i + 1][0]
             for i in range(len(spans) - 1)
         ), (s.snapshot_id, spans)
+
+
+def test_bucket_sort_rowgroup_bounds_twin(spark, tmp_path):
+    """The pruning-relevant physical claim of the composed layout
+    (sorted-vs-not twin): for the bucket layout's primary access
+    pattern — key point + sort-column range — parquet row-group stats
+    on the sort column are tight inside each key run when the
+    secondary sort is declared, and useless without it. (File-level
+    bounds CANNOT tighten here — one file per bucket holds a hash
+    slice of keys — so the seam this layout feeds is the row-group
+    stats the pushed-down filter uses.)"""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        compile_partition_spec,
+    )
+
+    # few keys x many rows per key (the fact-table shape). v is a
+    # HASH of id, not id itself: an orderBy upstream of the writer's
+    # repartition is optimizer-elided, so decorrelating v from the
+    # insertion order is the only reliable way to make the unsorted
+    # twin actually unsorted on v
+    df = spark.range(0, 60000).selectExpr(
+        "id % 8 as k",
+        "cast(pmod(hash(id), 60000) as double) as v",
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev_block = hconf.get("parquet.block.size")
+    try:
+        # force many small row groups so stats granularity exists at
+        # test scale (never needed at real scale: 128 MB groups)
+        hconf.set("parquet.block.size", "16384")
+        cat = LakeCatalog(str(tmp_path / "wh"))
+
+        def mk(name, props):
+            spec = compile_partition_spec(
+                {"partitions": [{"column_name": "k",
+                                 "transform": "bucket[2]"}]}
+            )
+            t = cat.create_table(
+                "d", name, df.schema, partition_spec=spec, properties=props
+            )
+            t.append(df)
+            return t
+
+        sorted_t = mk("s", {"write.bucket-layout": "spark",
+                            "write.sort-order": "v"})
+        plain_t = mk("p", {"write.bucket-layout": "spark"})
+
+        import pyarrow.parquet as pq
+
+        def overlapping_groups(t, key, lo, hi):
+            """Row groups a pushed-down (k = key AND lo <= v <= hi)
+            scan must read, judged by footer stats alone."""
+            need, total = 0, 0
+            for f in t.snapshots[-1].files:
+                md = pq.read_metadata(str(t.location / f["path"]))
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    cols = {
+                        rg.column(j).path_in_schema: rg.column(j).statistics
+                        for j in range(rg.num_columns)
+                    }
+                    total += 1
+                    sk, sv = cols["k"], cols["v"]
+                    if sk.min <= key <= sk.max and not (
+                        sv.max < lo or sv.min > hi
+                    ):
+                        need += 1
+            return need, total
+
+        s_need, s_total = overlapping_groups(sorted_t, 3, 100.0, 900.0)
+        p_need, p_total = overlapping_groups(plain_t, 3, 100.0, 900.0)
+        assert s_total > 8, "twin needs multiple row groups to mean anything"
+        # both twins prune the k-point via the key sort; the unsorted
+        # twin must then read every row group of the k=3 run (v is
+        # uniform per group), the sorted twin only the v-slice
+        assert p_need >= 4, (p_need, p_total)
+        assert s_need < p_need / 2, (s_need, p_need)
+        # and the answers agree (layout never changes values)
+        q = "k = 3 and v between 100.0 and 900.0"
+        assert (
+            sorted_t.to_df(spark).filter(q).count()
+            == plain_t.to_df(spark).filter(q).count()
+        )
+    finally:
+        if prev_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev_block)
+
+
+def test_bucket_sort_join_fingerprint_and_adoption_claim(spark, tmp_path):
+    """Composition keeps the zero-exchange join contract: a sorted
+    bucket table joined to a plain bucket twin plans with NO exchange
+    and NO sort on either arm (the sortBy prefix is the key), and the
+    adopted catalog entry claims exactly the recorded sortBy."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        compile_partition_spec,
+    )
+
+    df = spark.range(0, 20000).selectExpr(
+        "id as k", "cast(id % 97 as double) as v"
+    )
+    cat = LakeCatalog(str(tmp_path / "wh"))
+
+    def mk(name, props):
+        spec = compile_partition_spec(
+            {"partitions": [{"column_name": "k",
+                             "transform": "bucket[8]"}]}
+        )
+        t = cat.create_table(
+            "d", name, df.schema, partition_spec=spec, properties=props
+        )
+        t.append(df)
+        return t
+
+    st = mk("s", {"write.bucket-layout": "spark", "write.sort-order": "v"})
+    pt = mk("p", {"write.bucket-layout": "spark"})
+    # manifest records the writer's sortBy per file
+    assert all(
+        f.get("sorted_by") == ["k", "v"] for f in st.snapshots[-1].files
+    )
+    assert all(
+        f.get("sorted_by") is None for f in pt.snapshots[-1].files
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        d1 = st.to_df(spark)
+        d2 = pt.to_df(spark).select(F.col("k"), F.col("v").alias("v2"))
+        j = d1.join(d2, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # one-file-per-bucket + SORTED BY prefix => merge join needs no
+        # per-arm sort either (the fingerprint the r10 layout had)
+        assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+        assert j.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_truncate_transform_sort_prunes_and_roundtrips(spark, tmp_path):
+    """Transform sort fields (VERDICT r10 item 3): a truncate(4, s)-
+    sorted table range-clusters the SOURCE column by prefix, so the
+    a20 manifest seam prunes files on a string range predicate; SHOW
+    CREATE round-trips the declaration; the export carries the spec's
+    transform string."""
+    import json
+
+    df = (
+        spark.range(0, 20000)
+        .selectExpr(
+            "id as k",
+            # 26 prefix groups, shuffled: layout must come from WRITE
+            "concat(char(97 + cast(id % 26 as int)), "
+            "lpad(cast(id as string), 8, '0')) as s",
+        )
+        .orderBy(F.md5(F.col("id").cast("string")))
+    )
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    ddl = DdlFrontend(spark, cat)
+    t = cat.create_table(
+        "d",
+        "s",
+        df.schema,
+        properties={
+            "write.sort-order": "truncate(4, s), k",
+            "write.target-file-size-bytes": "60000",
+        },
+    )
+    t.append(df)
+    plain = cat.create_table(
+        "d", "p", df.schema,
+        properties={"write.target-file-size-bytes": "60000"},
+    )
+    plain.append(df)
+    # a20 seam: a prefix-range predicate on the SOURCE column skips
+    # files in the sorted table, none in the unsorted twin
+    pred = [("s", "<=", "c")]
+    s_pruned = len(t.to_df(spark, pruning=pred).inputFiles())
+    p_pruned = len(plain.to_df(spark, pruning=pred).inputFiles())
+    assert len(t.to_df(spark).inputFiles()) > 2
+    assert s_pruned < p_pruned, (s_pruned, p_pruned)
+    assert (
+        t.to_df(spark, pruning=pred).filter(F.col("s") <= "c").count()
+        == df.filter(F.col("s") <= "c").count()
+    )
+    # SHOW CREATE round-trip (the property is the declaration)
+    stmt = ddl.query("SHOW CREATE TABLE d.s").collect()[0][0]
+    r = ddl.sql(stmt.replace("d.s", "d2.s", 1))
+    assert not r.has_error, r.message_list
+    twin = cat.load_table("d2", "s")
+    assert twin.sort_order_fields == t.sort_order_fields
+    assert twin.sort_order_fields[0]["transform"] == "truncate[4]"
+    # export carries the transform string verbatim
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+    )
+
+    doc = json.loads(
+        sorted(export_to_iceberg(t).glob("v*.metadata.json"))[-1].read_text()
+    )
+    orders = {o["order-id"]: o for o in doc["sort-orders"]}
+    assert [f["transform"] for f in orders[1]["fields"]] == [
+        "truncate[4]", "identity",
+    ]
+
+
+def test_temporal_transform_sort_write(spark, tmp_path):
+    """month(ts)-sorted writes cluster the timestamp column: file
+    bounds on the source column tile by month (monotone transform)."""
+    df = (
+        spark.range(0, 8000)
+        .selectExpr(
+            "id as k",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, "
+            "0, cast(id % 20000000 as int)) + "
+            "make_interval(0, cast(id % 11 as int)) as ts",
+        )
+        .orderBy(F.md5(F.col("id").cast("string")))
+    )
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "d",
+        "m",
+        df.schema,
+        properties={
+            "write.sort-order": "month(ts), ts",
+            "write.target-file-size-bytes": "30000",
+        },
+    )
+    t.append(df)
+    files = t.snapshots[-1].files
+    assert len(files) > 2
+    # timestamp bounds are excluded from the JSON manifest by design
+    # (_footer_column_bounds keeps int/float/str only), so read the
+    # physical claim off the files: per-file ts ranges tile — the
+    # month transform range-clustered the SOURCE column, the identity
+    # tiebreak ordered within months
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        col = pq.read_table(
+            str(t.location / f["path"]), columns=["ts"]
+        )["ts"].to_pylist()
+        spans.append((min(col), max(col)))
+    spans.sort()
+    assert all(
+        spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)
+    ), spans
