@@ -1142,11 +1142,28 @@ class DdlFrontend:
             re.IGNORECASE | re.DOTALL,
         ):
             props = _parse_properties(am.group(1))
+            prior = dict(table.meta["properties"])
+            prior_order = table.meta.get("sort_order")
             table.meta["properties"].update(props)
-            if "write.sort-order" in props:
+            if "write.sort-order" in props or "write.bucket-layout" in props:
                 # declaration surface: re-derive the table sort order
-                # (validates columns; lands in the SAME commit)
-                table.refresh_declared_sort_order()
+                # (validates columns; lands in the SAME commit). The
+                # bucket layout participates because the composition
+                # rules depend on it — setting write.bucket-layout on
+                # a table that already declares a DESC/transform sort
+                # order must re-validate in the same commit, not let
+                # the declaration silently degrade at the next append.
+                # On validation failure the in-memory handle reverts
+                # too: nothing mutates unless the whole SET commits.
+                try:
+                    table.refresh_declared_sort_order()
+                except Exception:
+                    table.meta["properties"] = prior
+                    if prior_order is None:
+                        table.meta.pop("sort_order", None)
+                    else:
+                        table.meta["sort_order"] = prior_order
+                    raise
             table._commit()
             resp.message_list.append(
                 f"Set properties {sorted(props)} on {db}.{tbl}"
@@ -1159,10 +1176,25 @@ class DdlFrontend:
             keys = [
                 k.strip().strip("'") for k in _split_top_level(am.group(1))
             ]
+            prior = dict(table.meta["properties"])
+            prior_order = table.meta.get("sort_order")
             for k in keys:
                 table.meta["properties"].pop(k, None)
-            if "write.sort-order" in keys:
-                table.refresh_declared_sort_order()
+            if "write.sort-order" in keys or "write.bucket-layout" in keys:
+                # unsetting the bucket layout also re-derives: a sort
+                # order that was constrained to the composable subset
+                # stays valid, but the re-validation keeps the two
+                # properties one document either way (revert the
+                # in-memory handle if validation fails, as in SET)
+                try:
+                    table.refresh_declared_sort_order()
+                except Exception:
+                    table.meta["properties"] = prior
+                    if prior_order is None:
+                        table.meta.pop("sort_order", None)
+                    else:
+                        table.meta["sort_order"] = prior_order
+                    raise
             table._commit()
             resp.message_list.append(
                 f"Unset properties {sorted(keys)} on {db}.{tbl}"

@@ -244,6 +244,25 @@ def _sort_orders_json(
     orders: list[dict[str, Any]] = [{"order-id": 0, "fields": []}]
     if not fields:
         return {"sort-orders": orders, "default-sort-order-id": 0}
+    sbf = table._spark_bucket_field()
+    if sbf is not None:
+        # bucket-layout tables physically write sortBy(bucket key,
+        # *declared order) — a file sorted by (k, v) is NOT sorted by
+        # v alone, so exporting only the declared secondary columns
+        # would misdescribe the actual write order to external readers
+        # (default-sort-order-id points at order 1). Export the
+        # PHYSICAL order with the bucket key as the leading field —
+        # the same derivation as the manifest's sorted_by claim
+        # (table_format._bucket_sort_cols): key first, declared
+        # columns minus the key after.
+        fields = [
+            {
+                "column": sbf.source_column,
+                "direction": "asc",
+                "null-order": "nulls-first",
+            },
+            *(f for f in fields if f["column"] != sbf.source_column),
+        ]
     orders.append(
         {
             "order-id": 1,

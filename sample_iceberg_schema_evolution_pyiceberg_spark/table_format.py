@@ -1571,6 +1571,20 @@ class LakeTable:
             return None
         return f
 
+    def _bucket_sort_cols(self, sbf) -> list[str]:
+        """The physical in-file sort of a bucket-layout write: the
+        bucket key FIRST (the ordering prefix the exchange-free join
+        contract needs), then the declared secondary sort columns.
+        ONE derivation shared by the writer's ``sortBy`` and the
+        manifest's ``sorted_by`` claim — if these ever drifted, the
+        manifest would assert an order the files don't have, which is
+        a wrong-results class of bug for the adoption path."""
+        return [sbf.source_column] + [
+            f["column"]
+            for f in self.sort_order_fields
+            if f["column"] != sbf.source_column
+        ]
+
     def append(self, df: DataFrame, branch: "str | None" = None) -> Snapshot:
         """One append = one snapshot commit (reference:
         ``iceberg_table.append``, data_generator.py:79). ``branch``
@@ -1788,11 +1802,7 @@ class LakeTable:
             # row-group bounds on the sort column for pushed-down
             # range predicates. Validated asc-identity-only at
             # declaration time (refresh_declared_sort_order).
-            sort_cols = [sbf.source_column] + [
-                f["column"]
-                for f in self.sort_order_fields
-                if f["column"] != sbf.source_column
-            ]
+            sort_cols = self._bucket_sort_cols(sbf)
             writer = (
                 aligned.repartition(
                     sbf.param,
@@ -1870,11 +1880,7 @@ class LakeTable:
                     # declare SORTED BY truthfully per SNAPSHOT —
                     # snapshots written before the declaration carry
                     # no claim and adopt with the key-only sort
-                    entry["sorted_by"] = [sbf.source_column] + [
-                        f["column"]
-                        for f in self.sort_order_fields
-                        if f["column"] != sbf.source_column
-                    ]
+                    entry["sorted_by"] = self._bucket_sort_cols(sbf)
             if pvals:
                 entry["partition"] = pvals
             out.append(entry)
@@ -2722,10 +2728,35 @@ class LakeTable:
             # silently destroy the declared layout
             sort_fields = declared
         elif sort_by:
-            sort_fields = [
-                {"column": c, "direction": "asc", "null-order": "nulls-first"}
-                for c in sort_by
-            ]
+            # an EXPLICIT sort_by (re)declares the table sort order.
+            # Parse + declare UP FRONT — before to_df, the rewrite, or
+            # any other mutation — through the same parser CREATE/SET
+            # use, so transforms ('month(ts)') and direction ('v DESC')
+            # work PHYSICALLY (the parsed fields feed _sort_columns
+            # below) and validation (schema membership, transform
+            # vocabulary, bucket-layout composition rules) fails free
+            # of side effects: on error the in-memory handle reverts
+            # and nothing was written. Mirroring into write.sort-order
+            # keeps the property document the single source of truth
+            # (SHOW CREATE, export, refresh_declared_sort_order all
+            # read one place).
+            raw = ", ".join(sort_by)
+            prior_prop = self.properties.get("write.sort-order")
+            prior_order = self.meta.get("sort_order")
+            self.properties["write.sort-order"] = raw
+            try:
+                self.refresh_declared_sort_order()
+            except Exception:
+                if prior_prop is None:
+                    self.properties.pop("write.sort-order", None)
+                else:
+                    self.properties["write.sort-order"] = prior_prop
+                if prior_order is None:
+                    self.meta.pop("sort_order", None)
+                else:
+                    self.meta["sort_order"] = prior_order
+                raise
+            sort_fields = self.sort_order_fields
         else:
             sort_fields = []
         # NOTE: when the table declares write.target-file-size-bytes,
@@ -2765,17 +2796,6 @@ class LakeTable:
         # zero delta it can have by label). Layout metadata mutates
         # BEFORE _write so the label, layout, and rewrite land in ONE
         # commit — no crash window can leave a durable 'overwrite'.
-        if sort_by:
-            # an EXPLICIT sort_by (re)declares the table sort order;
-            # mirror into write.sort-order so the property document
-            # stays the single source of truth (SHOW CREATE, export,
-            # refresh_declared_sort_order all read one place)
-            self.properties["write.sort-order"] = ", ".join(sort_by)
-            # route through the declaration parser so compact(sort_by)
-            # gets the same validation CREATE/SET get (bucket-layout
-            # composition rules, schema membership) and the stored
-            # fields carry the normalized shape incl. transform
-            self.refresh_declared_sort_order()
         if cluster_by:
             self.meta["clustering"] = list(cluster_by)
             self.meta.pop("sort_order", None)

@@ -619,3 +619,177 @@ def test_temporal_transform_sort_write(spark, tmp_path):
     assert all(
         spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)
     ), spans
+
+
+def test_set_bucket_layout_revalidates_declared_order(spark, wh):
+    """r12 (ADVICE r11 medium): SETting write.bucket-layout on a table
+    that ALREADY declares a DESC/transform sort order must re-run the
+    composition rules in the same commit — previously the guard only
+    fired when write.sort-order itself was among the SET keys, so the
+    layout flip slipped through and the next append silently wrote
+    asc-sorted files under a meta/SHOW CREATE/export still claiming
+    DESC."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = _source(spark, 100)
+    cat = LakeCatalog(wh)
+    ddl = DdlFrontend(spark, cat)
+    spec = PartitionSpec([PartitionField("k", "bucket[4]", "k_bucket", 1000)])
+    # DESC order is legal on the plain (no-layout) bucket spec
+    cat.create_table(
+        "d", "s", df.schema, partition_spec=spec,
+        properties={"write.sort-order": "v DESC"},
+    )
+    r = ddl.sql(
+        "ALTER TABLE d.s SET TBLPROPERTIES ('write.bucket-layout' = 'spark')"
+    )
+    assert r.has_error, "layout flip must re-validate the DESC order"
+    t = cat.load_table("d", "s")
+    assert "write.bucket-layout" not in t.properties
+    assert t.sort_order_fields[0]["direction"] == "desc"
+    # the composable subset still flips fine
+    r = ddl.sql(
+        "ALTER TABLE d.s SET TBLPROPERTIES ('write.sort-order' = 'g')"
+    )
+    assert not r.has_error, r.message_list
+    r = ddl.sql(
+        "ALTER TABLE d.s SET TBLPROPERTIES ('write.bucket-layout' = 'spark')"
+    )
+    assert not r.has_error, r.message_list
+    t = cat.load_table("d", "s")
+    assert t.properties["write.bucket-layout"] == "spark"
+    # UNSET of the layout also re-derives (stays valid here)
+    r = ddl.sql("ALTER TABLE d.s UNSET TBLPROPERTIES ('write.bucket-layout')")
+    assert not r.has_error, r.message_list
+    assert "write.bucket-layout" not in cat.load_table("d", "s").properties
+
+
+def test_compact_sort_by_desc_and_transform_apply_physically(spark, wh):
+    """r12 (ADVICE r11 low): compact(sort_by=...) routes through
+    parse_sort_order BEFORE the rewrite, so direction ('v DESC') and
+    transforms ('month(ts)') apply PHYSICALLY — not just land in the
+    declaration while the rewrite sorts by an unresolved raw name."""
+    df = (
+        spark.range(0, 6000)
+        .selectExpr(
+            "id as k",
+            "cast(id as double) as v",
+            "timestamp_seconds(1704067200 + (id * 37 % 365) * 86400) as ts",
+        )
+        .orderBy(F.md5(F.col("id").cast("string")))
+    )
+    cat = LakeCatalog(wh)
+    t = cat.create_table("d", "s", df.schema)
+    t.append(df)
+    # DESC: file spans on v must tile in some order (range-clustered)
+    t.compact(spark, sort_by=["v DESC"], target_files=4)
+    assert t.sort_order_fields == [
+        {"column": "v", "transform": "identity", "direction": "desc",
+         "null-order": "nulls-last"}
+    ]
+    live = [s for s in t.snapshots if s.files][-1]
+    spans = sorted((f["stats"]["v"][0], f["stats"]["v"][1])
+                   for f in live.files)
+    assert len(spans) > 1
+    assert all(spans[i][1] <= spans[i + 1][0]
+               for i in range(len(spans) - 1)), spans
+    # transform: month(ts)-clustered files tile on the source column
+    # (timestamp bounds are excluded from the JSON manifest by design,
+    # so read the physical claim off the files)
+    t.compact(spark, sort_by=["month(ts)"], target_files=4)
+    assert t.sort_order_fields[0]["transform"] == "month"
+    live = [s for s in t.snapshots if s.files][-1]
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in live.files:
+        col = pq.read_table(
+            str(t.location / f["path"]), columns=["ts"]
+        )["ts"].to_pylist()
+        # month granularity: range partitioning is on the TRANSFORM
+        # value, so two adjacent files may legitimately share a
+        # boundary month — the claim is months tile, not timestamps
+        months = [(v.year, v.month) for v in (min(col), max(col))]
+        spans.append((months[0], months[1]))
+    spans.sort()
+    assert all(spans[i][1] <= spans[i + 1][0]
+               for i in range(len(spans) - 1)), spans
+    assert t.to_df(spark).count() == 6000
+
+
+def test_compact_sort_by_validates_before_any_mutation(spark, wh):
+    """r12 (ADVICE r11 low): an invalid compact(sort_by=...) fails
+    BEFORE mutating write.sort-order/meta — no in-memory handle left
+    declaring an order that was never applied, no new snapshot."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = _source(spark, 1000)
+    cat = LakeCatalog(wh)
+    # unknown column
+    t = cat.create_table(
+        "d", "s", df.schema, properties={"write.sort-order": "k"}
+    )
+    t.append(df)
+    n_snaps = len(t.snapshots)
+    with pytest.raises(TableFormatError, match="not in schema"):
+        t.compact(spark, sort_by=["nope"])
+    assert t.properties["write.sort-order"] == "k"
+    assert t.sort_order_fields[0]["column"] == "k"
+    assert len(t.snapshots) == n_snaps
+    # composition violation on a bucket-layout table
+    spec = PartitionSpec([PartitionField("k", "bucket[4]", "k_bucket", 1000)])
+    tb = cat.create_table(
+        "d", "b", df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark",
+                    "write.sort-order": "g"},
+    )
+    tb.append(df)
+    n_snaps = len(tb.snapshots)
+    with pytest.raises(TableFormatError, match="asc-only"):
+        tb.compact(spark, sort_by=["v DESC"])
+    assert tb.properties["write.sort-order"] == "g"
+    assert tb.sort_order_fields[0]["column"] == "g"
+    assert len(tb.snapshots) == n_snaps
+
+
+def test_export_bucket_layout_sort_order_leads_with_key(spark, wh):
+    """r12 (ADVICE r11 low): under a bucket layout the exported sort
+    order 1 describes the PHYSICAL write order — bucket key leading,
+    declared secondaries after (a file sorted by (k, v) is not sorted
+    by v; default-sort-order-id=1 must not misdescribe it)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = _source(spark, 2000)
+    cat = LakeCatalog(wh)
+    spec = PartitionSpec([PartitionField("k", "bucket[4]", "k_bucket", 1000)])
+    t = cat.create_table(
+        "d", "s", df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark",
+                    "write.sort-order": "g"},
+    )
+    t.append(df)
+    meta_dir = export_to_iceberg(t)
+    doc = json.loads(
+        sorted(meta_dir.glob("v*.metadata.json"))[-1].read_text()
+    )
+    assert doc["default-sort-order-id"] == 1
+    order1 = {o["order-id"]: o for o in doc["sort-orders"]}[1]
+    schema_doc = [
+        d for d in doc["schemas"]
+        if d["schema-id"] == doc["current-schema-id"]
+    ][0]
+    by_id = {f["id"]: f["name"] for f in schema_doc["fields"]}
+    got = [(by_id[f["source-id"]], f["direction"]) for f in order1["fields"]]
+    assert got == [("k", "asc"), ("g", "asc")], got
+    # and it matches the manifest's sorted_by claim
+    live = [s for s in t.snapshots if s.files][-1]
+    assert all(f.get("sorted_by") == ["k", "g"] for f in live.files)
