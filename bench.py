@@ -82,6 +82,28 @@ def plan_fingerprint(df) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 
+def run_canary(spark, runs: int = 5) -> dict[str, float]:
+    """Fixed-cost canary: a constant 1-row query through the same noop
+    sink as the measured queries. Its wall time is pure per-job fixed
+    cost (driver scheduling + task launch + noop commit) with zero
+    data dependence, so it moves ONLY with box state. Measured before
+    and after the query loop; a drifting or inflated canary machine-
+    flags a congested run (r9's 1.79x 'regression' was exactly this —
+    a congested-box draw that cost a round of forensic attribution)."""
+    df = spark.range(1).selectExpr("cast(1 as long) as one")
+    materialize(df)  # one warm pass: JIT + codegen for the trivial plan
+    s = []
+    for _ in range(runs):
+        t0 = time.time()
+        materialize(df)
+        s.append(time.time() - t0)
+    return {
+        "median": round(sorted(s)[len(s) // 2], 4),
+        "min": round(min(s), 4),
+        "max": round(max(s), 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # publish the resolved dir so session sizing (input-scaled shuffle
@@ -127,6 +149,7 @@ def main() -> None:
     # 15 other queries — measured on this box, interleaving inflates
     # per-query medians ~40% (cache/JIT/cleaner cross-talk between
     # plans; see tools/aqe_experiment.py, which first quantified it)
+    canary_pre = run_canary(spark)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     fingerprints: dict[str, str] = {}
     for name in HEADLINE:
@@ -136,6 +159,21 @@ def main() -> None:
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             samples[name].append(time.time() - t0)
+    canary_post = run_canary(spark)
+    # drift annotation: how much the fixed cost moved across the
+    # measured section, and how inflated it is vs the historical idle
+    # floor (~0.02-0.04 s for a noop 1-row job on this box). Either
+    # signal marks the record as a congested draw for the reader.
+    base = max(canary_pre["median"], 1e-4)
+    canary = {
+        "pre": canary_pre,
+        "post": canary_post,
+        "drift": round((canary_post["median"] - canary_pre["median"]) / base, 3),
+        "congested": bool(
+            abs(canary_post["median"] - canary_pre["median"]) / base > 0.5
+            or max(canary_pre["median"], canary_post["median"]) > 0.15
+        ),
+    }
     times = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
     spread = {
         n: {"min": round(min(s), 3), "max": round(max(s), 3)}
@@ -191,6 +229,7 @@ def main() -> None:
                 "duckdb_queries": duck_times,
                 "duckdb_total": round(sum(duck_times.values()), 3),
                 "duckdb_spread": duck_spread,
+                "canary": canary,
             }
         )
     )
@@ -216,6 +255,11 @@ def main() -> None:
                 "duckdb_spread_c": {
                     n: [s["min"], s["max"]] for n, s in duck_spread.items()
                 },
+                "canary": [
+                    canary_pre["median"],
+                    canary_post["median"],
+                    int(canary["congested"]),
+                ],
             },
             separators=(",", ":"),
         )
