@@ -1149,6 +1149,17 @@ _FROM_ICEBERG: dict[str, T.DataType] = {
     "timestamptz": T.TimestampType(),
     "string": T.StringType(),
     "binary": T.BinaryType(),
+    # Foreign-type fidelity (reference constants.py:64 TimeType, :80
+    # UUIDType): Spark has no parquet-readable TIME or UUID type, so a
+    # foreign Iceberg table's `time` column surfaces as micros-since-
+    # midnight LONG and `uuid` as the canonical lowercase-hyphenated
+    # STRING — exactly the representations config.py picks for the
+    # same config types, so a foreign table and a config-created table
+    # with the same logical schema are query-compatible. The physical
+    # decode (INT64 TIME via explicit read schema, fixed[16] via
+    # hex formatting) happens in read_iceberg_table.
+    "uuid": T.StringType(),
+    "time": T.LongType(),
 }
 
 
@@ -1160,6 +1171,10 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
         if t.startswith("decimal"):
             p, s = t[t.index("(") + 1 : t.index(")")].split(",")
             return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed"):
+            # fixed[N] -> binary (length is a write-side constraint;
+            # Spark reads FIXED_LEN_BYTE_ARRAY as plain binary)
+            return T.BinaryType()
         return _FROM_ICEBERG[t]
     kind = t["type"]
     if kind == "struct":
@@ -1243,6 +1258,56 @@ def read_iceberg_table(
             for f in current_schema["fields"]
         ]
     )
+    # foreign-type physical decode (spec types Spark's parquet reader
+    # can't surface natively — see _FROM_ICEBERG's uuid/time entries):
+    uuid_cols = {
+        f["name"] for f in current_schema["fields"] if f["type"] == "uuid"
+    }
+    time_cols = {
+        f["name"] for f in current_schema["fields"] if f["type"] == "time"
+    }
+
+    def _open_data_files(files: list[str]):
+        if time_cols:
+            # Spark rejects parquet's TIME logical type at schema
+            # inference ([PARQUET_TYPE_ILLEGAL]); an EXPLICIT schema
+            # reads the underlying INT64 as micros-since-midnight.
+            # uuid fields read as binary here and convert below.
+            read_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        T.BinaryType() if f.name in uuid_cols else f.dataType,
+                        True,
+                    )
+                    for f in table_schema.fields
+                ]
+            )
+            raw = spark.read.schema(read_schema).parquet(*files)
+        else:
+            raw = spark.read.parquet(*files)
+        for c in uuid_cols:
+            if c in raw.columns and isinstance(
+                raw.schema[c].dataType, T.BinaryType
+            ):
+                # fixed[16] -> canonical lowercase-hyphenated form,
+                # the string representation config.py's `uuid` uses
+                h = F.lower(F.hex(F.col(c)))
+                raw = raw.withColumn(
+                    c,
+                    F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                    .otherwise(
+                        F.concat_ws(
+                            "-",
+                            F.substring(h, 1, 8),
+                            F.substring(h, 9, 4),
+                            F.substring(h, 13, 4),
+                            F.substring(h, 17, 4),
+                            F.substring(h, 21, 12),
+                        )
+                    ),
+                )
+        return raw
     # Iceberg readers take file paths from manifests verbatim and never
     # run directory/partition discovery (partition values live in the
     # manifest, source columns in the files). Spark's reader insists on
@@ -1300,7 +1365,7 @@ def read_iceberg_table(
         ]
         if not files:
             continue
-        raw = spark.read.parquet(*files)
+        raw = _open_data_files(files)
         if need_pos:
             sel = [
                 _align_expr(

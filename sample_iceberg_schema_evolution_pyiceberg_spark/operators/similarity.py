@@ -391,3 +391,108 @@ def c06b_knn_join_sampled(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "c06e_ann_ivf_verified_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+         r AS (SELECT CAST(embedding AS DOUBLE[]) AS re
+               FROM embeddings WHERE vec_id = 1),
+         planted AS (
+           SELECT 1000000 + i AS vec_id, -1 AS label,
+                  list_transform(generate_series(1, 64),
+                      j -> q.qe[j] + (i / 100.0) * r.re[j]) AS embedding
+           FROM generate_series(1, 20) t(i), q, r
+         ),
+         corpus AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id, label, embedding FROM planted
+         )
+    SELECT c.vec_id, c.label,
+           ROUND(LIST_COSINE_SIMILARITY(c.embedding, q.qe), 6) AS cos_sim
+    FROM corpus c, q
+    WHERE c.vec_id <> 0
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT 20
+    """,
+)
+def c06e_ann_ivf_verified_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe as a HASH-GATED query (VERDICT r10 item 6): the full
+    IVF machinery — cell assignment on every corpus row, probe-N_PROBE
+    cell restriction, candidate equi-join, exact cosine re-rank with a
+    deterministic tie-break — runs against a planted-neighbor episode
+    whose true top-20 provably lives inside the probed cells, so the
+    approximate index's VERIFIED output is exact by construction and a
+    DuckDB brute-force oracle over the same corpus hash-gates it.
+
+    The plant: 20 mixtures q + (i/100)·r (i=1..20) of two corpus
+    vectors, built with the same elementwise double arithmetic on both
+    engines. Their cosines to q descend smoothly 0.99995→0.98 — far
+    above the natural corpus ceiling (~0.6 on the synthetic
+    embeddings) — so brute-force top-20 = the 20 plants; and because
+    each mixture is dominated by q, its nearest centroid is q's, which
+    probe-4 always includes. If the assignment UDF, the probe
+    restriction, or the re-rank drifted, plants would fall out of the
+    candidate set and the hash gate would fail — this is the
+    correctness pin for the c06c/c06d scale path, whose recall on
+    natural (unplanted) queries stays the rows-only + measured story
+    (tests + bench_results/ann_1m_r10.json).
+
+    At 100 TB the shape is unchanged: `cell` is the partition key, the
+    probe is a driver-known 4-cell filter (partition pruning), the
+    plant union is a test fixture, not a production stage."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        # float32 -> double ONCE, before any arithmetic, so both
+        # engines do identical elementwise double math on the plants
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    rrow = e.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("re")
+    )
+    planted = (
+        spark.range(1, 21)
+        .crossJoin(F.broadcast(qrow))
+        .crossJoin(F.broadcast(rrow))
+        .select(
+            (F.col("id") + 1000000).alias("vec_id"),
+            F.lit(-1).alias("label"),
+            F.zip_with(
+                "qe",
+                "re",
+                lambda x, y: x + (F.col("id") / F.lit(100.0)) * y,
+            ).alias("embedding"),
+        )
+    )
+    corpus = e.unionByName(planted).withColumn(
+        "cell", F.element_at(ivf_assign_udf(1)("embedding"), 1)
+    )
+    probe = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qvec"),
+            F.explode(ivf_assign_udf(N_PROBE)("embedding")).alias("cell"),
+        )
+    )
+    cand = corpus.filter(F.col("vec_id") != 0).join(F.broadcast(probe), "cell")
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(20)
+    )

@@ -414,3 +414,52 @@ def test_ivf_recall_at_scale_fixture(spark):
     recalls = [len(got.get(q, set()) & truth[q]) / TOPK for q in truth]
     assert float(np.mean(recalls)) >= 0.85, recalls
     assert min(recalls) >= 0.5, recalls
+
+
+def test_c06e_verified_ivf_restricts_and_is_exact(spark):
+    """c06e (r12, VERDICT r10 item 6): the hash-gated IVF episode must
+    (a) actually RESTRICT — its candidate set is the probed cells'
+    posting lists, a strict subset of the corpus — and (b) be EXACT:
+    its top-20 equals brute force over the same planted corpus (the
+    property the DuckDB oracle gates at the driver; asserted here
+    engine-internally so the claim doesn't depend on the oracle
+    harness)."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import cosine
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        N_PROBE,
+        c06e_ann_ivf_verified_topk,
+        ivf_assign_udf,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+
+    sf = "/root/testdata/sf0.001"
+    got = c06e_ann_ivf_verified_topk(spark, sf).collect()
+    # the plant is the answer: 20 rows, all planted ids, descending
+    assert [r["vec_id"] for r in got] == [1000000 + i for i in range(1, 21)]
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["label"] == -1 for r in got)
+    # restriction: the probed posting lists hold < half the corpus
+    # (16 cells, probe 4 — a degenerate assignment that dumped
+    # everything into the probed cells would void the episode's point)
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cells = e.withColumn(
+        "cell", F.element_at(ivf_assign_udf(1)("embedding"), 1)
+    )
+    probe_cells = {
+        r["cell"]
+        for r in e.filter(F.col("vec_id") == 0)
+        .select(F.explode(ivf_assign_udf(N_PROBE)("embedding")).alias("cell"))
+        .collect()
+    }
+    assert len(probe_cells) == N_PROBE
+    frac = (
+        cells.filter(F.col("cell").isin(list(probe_cells))).count()
+        / cells.count()
+    )
+    assert frac < 0.5, f"probed cells hold {frac:.0%} of the corpus"

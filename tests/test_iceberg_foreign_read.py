@@ -406,3 +406,187 @@ def test_v2_foreign_matches_duckdb_replay(spark, v2_table):
     df, _ = read_iceberg_table(spark, v2_table)
     got = sorted((r.id, r.name) for r in df.collect())
     assert got == [tuple(r) for r in expected]
+
+
+# ---------------------------------------------------------------------------
+# uuid/time type fidelity (VERDICT r10 item 5): a FOREIGN table with the
+# spec's real uuid (fixed[16] parquet) and time (INT64 TIME micros) types
+# reads into the same representations config.py picks for those config
+# types (canonical string / micros long); the engine's own export keeps
+# the documented string/long divergence and round-trips.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def uuid_time_table(spark, tmp_path_factory):
+    import datetime
+    import uuid as uuid_mod
+
+    root = tmp_path_factory.mktemp("foreign_uuid_time")
+    (root / "metadata").mkdir()
+    (root / "data").mkdir()
+    uids = [uuid_mod.UUID(int=(i + 1) << 64) for i in range(2)]
+    # real spec physical types a Java Iceberg writer would produce:
+    # uuid = FIXED_LEN_BYTE_ARRAY(16), time = INT64 TIME(MICROS)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "u": pa.array(
+                    [u.bytes for u in uids] + [None], pa.binary(16)
+                ),
+                "tm": pa.array(
+                    [
+                        datetime.time(1, 2, 3, 123456),
+                        datetime.time(23, 59, 59),
+                        None,
+                    ],
+                    pa.time64("us"),
+                ),
+            }
+        ),
+        root / "data" / "A.parquet",
+    )
+    mschema = (FOREIGN / "v1_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v1_manifest_list.avsc").read_text()
+    write_avro_java(
+        spark,
+        root / "metadata" / "m1.avro",
+        mschema,
+        [_df(root / "data" / "A.parquet", 1, record_count=3)],
+    )
+    write_avro_java(
+        spark,
+        root / "metadata" / "snap-1.avro",
+        lschema,
+        [
+            {
+                "added_snapshot_id": 1,
+                "manifest_path": str(root / "metadata" / "m1.avro"),
+                "added_data_files_count": 1,
+                "manifest_length": (root / "metadata" / "m1.avro")
+                .stat()
+                .st_size,
+                "partition_spec_id": 0,
+            }
+        ],
+    )
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "u", "required": False, "type": "uuid"},
+            {"id": 3, "name": "tm", "required": False, "type": "time"},
+        ],
+    }
+    meta = {
+        "format-version": 1,
+        "table-uuid": "7f9c9c1e-0000-4000-8000-00000000000a",
+        "location": str(root),
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 3,
+        "schema": schema,
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": str(root / "metadata" / "snap-1.avro"),
+                "schema-id": 0,
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    return root
+
+
+def test_foreign_uuid_time_types_read(spark, uuid_time_table):
+    """A foreign table declaring uuid/time with real physical encodings
+    surfaces as the engine's config representations: uuid -> canonical
+    lowercase-hyphenated string, time -> micros-since-midnight long
+    (reference constants.py:64,:80 map the same config types to real
+    TimeType/UUIDType; this engine's Spark substrate can't, so the
+    reader converges both worlds onto one queryable representation)."""
+    import uuid as uuid_mod
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    df, doc = read_iceberg_table(spark, uuid_time_table)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("id", "bigint"), ("u", "string"), ("tm", "bigint"),
+    ]
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert rows[0].u == str(uuid_mod.UUID(int=1 << 64))
+    assert rows[1].u == str(uuid_mod.UUID(int=2 << 64))
+    assert rows[2].u is None
+    # 01:02:03.123456 and 23:59:59 as micros since midnight
+    assert rows[0].tm == (1 * 3600 + 2 * 60 + 3) * 1_000_000 + 123456
+    assert rows[1].tm == (23 * 3600 + 59 * 60 + 59) * 1_000_000
+    assert rows[2].tm is None
+
+
+def test_uuid_time_config_export_roundtrip(spark, tmp_path):
+    """The engine's own side of the divergence: a config-created table
+    with uuid/time fields stores string/long (config.py:56,:64), the
+    export declares string/long (documented in ICEBERG_CONFORMANCE.md
+    — NOT the spec's uuid/time, which would misdescribe the BYTE_ARRAY
+    UTF8 / plain INT64 physical data to external readers), and the
+    exported table round-trips value-for-value through the reader."""
+    import uuid as uuid_mod
+
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.config import map_config_type
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+        read_iceberg_table,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+    import pyspark.sql.types as T
+
+    assert map_config_type("uuid").simpleString() == "string"
+    assert map_config_type("time").simpleString() == "bigint"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("u", map_config_type("uuid")),
+            T.StructField("tm", map_config_type("time")),
+        ]
+    )
+    vals = [
+        (1, str(uuid_mod.UUID(int=7)), 3_723_000_000),
+        (2, str(uuid_mod.UUID(int=8)), 86_399_000_000),
+        (3, None, None),
+    ]
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("d", "ut", schema)
+    t.append(spark.createDataFrame(vals, schema))
+    export_to_iceberg(t)
+    doc = json.loads(
+        sorted((Path(t.location) / "metadata").glob("v*.metadata.json"))[-1]
+        .read_text()
+    )
+    cur = next(
+        s for s in doc["schemas"] if s["schema-id"] == doc["current-schema-id"]
+    )
+    types = {f["name"]: f["type"] for f in cur["fields"]}
+    assert types == {"id": "long", "u": "string", "tm": "long"}
+    df, _ = read_iceberg_table(spark, t.location)
+    got = sorted(
+        ((r.id, r.u, r.tm) for r in df.collect()), key=lambda x: x[0]
+    )
+    assert got == vals
