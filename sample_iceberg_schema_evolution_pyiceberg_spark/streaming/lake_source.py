@@ -38,9 +38,13 @@ way Iceberg's own streaming read walks its snapshot log:
   cost of rows flowing through the driver-side worker — bounded by
   the cap itself, the regime this reader exists for (catch-up /
   backfill). Uncapped streams keep the DISTRIBUTED reader (one
-  executor task per file); the full reader cannot cap safely because
-  ``latestOffset()`` has no start argument — a guessed position
-  could land behind a clean-shutdown checkpoint and duplicate rows.
+  executor task per file). ``reader=distributed`` (r12) engages the
+  capped DISTRIBUTED path for 100 TB-scale backfills — rows stay on
+  executors; ``latestOffset()`` has no start argument, so recovery
+  safety comes from a monotonic position floor learned from the
+  authoritative offsets Spark passes to ``partitions``/``commit``
+  (see LakeStreamReader: a post-restart regressed end plans an EMPTY
+  batch instead of re-delivering the gap).
 - CONTRACT — admission cap vs ``Trigger.AvailableNow``: Python data
   sources cannot declare AvailableNow support, so Spark falls back to
   SINGLE-batch execution. With a cap set, that one batch ends at the
@@ -331,36 +335,86 @@ class _LakeLogPlanner:
 
 
 class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
-    """The DISTRIBUTED reader (default, unbounded batches): offsets
-    are planned on the driver-side worker, one executor task per data
-    file. Used when no ``maxFilesPerTrigger`` is set — the Python
-    streaming API gives ``latestOffset()`` no start argument, so a
-    rate cap cannot be applied here without risking duplicate
-    delivery after a clean-shutdown restart; capped streams use
-    ``LakeSimpleStreamReader`` instead."""
+    """The DISTRIBUTED reader (default, one executor task per data
+    file): offsets are planned on the driver-side worker, data flows
+    through executors. With ``max_files`` set (``maxFilesPerTrigger``
+    + ``reader=distributed``) it applies the same (seq, file) offset
+    chunking as the simple reader, so a 100 TB backfill gets
+    admission control WITHOUT routing rows through the single
+    driver-side worker process (VERDICT r10 item 7).
+
+    Recovery safety under the cap: the Python streaming API gives
+    ``latestOffset()`` no start argument, so after a restart a fresh
+    reader instance would advance from the INITIAL offset and could
+    hand Spark an end offset behind the checkpointed start — the
+    next batch would then re-deliver rows in the gap. The guard is a
+    monotonic position FLOOR learned from every authoritative offset
+    Spark passes in (``partitions(start, ...)`` carries the
+    checkpointed start on replay; ``commit(end)`` the completed end):
+    ``partitions`` plans from ``max(start, floor)``, so a
+    regressed-offset batch plans EMPTY instead of re-delivering, and
+    the stream re-converges one empty micro-batch later. In normal
+    operation the floor equals the previous batch's end and the
+    clamp is a no-op."""
 
     def __init__(
         self,
         location: str,
         schema: T.StructType,
         io_options: dict | None = None,
+        max_files: int = 0,
     ):
         self.location = location
         self.schema = schema
         self.io_options = io_options or {}
+        self.max_files = int(max_files)
+        # authoritative position floor: fed ONLY by offsets Spark
+        # passes in (partitions' start, commit's end) — the dup guard
+        self._floor: dict | None = None
+        # speculative high-water of our own latestOffset returns:
+        # between latestOffset and the batch's commit, the floor still
+        # points at the previous batch — advancing from the floor
+        # alone would re-return the same end and Spark would declare
+        # the stream caught up mid-backfill. Never used for clamping
+        # (speculation ahead of an authoritative start must not skip
+        # rows); dies with the instance, which is safe because the
+        # floor alone prevents post-restart duplicates.
+        self._emitted: dict | None = None
+
+    def _learn(self, off: dict) -> None:
+        if self._floor is None or self._pos(off) > self._pos(self._floor):
+            self._floor = dict(off)
 
     def initialOffset(self) -> dict:
         return self._initial_offset()
 
     def latestOffset(self) -> dict:
-        snaps = self._snapshots()
-        return {"seq": snaps[-1].sequence_number if snaps else 0}
+        if self.max_files <= 0:
+            snaps = self._snapshots()
+            return {"seq": snaps[-1].sequence_number if snaps else 0}
+        candidates = [c for c in (self._floor, self._emitted) if c is not None]
+        start = (
+            max(candidates, key=self._pos)
+            if candidates
+            else self._initial_offset()
+        )
+        end = self._advance(start, self.max_files)
+        self._emitted = dict(end)
+        return end
 
     def partitions(self, start: dict, end: dict):
-        return self._plan_files(start, end)
+        self._learn(start)
+        eff = (
+            self._floor
+            if self._pos(self._floor) > self._pos(start)
+            else start
+        )
+        if self._pos(eff) >= self._pos(end):
+            return []  # regressed/stale range: already delivered
+        return self._plan_files(eff, end)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._learn(end)
 
     # -- data-plane (executors) ----------------------------------------
 
@@ -452,22 +506,45 @@ class LakeStreamDataSource(DataSource):
     def _cap(self) -> int:
         return int(self.options.get("maxfilespertrigger", 0))
 
+    def _reader_mode(self) -> str:
+        """``reader`` option: '' (default routing), 'simple', or
+        'distributed'. Default routing keeps the historical choice —
+        capped streams take the simple reader (exact recovery-safe cap
+        by construction), uncapped the distributed one.
+        ``reader=distributed`` engages the capped DISTRIBUTED path
+        (executor-parallel file reads + floor-guarded admission
+        control — the 100 TB backfill shape)."""
+        mode = str(self.options.get("reader", "")).lower()
+        if mode not in ("", "simple", "distributed"):
+            raise ValueError(
+                f"unknown reader mode {mode!r} (simple | distributed)"
+            )
+        return mode
+
     def streamReader(self, schema: T.StructType) -> LakeStreamReader:
-        if self._cap() > 0:
+        mode = self._reader_mode()
+        if mode == "simple" or (self._cap() > 0 and mode != "distributed"):
             # steer Spark's _streamReader fallback to the simple
-            # (admission-controlled) reader — the full reader cannot
-            # cap safely (latestOffset has no start argument)
+            # (admission-controlled) reader
             raise PySparkNotImplementedError(
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature": "capped streamReader"},
             )
         return LakeStreamReader(
-            self.options["path"], schema, self._io_options()
+            self.options["path"], schema, self._io_options(), self._cap()
         )
 
     def simpleStreamReader(
         self, schema: T.StructType
     ) -> LakeSimpleStreamReader:
+        if self._reader_mode() == "distributed":
+            # streamReader() above never raises under reader=distributed,
+            # so Spark's fallback must not land here — reaching this is
+            # a routing bug, and failing loudly keeps the e2e tests an
+            # actual proof that the distributed path served the stream
+            raise RuntimeError(
+                "simple reader requested under reader=distributed"
+            )
         return LakeSimpleStreamReader(
             self.options["path"], schema, self._cap(), self._io_options()
         )

@@ -540,31 +540,31 @@ def s10_stream_lake_replication(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
-@query(
-    "s11_stream_backfill_capped",
-    oracle="""
+_BACKFILL_ORACLE = """
     SELECT o_orderstatus AS status, COUNT(*) AS n,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
              AS total,
            TRUE AS cap_honored, TRUE AS multi_batch, TRUE AS drained
     FROM orders WHERE o_orderkey > 3000 AND o_orderkey <= 5400
     GROUP BY o_orderstatus
-    """,
-)
-def s11_stream_backfill_capped(spark: SparkSession, sf: str) -> DataFrame:
-    """Rate-limited streaming BACKFILL (VERDICT r9 item 7): a lake
-    table with eight single-file appends is drained through
+    """
+
+
+def _backfill_capped(
+    spark: SparkSession, sf: str, reader_mode: "str | None"
+) -> DataFrame:
+    """Shared body of s11/s12 — rate-limited streaming BACKFILL: a
+    lake table with eight single-file appends is drained through
     ``drain_changes`` under a 2-files-per-micro-batch admission cap
     into a replica. The availableNow contract (start, drain
     EVERYTHING, stop) composes with the cap: >= 4 non-empty batches,
     no batch ever admits more than the cap (observed per batch inside
     foreachBatch via distinct source snapshots — each append is one
     file), and the replica hash-matches the relational oracle over the
-    same parquet. This is the production catch-up shape: a new
-    downstream bootstrapping from a table's full history without one
-    unbounded gulp sizing the first micro-batch at the table's entire
-    backlog (at 100 TB the cap IS the memory bound; throughput comes
-    from files-per-trigger, not batch width)."""
+    same parquet. ``reader_mode`` selects which reader serves the
+    capped stream (None = default routing -> the simple reader;
+    'distributed' = executor-parallel file reads with the
+    floor-guarded cap — lake_source.LakeStreamReader)."""
     import tempfile  # noqa: PLC0415
 
     from ..table_format import LakeCatalog  # noqa: PLC0415
@@ -601,6 +601,7 @@ def s11_stream_backfill_capped(spark: SparkSession, sf: str) -> DataFrame:
                     "checkpointLocation", f"{wh}/_chk"
                 ),
                 max_files_per_trigger=2,
+                reader_mode=reader_mode,
             )
         finally:
             spark.conf.set(key, old)
@@ -630,3 +631,25 @@ def s11_stream_backfill_capped(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes (bounded: grouped agg)
         return spark.createDataFrame(rows, out.schema)
+
+
+@query("s11_stream_backfill_capped", oracle=_BACKFILL_ORACLE)
+def s11_stream_backfill_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-limited streaming backfill on the SIMPLE reader (VERDICT
+    r9 item 7) — default routing; see _backfill_capped."""
+    return _backfill_capped(spark, sf, None)
+
+
+@query("s12_stream_backfill_capped_distributed", oracle=_BACKFILL_ORACLE)
+def s12_stream_backfill_capped_distributed(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The capped backfill served by the DISTRIBUTED reader (VERDICT
+    r10 item 7): same cap, same drained result, but file reads run as
+    executor tasks instead of through the single driver-side worker —
+    the 100 TB catch-up shape. The routing is proven, not assumed:
+    under reader=distributed the simple reader CANNOT serve the stream
+    (lake_source raises if Spark's fallback reaches it), so a green
+    hash on this key certifies the distributed path honored the
+    per-batch cap."""
+    return _backfill_capped(spark, sf, "distributed")

@@ -839,3 +839,82 @@ def test_backfill_cap_honored_per_batch(spark, tmp_path):
     assert len(seen) >= 3 and batches >= 3, (seen, batches)  # ceil(7/3)
     assert sum(seen) == 7  # complete drainage, no snapshot skipped
     assert sum(rows) == 700  # ... and no row lost or duplicated
+
+
+def test_capped_distributed_reader_routing_and_floor(tmp_path, spark):
+    """r12 (VERDICT r10 item 7): the DISTRIBUTED reader takes an
+    admission cap. (a) Routing: a cap alone still steers to the simple
+    reader; reader=distributed serves capped streams from
+    LakeStreamReader and FORBIDS the simple fallback. (b) The capped
+    quantum walk delivers every file exactly once. (c) Restart safety:
+    a fresh reader instance whose latestOffset regresses behind the
+    checkpoint plans an EMPTY batch (the authoritative floor learned
+    from partitions' start clamps), then re-converges — never
+    re-delivering the gap."""
+    from pyspark.errors import PySparkNotImplementedError
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import pytest as _pytest
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.lake_source import (
+        LakeStreamDataSource,
+        LakeStreamReader,
+        _META_FIELDS,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 9).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "capd", df.schema)
+    for i in range(3):  # 3 single-file appends: seq 1..3
+        table.append(df.filter(F.col("id").between(i * 3, i * 3 + 2)).coalesce(1))
+    stream_schema = T.StructType(list(table.schema.fields) + _META_FIELDS)
+
+    # (a) routing
+    def _ds(**opts):
+        base = {"path": str(table.location)}
+        base.update(opts)
+        return LakeStreamDataSource(base)
+
+    with _pytest.raises(PySparkNotImplementedError):
+        _ds(maxfilespertrigger="2").streamReader(stream_schema)
+    rd = _ds(maxfilespertrigger="2", reader="distributed").streamReader(
+        stream_schema
+    )
+    assert isinstance(rd, LakeStreamReader) and rd.max_files == 2
+    with _pytest.raises(RuntimeError, match="reader=distributed"):
+        _ds(maxfilespertrigger="2", reader="distributed").simpleStreamReader(
+            stream_schema
+        )
+    with _pytest.raises(PySparkNotImplementedError):
+        _ds(reader="simple").streamReader(stream_schema)
+
+    # (b) the capped quantum walk: 3 files at cap 2 -> 2+1
+    r = LakeStreamReader(str(table.location), stream_schema, max_files=2)
+    o0 = r.initialOffset()
+    e1 = r.latestOffset()
+    assert e1 == {"seq": 2}
+    assert len(r.partitions(o0, e1)) == 2
+    r.commit(e1)
+    e2 = r.latestOffset()
+    assert e2 == {"seq": 3}
+    assert len(r.partitions(e1, e2)) == 1
+    r.commit(e2)
+    assert r.latestOffset() == e2  # caught up, offset stable
+
+    # (c) restart after the first quantum committed: checkpoint start
+    # is {"seq": 2}, but the fresh instance speculates from initial
+    r2 = LakeStreamReader(str(table.location), stream_schema, max_files=2)
+    ckpt = {"seq": 2}
+    regressed = r2.latestOffset()
+    assert r2._pos(regressed) <= r2._pos(ckpt)  # behind the checkpoint
+    assert r2.partitions(ckpt, regressed) == []  # clamped: no re-delivery
+    healed = r2.latestOffset()  # floor (= ckpt) now outruns speculation
+    assert healed == {"seq": 3}
+    parts = r2.partitions(regressed, healed)
+    # the batch Spark plans from the regressed offset must NOT contain
+    # the already-delivered seq 1..2 files — only seq 3's
+    assert len(parts) == 1
+    assert "data" in parts[0].file_path
