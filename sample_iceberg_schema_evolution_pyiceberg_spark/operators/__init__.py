@@ -36,44 +36,47 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- Round-10 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1: a30 leads — the one registry key that has never held a
-    # driver-window slot (VERDICT r9 item 2 names it first), followed
-    # by keys NEW in r10 as the round builds them.
-    "a30_scd2_incremental_apply",
-    "a31_sort_order_episode", "a32_spec_bucket_join",
-    "s11_stream_backfill_capped", "a33_column_metrics_episode",
-    # Tier 2: the ENTIRE r7-evidence band (42 keys) — with these slots
-    # no oracle-bearing key's driver evidence is older than r8
-    # (VERDICT r9 item 2's done criterion). Lake/Tier-A episodes and
-    # streaming first (table_format carries this round's sort-order +
-    # metrics-config changes), then relational/pipeline keys.
-    "a10_iceberg_export_roundtrip", "a14_metadata_tables",
-    "a18_merge_on_read_export", "a19_glue_catalog_episode",
-    "a20_pruned_scan_episode", "a21_snapshot_tags_episode",
-    "a22_write_audit_publish",
-    "s01_stream_tumbling_window", "s02_stream_sliding_window",
-    "s03_stream_dedup", "s08_stream_lake_sink", "s09_stream_lake_source",
-    "b01_scan_projection", "b02_filter_predicates",
-    "b03_join_inner_3way", "b04_join_left_outer", "b05_join_right_outer",
-    "b06_join_full_outer", "b07_join_left_semi", "b08_join_left_anti",
-    "b09_join_cross", "b12_agg_pricing_summary", "b14_agg_rollup",
-    "b15_agg_cube", "b17_agg_minmax_stats", "b18_window_ranking",
-    "b19_window_lag_lead", "b21_topk", "b22_sort_nulls",
-    "b23_union_all", "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
-    "b48_in_subquery_sql", "b49_cte_sql",
-    "c16_salted_hot_key_agg", "c17_corpus_prep_pipeline",
-    "c23_decontamination", "c24_pii_scrub", "c25_repetition_stats",
-    "c26_domain_cap_filter", "c27_dup_ngram_fraction",
-    "c14_multimodal_frame_sample",
-    # Tier 3 (top-up to 50): oldest r8-evidence lake keys most exposed
-    # to this round's table_format changes.
-    "a01_evolution_episode", "a03_lake_roundtrip", "a07_time_travel",
+    # ---- Round-12 window (first 50 slots, oracle-bearing only) ----
+    # Tier 1: keys that have NEVER held a driver-window slot — a34
+    # (r11's sort/bucket composition episode), c06e (r12's hash-gated
+    # IVF probe), s12 (r12's distributed capped backfill).
+    "a34_bucket_sort_compose",
+    "c06e_ann_ivf_verified_topk",
+    "s12_stream_backfill_capped_distributed",
+    # Tier 2: the ENTIRE r8-evidence band (40 keys) — r11 re-recorded
+    # the r10 window instead of rotating (the one r11 commit changed
+    # code, not this list), so these carry the oldest driver evidence
+    # in the registry. With these slots no oracle-bearing key's driver
+    # evidence is older than r9.
+    "a02_partition_transforms", "a04_schema_diff_report",
+    "a09_sql_ddl_episode", "a11_sql_dml_episode",
+    "a15_sql_rollback_episode", "a26_scd2_dimension_history",
+    "b13_agg_count_distinct", "b24_union_distinct", "b25_intersect",
+    "b26_except", "b27_string_funcs", "b28_date_funcs", "b29_math_funcs",
+    "b30_conditional_null", "b31_array_funcs", "b32_map_struct_funcs",
+    "b34_from_json_schema", "b36_dedup_keep_first", "b39_python_udf",
+    "b40_pandas_udf", "b41_grouped_agg_pandas_udf",
+    "b45_lake_overwrite_sink", "b50_python_udtf", "b51_window_first_last",
+    "b53_percentile_median", "b62_asof_join",
+    "b63_recursive_cte_hierarchy", "b64_lateral_topn",
+    "b65_window_time_range_frame",
+    "c01_dedup_exact", "c09_token_count", "c15_tfidf_top_terms",
+    "c18_dedup_cluster_resolution", "c28_substring_dup_spans",
+    "c29_incremental_ingest_dedup", "c30_filter_funnel",
+    "c31_stratified_sample", "c32_leakage_safe_split",
+    "s04_stream_session_window", "s07_stream_stream_join",
+    # Tier 3 (top-up to 50): r9-evidence lake keys most exposed to
+    # this round's table_format changes (compact(sort_by) was
+    # rewritten; merge-on-read and incremental reads share its
+    # snapshot fold).
+    "a08_compaction_invariance", "a05_merge_upsert",
+    "a06_delete_update_where", "a12_sql_merge_conditional",
+    "a13_incremental_read", "a16_merge_on_read_delete",
+    "a17_merge_on_read_merge",
     # --- driver window boundary (50) ---
-    # Out-of-window: everything else carries r8/r9 evidence (nothing
-    # older than r7 once this lands; the r8 band of ~43 keys is the
-    # r11 rotation). Full-registry local sweeps cover the gaps
-    # between driver windows (SURVEY §5.8).
+    # Out-of-window: everything else carries r9/r11 evidence. The
+    # remaining r9 band (~43 keys) is the r13 rotation. Full-registry
+    # local sweeps cover the gaps between driver windows (SURVEY §5.8).
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,

@@ -1710,10 +1710,24 @@ def a34_bucket_sort_compose(spark: SparkSession, sf: str) -> DataFrame:
             and spec_fields[0]["transform"] == "bucket[16]"
         )
         so = {o_["order-id"]: o_ for o_ in doc["sort-orders"]}
+        cur_schema = next(
+            s for s in doc["schemas"]
+            if s["schema-id"] == doc["current-schema-id"]
+        )
+        by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        # r12 (ADVICE r11): the exported order describes the PHYSICAL
+        # write order — bucket key leading, declared secondary after
+        # (a file sorted by (k, v) is not sorted by v alone)
         sort_ok = (
             doc["default-sort-order-id"] == 1
-            and [f["transform"] for f in so[1]["fields"]] == ["identity"]
-            and so[1]["fields"][0]["direction"] == "asc"
+            and [
+                (by_id[f["source-id"]], f["transform"], f["direction"])
+                for f in so[1]["fields"]
+            ]
+            == [
+                ("l_orderkey", "identity", "asc"),
+                ("l_extendedprice", "identity", "asc"),
+            ]
         )
         dl, do = tl.to_df(spark), to.to_df(spark)
         joined = dl.join(do, dl.l_orderkey == do.o_orderkey)
