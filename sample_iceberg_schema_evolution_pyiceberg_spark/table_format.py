@@ -319,12 +319,32 @@ def _sort_fields(meta: dict[str, Any]) -> list[dict[str, str]]:
 
 # transform(args) sort-field head: year(ts) / truncate(4, comment) /
 # bucket(16, id). parse_sort_order splits on top-level commas first,
-# so the two-arg forms keep their internal comma.
+# so the two-arg forms keep their internal comma. Field names admit
+# dotted struct paths (Iceberg sort fields address nested fields by
+# source-id; the dotted path is this format's spelling — r12).
+_SORT_COL = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*"
 _SORT_TRANSFORM_RE = re.compile(
-    r"^\s*(year|month|day|hour)\s*\(\s*([A-Za-z_]\w*)\s*\)"
-    r"|^\s*(truncate|bucket)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)",
+    rf"^\s*(year|month|day|hour)\s*\(\s*({_SORT_COL})\s*\)"
+    rf"|^\s*(truncate|bucket)\s*\(\s*(\d+)\s*,\s*({_SORT_COL})\s*\)",
     re.IGNORECASE,
 )
+
+
+def _schema_leaf_type(
+    schema: T.StructType, dotted: str
+) -> "T.DataType | None":
+    """Resolve a dotted struct path to its leaf type, or None if any
+    segment is missing or a non-struct is traversed. Arrays/maps stop
+    the walk — an element has no per-row sort value."""
+    cur: T.DataType = schema
+    for seg in dotted.split("."):
+        if not isinstance(cur, T.StructType):
+            return None
+        try:
+            cur = cur[seg].dataType
+        except KeyError:
+            return None
+    return cur
 
 # source types each sort transform accepts (Iceberg spec §Sorting:
 # sort transforms are the partition transforms, same typing rules)
@@ -362,7 +382,6 @@ def parse_sort_order(raw: str, schema: T.StructType) -> list[dict[str, str]]:
     bit-for-bit). Defaults mirror both Iceberg's and Spark's: ASC is
     nulls-first, DESC is nulls-last."""
     fields: list[dict[str, str]] = []
-    names = {f.name for f in schema.fields}
     for part in _split_top_level(raw):
         transform = "identity"
         tm = _SORT_TRANSFORM_RE.match(part)
@@ -374,7 +393,7 @@ def parse_sort_order(raw: str, schema: T.StructType) -> list[dict[str, str]]:
                 col = tm.group(5)
             rest = part[tm.end():]
         else:
-            cm = re.match(r"^\s*([A-Za-z_]\w*)", part)
+            cm = re.match(rf"^\s*({_SORT_COL})", part)
             if not cm:
                 raise TableFormatError(
                     f"unparseable write.sort-order field {part!r} "
@@ -394,12 +413,13 @@ def parse_sort_order(raw: str, schema: T.StructType) -> list[dict[str, str]]:
                 "[NULLS FIRST|LAST]')"
             )
         direction, nulls = m.group(1), m.group(2)
-        if col not in names:
+        dtype = _schema_leaf_type(schema, col)
+        if dtype is None:
             raise TableFormatError(
                 f"write.sort-order column {col!r} not in schema "
-                f"(have {sorted(names)})"
+                f"(have {sorted(f.name for f in schema.fields)}; nested "
+                "struct paths use dots, arrays/maps are not sortable)"
             )
-        dtype = schema[col].dataType
         base = transform.split("[")[0]
         if base in ("year", "month", "day", "hour") and not isinstance(
             dtype, _TEMPORAL_SORT_TYPES
@@ -461,7 +481,11 @@ def _sort_columns(
         if tr == "identity":
             c = F.col(f["column"])
         else:
-            dtype = schema[f["column"]].dataType if schema is not None else None
+            dtype = (
+                _schema_leaf_type(schema, f["column"])
+                if schema is not None
+                else None
+            )
             c = PartitionField(
                 source_column=f["column"],
                 transform=tr,
@@ -1308,13 +1332,15 @@ class LakeTable:
                         f.get("transform", "identity") != "identity"
                         or f["direction"] != "asc"
                         or f["null-order"] != "nulls-first"
+                        or "." in f["column"]
                     ):
                         raise TableFormatError(
                             "write.sort-order under write.bucket-layout="
                             f"{self._bucket_layout_mode()} supports only "
-                            "ascending nulls-first identity columns "
-                            "(Spark bucketed writes sort via sortBy, "
-                            f"which is asc-only); got {f!r}"
+                            "ascending nulls-first TOP-LEVEL identity "
+                            "columns (Spark bucketed writes sort via "
+                            "sortBy, which is asc-only and cannot "
+                            f"address nested fields); got {f!r}"
                         )
             self.meta["sort_order"] = fields
             self.meta.pop("clustering", None)
