@@ -117,7 +117,21 @@ def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
 
 # shared by c04 (the pair query) and c18 (cluster resolution over the
 # same pairs)
-_C04_ORACLE = """
+# Posting-list guard (r12): a gram shared by K documents joins into
+# K^2 pair rows, so ONE ubiquitous shingle makes the exact pair join
+# quadratic in corpus size — measured live when the 10x-replicated
+# sf1 corpus took max gram DF from 25 to 250 and the pair work from
+# 2.8M to 279M rows (an 8 GB-heap OOM). Grams above the cap are
+# boilerplate (every near-dup pipeline drops ultra-common shingles —
+# they carry no pair-discrimination signal); Jaccard is computed over
+# the KEPT gram sets on both engines, so the oracle agreement is
+# exact by construction. At the driver-gate scales the cap is
+# inactive (sf0.1 max DF = 25 < 128), so gate hashes are identical to
+# the uncapped semantics; at sf1+ it is the difference between
+# linear-in-corpus pair work and a quadratic blowup.
+C04_MAX_GRAM_DF = 128
+
+_C04_ORACLE = f"""
     WITH g AS (
       SELECT doc_id,
              UNNEST(LIST_DISTINCT([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -125,10 +139,16 @@ _C04_ORACLE = """
       FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents)
       WHERE LEN(ws) >= 3
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    k AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+        FROM g)
+      WHERE df <= {C04_MAX_GRAM_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM k GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
-      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT s.doc_a, s.doc_b,
@@ -155,9 +175,24 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     caller that materializes the pairs into its own storage (c18's
     localCheckpoint) unpersists the grams afterwards; c04 keeps the
     cache for the life of its lazy result."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    # posting-list guard: drop grams whose document frequency exceeds
+    # C04_MAX_GRAM_DF BEFORE the pair join (see the constant's comment
+    # — one hot gram otherwise makes the join quadratic in corpus
+    # size). One count-window over the gram partitioning the pair
+    # join shuffles on anyway; Jaccard is over the kept gram sets.
     # persist: three downstream branches (sizes, both join sides) would
-    # otherwise re-run the shingling expression three times
-    g = _grams_df(spark, sf).persist()
+    # otherwise re-run the shingling + DF window three times
+    g = (
+        _grams_df(spark, sf)
+        .withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("_df") <= C04_MAX_GRAM_DF)
+        .drop("_df")
+        .persist()
+    )
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
