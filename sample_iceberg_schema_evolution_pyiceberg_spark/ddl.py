@@ -86,38 +86,9 @@ class DdlError(ValueError):
     pass
 
 
-def _split_top_level(s: str, angles: bool = True) -> list[str]:
-    """Split on commas not nested inside (), quotes, or — when
-    ``angles`` (the type-DDL context: ``STRUCT<a: INT, b: INT>``) —
-    <>. Expression contexts (SET assignments) pass ``angles=False``
-    because ``<``/``>`` there are comparison operators, and any commas
-    inside a nested type always sit inside a CAST(...) paren anyway."""
-    open_ch, close_ch = ("(<", ")>") if angles else ("(", ")")
-    parts, depth, buf, quote = [], 0, [], None
-    for ch in s:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-            buf.append(ch)
-        elif ch in open_ch:
-            depth += 1
-            buf.append(ch)
-        elif ch in close_ch:
-            depth -= 1
-            buf.append(ch)
-        elif ch == "," and depth == 0:
-            parts.append("".join(buf).strip())
-            buf = []
-        else:
-            buf.append(ch)
-    tail = "".join(buf).strip()
-    if tail:
-        parts.append(tail)
-    return parts
+# the paren/quote/angle-aware comma splitter lives in table_format
+# (parse_sort_order shares it; one definition — r12 review)
+from .table_format import _split_top_level  # noqa: E402
 
 
 def _parse_type(spark: SparkSession, ddl: str) -> T.DataType:
@@ -1142,28 +1113,12 @@ class DdlFrontend:
             re.IGNORECASE | re.DOTALL,
         ):
             props = _parse_properties(am.group(1))
-            prior = dict(table.meta["properties"])
-            prior_order = table.meta.get("sort_order")
-            table.meta["properties"].update(props)
-            if "write.sort-order" in props or "write.bucket-layout" in props:
-                # declaration surface: re-derive the table sort order
-                # (validates columns; lands in the SAME commit). The
-                # bucket layout participates because the composition
-                # rules depend on it — setting write.bucket-layout on
-                # a table that already declares a DESC/transform sort
-                # order must re-validate in the same commit, not let
-                # the declaration silently degrade at the next append.
-                # On validation failure the in-memory handle reverts
-                # too: nothing mutates unless the whole SET commits.
-                try:
-                    table.refresh_declared_sort_order()
-                except Exception:
-                    table.meta["properties"] = prior
-                    if prior_order is None:
-                        table.meta.pop("sort_order", None)
-                    else:
-                        table.meta["sort_order"] = prior_order
-                    raise
+            # declaration surface: re-derives + validates the table
+            # sort order when write.sort-order OR write.bucket-layout
+            # changed (the composition rules depend on the layout), in
+            # the SAME commit, reverting the in-memory handle on
+            # failure — see update_properties_validated
+            table.update_properties_validated(updates=props)
             table._commit()
             resp.message_list.append(
                 f"Set properties {sorted(props)} on {db}.{tbl}"
@@ -1176,25 +1131,12 @@ class DdlFrontend:
             keys = [
                 k.strip().strip("'") for k in _split_top_level(am.group(1))
             ]
-            prior = dict(table.meta["properties"])
-            prior_order = table.meta.get("sort_order")
-            for k in keys:
-                table.meta["properties"].pop(k, None)
-            if "write.sort-order" in keys or "write.bucket-layout" in keys:
-                # unsetting the bucket layout also re-derives: a sort
-                # order that was constrained to the composable subset
-                # stays valid, but the re-validation keeps the two
-                # properties one document either way (revert the
-                # in-memory handle if validation fails, as in SET)
-                try:
-                    table.refresh_declared_sort_order()
-                except Exception:
-                    table.meta["properties"] = prior
-                    if prior_order is None:
-                        table.meta.pop("sort_order", None)
-                    else:
-                        table.meta["sort_order"] = prior_order
-                    raise
+            # unsetting the bucket layout also re-derives: a sort
+            # order constrained to the composable subset stays valid,
+            # but the re-validation keeps the two properties one
+            # document either way (same revert-on-failure surface as
+            # SET — update_properties_validated)
+            table.update_properties_validated(removes=keys)
             table._commit()
             resp.message_list.append(
                 f"Unset properties {sorted(keys)} on {db}.{tbl}"

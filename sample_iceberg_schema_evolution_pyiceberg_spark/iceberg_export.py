@@ -1267,11 +1267,47 @@ def read_iceberg_table(
         f["name"] for f in current_schema["fields"] if f["type"] == "time"
     }
 
+    def _nested_special(t: Any, path: str) -> "str | None":
+        # NESTED uuid/time would silently decode to garbage (binary
+        # cast to string) or crash inference — loud and early instead
+        if isinstance(t, str):
+            return path if t in ("uuid", "time") else None
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t["fields"]:
+                hit = _nested_special(f["type"], f"{path}.{f['name']}")
+                if hit:
+                    return hit
+        elif kind == "list":
+            return _nested_special(t["element"], f"{path}.element")
+        elif kind == "map":
+            return _nested_special(
+                t["key"], f"{path}.key"
+            ) or _nested_special(t["value"], f"{path}.value")
+        return None
+
+    for f in current_schema["fields"]:
+        if isinstance(f["type"], dict):
+            hit = _nested_special(f["type"], f["name"])
+            if hit:
+                raise ValueError(
+                    f"nested uuid/time field {hit!r}: the physical "
+                    "decode (fixed[16] -> canonical string, INT64 TIME "
+                    "-> micros long) is implemented for top-level "
+                    "columns only — restructure the projection or read "
+                    "the file directly (ICEBERG_CONFORMANCE.md row 33)"
+                )
+
     def _open_data_files(files: list[str]):
-        if time_cols:
-            # Spark rejects parquet's TIME logical type at schema
-            # inference ([PARQUET_TYPE_ILLEGAL]); an EXPLICIT schema
-            # reads the underlying INT64 as micros-since-midnight.
+        if time_cols or uuid_cols:
+            # Spark rejects parquet's TIME logical type (and the UUID
+            # logical type real Iceberg writers annotate on fixed[16])
+            # at schema inference ([PARQUET_TYPE_ILLEGAL]); an EXPLICIT
+            # schema reads the underlying INT64 as micros-since-
+            # midnight and the fixed[16] as plain binary. Type-promoted
+            # history under the explicit schema relies on Spark 4's
+            # parquet widening (int32 files read as long — pinned in
+            # test_foreign_uuid_time_with_promoted_history).
             # uuid fields read as binary here and convert below.
             read_schema = T.StructType(
                 [

@@ -393,11 +393,25 @@ class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
             snaps = self._snapshots()
             return {"seq": snaps[-1].sequence_number if snaps else 0}
         candidates = [c for c in (self._floor, self._emitted) if c is not None]
-        start = (
-            max(candidates, key=self._pos)
-            if candidates
-            else self._initial_offset()
-        )
+        if candidates:
+            start = max(candidates, key=self._pos)
+        else:
+            # fresh instance, no authoritative position yet: speculate
+            # from the initial offset WITHOUT its base-load grant. A
+            # genuinely new stream gets the grant through Spark's
+            # start offset (initialOffset is checkpoint-logged and
+            # arrives in partitions' start); a RESTARTED stream must
+            # not have this speculation mint a grant into the END
+            # offset — that would let a rewrite committed after the
+            # checkpoint stream as a full base load and re-deliver
+            # every pre-rewrite row the consumer already holds. With
+            # no grant, _plan_files raises the same loud
+            # 'start a NEW stream' error the uncapped reader gives.
+            start = {
+                k: v
+                for k, v in self._initial_offset().items()
+                if k != "base"
+            }
         end = self._advance(start, self.max_files)
         self._emitted = dict(end)
         return end

@@ -352,21 +352,40 @@ _TEMPORAL_SORT_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
 _INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def _split_top_level(raw: str) -> list[str]:
-    """Split a sort-order declaration on commas NOT inside parens —
-    ``"truncate(4, comment), ts DESC"`` is two fields."""
-    parts, depth, cur = [], 0, []
-    for ch in raw:
-        if ch == "(":
+def _split_top_level(s: str, angles: bool = True) -> list[str]:
+    """Split on commas not nested inside (), quotes, or — when
+    ``angles`` (the type-DDL context: ``STRUCT<a: INT, b: INT>``) —
+    <>. Expression contexts (SET assignments, sort-order
+    declarations) pass ``angles=False`` because ``<``/``>`` there are
+    comparison operators, and any commas inside a nested type always
+    sit inside a CAST(...) paren anyway. THE one paren-aware comma
+    splitter (ddl.py imports this; r12 review folded its twin —
+    duplicates drift)."""
+    open_ch, close_ch = ("(<", ")>") if angles else ("(", ")")
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in open_ch:
             depth += 1
-        elif ch == ")":
-            depth = max(0, depth - 1)
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
+            buf.append(ch)
+        elif ch in close_ch:
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
         else:
-            cur.append(ch)
-    parts.append("".join(cur))
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
     return parts
 
 
@@ -382,7 +401,7 @@ def parse_sort_order(raw: str, schema: T.StructType) -> list[dict[str, str]]:
     bit-for-bit). Defaults mirror both Iceberg's and Spark's: ASC is
     nulls-first, DESC is nulls-last."""
     fields: list[dict[str, str]] = []
-    for part in _split_top_level(raw):
+    for part in _split_top_level(raw, angles=False):
         transform = "identity"
         tm = _SORT_TRANSFORM_RE.match(part)
         if tm:
@@ -1310,6 +1329,11 @@ class LakeTable:
         same reason, keeping the property the single source of
         truth). Does NOT commit — the caller owns the commit
         boundary."""
+        # validate the layout VALUE unconditionally (raises on unknown
+        # modes): a typo'd write.bucket-layout on a table with no sort
+        # order must fail the declaring commit, not poison every later
+        # read/write until someone UNSETs the key (r12 review finding)
+        self._bucket_layout_mode()
         raw = (self.properties or {}).get("write.sort-order")
         if raw is not None:
             fields = parse_sort_order(raw, self.schema)
@@ -1346,6 +1370,47 @@ class LakeTable:
             self.meta.pop("clustering", None)
         else:
             self.meta.pop("sort_order", None)
+
+    def _declaration_snapshot(self) -> tuple[dict, "list | None"]:
+        """The (properties, sort_order) pair a failed declaration
+        change reverts to. One definition shared by every revert site
+        (SET/UNSET TBLPROPERTIES, compact) — r12 review: three
+        hand-rolled copies would silently diverge the moment
+        refresh_declared_sort_order mutates anything new."""
+        return dict(self.meta["properties"]), self.meta.get("sort_order")
+
+    def _restore_declaration(
+        self, prior: tuple[dict, "list | None"]
+    ) -> None:
+        props, order = prior
+        self.meta["properties"] = props
+        if order is None:
+            self.meta.pop("sort_order", None)
+        else:
+            self.meta["sort_order"] = order
+
+    def update_properties_validated(
+        self,
+        updates: "dict[str, str] | None" = None,
+        removes: "tuple[str, ...] | list[str]" = (),
+    ) -> None:
+        """Apply a property mutation and re-validate the declared sort
+        order when a declaration-relevant key changed — atomically on
+        the IN-MEMORY handle: on validation failure both the
+        properties dict and the derived metadata revert, so nothing
+        mutates unless the whole change is valid. Does NOT commit (the
+        caller owns the commit boundary)."""
+        prior = self._declaration_snapshot()
+        self.meta["properties"].update(updates or {})
+        for k in removes:
+            self.meta["properties"].pop(k, None)
+        touched = set(updates or {}) | set(removes)
+        if {"write.sort-order", "write.bucket-layout"} & touched:
+            try:
+                self.refresh_declared_sort_order()
+            except Exception:
+                self._restore_declaration(prior)
+                raise
 
     @property
     def partition_spec(self) -> PartitionSpec:
@@ -2815,27 +2880,18 @@ class LakeTable:
             # work PHYSICALLY (the parsed fields feed _sort_columns
             # below) and validation (schema membership, transform
             # vocabulary, bucket-layout composition rules) fails free
-            # of side effects: on error the in-memory handle reverts
-            # and nothing was written. Mirroring into write.sort-order
-            # keeps the property document the single source of truth
+            # of side effects. Mirroring into write.sort-order keeps
+            # the property document the single source of truth
             # (SHOW CREATE, export, refresh_declared_sort_order all
-            # read one place).
-            raw = ", ".join(sort_by)
-            prior_prop = self.properties.get("write.sort-order")
-            prior_order = self.meta.get("sort_order")
-            self.properties["write.sort-order"] = raw
-            try:
-                self.refresh_declared_sort_order()
-            except Exception:
-                if prior_prop is None:
-                    self.properties.pop("write.sort-order", None)
-                else:
-                    self.properties["write.sort-order"] = prior_prop
-                if prior_order is None:
-                    self.meta.pop("sort_order", None)
-                else:
-                    self.meta["sort_order"] = prior_order
-                raise
+            # read one place). The declaration snapshot ALSO guards
+            # the rewrite below: a compact that declares and then
+            # fails mid-write reverts the in-memory declaration, so a
+            # later unrelated commit can't persist an order the failed
+            # compact never applied (r12 review finding).
+            declared_prior = self._declaration_snapshot()
+            self.update_properties_validated(
+                updates={"write.sort-order": ", ".join(sort_by)}
+            )
             sort_fields = self.sort_order_fields
         else:
             sort_fields = []
@@ -2847,42 +2903,56 @@ class LakeTable:
         # the extra shuffle an explicit target_files repartition costs.
         # target_files stays the explicit COUNT knob for range-prunable
         # layouts (sort_by/cluster_by want a real range partitioning).
-        df = self.to_df(spark)
-        if cluster_by:
-            zcol = "__zorder_tmp"
-            df = df.withColumn(zcol, _zorder_column(df, list(cluster_by)))
-            nparts = [target_files] if target_files else []
-            df = (
-                df.repartitionByRange(*nparts, zcol)
-                .sortWithinPartitions(zcol)
-                .drop(zcol)
-            )
-        elif sort_fields and self._spark_bucket_field() is None:
-            nparts = [target_files] if target_files else []
-            exprs = _sort_columns(sort_fields, self.schema)
-            df = df.repartitionByRange(
-                *nparts, *exprs
-            ).sortWithinPartitions(*exprs)
-            # (spark-bucket tables skip this pre-shuffle: the bucket
-            # writer owns the layout end-to-end — repartition on the
-            # bucket-id expression + sortBy(key, *order) — so a range
-            # exchange here would be shuffled away again immediately)
-        elif target_files:
-            df = df.repartition(target_files)
-        # label: compaction is logically content-preserving, which is
-        # exactly Iceberg's 'replace' snapshot summary (REPLACE ops emit
-        # nothing in a changelog scan; a plain 'overwrite' would force
-        # changelog_between into a full adjacent-state diff to prove the
-        # zero delta it can have by label). Layout metadata mutates
-        # BEFORE _write so the label, layout, and rewrite land in ONE
-        # commit — no crash window can leave a durable 'overwrite'.
-        if cluster_by:
-            self.meta["clustering"] = list(cluster_by)
-            self.meta.pop("sort_order", None)
-            self.properties.pop("write.sort-order", None)
-        return self._write(
-            df, "replace", presorted=True
-        )  # moves old live to history
+        try:
+            df = self.to_df(spark)
+            if cluster_by:
+                zcol = "__zorder_tmp"
+                df = df.withColumn(
+                    zcol, _zorder_column(df, list(cluster_by))
+                )
+                nparts = [target_files] if target_files else []
+                df = (
+                    df.repartitionByRange(*nparts, zcol)
+                    .sortWithinPartitions(zcol)
+                    .drop(zcol)
+                )
+            elif sort_fields and self._spark_bucket_field() is None:
+                nparts = [target_files] if target_files else []
+                exprs = _sort_columns(sort_fields, self.schema)
+                df = df.repartitionByRange(
+                    *nparts, *exprs
+                ).sortWithinPartitions(*exprs)
+                # (spark-bucket tables skip this pre-shuffle: the
+                # bucket writer owns the layout end-to-end —
+                # repartition on the bucket-id expression +
+                # sortBy(key, *order) — so a range exchange here would
+                # be shuffled away again immediately)
+            elif target_files:
+                df = df.repartition(target_files)
+            # label: compaction is logically content-preserving, which
+            # is exactly Iceberg's 'replace' snapshot summary (REPLACE
+            # ops emit nothing in a changelog scan; a plain 'overwrite'
+            # would force changelog_between into a full adjacent-state
+            # diff to prove the zero delta it can have by label).
+            # Layout metadata mutates BEFORE _write so the label,
+            # layout, and rewrite land in ONE commit — no crash window
+            # can leave a durable 'overwrite'.
+            if cluster_by:
+                self.meta["clustering"] = list(cluster_by)
+                self.meta.pop("sort_order", None)
+                self.properties.pop("write.sort-order", None)
+            return self._write(
+                df, "replace", presorted=True
+            )  # moves old live to history
+        except Exception:
+            if sort_by:
+                # the rewrite failed after the declaration: revert the
+                # in-memory handle so a later unrelated commit cannot
+                # persist an order this compact never applied (nothing
+                # durable happened — _write commits metadata only
+                # after the data write succeeds)
+                self._restore_declaration(declared_prior)
+            raise
 
     def compact_position_deletes(self, spark: SparkSession) -> "Snapshot | None":
         """Iceberg ``rewrite_position_delete_files`` analog: merge ALL

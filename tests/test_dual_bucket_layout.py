@@ -136,17 +136,19 @@ def test_mixed_layout_snapshot_not_adopted(spark, tmp_path):
 
 
 def test_unknown_bucket_layout_rejected(spark, tmp_path):
+    """An unknown layout value fails at CREATE (r12: the declaration
+    surface validates the layout key unconditionally — previously the
+    typo committed and every later read/write raised)."""
     df = spark.range(10).select(F.col("id").alias("k"))
     cat = LakeCatalog(str(tmp_path / "wh"))
     spec = compile_partition_spec(
         {"partitions": [{"column_name": "k", "transform": "bucket[4]"}]}
     )
-    t = cat.create_table(
-        "d", "bad", df.schema, partition_spec=spec,
-        properties={"write.bucket-layout": "hybrid"},
-    )
     with pytest.raises(TableFormatError, match="bucket-layout"):
-        t.append(df)
+        cat.create_table(
+            "d", "bad", df.schema, partition_spec=spec,
+            properties={"write.bucket-layout": "hybrid"},
+        )
 
 
 def test_dual_export_external_read_and_pruning_rule(spark, tmp_path):

@@ -590,3 +590,129 @@ def test_uuid_time_config_export_roundtrip(spark, tmp_path):
         ((r.id, r.u, r.tm) for r in df.collect()), key=lambda x: x[0]
     )
     assert got == vals
+
+
+def test_foreign_uuid_only_and_promoted_history(spark, tmp_path):
+    """r12 review findings 2+5: (a) a uuid-only foreign table (no time
+    column) takes the explicit-schema read path — real Iceberg writers
+    annotate fixed[16] with the parquet UUID logical type, which
+    Spark's inference rejects the same way it rejects TIME; (b) under
+    the explicit schema, files written before an int->long promotion
+    still read (Spark 4 parquet widening), so schema-evolved foreign
+    tables keep working on this path."""
+    import uuid as uuid_mod
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "fuuid"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    uids = [uuid_mod.UUID(int=(i + 9) << 32) for i in range(2)]
+    # file A: schema 0 era — id INT32, has uuid
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int32()),
+                "u": pa.array([uids[0].bytes], pa.binary(16)),
+                "tm": pa.array([3_600_000_000], pa.int64()),
+            }
+        ),
+        root / "data" / "A.parquet",
+    )
+    # file B: schema 1 era — id promoted to INT64
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([2], pa.int64()),
+                "u": pa.array([uids[1].bytes], pa.binary(16)),
+                "tm": pa.array([7_200_000_000], pa.int64()),
+            }
+        ),
+        root / "data" / "B.parquet",
+    )
+    mschema = (FOREIGN / "v1_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v1_manifest_list.avsc").read_text()
+    write_avro_java(
+        spark, root / "metadata" / "m1.avro", mschema,
+        [_df(root / "data" / "A.parquet", 1),
+         _df(root / "data" / "B.parquet", 1)],
+    )
+    write_avro_java(
+        spark, root / "metadata" / "snap-1.avro", lschema,
+        [{
+            "added_snapshot_id": 1,
+            "manifest_path": str(root / "metadata" / "m1.avro"),
+            "added_data_files_count": 2,
+            "manifest_length": (root / "metadata" / "m1.avro").stat().st_size,
+            "partition_spec_id": 0,
+        }],
+    )
+    schema = {
+        "type": "struct", "schema-id": 1,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "u", "required": False, "type": "uuid"},
+            {"id": 3, "name": "tm", "required": False, "type": "time"},
+        ],
+    }
+    meta = {
+        "format-version": 1, "table-uuid": "0" * 8 + "-0000-4000-8000-" + "0" * 12,
+        "location": str(root), "last-updated-ms": 1700000000000,
+        "last-column-id": 3, "schema": schema, "schemas": [schema],
+        "current-schema-id": 1, "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "last-partition-id": 999, "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1, "timestamp-ms": 1700000000000,
+            "manifest-list": str(root / "metadata" / "snap-1.avro"),
+            "schema-id": 1, "summary": {"operation": "append"},
+        }],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    df, _ = read_iceberg_table(spark, root)
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert [r.id for r in rows] == [1, 2]  # INT32 file widened to long
+    assert rows[0].u == str(uids[0]) and rows[1].u == str(uids[1])
+    assert [r.tm for r in rows] == [3_600_000_000, 7_200_000_000]
+
+
+def test_foreign_nested_uuid_time_fails_loudly(spark, tmp_path):
+    """r12 review finding 4: nested uuid/time would decode to garbage
+    (binary cast to bytes-as-UTF8) or crash inference — the reader
+    refuses loudly with guidance instead."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "fnested"
+    (root / "metadata").mkdir(parents=True)
+    schema = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "info", "required": False, "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 3, "name": "u", "required": False,
+                     "type": "uuid"},
+                ],
+            }},
+        ],
+    }
+    meta = {
+        "format-version": 1, "table-uuid": "1" * 8 + "-0000-4000-8000-" + "0" * 12,
+        "location": str(root), "last-updated-ms": 1700000000000,
+        "last-column-id": 3, "schema": schema, "schemas": [schema],
+        "current-schema-id": 0, "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "last-partition-id": 999, "properties": {},
+        "current-snapshot-id": None, "snapshots": [],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    with pytest.raises(ValueError, match="nested uuid/time"):
+        read_iceberg_table(spark, root)

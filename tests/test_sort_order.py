@@ -875,3 +875,56 @@ def test_nested_field_sort_order(spark, wh):
             properties={"write.bucket-layout": "spark",
                         "write.sort-order": "info.score"},
         )
+
+
+def test_bad_bucket_layout_value_fails_even_without_sort_order(spark, wh):
+    """r12 review finding 3: a typo'd write.bucket-layout on a table
+    with NO declared sort order must fail the SET (previously it
+    committed unvalidated and poisoned every later read/write)."""
+    df = _source(spark, 100)
+    cat = LakeCatalog(wh)
+    ddl = DdlFrontend(spark, cat)
+    cat.create_table("d", "s", df.schema)
+    r = ddl.sql(
+        "ALTER TABLE d.s SET TBLPROPERTIES ('write.bucket-layout' = 'sprak')"
+    )
+    assert r.has_error, r.message_list
+    t = cat.load_table("d", "s")
+    assert "write.bucket-layout" not in t.properties
+    # the table still reads and writes
+    t.append(df)
+    assert t.to_df(spark).count() == 100
+    # CREATE with a bad layout also fails up front
+    with pytest.raises(TableFormatError, match="unknown write.bucket-layout"):
+        cat.create_table(
+            "d", "bad", df.schema,
+            properties={"write.bucket-layout": "sprak"},
+        )
+
+
+def test_compact_sort_by_reverts_declaration_on_rewrite_failure(spark, wh):
+    """r12 review finding 6: compact(sort_by=...) that validates but
+    then fails during the rewrite must revert the in-memory
+    declaration — otherwise the next unrelated commit durably
+    persists an order the failed compact never applied."""
+    df = _source(spark, 1000)
+    cat = LakeCatalog(wh)
+    t = cat.create_table(
+        "d", "s", df.schema, properties={"write.sort-order": "k"}
+    )
+    t.append(df)
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated rewrite failure")
+
+    orig = t._write
+    t._write = _boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            t.compact(spark, sort_by=["g DESC"])
+    finally:
+        t._write = orig
+    assert t.properties["write.sort-order"] == "k"
+    assert t.sort_order_fields[0]["column"] == "k"
+    # and the durable state never saw the failed declaration
+    assert LakeTable.load(t.location).properties["write.sort-order"] == "k"

@@ -918,3 +918,45 @@ def test_capped_distributed_reader_routing_and_floor(tmp_path, spark):
     # the already-delivered seq 1..2 files — only seq 3's
     assert len(parts) == 1
     assert "data" in parts[0].file_path
+
+
+def test_capped_distributed_restart_rewrite_refuses_base_regrant(
+    tmp_path, spark
+):
+    """r12 review finding 1: a RESTARTED capped distributed stream
+    whose table took a rewrite after the checkpoint must fail loudly
+    (the uncapped contract), not let the fresh instance's speculation
+    mint a base-load grant that re-delivers every pre-rewrite row. A
+    genuinely NEW stream still gets its base grant — through the
+    initialOffset Spark checkpoint-logs, not through latestOffset."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.lake_source import (
+        LakeStreamReader,
+        _META_FIELDS,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    df = spark.range(0, 60).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "rw", df.schema)
+    for i in range(2):  # seq 1..2
+        table.append(df.filter(F.col("id").between(i * 30, i * 30 + 29)).coalesce(1))
+    stream_schema = T.StructType(list(table.schema.fields) + _META_FIELDS)
+    ckpt = {"seq": 2}  # the stream consumed everything, then...
+    table.compact(spark, target_files=1)  # ...a rewrite commits (seq 3)
+    r = LakeStreamReader(str(table.location), stream_schema, max_files=2)
+    end = r.latestOffset()
+    assert "base" not in end, end  # speculation must not mint a grant
+    with pytest.raises(TableFormatError, match="NEW stream"):
+        r.partitions(ckpt, end)
+    # a genuinely NEW stream base-loads: the grant rides initialOffset
+    r2 = LakeStreamReader(str(table.location), stream_schema, max_files=2)
+    start = r2.initialOffset()
+    assert start.get("base") == 3
+    end2 = r2.latestOffset()
+    parts = r2.partitions(start, end2)
+    assert parts, "new stream must base-load the rewrite snapshot"
