@@ -174,19 +174,12 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     caller that materializes the pairs into its own storage (c18's
     localCheckpoint) unpersists the grams afterwards; c04 keeps the
     cache for the life of its lazy result."""
-    # posting-list guard: drop grams whose document frequency exceeds
-    # C04_MAX_GRAM_DF BEFORE the pair join (see the constant's comment
-    # — one hot gram otherwise makes the join quadratic in corpus
-    # size). The hot-gram LIST is tiny by construction (at most
-    # corpus_grams / cap entries, boilerplate shingles in practice),
-    # so the guard is a map-side-combining count plus a BROADCAST
-    # anti-join — the kept postings never ride an extra shuffle
-    # (a count-window would shuffle every posting on gram). Jaccard is
-    # over the kept gram sets on both engines.
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    # posting-list guard via a count-WINDOW over gram, cached ABOVE
-    # the guard. The window shuffles the postings by gram ONCE at
+    # posting-list guard: drop grams whose document frequency exceeds
+    # C04_MAX_GRAM_DF before the pair join (see the constant's comment
+    # — one hot gram otherwise makes the join quadratic in corpus
+    # size), via a count-WINDOW over gram, cached ABOVE the guard. The window shuffles the postings by gram ONCE at
     # cache build — and that is a feature, not a cost: InMemoryRelation
     # preserves its child's outputPartitioning, so the cached kept
     # postings arrive hash-partitioned on gram and the expensive pair

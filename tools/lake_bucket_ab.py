@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.label_a == args.label_b:
+        ap.error("--label-a and --label-b must differ (the dict of "
+                 "warehouses would silently collapse to one entry)")
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
 
     import os
 
