@@ -239,15 +239,21 @@ class _LakeLogPlanner:
             if remaining <= budget:
                 budget -= remaining
                 end = {"seq": seq}
-                if base == seq:
-                    end["base"] = seq  # carry the base-load grant
                 if budget == 0:
                     break
             else:
                 end = {"seq": seq, "file": done + int(budget)}
-                if base == seq:
-                    end["base"] = seq
                 break
+        # the base-load grant rides in every offset that has not PASSED
+        # the granted snapshot (end.seq <= base): a cap landing inside a
+        # large base snapshot chunks it across several micro-batches, and
+        # each chunk's end offset must keep the grant or the NEXT batch's
+        # range crosses the rewrite ungranted and wedges irrecoverably
+        # (ADVICE r12 high finding). Once end.seq > base the grant is
+        # consumed and drops; a range that crossed the base in one gulp
+        # is granted through its start offset.
+        if base is not None and end["seq"] <= base:
+            end["base"] = base
         return end
 
     def _plan_files(self, start: dict, end: dict) -> list[_FilePartition]:
@@ -266,6 +272,20 @@ class _LakeLogPlanner:
         # initial offset granted — any other rewrite in range means
         # the consumer holds pre-rewrite rows
         granted = {start.get("base"), end.get("base")}
+        # a mid-snapshot start offset pointing INTO a rewrite is itself
+        # proof of a prior grant: offsets are only ever minted by
+        # _advance/_initial_offset, and delivering ANY file of a rewrite
+        # requires this very check to have passed with the snapshot
+        # granted — so a checkpointed {"seq": N, "file": K>0} on rewrite
+        # N can only descend from a granted base load. This keeps a
+        # RESTART landing mid-chunked-base-load recoverable even when
+        # the replayed start predates the grant-carrying offsets.
+        if start_pos[1] != float("inf") and start_pos[1] > 0:
+            s0 = next(
+                (s for s in rng if s.sequence_number == start_pos[0]), None
+            )
+            if s0 is not None and s0.operation != "append":
+                granted.add(s0.sequence_number)
         bad = [
             s.snapshot_id
             for s in rng
@@ -383,7 +403,18 @@ class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
 
     def _learn(self, off: dict) -> None:
         if self._floor is None or self._pos(off) > self._pos(self._floor):
-            self._floor = dict(off)
+            new = dict(off)
+            # preserve the base-load grant across mid-snapshot floor
+            # advances: commit()'s end may predate the grant-carrying
+            # offsets (batch 1 of a fresh stream speculates without the
+            # grant), but the floor learned it from partitions' start —
+            # dropping it here would wedge the next chunk of a base
+            # snapshot larger than the cap (ADVICE r12 high finding)
+            if "base" not in new and self._floor is not None:
+                b = self._floor.get("base")
+                if b is not None and new["seq"] <= b:
+                    new["base"] = b
+            self._floor = new
 
     def initialOffset(self) -> dict:
         return self._initial_offset()
@@ -395,6 +426,13 @@ class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
         candidates = [c for c in (self._floor, self._emitted) if c is not None]
         if candidates:
             start = max(candidates, key=self._pos)
+            # borrow the floor's base-load grant when the winning
+            # candidate lacks it (a pre-grant speculation can outrun
+            # the floor by position while the grant still applies)
+            if "base" not in start and self._floor is not None:
+                b = self._floor.get("base")
+                if b is not None and start["seq"] <= b:
+                    start = {**start, "base": b}
         else:
             # fresh instance, no authoritative position yet: speculate
             # from the initial offset WITHOUT its base-load grant. A

@@ -379,7 +379,9 @@ def _split_top_level(s: str, angles: bool = True) -> list[str]:
             depth -= 1
             buf.append(ch)
         elif ch == "," and depth == 0:
-            parts.append("".join(buf).strip())
+            part = "".join(buf).strip()
+            if part:  # same rule as the tail: empty segments drop
+                parts.append(part)
             buf = []
         else:
             buf.append(ch)
@@ -1371,23 +1373,36 @@ class LakeTable:
         else:
             self.meta.pop("sort_order", None)
 
-    def _declaration_snapshot(self) -> tuple[dict, "list | None"]:
-        """The (properties, sort_order) pair a failed declaration
-        change reverts to. One definition shared by every revert site
-        (SET/UNSET TBLPROPERTIES, compact) — r12 review: three
-        hand-rolled copies would silently diverge the moment
-        refresh_declared_sort_order mutates anything new."""
-        return dict(self.meta["properties"]), self.meta.get("sort_order")
+    def _declaration_snapshot(
+        self,
+    ) -> tuple[dict, "list | None", "list | None"]:
+        """The (properties, sort_order, clustering) triple a failed
+        declaration change reverts to. One definition shared by every
+        revert site (SET/UNSET TBLPROPERTIES, compact) — r12 review:
+        three hand-rolled copies would silently diverge the moment
+        refresh_declared_sort_order mutates anything new. Covers
+        ``clustering`` too (ADVICE r12): a z-order compact mutates it
+        alongside the sort-order declaration, and a failed rewrite
+        must revert the whole layout claim, not half of it."""
+        return (
+            dict(self.meta["properties"]),
+            self.meta.get("sort_order"),
+            self.meta.get("clustering"),
+        )
 
     def _restore_declaration(
-        self, prior: tuple[dict, "list | None"]
+        self, prior: tuple[dict, "list | None", "list | None"]
     ) -> None:
-        props, order = prior
+        props, order, clustering = prior
         self.meta["properties"] = props
         if order is None:
             self.meta.pop("sort_order", None)
         else:
             self.meta["sort_order"] = order
+        if clustering is None:
+            self.meta.pop("clustering", None)
+        else:
+            self.meta["clustering"] = clustering
 
     def update_properties_validated(
         self,
@@ -2865,6 +2880,13 @@ class LakeTable:
             raise TableFormatError(
                 "sort_by and cluster_by are mutually exclusive"
             )
+        # snapshot BEFORE any declaration mutation: both the sort_by
+        # declaration below and the cluster_by mutation inside the try
+        # (sets meta['clustering'], pops sort_order + write.sort-order)
+        # revert through this on a failed rewrite — a crash during
+        # _write must not leave an unapplied layout claim for the next
+        # unrelated commit to persist (ADVICE r12 medium finding)
+        declared_prior = self._declaration_snapshot()
         declared = self.sort_order_fields
         if not sort_by and not cluster_by and declared:
             # a plain compact() on a table with a DECLARED sort order
@@ -2883,12 +2905,11 @@ class LakeTable:
             # of side effects. Mirroring into write.sort-order keeps
             # the property document the single source of truth
             # (SHOW CREATE, export, refresh_declared_sort_order all
-            # read one place). The declaration snapshot ALSO guards
+            # read one place). declared_prior (above) ALSO guards
             # the rewrite below: a compact that declares and then
             # fails mid-write reverts the in-memory declaration, so a
             # later unrelated commit can't persist an order the failed
             # compact never applied (r12 review finding).
-            declared_prior = self._declaration_snapshot()
             self.update_properties_validated(
                 updates={"write.sort-order": ", ".join(sort_by)}
             )
@@ -2945,12 +2966,15 @@ class LakeTable:
                 df, "replace", presorted=True
             )  # moves old live to history
         except Exception:
-            if sort_by:
-                # the rewrite failed after the declaration: revert the
-                # in-memory handle so a later unrelated commit cannot
-                # persist an order this compact never applied (nothing
-                # durable happened — _write commits metadata only
-                # after the data write succeeds)
+            if sort_by or cluster_by:
+                # the rewrite failed after the declaration/layout
+                # mutation: revert the in-memory handle so a later
+                # unrelated commit cannot persist a layout this
+                # compact never applied (nothing durable happened —
+                # _write commits metadata only after the data write
+                # succeeds). Covers BOTH halves of a z-order compact:
+                # the minted clustering claim and the destroyed
+                # sort-order declaration (ADVICE r12 medium finding).
                 self._restore_declaration(declared_prior)
             raise
 

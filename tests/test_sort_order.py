@@ -928,3 +928,64 @@ def test_compact_sort_by_reverts_declaration_on_rewrite_failure(spark, wh):
     assert t.sort_order_fields[0]["column"] == "k"
     # and the durable state never saw the failed declaration
     assert LakeTable.load(t.location).properties["write.sort-order"] == "k"
+
+def test_compact_cluster_by_reverts_layout_on_rewrite_failure(spark, wh):
+    """ADVICE r12 medium: compact(cluster_by=...) mutates the layout
+    claim inside the try (sets meta['clustering'], pops sort_order and
+    write.sort-order) — a rewrite that fails during _write must revert
+    BOTH halves, or the next unrelated commit durably persists a
+    clustering the table never received and destroys the declared
+    sort order."""
+    df = _source(spark, 1000)
+    cat = LakeCatalog(wh)
+    t = cat.create_table(
+        "d", "zc", df.schema, properties={"write.sort-order": "k"}
+    )
+    t.append(df)
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated rewrite failure")
+
+    orig = t._write
+    t._write = _boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            t.compact(spark, cluster_by=["g", "v"])
+    finally:
+        t._write = orig
+    # the unapplied clustering claim is gone...
+    assert "clustering" not in t.meta
+    # ...and the destroyed sort-order declaration is back
+    assert t.properties["write.sort-order"] == "k"
+    assert t.sort_order_fields[0]["column"] == "k"
+    # the next unrelated commit persists the REVERTED state
+    t.append(df.limit(10))
+    reloaded = LakeTable.load(t.location)
+    assert "clustering" not in reloaded.meta
+    assert reloaded.properties["write.sort-order"] == "k"
+    # and a SUCCESSFUL z-order compact still lands the claim
+    t.compact(spark, cluster_by=["g", "v"])
+    assert t.meta["clustering"] == ["g", "v"]
+    assert "write.sort-order" not in t.properties
+
+
+def test_split_top_level_empty_segments_drop_consistently(spark, wh):
+    """ADVICE r12 low: 'a,,b' used to yield ['a','','b'] (confusing
+    "unparseable field ''" downstream) while 'a,b,' silently dropped
+    the trailing empty — empty segments now drop in BOTH positions."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        _split_top_level,
+    )
+
+    assert _split_top_level("a,,b") == ["a", "b"]
+    assert _split_top_level("a,b,") == ["a", "b"]
+    assert _split_top_level(",a , ,b,", angles=False) == ["a", "b"]
+    # nested commas still protected
+    assert _split_top_level("f(x,,y),b", angles=False) == ["f(x,,y)", "b"]
+    # parse_sort_order no longer reports a confusing empty-field error
+    df = _source(spark, 10)
+    schema = df.schema
+    assert [f["column"] for f in parse_sort_order("k,,g", schema)] == [
+        "k",
+        "g",
+    ]

@@ -960,3 +960,74 @@ def test_capped_distributed_restart_rewrite_refuses_base_regrant(
     end2 = r2.latestOffset()
     parts = r2.partitions(start, end2)
     assert parts, "new stream must base-load the rewrite snapshot"
+
+def test_capped_distributed_base_load_chunks_across_batches(
+    tmp_path, spark
+):
+    """ADVICE r12 high finding: a fresh reader=distributed stream whose
+    BASE snapshot (latest rewrite) is larger than the cap must chunk
+    the base load across micro-batches — batch 2 used to wedge with
+    'start a NEW stream' because the grant dropped out of the chunked
+    end offsets. The grant must ride every offset up to the base's end
+    (_advance), survive floor advances (_learn), and be inferable from
+    a mid-rewrite start after a restart (_plan_files)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.lake_source import (
+        LakeStreamReader,
+        _META_FIELDS,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    df = spark.range(0, 60).select(F.col("id"))
+    table = LakeCatalog(tmp_path / "wh").create_table("db", "bigbase", df.schema)
+    for i in range(2):  # seq 1..2
+        table.append(
+            df.filter(F.col("id").between(i * 30, i * 30 + 29)).coalesce(1)
+        )
+    table.compact(spark, target_files=3)  # rewrite seq 3, 3 files > cap 2
+    stream_schema = T.StructType(list(table.schema.fields) + _META_FIELDS)
+
+    # full quantum walk at cap 2: 3 base files -> 2 + 1, then caught up
+    r = LakeStreamReader(str(table.location), stream_schema, max_files=2)
+    prev = r.initialOffset()
+    assert prev.get("base") == 3
+    delivered: list[str] = []
+    for _ in range(4):  # generous bound; must catch up well inside it
+        end = r.latestOffset()
+        parts = r.partitions(prev, end)  # the ADVICE repro raised here
+        delivered.extend(p.file_path for p in parts)
+        r.commit(end)
+        if r._pos(end) == r._pos(prev):
+            break
+        prev = end
+    assert len(delivered) == 3, delivered  # every base file exactly once
+    assert len(set(delivered)) == 3
+    assert r.latestOffset() == end  # stable: caught up
+
+    # restart mid-base-load: checkpointed start {"seq": 3, "file": 2}
+    # predates any grant-carrying offset the fresh instance has seen —
+    # the mid-rewrite start itself proves the grant; no wedge, no dup
+    r2 = LakeStreamReader(str(table.location), stream_schema, max_files=2)
+    ckpt = {"seq": 3, "file": 2}
+    end2 = r2.latestOffset()
+    parts2 = r2.partitions(ckpt, end2)
+    r2.commit(end2)
+    replayed = [p.file_path for p in parts2]
+    assert set(replayed) <= set(delivered)
+    assert delivered[2] in replayed or replayed == []
+    # converge: within one more batch the remaining base file arrives
+    if not replayed:
+        end3 = r2.latestOffset()
+        parts3 = r2.partitions(end2, end3)
+        replayed = [p.file_path for p in parts3]
+    assert replayed == [delivered[2]], replayed  # only the gap, no dup
+
+    # appends after the base keep streaming incrementally
+    table.append(df.filter(F.col("id") < 5).coalesce(1))  # seq 4
+    end4 = r.latestOffset()
+    parts4 = r.partitions(end, end4)
+    assert len(parts4) == 1 and parts4[0].file_path not in delivered
