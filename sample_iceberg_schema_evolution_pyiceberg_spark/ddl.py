@@ -22,6 +22,7 @@ array-element structs, matching schema_diff path addressing):
     ALTER TABLE db.tbl ADD COLUMNS ( path TYPE [NOT NULL], ... )
     ALTER TABLE db.tbl DROP COLUMN path
     ALTER TABLE db.tbl RENAME COLUMN old TO new
+    ALTER TABLE db.tbl RENAME TO [db2.]tbl2
     ALTER TABLE db.tbl ALTER COLUMN path TYPE newtype
     ALTER TABLE db.tbl ALTER COLUMN path FIRST | AFTER other
     ALTER TABLE db.tbl ADD PARTITION FIELD years(c)|... [AS name]
@@ -910,6 +911,7 @@ class DdlFrontend:
         "remove_orphan_files": {},
         "rewrite_data_files": {"sort_by": str, "target_files": int},
         "rewrite_position_delete_files": {},
+        "rewrite_manifests": {},
         "rollback_to_snapshot": {"snapshot_id": str},
         "fast_forward": {"branch": str},
     }
@@ -1004,6 +1006,17 @@ class DdlFrontend:
                     else "no-op (fewer than two position masks live)"
                 )
             )
+        elif proc == "rewrite_manifests":
+            snap = table.rewrite_manifests()
+            resp.message_list.append(
+                f"rewrite_manifests {db}.{tbl}: "
+                + (
+                    f"folded {len(snap.source_snapshots)} live manifest "
+                    f"list(s) into snapshot {snap.snapshot_id}"
+                    if snap is not None
+                    else "no-op (fewer than two live manifest lists)"
+                )
+            )
         elif proc == "rollback_to_snapshot":
             sid = kwargs.get("snapshot_id")
             if not sid:
@@ -1053,6 +1066,22 @@ class DdlFrontend:
         ):
             self._require_path(table, am.group(1))
             self._evolve(table, _drop_path(table.schema, am.group(1)), resp)
+        elif am := re.match(
+            r"^RENAME\s+TO\s+(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*$",
+            action,
+            re.IGNORECASE,
+        ):
+            # table-level rename (Iceberg: ALTER TABLE ... RENAME TO):
+            # same-database when the target is unqualified; routes to
+            # the catalog (path move on LakeCatalog, pointer re-point
+            # on GlueLakeCatalog)
+            new_db = am.group(1) or db
+            new_tbl = am.group(2)
+            self.catalog.rename_table(db, tbl, new_db, new_tbl)
+            resp.database_name, resp.table_name = new_db, new_tbl
+            resp.message_list.append(
+                f"Renamed table {db}.{tbl} to {new_db}.{new_tbl}"
+            )
         elif am := re.match(
             r"^RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
             action,

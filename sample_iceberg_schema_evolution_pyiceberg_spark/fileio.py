@@ -77,6 +77,21 @@ class FileIO(ABC):
         sorted."""
         raise NotImplementedError(type(self).__name__)
 
+    def rename_dir(self, src: str, dst: str) -> None:
+        """Move everything under ``src`` to ``dst`` (table rename).
+        Default: per-object copy + delete built strictly from the
+        bytes API — the S3 model, where no rename exists; O(#objects)
+        and non-atomic, which is exactly why catalog-of-record
+        backends (GlueLakeCatalog.rename_table) re-point the catalog
+        entry and keep the LOCATION fixed instead, like Iceberg's own
+        Glue rename. Filesystem backends override with an atomic
+        rename."""
+        for rel in self.list_files(src):
+            self.write_bytes(
+                self.join(dst, rel), self.read_bytes(self.join(src, rel))
+            )
+        self.delete_recursive(src)
+
     def to_options(self) -> "dict[str, str] | None":
         """Serialize a RECONSTRUCTIBLE handle to this backend as plain
         string options (the seam the log-driven streaming source
@@ -171,6 +186,10 @@ class LocalFileIO(FileIO):
                 )
         return sorted(out)
 
+    def rename_dir(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)  # atomic on one filesystem; dst must not exist
+
     def to_options(self) -> dict[str, str]:
         return {"io": "local"}
 
@@ -232,6 +251,18 @@ class InMemoryFileIO(FileIO):
             if d.startswith(prefix):
                 out.add(d[len(prefix):].split(os.sep, 1)[0])
         return sorted(out)
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        sp, dp = self._norm(src), self._norm(dst)
+
+        def _mv(key: str) -> str:
+            if key == sp or key.startswith(sp + os.sep):
+                return dp + key[len(sp):]
+            return key
+
+        self.blobs = {_mv(k): v for k, v in self.blobs.items()}
+        self.dirs = {_mv(d) for d in self.dirs}
+        self.mkdirs(os.path.dirname(dp))
 
 
 # -- object-store backend ---------------------------------------------------

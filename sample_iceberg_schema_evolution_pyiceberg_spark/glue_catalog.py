@@ -222,7 +222,15 @@ class GlueLakeCatalog:
                 "LAKE table — for ICEBERG exports use "
                 "read_registered_iceberg_table"
             )
-        loc = self._inner._table_dir(database, table)
+        # the REGISTERED location is authoritative (StorageDescriptor)
+        # — after a rename_table the catalog name no longer derives
+        # the path (Iceberg's Glue rename re-points the entry and
+        # keeps the location fixed); name-derived is the fallback for
+        # entries registered before locations were recorded
+        loc = Path(
+            (entry.get("StorageDescriptor") or {}).get("Location")
+            or self._inner._table_dir(database, table)
+        )
         doc = json.loads(self.io.read_text(meta_path))
         from .table_format import _meta_from_spec  # noqa: PLC0415
 
@@ -240,6 +248,60 @@ class GlueLakeCatalog:
             if e.response["Error"]["Code"] != "EntityNotFoundException":
                 raise
         self._inner.drop_table(database, table)
+
+    def rename_table(
+        self,
+        database: str,
+        table: str,
+        new_database: str,
+        new_table: str,
+    ) -> LakeTable:
+        """``ALTER TABLE db.t RENAME TO db2.t2``, catalog-of-record
+        flavor (VERDICT r12 item 3): register the SAME metadata
+        pointer and storage location under the new name, then drop the
+        old entry — Iceberg's own Glue rename semantics (the table
+        LOCATION never changes; not a byte of data or metadata moves,
+        so snapshots/time travel/branches are trivially preserved).
+        The create-then-delete pair is not transactional in Glue; the
+        crash window leaves BOTH names pointing at the same metadata
+        (re-running the rename, or dropping the stale old entry,
+        converges — the pointer CAS on later commits publishes through
+        whichever entry the writer loaded). A trailing identifier
+        commit refreshes ``meta['identifier']`` under the new name."""
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+
+        entry = self._get_entry(database, table)
+        if entry is None:
+            raise TableFormatError(
+                f"table {database}.{table} does not exist (glue)"
+            )
+        if self.table_exists(new_database, new_table):
+            raise TableFormatError(
+                f"table {new_database}.{new_table} already exists (glue)"
+            )
+        self.create_namespace_if_not_exists(new_database)
+        ti = _table_input_from_entry(entry)
+        ti["Name"] = new_table
+        try:
+            self.glue.create_table(
+                DatabaseName=new_database, TableInput=ti
+            )
+        except ClientError as e:
+            if e.response["Error"]["Code"] == "AlreadyExistsException":
+                raise TableFormatError(
+                    f"table {new_database}.{new_table} already exists "
+                    "(glue, concurrent create)"
+                ) from e
+            raise
+        try:
+            self.glue.delete_table(DatabaseName=database, Name=table)
+        except ClientError as e:
+            if e.response["Error"]["Code"] != "EntityNotFoundException":
+                raise
+        t = self.load_table(new_database, new_table)
+        t.meta["identifier"] = f"{new_database}.{new_table}"
+        t._commit()
+        return t
 
     def list_tables(self) -> list[tuple[str, str]]:
         # paginated: Glue pages databases/tables at 100 entries

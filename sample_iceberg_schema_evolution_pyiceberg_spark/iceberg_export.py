@@ -637,9 +637,18 @@ def _write_position_deletes(
 
     cur = table.schema
     arms = []
-    for s in table.snapshots:
-        if s.is_row_delete or s.sequence_number >= pred_snap.sequence_number:
-            continue
+    _by_id = {s.snapshot_id: s for s in table.all_snapshots()}
+    datas = [
+        x
+        for s in table.snapshots
+        if not s.is_row_delete
+        and s.sequence_number < pred_snap.sequence_number
+        # manifest-rewrite entries scan as their sources (no dir of
+        # their own); sources keep smaller sequence numbers, so the
+        # earlier-than-the-delete filter above stays correct
+        for x in table._expand_manifest_sources(s, _by_id)
+    ]
+    for s in datas:
         df = spark.read.parquet(str(table.location / s.data_dir))
         df = df.drop(
             *[c for c in df.columns if c.startswith(PARTITION_COL_PREFIX)]
@@ -794,6 +803,18 @@ def export_to_iceberg(
     # represents spec evolution); v2 delete snapshots a DELETE manifest
     # (content=1) under an unpartitioned spec (global scope).
     live: list[Snapshot] = list(table.snapshots)
+    # manifest-rewrite snapshots (rewrite_manifests) expand into their
+    # SOURCE snapshots: each source exports its own manifest under its
+    # own spec/schema, so the exported document is IDENTICAL to the
+    # pre-rewrite export (the rewrite is engine-side metadata hygiene;
+    # external readers see the same files, ids, and lineage)
+    if any(s.source_snapshots for s in live):
+        _by_id = {s.snapshot_id: s for s in table.all_snapshots()}
+        live = [
+            x
+            for s in live
+            for x in table._expand_manifest_sources(s, _by_id)
+        ]
 
     # delete manifests scope globally -> they need an unpartitioned
     # spec to reference; synthesize one if no spec version is empty
@@ -1106,7 +1127,7 @@ def export_to_iceberg(
         # integrity (conformance rule 26); history-pinned tags are
         # engine-side state until their snapshot is republished.
         exported = {
-            s.snapshot_id: _snapshot_int_id(s) for s in table.snapshots
+            s.snapshot_id: _snapshot_int_id(s) for s in live
         }
         refs: dict = {}
         for name, sid in sorted(tags.items()):

@@ -1917,3 +1917,175 @@ def a35_bucket_sort_rich_vocab(spark: SparkSession, sf: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         return spark.createDataFrame(rows, out.schema)
+
+@query(
+    "a36_rewrite_manifests_episode",
+    # rewrite_manifests (VERDICT r12 item 5): the data outcome is the
+    # post-fold live scan aggregated per priority; the flag columns
+    # pin the metadata-plane claims — the fold collapsed N live
+    # manifest lists to 1, files_df served the union manifest, the
+    # open-ended CDC delta skipped the fold, and time travel to a
+    # pre-fold id still answers.
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS total_price,
+           TRUE AS folded_to_one, TRUE AS files_df_invariant,
+           TRUE AS cdc_skips_fold, TRUE AS time_travel_ok
+    FROM orders WHERE o_orderkey <= 5000
+    GROUP BY o_orderpriority
+    """,
+)
+def a36_rewrite_manifests_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """``CALL system.rewrite_manifests`` episode: five single-file
+    appends snowball five manifest lists (the reference's append
+    pattern, data_generator.py:79); the procedure folds them into ONE
+    metadata-only 'replace' entry whose union manifest serves every
+    reader surface invariantly — data files never move. The third
+    maintenance plane next to rewrite_data_files and
+    rewrite_position_delete_files (Iceberg's procedure of the same
+    name)."""
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    with tempfile.TemporaryDirectory(prefix="rw_manifests_") as wh:
+        cat = LakeCatalog(wh)
+        tbl = cat.create_table("gate", "ord_m", orders.schema)
+        bounds = [-1, 1000, 2000, 3000, 4000, 5000]  # o_orderkey 0 exists
+        for lo, hi in zip(bounds, bounds[1:]):
+            tbl.append(
+                orders.filter(
+                    (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+                ).coalesce(1)
+            )
+        originals = [s.snapshot_id for s in tbl.snapshots]
+        pre_files = {
+            (r["file_path"], r["record_count"])
+            for r in tbl.files_df(spark).collect()
+        }
+        r = DdlFrontend(spark, cat).sql(
+            "CALL system.rewrite_manifests('gate.ord_m')"
+        )
+        tbl = cat.load_table("gate", "ord_m")
+        folded_to_one = (
+            not r.has_error
+            and len(tbl.snapshots) == 1
+            and tbl.snapshots[0].source_snapshots == originals
+        )
+        post_files = {
+            (r_["file_path"], r_["record_count"])
+            for r_ in tbl.files_df(spark).collect()
+        }
+        files_df_invariant = post_files == pre_files
+        # the open-ended incremental consumer survives the fold: only
+        # the post-fold append arrives, the fold itself emits nothing
+        extra = orders.filter(F.col("o_orderkey") <= 50).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 0
+        )
+        tbl.append(extra.coalesce(1))
+        delta = tbl.changes_between(spark, originals[-1], None)
+        cdc_skips_fold = delta.count() == extra.count()
+        time_travel_ok = (
+            tbl.to_df(spark, as_of_snapshot=originals[2]).count()
+            == orders.filter(F.col("o_orderkey") <= 3000).count()
+        )
+        out = (
+            tbl.to_df(spark)
+            # exclude the post-fold CDC probe rows from the aggregate
+            .filter(F.col("o_totalprice") > 0)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .cast("double"),
+                    4,
+                ).alias("total_price"),
+            )
+            .withColumn("folded_to_one", F.lit(folded_to_one))
+            .withColumn("files_df_invariant", F.lit(files_df_invariant))
+            .withColumn("cdc_skips_fold", F.lit(cdc_skips_fold))
+            .withColumn("time_travel_ok", F.lit(time_travel_ok))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+@query(
+    "a37_table_rename_episode",
+    # ALTER TABLE ... RENAME TO (VERDICT r12 item 3): data outcome is
+    # the post-rename scan aggregated per priority; flags pin that the
+    # old name vanished, the new identifier committed, snapshots/time
+    # travel survived the move, and post-rename appends land.
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE AS old_name_gone, TRUE AS identifier_updated,
+           TRUE AS time_travel_ok, TRUE AS post_rename_append_ok
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderpriority
+    """,
+)
+def a37_table_rename_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-level rename through the DDL front-end and the path
+    catalog: the dir moves (atomic os.rename locally; the Glue flavor
+    re-points the entry instead — test_s3_glue), every table-relative
+    manifest path rides along, and time travel to a pre-rename
+    snapshot answers under the new name. The routine Iceberg/Glue
+    operation the reference's users run that had no surface here
+    (VERDICT r12 'what's missing' 3)."""
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    with tempfile.TemporaryDirectory(prefix="rename_tbl_") as wh:
+        cat = LakeCatalog(wh)
+        tbl = cat.create_table("gate", "before", orders.schema)
+        tbl.append(
+            orders.filter(F.col("o_orderkey") <= 1500).coalesce(1)
+        )
+        first = tbl.snapshots[0].snapshot_id
+        tbl.append(
+            orders.filter(F.col("o_orderkey") > 1500).coalesce(1)
+        )
+        r = DdlFrontend(spark, cat).sql(
+            "ALTER TABLE gate.before RENAME TO gate.after"
+        )
+        renamed = cat.load_table("gate", "after")
+        old_name_gone = (
+            not r.has_error and cat.load_table("gate", "before") is None
+        )
+        identifier_updated = (
+            renamed is not None
+            and renamed.meta["identifier"] == "gate.after"
+        )
+        pre_count = orders.filter(F.col("o_orderkey") <= 1500).count()
+        time_travel_ok = (
+            renamed.to_df(spark, as_of_snapshot=first).count() == pre_count
+        )
+        # post-rename append (excluded from the aggregate via a marker)
+        renamed.append(
+            orders.filter(F.col("o_orderkey") <= 5)
+            .withColumn("o_orderpriority", F.lit("__probe__"))
+            .coalesce(1)
+        )
+        post_rename_append_ok = renamed.to_df(spark).filter(
+            F.col("o_orderpriority") == "__probe__"
+        ).count() == orders.filter(F.col("o_orderkey") <= 5).count()
+        out = (
+            renamed.to_df(spark)
+            .filter(F.col("o_orderpriority") != "__probe__")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn("old_name_gone", F.lit(old_name_gone))
+            .withColumn("identifier_updated", F.lit(identifier_updated))
+            .withColumn("time_travel_ok", F.lit(time_travel_ok))
+            .withColumn(
+                "post_rename_append_ok", F.lit(post_rename_append_ok)
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

@@ -172,8 +172,18 @@ class _LakeLogPlanner:
 
     def _files_of(self, s) -> list[str]:
         """A snapshot's parquet files in a STABLE order (offsets index
-        into this list; snapshot dirs are immutable once committed)."""
+        into this list; snapshot dirs are immutable once committed).
+        Manifest-rewrite snapshots (rewrite_manifests) carry no dir of
+        their own — their union manifest IS the file list (the same
+        data files, in their original dirs), which makes them valid
+        base loads for fresh streams."""
         if not s.data_dir:
+            if getattr(s, "source_snapshots", None) and s.files:
+                return sorted(
+                    os.path.join(self.location, f["path"])
+                    for f in s.files
+                    if f["path"].endswith(".parquet")
+                )
             return []
         out = []
         root = os.path.join(self.location, s.data_dir)
@@ -230,6 +240,18 @@ class _LakeLogPlanner:
             if (seq, float("inf")) <= start_pos:
                 continue
             files = self._files_of(s)
+            if getattr(s, "source_snapshots", None) and not (
+                base == seq
+                or (seq == start_pos[0] and 0 < start_pos[1] < float("inf"))
+            ):
+                # a manifest rewrite (rewrite_manifests) crossed
+                # MID-STREAM is content-preserving — the consumer
+                # already holds every row, so it contributes ZERO
+                # files to the quantum walk (matching _plan_files'
+                # skip; counting them here would chunk into it and
+                # re-deliver). Granted as a fresh stream's base load
+                # (or resumed mid-base), it counts normally.
+                files = []
             done = (
                 int(start_pos[1])
                 if seq == start_pos[0] and start_pos[1] != float("inf")
@@ -286,6 +308,19 @@ class _LakeLogPlanner:
             )
             if s0 is not None and s0.operation != "append":
                 granted.add(s0.sequence_number)
+        # manifest rewrites (rewrite_manifests) crossed mid-stream are
+        # content-preserving: the consumer holds every row already, so
+        # they SKIP (no files, no error — Iceberg's streaming read
+        # skips 'replace' snapshots the same way). Granted as a base
+        # load they deliver normally. Mirrors _advance's zero-count.
+        rng = [
+            s
+            for s in rng
+            if not (
+                getattr(s, "source_snapshots", None)
+                and s.sequence_number not in granted
+            )
+        ]
         bad = [
             s.snapshot_id
             for s in rng

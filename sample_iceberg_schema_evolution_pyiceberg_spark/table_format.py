@@ -158,6 +158,14 @@ class Snapshot:
     # snapshots from pre-manifest metadata (consumers fall back to a
     # listing).
     files: list[dict[str, Any]] | None = None
+    # manifest-rewrite marker (Iceberg's ``rewrite_manifests``): a
+    # metadata-only 'replace' snapshot whose state is EXACTLY the
+    # union of these source snapshots — data files never moved, the
+    # manifest above is their union. Scans expand it back into the
+    # sources (to_df), CDC treats it as content-preserving (emits
+    # nothing), and expiration keeps the sources' dirs alive while
+    # this snapshot is retained. data_dir is "" for these.
+    source_snapshots: list[str] | None = None
 
     @property
     def is_row_delete(self) -> bool:
@@ -207,6 +215,10 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
         out["delete-key-cols"] = d["delete_key_cols"]
     if d.get("delete_pos_dir"):
         out["delete-pos-dir"] = d["delete_pos_dir"]  # ext field
+    if d.get("source_snapshots"):
+        # ext field — rewrite_manifests provenance (spec analog: the
+        # manifest-list the rewritten manifests came from)
+        out["source-snapshots"] = d["source_snapshots"]
     if d.get("files") is not None:
         # ext field — the spec keeps per-file stats in Avro manifests;
         # this format inlines them in the snapshot entry
@@ -266,6 +278,8 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
         out["delete_key_cols"] = d["delete-key-cols"]
     if d.get("delete-pos-dir"):
         out["delete_pos_dir"] = d["delete-pos-dir"]
+    if d.get("source-snapshots"):
+        out["source_snapshots"] = d["source-snapshots"]
     if d.get("manifest") is not None:
         out["files"] = [
             {
@@ -1093,6 +1107,54 @@ class LakeCatalog:
     def drop_table(self, database: str, table: str) -> None:
         self.io.delete_recursive(str(self._table_dir(database, table)))
 
+    def rename_table(
+        self,
+        database: str,
+        table: str,
+        new_database: str,
+        new_table: str,
+    ) -> "LakeTable":
+        """``ALTER TABLE db.t RENAME TO db2.t2`` (VERDICT r12 item 3).
+        This catalog is PATH-addressed ({warehouse}/{db}/{table} IS
+        the identifier, like Iceberg's HadoopCatalog — which refuses
+        rename outright), so a rename here moves the table directory:
+        atomic os.rename on a filesystem backend, per-object copy on
+        object stores (LOUD cost — catalog-of-record deployments use
+        GlueLakeCatalog.rename_table, which re-points the catalog and
+        keeps the location fixed, Iceberg's own Glue semantics).
+        Snapshots, history, branches, and tags move wholesale: every
+        manifest and delete-file path is TABLE-RELATIVE by design.
+        The refreshed identifier/location commit under the new name
+        before the handle is returned."""
+        if not self.table_exists(database, table):
+            raise TableFormatError(
+                f"table {database}.{table} does not exist"
+            )
+        if self.table_exists(new_database, new_table):
+            raise TableFormatError(
+                f"table {new_database}.{new_table} already exists"
+            )
+        probe = self.load_table(database, table)
+        if (probe.properties or {}).get("catalog-of-record"):
+            # moving the dir under a catalog-of-record table would
+            # orphan the catalog's metadata pointer mid-flight — the
+            # owning catalog renames by re-pointing instead
+            raise TableFormatError(
+                f"{database}.{table} is catalog-of-record governed — "
+                "rename through its catalog "
+                "(GlueLakeCatalog.rename_table re-points the entry "
+                "and keeps the location fixed)"
+            )
+        self.create_namespace_if_not_exists(new_database)
+        src = self._table_dir(database, table)
+        dst = self._table_dir(new_database, new_table)
+        self.io.rename_dir(str(src), str(dst))
+        t = LakeTable.load(dst, io=self.io)
+        t.meta["identifier"] = f"{new_database}.{new_table}"
+        t.meta["location"] = str(dst)
+        t._commit()
+        return t
+
     def list_tables(self) -> list[tuple[str, str]]:
         """All (database, table) identifiers in the warehouse —
         O(#tables) existence probes, a metadata-plane walk."""
@@ -1438,6 +1500,30 @@ class LakeTable:
         raise TableFormatError(
             f"unknown snapshot {snapshot_id!r} for {self.identifier}"
         )
+
+    def _expand_manifest_sources(
+        self, s: Snapshot, by_id: "dict[str, Snapshot]"
+    ) -> list[Snapshot]:
+        """A manifest-rewrite snapshot (``rewrite_manifests``) scans as
+        its SOURCE snapshots — the data never moved, so every per-arm
+        concern (schema version, partition spec, hive-dir discovery,
+        bucket-layout adoption) keeps using the original entries.
+        Recursive: a source may itself be an earlier manifest rewrite.
+        Plain snapshots expand to themselves."""
+        if not s.source_snapshots:
+            return [s]
+        out: list[Snapshot] = []
+        for sid in s.source_snapshots:
+            src = by_id.get(sid)
+            if src is None:
+                raise TableFormatError(
+                    f"manifest-rewrite snapshot {s.snapshot_id} "
+                    f"references missing source snapshot {sid!r} — "
+                    "metadata corrupted (sources must outlive the "
+                    "rewrite; expire_snapshots keeps them)"
+                )
+            out.extend(self._expand_manifest_sources(src, by_id))
+        return out
 
     def all_snapshots(self) -> list[Snapshot]:
         """History + live snapshots in canonical commit order —
@@ -3096,6 +3182,69 @@ class LakeTable:
             self.meta = backup
             raise
 
+    def rewrite_manifests(self) -> "Snapshot | None":
+        """Iceberg ``rewrite_manifests`` analog: fold the LIVE
+        snapshots' commit manifests into ONE snapshot entry WITHOUT
+        touching a single data file — the metadata-plane maintenance
+        between compactions (``compact()`` is the data fold; this is
+        the manifest fold). A 1000-append table's every scan plan,
+        pruning loop, broadcast sizing, and fresh-stream base load
+        walks ONE live entry afterwards instead of 1000.
+
+        Mechanics, mirroring the spec's op: commits a metadata-only
+        'replace' snapshot whose manifest is the union of the live
+        manifests and whose ``source_snapshots`` records provenance;
+        the replaced entries move to history (time travel to them and
+        ``changes_between`` over historic ids are INVARIANT; a range
+        crossing the rewrite skips it — content-preserving, Iceberg's
+        incremental scans skip 'replace' the same way). Scans expand
+        the entry back into the sources (``_expand_manifest_sources``)
+        so schema versions, partition specs, and bucket-layout
+        adoption keep their per-source behavior; ``expire_snapshots``
+        keeps source dirs alive while the rewrite is retained.
+
+        Refuses while merge-on-read delete entries are live (their
+        masks are sequenced against the individual sources; fold them
+        with ``compact()`` first) and no-ops (returns None) when fewer
+        than two live manifest lists exist. Pure metadata commit —
+        O(live manifest entries) driver-side, zero data IO."""
+        live = self.snapshots
+        if any(s.is_row_delete for s in live):
+            raise TableFormatError(
+                "rewrite_manifests requires no live merge-on-read "
+                "delete entries (masks are sequenced against the "
+                "individual source snapshots) — run compact() first"
+            )
+        if len(live) < 2:
+            return None
+        union: list[dict[str, Any]] = []
+        for s in live:
+            if s.files is not None:
+                union.extend(s.files)
+            elif s.data_dir:
+                # pre-manifest metadata: collect the stats pass the
+                # original commit predates (footer-priced, once)
+                union.extend(self._collect_manifest(s.data_dir))
+        seq = int(self.meta.get("last_sequence_number", 0)) + 1
+        self.meta["last_sequence_number"] = seq
+        snap = Snapshot(
+            snapshot_id=uuid.uuid4().hex[:16],
+            timestamp_ms=int(time.time() * 1000),
+            operation="replace",
+            schema_version=int(self.meta["current_schema_version"]),
+            spec_id=int(self.meta["current_spec_id"]),
+            data_dir="",
+            sequence_number=seq,
+            files=union,
+            source_snapshots=[s.snapshot_id for s in live],
+        )
+        self.meta.setdefault("snapshot_history", []).extend(
+            self.meta["snapshots"]
+        )
+        self.meta["snapshots"] = [snap.to_json()]
+        self._commit()
+        return snap
+
     # -- snapshot tags (Iceberg refs, tag type) ----------------------------
 
     @property
@@ -3251,6 +3400,7 @@ class LakeTable:
         # RESURRECT its deleted rows in later reads), fully-unneeded
         # ones are dropped outright and their dirs deleted.
         chain = self.all_snapshots()
+        by_id = {s.snapshot_id: s for s in chain}
         needed_ids: set[str] = set()
         seg: list[Snapshot] = []
         for s in chain:
@@ -3259,7 +3409,17 @@ class LakeTable:
             # it (same fold as _segment_ending_at)
             seg = [s] if s.is_rewrite else seg + [s]
             if not s.expired:
-                needed_ids.update(x.snapshot_id for x in seg)
+                for x in seg:
+                    needed_ids.add(x.snapshot_id)
+                    # a manifest rewrite (rewrite_manifests) DEPENDS on
+                    # its source snapshots' dirs — unlike a data
+                    # rewrite, it never copied the bytes. Keep the
+                    # whole source closure or the dir delete below
+                    # destroys live data.
+                    needed_ids.update(
+                        y.snapshot_id
+                        for y in self._expand_manifest_sources(x, by_id)
+                    )
         drop = [
             s
             for s in self.meta.get("snapshot_history", [])
@@ -3639,9 +3799,11 @@ class LakeTable:
             return None
         maxes: list[Any] = []
         for s in self.snapshots:
-            if not s.data_dir:
+            if s.is_row_delete:
                 continue
             if s.files is None:
+                if not s.data_dir:
+                    continue
                 return None  # pre-manifest metadata: no commit stats
             for f in s.files:
                 st = f.get("stats") or {}
@@ -3669,8 +3831,10 @@ class LakeTable:
         stats; null where no stats were recorded)."""
         rows = []
         for s in self.snapshots:
-            if not s.data_dir:  # delete snapshot: no live data files
+            if s.is_row_delete:  # delete snapshot: no live data files
                 continue
+            if not s.data_dir and s.files is None:
+                continue  # empty-table edge (no dir, no manifest)
             if s.files is not None:
                 for f in s.files:
                     st = f.get("stats")
@@ -3751,8 +3915,10 @@ class LakeTable:
 
         agg: dict[tuple, list] = {}
         for s in self.snapshots:
-            if not s.data_dir:  # delete snapshot: no live data files
+            if s.is_row_delete:  # delete snapshot: no live data files
                 continue
+            if not s.data_dir and s.files is None:
+                continue  # empty-table edge (no dir, no manifest)
             if s.files is not None:
                 entries = [
                     (f["path"], f["size_bytes"], f["record_count"])
@@ -3885,6 +4051,19 @@ class LakeTable:
         # key and position files)
         deletes = [s for s in snaps if s.is_row_delete]
         datas = [s for s in snaps if not s.is_row_delete]
+        # manifest-rewrite snapshots (rewrite_manifests) scan as their
+        # SOURCE snapshots: the data never moved, so hive discovery,
+        # per-version schema alignment, spec pruning, and bucket
+        # adoption keep their original per-source behavior. Sources
+        # carry their ORIGINAL (smaller) sequence numbers, so delete
+        # masks committed after the rewrite still apply to them.
+        if any(s.source_snapshots for s in datas):
+            by_id = {x.snapshot_id: x for x in self.all_snapshots()}
+            datas = [
+                x
+                for s in datas
+                for x in self._expand_manifest_sources(s, by_id)
+            ]
         # position masks need each row's (file, ordinal) address
         need_pos = _with_positions or any(
             d.delete_pos_dir for d in deletes
@@ -4318,6 +4497,13 @@ class LakeTable:
             from_snapshot, to_snapshot
         )
         rng = hist[lo + 1: hi + 1]
+        # manifest rewrites (rewrite_manifests) are content-preserving
+        # metadata commits: they contribute no row delta and must not
+        # poison open-ended incremental consumers — Iceberg's
+        # incremental scans skip 'replace' snapshots the same way. The
+        # sources remain real append entries in the range (history),
+        # so the delta is emitted exactly once.
+        rng = [s for s in rng if not s.source_snapshots]
         bad = [s.snapshot_id for s in rng if s.operation != "append"]
         if bad:
             raise TableFormatError(

@@ -877,3 +877,52 @@ def test_plain_handle_refuses_uncataloged_commit(spark, tmp_path, glue_s3):
         "id", "z",
     ]
     assert cat.load_table("db", "t").schema.fieldNames() == ["id", "y"]
+
+def test_glue_rename_table_preserves_snapshots(spark, tmp_path, glue_s3):
+    """r13 (VERDICT r12 item 3, Glue half): rename re-points the
+    catalog — same metadata pointer and storage LOCATION under the new
+    name, old entry gone; not a byte moves, so snapshots and time
+    travel survive verbatim. Commits after the rename publish through
+    the new entry's pointer CAS."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        TableFormatError,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "orig", SCHEMA)
+    t.append(spark.range(0, 5).select(F.col("id"), F.lit("a").alias("v")))
+    t.append(spark.range(5, 9).select(F.col("id"), F.lit("b").alias("v")))
+    first_snap = t.snapshots[0].snapshot_id
+    old_loc = str(t.location)
+
+    t2 = cat.rename_table("db", "orig", "db", "renamed")
+    # old name gone, new name live, location FIXED
+    assert not cat.table_exists("db", "orig")
+    assert cat.table_exists("db", "renamed")
+    entry = glue.get_table(DatabaseName="db", Name="renamed")["Table"]
+    assert entry["StorageDescriptor"]["Location"] == old_loc
+    assert t2.meta["identifier"] == "db.renamed"
+    # snapshots + time travel preserved
+    assert t2.to_df(spark).count() == 9
+    assert t2.to_df(spark, as_of_snapshot=first_snap).count() == 5
+    # commits keep publishing through the new entry
+    t2.append(spark.range(9, 12).select(F.col("id"), F.lit("c").alias("v")))
+    t3 = cat.load_table("db", "renamed")
+    assert str(t3.location) == old_loc
+    assert t3.to_df(spark).count() == 12
+    # target-exists guard
+    cat.create_table("db", "blocker", SCHEMA)
+    with pytest.raises(TableFormatError, match="already exists"):
+        cat.rename_table("db", "renamed", "db", "blocker")
+    # the path catalog refuses to dir-move a catalog-of-record table
+    # (addressed by its PATH name — the dir kept the original name)
+    with pytest.raises(TableFormatError, match="catalog-of-record"):
+        cat._inner.rename_table("db", "orig", "db", "elsewhere")
