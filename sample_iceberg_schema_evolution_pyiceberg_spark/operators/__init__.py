@@ -36,47 +36,49 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- Round-12 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1: keys that have NEVER held a driver-window slot — a34
-    # (r11's sort/bucket composition episode), c06e (r12's hash-gated
-    # IVF probe), s12 (r12's distributed capped backfill).
-    "a34_bucket_sort_compose",
-    "c06e_ann_ivf_verified_topk",
+    # ---- Round-13 window (first 50 slots, oracle-bearing only) ----
+    # Tier 1: keys that have NEVER held a driver-window slot — this
+    # round's new surfaces (a35 full-vocabulary bucket sort order,
+    # a36 rewrite_manifests, a37 table rename).
+    "a35_bucket_sort_rich_vocab",
+    "a36_rewrite_manifests_episode",
+    "a37_table_rename_episode",
+    # Tier 2: keys most exposed to this round's code changes — the
+    # capped distributed reader fix (s12), the bucket-sort claim
+    # split (a34), the compact rollback extension (a08), and the c04
+    # cache-lifecycle change.
     "s12_stream_backfill_capped_distributed",
-    # Tier 2: the ENTIRE r8-evidence band (40 keys) — r11 re-recorded
-    # the r10 window instead of rotating (the one r11 commit changed
-    # code, not this list), so these carry the oldest driver evidence
-    # in the registry. With these slots no oracle-bearing key's driver
-    # evidence is older than r9.
-    "a02_partition_transforms", "a04_schema_diff_report",
-    "a09_sql_ddl_episode", "a11_sql_dml_episode",
-    "a15_sql_rollback_episode", "a26_scd2_dimension_history",
-    "b13_agg_count_distinct", "b24_union_distinct", "b25_intersect",
-    "b26_except", "b27_string_funcs", "b28_date_funcs", "b29_math_funcs",
-    "b30_conditional_null", "b31_array_funcs", "b32_map_struct_funcs",
-    "b34_from_json_schema", "b36_dedup_keep_first", "b39_python_udf",
-    "b40_pandas_udf", "b41_grouped_agg_pandas_udf",
-    "b45_lake_overwrite_sink", "b50_python_udtf", "b51_window_first_last",
-    "b53_percentile_median", "b62_asof_join",
-    "b63_recursive_cte_hierarchy", "b64_lateral_topn",
-    "b65_window_time_range_frame",
-    "c01_dedup_exact", "c09_token_count", "c15_tfidf_top_terms",
-    "c18_dedup_cluster_resolution", "c28_substring_dup_spans",
-    "c29_incremental_ingest_dedup", "c30_filter_funnel",
-    "c31_stratified_sample", "c32_leakage_safe_split",
-    "s04_stream_session_window", "s07_stream_stream_join",
-    # Tier 3 (top-up to 50): r9-evidence lake keys most exposed to
-    # this round's table_format changes (compact(sort_by) was
-    # rewritten; merge-on-read and incremental reads share its
-    # snapshot fold).
-    "a08_compaction_invariance", "a05_merge_upsert",
-    "a06_delete_update_where", "a12_sql_merge_conditional",
-    "a13_incremental_read", "a16_merge_on_read_delete",
-    "a17_merge_on_read_merge",
+    "a34_bucket_sort_compose",
+    "a08_compaction_invariance",
+    "c04_dedup_ngram_jaccard",
+    "a19_glue_catalog_episode",  # load_table now honors the registered
+    # StorageDescriptor location (rename support)
+    # Tier 3: the ENTIRE remaining r9-evidence band (43 keys) — the
+    # oldest driver evidence in the registry (VERDICT r12 item 1).
+    # With these slots no oracle-bearing key's driver evidence is
+    # older than r11.
+    "a23_zorder_clustering_episode", "a24_changelog_cdc",
+    "a25_cdc_replication", "a27_position_delete_episode",
+    "a28_bucket_truncate_episode", "a29_rename_evolution_episode",
+    "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
+    "b20_window_running_frame", "b33_json_funcs", "b35_cast_promotion",
+    "b37b_deterministic_sample", "b42_udtf_explode",
+    "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
+    "b52_grouping_sets", "b54_sessionize_batch", "b55_pivot",
+    "b56_unpivot", "b57_string_agg", "b58_grouped_map_pandas",
+    "b59_map_hof", "b61_null_safe_join", "b66_lake_bucket_join",
+    "c02_dedup_minhash_lsh", "c02b_minhash_signatures",
+    "c03_dedup_simhash", "c05_cosine_topk_brute", "c06b_knn_join_sampled",
+    "c07_text_langid", "c08_text_quality", "c10_text_fingerprint",
+    "c11_multimodal_binary_meta", "c12_multimodal_decode_features",
+    "c13_dedup_embedding_cosine", "c19_sequence_packing",
+    "c20_weighted_mixture", "c21_dedup_keeper_selection",
+    "c22_chunk_overlap", "c33_dup_span_removal",
+    "s10_stream_lake_replication",
     # --- driver window boundary (50) ---
-    # Out-of-window: everything else carries r9/r11 evidence. The
-    # remaining r9 band (~43 keys) is the r13 rotation. Full-registry
-    # local sweeps cover the gaps between driver windows (SURVEY §5.8).
+    # Out-of-window: everything else carries r11/r12 evidence.
+    # Full-registry local sweeps cover the gaps between driver
+    # windows (SURVEY §5.8).
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,

@@ -716,3 +716,114 @@ def test_foreign_nested_uuid_time_fails_loudly(spark, tmp_path):
     (root / "metadata" / "version-hint.text").write_text("1")
     with pytest.raises(ValueError, match="nested uuid/time"):
         read_iceberg_table(spark, root)
+
+def test_foreign_uuid_logical_type_annotation_read(spark, tmp_path):
+    """VERDICT r12 item 7: a data file whose fixed[16] column carries
+    the REAL parquet UUID logical-type annotation (what a Java Iceberg
+    writer emits — Spark's own reader rejects it outright with
+    PARQUET_TYPE_ILLEGAL at inference) decodes through the
+    conformance-row-33 path identically to the unannotated fixed[16]
+    fixtures. The file is authored by DuckDB's native UUID type, whose
+    parquet writer annotates FIXED_LEN_BYTE_ARRAY(16) with
+    LogicalType=UUID (verified below from the footer), and TIME as
+    annotated INT64 TIME(MICROS)."""
+    import duckdb
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "annotated"
+    (root / "metadata").mkdir(parents=True)
+    (root / "data").mkdir()
+    data_file = root / "data" / "A.parquet"
+    duckdb.sql(
+        f"""
+        COPY (SELECT * FROM (VALUES
+          (1::BIGINT, uuid '00000000-0000-0001-0000-000000000000',
+           TIME '01:02:03.123456'),
+          (2, uuid '00000000-0000-0002-0000-000000000000',
+           TIME '23:59:59'),
+          (3, NULL::UUID, NULL::TIME)) t(id, u, tm))
+        TO '{data_file}' (FORMAT parquet)
+        """
+    )
+    # the footer really carries the annotations this test exists for
+    col_u = pq.ParquetFile(data_file).schema.column(1)
+    assert str(col_u.logical_type) == "UUID", str(col_u.logical_type)
+    col_tm = pq.ParquetFile(data_file).schema.column(2)
+    assert "Time" in str(col_tm.logical_type), str(col_tm.logical_type)
+
+    mschema = (FOREIGN / "v1_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v1_manifest_list.avsc").read_text()
+    write_avro_java(
+        spark,
+        root / "metadata" / "m1.avro",
+        mschema,
+        [_df(data_file, 1, record_count=3)],
+    )
+    write_avro_java(
+        spark,
+        root / "metadata" / "snap-1.avro",
+        lschema,
+        [
+            {
+                "added_snapshot_id": 1,
+                "manifest_path": str(root / "metadata" / "m1.avro"),
+                "added_data_files_count": 1,
+                "manifest_length": (root / "metadata" / "m1.avro")
+                .stat()
+                .st_size,
+                "partition_spec_id": 0,
+            }
+        ],
+    )
+    schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "u", "required": False, "type": "uuid"},
+            {"id": 3, "name": "tm", "required": False, "type": "time"},
+        ],
+    }
+    meta = {
+        "format-version": 1,
+        "table-uuid": "7f9c9c1e-0000-4000-8000-00000000000b",
+        "location": str(root),
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 3,
+        "schema": schema,
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": str(root / "metadata" / "snap-1.avro"),
+                "schema-id": 0,
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+    df, _doc = read_iceberg_table(spark, root)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("id", "bigint"), ("u", "string"), ("tm", "bigint"),
+    ]
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    # identical decode to the unannotated fixed[16] fixture
+    assert rows[0].u == "00000000-0000-0001-0000-000000000000"
+    assert rows[1].u == "00000000-0000-0002-0000-000000000000"
+    assert rows[2].u is None
+    assert rows[0].tm == (1 * 3600 + 2 * 60 + 3) * 1_000_000 + 123456
+    assert rows[1].tm == (23 * 3600 + 59 * 60 + 59) * 1_000_000
+    assert rows[2].tm is None
