@@ -1963,6 +1963,7 @@ def a36_rewrite_manifests_episode(spark: SparkSession, sf: str) -> DataFrame:
             )
         originals = [s.snapshot_id for s in tbl.snapshots]
         pre_files = {
+            # bounded episode metadata: files_df is manifest-sized
             (r["file_path"], r["record_count"])
             for r in tbl.files_df(spark).collect()
         }
@@ -1976,6 +1977,7 @@ def a36_rewrite_manifests_episode(spark: SparkSession, sf: str) -> DataFrame:
             and tbl.snapshots[0].source_snapshots == originals
         )
         post_files = {
+            # bounded episode metadata: files_df is manifest-sized
             (r_["file_path"], r_["record_count"])
             for r_ in tbl.files_df(spark).collect()
         }
@@ -2010,6 +2012,7 @@ def a36_rewrite_manifests_episode(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("cdc_skips_fold", F.lit(cdc_skips_fold))
             .withColumn("time_travel_ok", F.lit(time_travel_ok))
         )
+        # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
 
@@ -2087,5 +2090,6 @@ def a37_table_rename_episode(spark: SparkSession, sf: str) -> DataFrame:
                 "post_rename_append_ok", F.lit(post_rename_append_ok)
             )
         )
+        # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

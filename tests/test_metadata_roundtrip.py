@@ -37,6 +37,9 @@ FULL_SNAPSHOT = {
     "delete_keys_dir": "keys/snap-abc123",
     "delete_key_cols": ["k", "v"],
     "delete_pos_dir": "pos/snap-abc123",
+    # rewrite_manifests provenance (r13): the source snapshots a
+    # manifest-rewrite entry expands into at scan time
+    "source_snapshots": ["aaa111", "bbb222"],
     "files": [
         {
             "path": "data/snap-abc123/part-00001_00001.c000.parquet",
