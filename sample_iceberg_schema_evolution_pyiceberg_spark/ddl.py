@@ -912,6 +912,7 @@ class DdlFrontend:
         "rewrite_data_files": {"sort_by": str, "target_files": int},
         "rewrite_position_delete_files": {},
         "rewrite_manifests": {},
+        "add_files": {"source_dir": str},
         "rollback_to_snapshot": {"snapshot_id": str},
         "fast_forward": {"branch": str},
     }
@@ -1005,6 +1006,16 @@ class DdlFrontend:
                     if snap is not None
                     else "no-op (fewer than two position masks live)"
                 )
+            )
+        elif proc == "add_files":
+            sdir = kwargs.get("source_dir")
+            if not sdir:
+                raise DdlError("add_files requires source_dir => '...'")
+            snap = table.add_files(str(sdir))
+            resp.message_list.append(
+                f"add_files {db}.{tbl}: imported "
+                f"{len(snap.files)} file(s) as snapshot "
+                f"{snap.snapshot_id}"
             )
         elif proc == "rewrite_manifests":
             snap = table.rewrite_manifests()

@@ -43,13 +43,14 @@ _PRIORITY = [
     "a35_bucket_sort_rich_vocab",
     "a36_rewrite_manifests_episode",
     "a37_table_rename_episode",
+    "a38_add_files_import_episode",
     # Tier 2: keys most exposed to this round's code changes — the
     # capped distributed reader fix (s12), the bucket-sort claim
-    # split (a34), the compact rollback extension (a08), and the c04
-    # cache-lifecycle change.
+    # split (a34), and the c04 cache-lifecycle change. (a08, r12
+    # evidence, yields its slot to the never-gated a38; its compact
+    # exposure is covered by the local comparator + pytest.)
     "s12_stream_backfill_capped_distributed",
     "a34_bucket_sort_compose",
-    "a08_compaction_invariance",
     "c04_dedup_ngram_jaccard",
     "a19_glue_catalog_episode",  # load_table now honors the registered
     # StorageDescriptor location (rename support)

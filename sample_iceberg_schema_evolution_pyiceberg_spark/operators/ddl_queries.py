@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from ..ddl import DdlFrontend
 from ..iceberg_export import export_to_iceberg, read_iceberg_table
 from ..schema_diff import flatten
-from ..table_format import LakeCatalog
+from ..table_format import LakeCatalog, TableFormatError
 from ..partitioning import PartitionField, PartitionSpec
 from .evolution_queries import _type_name
 from .registry import query, t
@@ -2089,6 +2089,97 @@ def a37_table_rename_episode(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn(
                 "post_rename_append_ok", F.lit(post_rename_append_ok)
             )
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+@query(
+    "a38_add_files_import_episode",
+    # system.add_files (r13): data outcome is the post-import scan
+    # aggregated per priority; flags pin byte-identical import (no
+    # rewrite), evolution-matrix promotion on import, the loud
+    # extra-column refusal, and CDC composition over the imported
+    # snapshot.
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE AS byte_identical, TRUE AS promotion_applied,
+           TRUE AS extra_col_refused, TRUE AS cdc_composes
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderpriority
+    """,
+)
+def a38_add_files_import_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Migration surface (Iceberg ``system.add_files``): parquet
+    produced OUTSIDE the table format imports as one append snapshot
+    with no decode/rewrite — byte-copied into a snapshot dir (the
+    table-relative-manifest divergence from Iceberg's in-place
+    reference, documented in add_files), footers validated against
+    the current schema with the evolution promotion matrix
+    (int->long here), extra columns refused loudly. The reference's
+    users migrate existing S3 parquet exactly this way."""
+    import hashlib  # noqa: PLC0415
+
+    orders = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderpriority",
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="add_files_") as wh:
+        src = f"{wh}/foreign_src"
+        orders.coalesce(2).write.parquet(src)
+        cat = LakeCatalog(f"{wh}/lake")
+        schema = (
+            spark.range(1)
+            .selectExpr(
+                "cast(id as long) o_orderkey",
+                "cast('' as string) o_orderpriority",
+            )
+            .schema
+        )
+        tbl = cat.create_table("gate", "imp", schema)
+        r = DdlFrontend(spark, cat).sql(
+            f"CALL system.add_files('gate.imp', source_dir => '{src}')"
+        )
+        tbl = cat.load_table("gate", "imp")
+        snap = tbl.snapshots[-1]
+        from pathlib import Path as _P  # noqa: PLC0415
+
+        src_h = {
+            hashlib.md5(p.read_bytes()).hexdigest()
+            for p in _P(src).rglob("*.parquet")
+        }
+        dst_h = {
+            hashlib.md5((tbl.location / f["path"]).read_bytes()).hexdigest()
+            for f in snap.files
+        }
+        byte_identical = not r.has_error and dst_h == src_h
+        out_df = tbl.to_df(spark)
+        promotion_applied = (
+            out_df.schema["o_orderkey"].dataType.simpleString() == "bigint"
+        )
+        try:
+            bad = f"{wh}/bad_src"
+            orders.withColumn("rogue", F.lit(1)).coalesce(1).write.parquet(
+                bad
+            )
+            tbl.add_files(bad)
+            extra_col_refused = False
+        except TableFormatError:
+            extra_col_refused = True
+        delta = tbl.changes_between(spark, None, snap.snapshot_id)
+        cdc_composes = delta.count() == orders.count()
+        out = (
+            out_df.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn("byte_identical", F.lit(byte_identical))
+            .withColumn("promotion_applied", F.lit(promotion_applied))
+            .withColumn("extra_col_refused", F.lit(extra_col_refused))
+            .withColumn("cdc_composes", F.lit(cdc_composes))
         )
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()

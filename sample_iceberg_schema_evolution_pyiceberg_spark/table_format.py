@@ -3245,6 +3245,110 @@ class LakeTable:
         self._commit()
         return snap
 
+    def add_files(self, source_dir: "str | Path") -> Snapshot:
+        """Iceberg ``system.add_files`` analog: import EXISTING
+        parquet files into the table as ONE append snapshot without a
+        decode/rewrite — the migration surface for data produced
+        outside the table format. Files are byte-copied into a fresh
+        snapshot dir (divergence from Iceberg, which references files
+        in place: this format's manifests are table-relative by
+        design, keeping snapshots portable across table moves — the
+        copy is IO-priced only, no decode, no shuffle, no executor
+        involvement; commit-time stats come from the same footer read
+        Iceberg's own add_files pays for its metrics).
+
+        Validation BEFORE any copy, per footer: every column must
+        exist in the table's current schema with an equal or
+        promotable type (the evolution matrix — int->long,
+        float->double); extra columns are refused loudly (importing
+        them would silently drop data at scan time). Files missing
+        nullable table columns import fine — the scan's alignment
+        null-fills them like any pre-evolution snapshot. On a
+        partitioned table the imported files carry no hive dirs, so
+        they scan correctly but never partition-prune; on a
+        bucket-layout table the imported snapshot cannot join
+        exchange-free (adoption skips it per-snapshot) — both
+        documented costs of importing foreign layout, warned at
+        import."""
+        import shutil  # noqa: PLC0415
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+        from pyspark.sql.pandas.types import from_arrow_schema  # noqa: PLC0415
+
+        from .schema_diff import (  # noqa: PLC0415
+            _PROMOTABLE,
+            _types_equal,
+            flatten,
+        )
+
+        src = Path(source_dir)
+        files = sorted(p for p in src.rglob("*.parquet"))
+        if not files:
+            raise TableFormatError(
+                f"add_files: no parquet files under {src}"
+            )
+        table_leaves = flatten(self.schema)
+        for p in files:
+            file_schema = from_arrow_schema(
+                pq.read_schema(p), prefer_timestamp_ntz=True
+            )
+            for path, leaf in flatten(file_schema).items():
+                want = table_leaves.get(path)
+                if want is None:
+                    raise TableFormatError(
+                        f"add_files: {p.name} carries column {path!r} "
+                        "not in the table schema — importing would "
+                        "silently drop its data (evolve the table "
+                        "first, or project the files)"
+                    )
+                if not _types_equal(leaf.dtype, want.dtype) and (
+                    leaf.dtype.typeName(),
+                    want.dtype.typeName(),
+                ) not in _PROMOTABLE:
+                    raise TableFormatError(
+                        f"add_files: {p.name} column {path!r} is "
+                        f"{leaf.dtype.simpleString()}, table declares "
+                        f"{want.dtype.simpleString()} — not an "
+                        "evolution-matrix promotion"
+                    )
+        if self.partition_spec.fields:
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                f"add_files into partitioned {self.identifier}: "
+                "imported files carry no hive partition dirs — they "
+                "scan correctly but never partition-prune"
+                + (
+                    " and cannot join exchange-free (bucket adoption "
+                    "skips the imported snapshot)"
+                    if self._spark_bucket_field() is not None
+                    else ""
+                ),
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        rel = f"data/snap-{uuid.uuid4().hex[:16]}"
+        dst = self.location / rel
+        dst.mkdir(parents=True)
+        for i, p in enumerate(files):
+            shutil.copy2(p, dst / f"imported-{i:05d}-{p.name}")
+        snap_id = rel.rsplit("snap-", 1)[1]
+        seq = int(self.meta.get("last_sequence_number", 0)) + 1
+        self.meta["last_sequence_number"] = seq
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            timestamp_ms=int(time.time() * 1000),
+            operation="append",
+            schema_version=int(self.meta["current_schema_version"]),
+            spec_id=int(self.meta["current_spec_id"]),
+            data_dir=rel,
+            sequence_number=seq,
+            files=self._collect_manifest(rel),
+        )
+        self.meta["snapshots"].append(snap.to_json())
+        self._commit()
+        return snap
+
     # -- snapshot tags (Iceberg refs, tag type) ----------------------------
 
     @property

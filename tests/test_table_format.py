@@ -1325,3 +1325,87 @@ def test_metrics_modes_counts_and_truncate(spark, tmp_path):
     )
     with pytest.raises(TableFormatError, match="truncate length"):
         bad0.append(df)
+
+def test_add_files_imports_without_rewrite(spark, tmp_path):
+    """r13: system.add_files imports existing parquet byte-for-byte
+    (no decode/rewrite — file content identical), validates footers
+    against the schema with the evolution promotion matrix, refuses
+    extra columns loudly, null-fills missing nullable columns at scan
+    time, and composes with time travel and later appends."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import DdlFrontend
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    src = tmp_path / "foreign_src"
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),  # int: promotes to long
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+    )
+    df.coalesce(2).write.parquet(str(src))
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    schema = (
+        spark.range(1)
+        .selectExpr(
+            "cast(id as long) k", "cast('' as string) v",
+            "cast(null as double) extra_nullable",
+        )
+        .schema
+    )
+    t = cat.create_table("d", "imp", schema)
+    t.append(
+        spark.range(100, 110).selectExpr(
+            "id as k", "cast(id as string) v", "cast(id as double) extra_nullable"
+        )
+    )
+    snap = t.add_files(src)
+    assert snap.operation == "append" and len(snap.files) == 2
+    # byte identity: imported files are copies, not rewrites
+    src_hashes = {
+        hashlib.md5(p.read_bytes()).hexdigest()
+        for p in src.rglob("*.parquet")
+    }
+    dst_hashes = {
+        hashlib.md5((t.location / f["path"]).read_bytes()).hexdigest()
+        for f in snap.files
+    }
+    assert dst_hashes == src_hashes
+    # scan: promotion + null-fill compose with the existing snapshot
+    out = t.to_df(spark)
+    assert out.count() == 110
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert out.filter("extra_nullable IS NULL").count() == 100
+    assert out.filter("k = 42").select("v").first()[0] == "v42"
+    # time travel: pre-import state intact
+    assert t.to_df(spark, as_of_snapshot=t.snapshots[0].snapshot_id).count() == 10
+    # later appends and incremental reads compose
+    t.append(spark.range(200, 205).selectExpr(
+        "id as k", "cast(id as string) v", "cast(id as double) extra_nullable"
+    ))
+    delta = t.changes_between(spark, snap.snapshot_id, None)
+    assert delta.count() == 5
+    # guard: extra column refused loudly
+    bad = tmp_path / "bad_src"
+    spark.range(3).selectExpr("id as k", "'x' as v", "id as rogue").write.parquet(str(bad))
+    with _pytest.raises(TableFormatError, match="rogue"):
+        t.add_files(bad)
+    # guard: non-promotable type refused
+    bad2 = tmp_path / "bad2_src"
+    spark.range(3).selectExpr("cast(id as string) k", "'x' as v").write.parquet(str(bad2))
+    with _pytest.raises(TableFormatError, match="promotion"):
+        t.add_files(bad2)
+    # DDL surface
+    src2 = tmp_path / "src2"
+    spark.range(300, 303).selectExpr("id as k", "'y' as v").coalesce(1).write.parquet(str(src2))
+    r = DdlFrontend(spark, cat).sql(
+        f"CALL system.add_files('d.imp', source_dir => '{src2}')"
+    )
+    assert not r.has_error, r.message_list
+    assert "imported 1 file(s)" in r.message_list[-1]
+    assert cat.load_table("d", "imp").to_df(spark).count() == 118
