@@ -241,3 +241,43 @@ def test_rewrite_manifests_streaming_skips_and_base_loads(spark, wh):
     end = r2.latestOffset()
     parts2 = r2.partitions(start, end)
     assert len(parts2) == 4  # 3 folded base files + the new append
+
+def test_rewrite_manifests_capped_stream_walks_over_fold(spark, wh):
+    """A CAPPED distributed stream mid-walk when the fold lands: the
+    quantum arithmetic (_advance) must count the fold as ZERO files —
+    matching _plan_files' skip — or the walk would chunk into the fold
+    and re-deliver rows the consumer already holds."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.lake_source import (
+        LakeStreamReader,
+        _META_FIELDS,
+    )
+
+    t = _appended_table(spark, wh, n_appends=3)
+    stream_schema = T.StructType(list(t.schema.fields) + _META_FIELDS)
+    r = LakeStreamReader(str(t.location), stream_schema, max_files=1)
+    prev = r.initialOffset()
+    seen: list[str] = []
+    # consume the 3 appends at cap 1
+    for _ in range(3):
+        end = r.latestOffset()
+        seen += [p.file_path for p in r.partitions(prev, end)]
+        r.commit(end)
+        prev = end
+    assert len(seen) == 3 and len(set(seen)) == 3
+    # the fold lands, then two more single-file appends
+    t.rewrite_manifests()
+    t.append(_src(spark, 300, 350).coalesce(1))
+    t.append(_src(spark, 350, 400).coalesce(1))
+    new: list[str] = []
+    for _ in range(4):  # generous; must drain in <= cap walks
+        end = r.latestOffset()
+        new += [p.file_path for p in r.partitions(prev, end)]
+        r.commit(end)
+        if r._pos(end) == r._pos(prev):
+            break
+        prev = end
+    # exactly the two new appends; nothing from the fold re-delivered
+    assert len(new) == 2, new
+    assert not (set(new) & set(seen))
