@@ -166,9 +166,23 @@ class GlueLakeCatalog:
         # from the Glue pointer (split-brain guard, ADVICE r7)
         props = dict(properties or {})
         props.setdefault("catalog-of-record", "glue")
+        # location: name-derived by default; when that dir is already
+        # occupied (a RENAMED table keeps its location fixed, so its
+        # old name's dir still holds it) mint a unique sibling — Glue
+        # is the identity authority here, paths are just storage
+        # (r13 review finding: re-creating a renamed-away name wedged)
+        loc = None
+        if self._inner.table_exists(database, table):
+            import uuid as _uuid  # noqa: PLC0415
+
+            loc = str(
+                self._inner.warehouse
+                / database
+                / f"{table}-{_uuid.uuid4().hex[:8]}"
+            )
         t = self._inner.create_table(
             database, table, schema, partition_spec, props,
-            unique_metadata_names=True,
+            unique_metadata_names=True, location=loc,
         )
         meta_path = t.loaded_from
         try:
@@ -242,12 +256,23 @@ class GlueLakeCatalog:
     def drop_table(self, database: str, table: str) -> None:
         from botocore.exceptions import ClientError  # noqa: PLC0415
 
+        # delete the REGISTERED location, not the name-derived dir:
+        # after a rename the two differ, and deleting by name would
+        # orphan every byte of the table while wiping an innocent dir
+        # (r13 review finding)
+        entry = self._get_entry(database, table)
+        loc = ((entry or {}).get("StorageDescriptor") or {}).get(
+            "Location"
+        )
         try:
             self.glue.delete_table(DatabaseName=database, Name=table)
         except ClientError as e:
             if e.response["Error"]["Code"] != "EntityNotFoundException":
                 raise
-        self._inner.drop_table(database, table)
+        if loc:
+            self.io.delete_recursive(loc)
+        else:
+            self._inner.drop_table(database, table)
 
     def rename_table(
         self,

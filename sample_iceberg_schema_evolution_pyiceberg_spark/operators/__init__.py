@@ -54,10 +54,10 @@ _PRIORITY = [
     "c04_dedup_ngram_jaccard",
     "a19_glue_catalog_episode",  # load_table now honors the registered
     # StorageDescriptor location (rename support)
-    # Tier 3: the ENTIRE remaining r9-evidence band (43 keys) — the
-    # oldest driver evidence in the registry (VERDICT r12 item 1).
-    # With these slots no oracle-bearing key's driver evidence is
-    # older than r11.
+    # Tier 3: the ENTIRE remaining r9-evidence band — 42 keys here,
+    # plus c04 above in tier 2 (43 total) — the oldest driver
+    # evidence in the registry (VERDICT r12 item 1). With these slots
+    # no oracle-bearing key's driver evidence is older than r11.
     "a23_zorder_clustering_episode", "a24_changelog_cdc",
     "a25_cdc_replication", "a27_position_delete_episode",
     "a28_bucket_truncate_episode", "a29_rename_evolution_episode",

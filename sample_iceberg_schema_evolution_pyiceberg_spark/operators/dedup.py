@@ -131,14 +131,17 @@ def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
 # linear-in-corpus pair work and a quadratic blowup.
 C04_MAX_GRAM_DF = 128
 
-# at most one live c04 gram cache per session, keyed by sf dir
+# at most one live c04 gram cache, keyed by (session, sf dir)
 # (see _jaccard_pairs)
-_LIVE_GRAM_CACHE: "list[tuple[str, DataFrame]]" = []
+_LIVE_GRAM_CACHE: "list[tuple[SparkSession, str, DataFrame]]" = []
 
 
 def _release_gram_cache() -> None:
     while _LIVE_GRAM_CACHE:
-        _LIVE_GRAM_CACHE.pop()[1].unpersist()
+        try:
+            _LIVE_GRAM_CACHE.pop()[2].unpersist()
+        except Exception:  # noqa: BLE001
+            pass  # the owning session was stopped: nothing to release
 
 _C04_ORACLE = f"""
     WITH g AS (
@@ -222,8 +225,10 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     # table memoization already makes. Single-threaded
     # registry/bench runners by design; a concurrent-session
     # deployment would key this per session.
-    if _LIVE_GRAM_CACHE and _LIVE_GRAM_CACHE[-1][0] == sf:
-        g = _LIVE_GRAM_CACHE[-1][1]
+    # keyed by (session, sf): a cached DataFrame from a STOPPED
+    # session must not be served to a fresh one (r13 review finding)
+    if _LIVE_GRAM_CACHE and _LIVE_GRAM_CACHE[-1][:2] == (spark, sf):
+        g = _LIVE_GRAM_CACHE[-1][2]
     else:
         _release_gram_cache()
         g = (
@@ -235,7 +240,7 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
             .drop("_df")
             .persist()
         )
-        _LIVE_GRAM_CACHE.append((sf, g))
+        _LIVE_GRAM_CACHE.append((spark, sf, g))
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = g.select(F.col("doc_id").alias("doc_b"), "gram")

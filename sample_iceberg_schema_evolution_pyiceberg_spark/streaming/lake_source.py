@@ -224,10 +224,20 @@ class _LakeLogPlanner:
             return {"seq": -1}
         return {"seq": 0}
 
-    def _advance(self, start: dict, max_files: int) -> dict:
+    def _advance(
+        self, start: dict, max_files: int, fresh: bool = False
+    ) -> dict:
         """The offset at most ``max_files`` files past ``start``
         (0 = unbounded -> the true latest), stopping mid-snapshot
-        with a (seq, file) offset when the cap lands inside one."""
+        with a (seq, file) offset when the cap lands inside one.
+        ``fresh`` marks the grant-less speculation of a fresh capped
+        reader instance (latestOffset with no floor): it must not
+        advance INTO or PAST an ungranted manifest rewrite — stopping
+        just before it makes batch 1 an empty bootstrap, after which
+        the floor carries the authoritative grant from partitions'
+        start and the base chunks normally under the cap (r13 review
+        finding: speculating past the fold handed Spark the ENTIRE
+        union as one uncapped batch)."""
         snaps = self._snapshots()
         if not snaps:
             return {"seq": start.get("seq", 0)}
@@ -240,17 +250,19 @@ class _LakeLogPlanner:
             if (seq, float("inf")) <= start_pos:
                 continue
             files = self._files_of(s)
-            if getattr(s, "source_snapshots", None) and not (
-                base == seq
-                or (seq == start_pos[0] and 0 < start_pos[1] < float("inf"))
-            ):
+            if getattr(s, "source_snapshots", None) and base != seq:
+                if fresh:
+                    # grant-less speculation: stop BEFORE the fold —
+                    # the next batch's floor carries the real grant
+                    break
                 # a manifest rewrite (rewrite_manifests) crossed
                 # MID-STREAM is content-preserving — the consumer
                 # already holds every row, so it contributes ZERO
                 # files to the quantum walk (matching _plan_files'
                 # skip; counting them here would chunk into it and
-                # re-deliver). Granted as a fresh stream's base load
-                # (or resumed mid-base), it counts normally.
+                # re-deliver), and the walk passes it ATOMICALLY —
+                # never minting a mid-fold offset, which keeps every
+                # mid-fold offset a proof of granted delivery.
                 files = []
             done = (
                 int(start_pos[1])
@@ -294,19 +306,30 @@ class _LakeLogPlanner:
         # initial offset granted — any other rewrite in range means
         # the consumer holds pre-rewrite rows
         granted = {start.get("base"), end.get("base")}
-        # a mid-snapshot start offset pointing INTO a rewrite is itself
-        # proof of a prior grant: offsets are only ever minted by
-        # _advance/_initial_offset, and delivering ANY file of a rewrite
-        # requires this very check to have passed with the snapshot
-        # granted — so a checkpointed {"seq": N, "file": K>0} on rewrite
-        # N can only descend from a granted base load. This keeps a
-        # RESTART landing mid-chunked-base-load recoverable even when
-        # the replayed start predates the grant-carrying offsets.
+        # a mid-snapshot start offset pointing INTO a DATA rewrite
+        # (compact/overwrite) is itself proof of a prior grant:
+        # offsets are only ever minted by _advance/_initial_offset,
+        # _advance counts a data rewrite's files unconditionally, and
+        # delivering ANY of them requires this very check to have
+        # passed with the snapshot granted — so a checkpointed
+        # {"seq": N, "file": K>0} on rewrite N can only descend from a
+        # granted base load. This keeps a RESTART landing
+        # mid-chunked-base-load recoverable even when the replayed
+        # start predates the grant-carrying offsets. MANIFEST rewrites
+        # are excluded: their granted chunk ends always carry the
+        # explicit base (the fresh bootstrap stops before an ungranted
+        # fold, so batch 1 can't orphan a grant-less mid-fold offset),
+        # and an ungranted walk passes them atomically — inferring
+        # here would let a walked-over offset re-deliver fold files.
         if start_pos[1] != float("inf") and start_pos[1] > 0:
             s0 = next(
                 (s for s in rng if s.sequence_number == start_pos[0]), None
             )
-            if s0 is not None and s0.operation != "append":
+            if (
+                s0 is not None
+                and s0.operation != "append"
+                and not getattr(s0, "source_snapshots", None)
+            ):
                 granted.add(s0.sequence_number)
         # manifest rewrites (rewrite_manifests) crossed mid-stream are
         # content-preserving: the consumer holds every row already, so
@@ -435,6 +458,14 @@ class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
         # rows); dies with the instance, which is safe because the
         # floor alone prevents post-restart duplicates.
         self._emitted: dict | None = None
+        # the initial offset THIS instance served to Spark, set only
+        # by initialOffset() — which the engine calls only when the
+        # offset log is EMPTY, i.e. for a genuinely NEW stream. That
+        # makes it the one safe carrier of a base-load grant into the
+        # first speculation (a RESTARTED instance never sees the call,
+        # so it can never mint a grant a rewrite-after-checkpoint
+        # would abuse).
+        self._initial: dict | None = None
 
     def _learn(self, off: dict) -> None:
         if self._floor is None or self._pos(off) > self._pos(self._floor):
@@ -452,7 +483,8 @@ class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
             self._floor = new
 
     def initialOffset(self) -> dict:
-        return self._initial_offset()
+        self._initial = self._initial_offset()
+        return dict(self._initial)
 
     def latestOffset(self) -> dict:
         if self.max_files <= 0:
@@ -468,23 +500,34 @@ class LakeStreamReader(_LakeLogPlanner, DataSourceStreamReader):
                 b = self._floor.get("base")
                 if b is not None and start["seq"] <= b:
                     start = {**start, "base": b}
+        elif self._initial is not None and self._initial.get("base"):
+            # genuinely NEW stream: Spark called initialOffset() on
+            # THIS instance (the engine does that only when the offset
+            # log is empty), so its base-load grant is authoritative —
+            # speculate WITH it, letting a manifest-rewrite base chunk
+            # under the cap with grant-carrying end offsets (r13
+            # review finding: the grant-less speculation either handed
+            # the entire fold to one uncapped batch or stalled).
+            start = dict(self._initial)
         else:
-            # fresh instance, no authoritative position yet: speculate
-            # from the initial offset WITHOUT its base-load grant. A
-            # genuinely new stream gets the grant through Spark's
-            # start offset (initialOffset is checkpoint-logged and
-            # arrives in partitions' start); a RESTARTED stream must
-            # not have this speculation mint a grant into the END
-            # offset — that would let a rewrite committed after the
-            # checkpoint stream as a full base load and re-deliver
-            # every pre-rewrite row the consumer already holds. With
-            # no grant, _plan_files raises the same loud
-            # 'start a NEW stream' error the uncapped reader gives.
+            # fresh RESTARTED instance (no initialOffset call), no
+            # authoritative position yet: speculate from the initial
+            # offset WITHOUT its base-load grant — minting one would
+            # let a rewrite committed after the checkpoint stream as
+            # a full base load and re-deliver every pre-rewrite row
+            # the consumer already holds. A data-rewrite crossing
+            # raises the loud 'start a NEW stream' error; an
+            # ungranted manifest rewrite stops the walk instead
+            # (fresh=True) — the floor learned from the next
+            # partitions() call carries the real grant forward.
             start = {
                 k: v
                 for k, v in self._initial_offset().items()
                 if k != "base"
             }
+            end = self._advance(start, self.max_files, fresh=True)
+            self._emitted = dict(end)
+            return end
         end = self._advance(start, self.max_files)
         self._emitted = dict(end)
         return end

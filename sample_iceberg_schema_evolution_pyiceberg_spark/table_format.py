@@ -1063,11 +1063,25 @@ class LakeCatalog:
         partition_spec: PartitionSpec | None = None,
         properties: dict[str, str] | None = None,
         unique_metadata_names: bool = False,
+        location: "str | Path | None" = None,
     ) -> "LakeTable":
-        if self.table_exists(database, table):
-            raise TableFormatError(f"table {database}.{table} already exists")
+        """``location`` overrides the name-derived directory — the
+        catalog-of-record seam: after a Glue rename the OLD name's
+        dir is still occupied by the renamed table (its location is
+        fixed), so a re-CREATE of that name needs a fresh dir."""
+        if location is None:
+            if self.table_exists(database, table):
+                raise TableFormatError(
+                    f"table {database}.{table} already exists"
+                )
+            loc = self._table_dir(database, table)
+        else:
+            loc = Path(location)
+            if self.io.exists(str(loc / "_meta" / "version-hint.text")):
+                raise TableFormatError(
+                    f"location {loc} already holds a table"
+                )
         self.create_namespace_if_not_exists(database)
-        loc = self._table_dir(database, table)
         spec = partition_spec or PartitionSpec()
         meta = {
             "format_version": FORMAT_VERSION,
@@ -1416,6 +1430,13 @@ class LakeTable:
             # contract and adoption stay sound.
             self.meta["sort_order"] = fields
             self.meta.pop("clustering", None)
+            sbf = self._spark_bucket_field()
+            if sbf is not None:
+                # declaration-time check of the one REAL conflict: a
+                # DESC/nulls-last identity declaration on the bucket
+                # key itself (raises; see _bucket_secondary_fields) —
+                # callers (CREATE, SET/UNSET) revert on the raise
+                self._bucket_secondary_fields(sbf)
         else:
             self.meta.pop("sort_order", None)
 
@@ -1763,17 +1784,37 @@ class LakeTable:
 
     def _bucket_secondary_fields(self, sbf) -> list[dict]:
         """The declared sort fields a bucket-layout write sorts AFTER
-        the bucket key (identity fields on the key itself drop — the
-        leading key already orders them; transform fields on the key
-        keep their place, e.g. a truncate-width refinement)."""
-        return [
-            f
-            for f in self.sort_order_fields
-            if not (
+        the bucket key (ASC NULLS FIRST identity fields on the key
+        itself drop — the leading key already orders them; transform
+        fields on the key keep their place, e.g. a truncate-width
+        refinement). A DESC / nulls-last identity declaration ON the
+        bucket key conflicts with the layout's key-asc-leading file
+        contract and raises loudly — dropping it would leave the
+        metadata and export claiming an order the files don't have
+        (r13 review finding; 'never a silently-dropped declaration'
+        is the standing rule)."""
+        out = []
+        for f in self.sort_order_fields:
+            if (
                 f["column"] == sbf.source_column
                 and f.get("transform", "identity") == "identity"
-            )
-        ]
+            ):
+                if (
+                    f["direction"] != "asc"
+                    or f["null-order"] != "nulls-first"
+                ):
+                    raise TableFormatError(
+                        f"write.sort-order declares the bucket key "
+                        f"{sbf.source_column!r} as "
+                        f"{f['direction']} {f['null-order']}, but the "
+                        "bucket layout's exchange-free join contract "
+                        "requires files led by the key ASC NULLS "
+                        "FIRST — drop the key from the declaration "
+                        "(it is implied) or drop the bucket layout"
+                    )
+                continue  # implied by the leading key
+            out.append(f)
+        return out
 
     def _bucket_sort_cols(self, sbf) -> list[str]:
         """The CLAIMABLE in-file sort of a bucket-layout write: the
@@ -3225,25 +3266,36 @@ class LakeTable:
                 # pre-manifest metadata: collect the stats pass the
                 # original commit predates (footer-priced, once)
                 union.extend(self._collect_manifest(s.data_dir))
-        seq = int(self.meta.get("last_sequence_number", 0)) + 1
-        self.meta["last_sequence_number"] = seq
-        snap = Snapshot(
-            snapshot_id=uuid.uuid4().hex[:16],
-            timestamp_ms=int(time.time() * 1000),
-            operation="replace",
-            schema_version=int(self.meta["current_schema_version"]),
-            spec_id=int(self.meta["current_spec_id"]),
-            data_dir="",
-            sequence_number=seq,
-            files=union,
-            source_snapshots=[s.snapshot_id for s in live],
-        )
-        self.meta.setdefault("snapshot_history", []).extend(
-            self.meta["snapshots"]
-        )
-        self.meta["snapshots"] = [snap.to_json()]
-        self._commit()
-        return snap
+        import copy  # noqa: PLC0415
+
+        # same poisoned-handle guard as compact_position_deletes: a
+        # failed commit must not leave the in-memory handle carrying a
+        # phantom fold a retry (or the next unrelated commit) would
+        # publish on top of (r13 review finding)
+        backup = copy.deepcopy(self.meta)
+        try:
+            seq = int(self.meta.get("last_sequence_number", 0)) + 1
+            self.meta["last_sequence_number"] = seq
+            snap = Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                timestamp_ms=int(time.time() * 1000),
+                operation="replace",
+                schema_version=int(self.meta["current_schema_version"]),
+                spec_id=int(self.meta["current_spec_id"]),
+                data_dir="",
+                sequence_number=seq,
+                files=union,
+                source_snapshots=[s.snapshot_id for s in live],
+            )
+            self.meta.setdefault("snapshot_history", []).extend(
+                self.meta["snapshots"]
+            )
+            self.meta["snapshots"] = [snap.to_json()]
+            self._commit()
+            return snap
+        except Exception:
+            self.meta = backup
+            raise
 
     def add_files(self, source_dir: "str | Path") -> Snapshot:
         """Iceberg ``system.add_files`` analog: import EXISTING
@@ -3332,22 +3384,34 @@ class LakeTable:
         dst.mkdir(parents=True)
         for i, p in enumerate(files):
             shutil.copy2(p, dst / f"imported-{i:05d}-{p.name}")
-        snap_id = rel.rsplit("snap-", 1)[1]
-        seq = int(self.meta.get("last_sequence_number", 0)) + 1
-        self.meta["last_sequence_number"] = seq
-        snap = Snapshot(
-            snapshot_id=snap_id,
-            timestamp_ms=int(time.time() * 1000),
-            operation="append",
-            schema_version=int(self.meta["current_schema_version"]),
-            spec_id=int(self.meta["current_spec_id"]),
-            data_dir=rel,
-            sequence_number=seq,
-            files=self._collect_manifest(rel),
-        )
-        self.meta["snapshots"].append(snap.to_json())
-        self._commit()
-        return snap
+        import copy  # noqa: PLC0415
+
+        # poisoned-handle guard (same as compact_position_deletes): a
+        # failed commit must revert the in-memory snapshot append, or
+        # an add_files retry would publish the phantom AND the retry's
+        # copy — double-importing every row. The copied dir becomes an
+        # orphan remove_orphan_files reaps (r13 review finding).
+        backup = copy.deepcopy(self.meta)
+        try:
+            snap_id = rel.rsplit("snap-", 1)[1]
+            seq = int(self.meta.get("last_sequence_number", 0)) + 1
+            self.meta["last_sequence_number"] = seq
+            snap = Snapshot(
+                snapshot_id=snap_id,
+                timestamp_ms=int(time.time() * 1000),
+                operation="append",
+                schema_version=int(self.meta["current_schema_version"]),
+                spec_id=int(self.meta["current_spec_id"]),
+                data_dir=rel,
+                sequence_number=seq,
+                files=self._collect_manifest(rel),
+            )
+            self.meta["snapshots"].append(snap.to_json())
+            self._commit()
+            return snap
+        except Exception:
+            self.meta = backup
+            raise
 
     # -- snapshot tags (Iceberg refs, tag type) ----------------------------
 

@@ -281,3 +281,97 @@ def test_rewrite_manifests_capped_stream_walks_over_fold(spark, wh):
     # exactly the two new appends; nothing from the fold re-delivered
     assert len(new) == 2, new
     assert not (set(new) & set(seen))
+
+def test_rewrite_manifests_capped_fresh_stream_chunks_base(spark, wh):
+    """r13 review finding: a FRESH capped distributed stream whose
+    base snapshot is a manifest rewrite must chunk the fold under the
+    cap — the grant-less speculation used to hand the entire union to
+    one uncapped batch. The grant rides the instance's own
+    initialOffset (the engine calls it only for genuinely new
+    streams), so chunk ends carry it and restarts resume mid-fold."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.streaming.lake_source import (
+        LakeStreamReader,
+        _META_FIELDS,
+    )
+
+    t = _appended_table(spark, wh, n_appends=4)  # 4 single-file appends
+    t.rewrite_manifests()  # fold: 4-file union, seq 5
+    stream_schema = T.StructType(list(t.schema.fields) + _META_FIELDS)
+    r = LakeStreamReader(str(t.location), stream_schema, max_files=2)
+    prev = r.initialOffset()
+    assert prev.get("base") == 5
+    batches: list[int] = []
+    seen: set[str] = set()
+    for _ in range(5):
+        end = r.latestOffset()
+        parts = r.partitions(prev, end)
+        if parts:
+            batches.append(len(parts))
+            seen.update(p.file_path for p in parts)
+        r.commit(end)
+        if r._pos(end) == r._pos(prev):
+            break
+        prev = end
+    # the cap held on EVERY batch and the fold fully delivered
+    assert batches == [2, 2], batches
+    assert len(seen) == 4
+    # restart mid-fold: the checkpointed chunk end carries the grant,
+    # so a fresh instance resumes without data loss or duplicates
+    r2 = LakeStreamReader(str(t.location), stream_schema, max_files=2)
+    ckpt = {"seq": 5, "file": 2, "base": 5}  # batch-1 end, WAL-replayed
+    end2 = r2.latestOffset()  # restarted: no initialOffset call
+    parts2 = r2.partitions(ckpt, end2)
+    r2.commit(end2)
+    got = {p.file_path for p in parts2}
+    if not got:  # clamped bootstrap batch: converge next round
+        end3 = r2.latestOffset()
+        got = {p.file_path for p in r2.partitions(end2, end3)}
+    assert len(got) == 2 and got < seen  # exactly the remaining half
+    # a RESTARTED pre-fold consumer must get NOTHING from the fold
+    r3 = LakeStreamReader(str(t.location), stream_schema, max_files=2)
+    ckpt3 = {"seq": 4}  # consumed all four appends pre-fold
+    delivered: list[str] = []
+    prev3 = ckpt3
+    for _ in range(6):
+        e = r3.latestOffset()
+        delivered += [p.file_path for p in r3.partitions(prev3, e)]
+        r3.commit(e)
+        if r3._pos(e) == r3._pos(prev3):
+            break
+        prev3 = e
+    assert delivered == [], delivered
+
+def test_add_files_and_fold_revert_on_failed_commit(spark, wh):
+    """r13 review finding: add_files and rewrite_manifests must revert
+    the in-memory handle when the metadata commit fails — a retry on a
+    poisoned handle would publish the phantom snapshot AND the retry's,
+    double-importing every row."""
+    t = _appended_table(spark, wh, n_appends=3)
+    src = wh + "_src"
+    _src(spark, 900, 950).coalesce(1).write.parquet(src)
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated commit failure")
+
+    orig = t._commit
+    t._commit = _boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            t.add_files(src)
+        with pytest.raises(RuntimeError, match="simulated"):
+            t.rewrite_manifests()
+    finally:
+        t._commit = orig
+    # handle clean: 3 live appends, original sequence number
+    assert len(t.snapshots) == 3
+    assert int(t.meta["last_sequence_number"]) == 3
+    # the retry imports exactly once
+    snap = t.add_files(src)
+    assert t.to_df(spark).count() == 350
+    assert t.to_df(spark).filter("k >= 900").count() == 50
+    # the orphaned first-attempt dir is reapable, the committed one not
+    orphans = t.remove_orphan_files()
+    assert len(orphans) == 1 and snap.data_dir not in orphans
+    assert t.to_df(spark).count() == 350

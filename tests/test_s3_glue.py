@@ -926,3 +926,39 @@ def test_glue_rename_table_preserves_snapshots(spark, tmp_path, glue_s3):
     # (addressed by its PATH name — the dir kept the original name)
     with pytest.raises(TableFormatError, match="catalog-of-record"):
         cat._inner.rename_table("db", "orig", "db", "elsewhere")
+
+def test_glue_drop_and_recreate_after_rename(spark, tmp_path, glue_s3):
+    """r13 review finding: after a rename keeps the location fixed,
+    drop_table must delete the REGISTERED location (deleting the
+    name-derived dir would orphan every byte of the table), and the
+    old name must be re-creatable (a unique location is minted when
+    the name-derived dir is still occupied by the renamed table)."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "a", SCHEMA)
+    t.append(spark.range(0, 7).select(F.col("id"), F.lit("x").alias("v")))
+    old_loc = str(t.location)
+    cat.rename_table("db", "a", "db", "b")
+
+    # re-creating the renamed-away name mints a fresh location and
+    # does NOT disturb the renamed table
+    t_a2 = cat.create_table("db", "a", SCHEMA)
+    assert str(t_a2.location) != old_loc
+    t_a2.append(spark.range(0, 3).select(F.col("id"), F.lit("y").alias("v")))
+    assert cat.load_table("db", "a").to_df(spark).count() == 3
+    assert cat.load_table("db", "b").to_df(spark).count() == 7
+
+    # dropping the renamed table deletes its REGISTERED location...
+    cat.drop_table("db", "b")
+    assert not cat.table_exists("db", "b")
+    assert not cat.io.exists(old_loc + "/_meta/version-hint.text")
+    # ...and the re-created 'a' is untouched
+    assert cat.load_table("db", "a").to_df(spark).count() == 3

@@ -1081,3 +1081,36 @@ def test_bucket_sort_full_vocabulary_physical_order(spark, wh):
     )
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 0, plan[:2000]
+
+def test_bucket_key_desc_declaration_raises(spark, wh):
+    """r13 review finding: a DESC / nulls-last identity declaration ON
+    the bucket key conflicts with the layout's key-asc-leading file
+    contract — it must raise at declaration time, never be silently
+    dropped while metadata/export claim it."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        PartitionField,
+        PartitionSpec,
+    )
+
+    df = _source(spark, 100)
+    cat = LakeCatalog(wh)
+    spec = PartitionSpec([PartitionField("k", "bucket[4]", "kb", 1000)])
+    with pytest.raises(TableFormatError, match="ASC NULLS"):
+        cat.create_table(
+            "d", "bad", df.schema, partition_spec=spec,
+            properties={"write.bucket-layout": "spark",
+                        "write.sort-order": "k DESC"},
+        )
+    with pytest.raises(TableFormatError, match="ASC NULLS"):
+        cat.create_table(
+            "d", "bad2", df.schema, partition_spec=spec,
+            properties={"write.bucket-layout": "spark",
+                        "write.sort-order": "g, k NULLS LAST"},
+        )
+    # plain asc key (redundant but harmless) still composes
+    t = cat.create_table(
+        "d", "ok", df.schema, partition_spec=spec,
+        properties={"write.bucket-layout": "spark",
+                    "write.sort-order": "k, g"},
+    )
+    assert t._bucket_sort_cols(t._spark_bucket_field()) == ["k", "g"]
