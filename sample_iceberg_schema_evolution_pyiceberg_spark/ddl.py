@@ -32,6 +32,7 @@ array-element structs, matching schema_diff path addressing):
     ALTER TABLE db.tbl CREATE TAG name [AS OF VERSION 'snapshot-id']
     ALTER TABLE db.tbl DROP TAG name
     ALTER TABLE db.tbl CREATE BRANCH name | DROP BRANCH name
+    TRUNCATE TABLE db.tbl
     DROP TABLE [IF EXISTS] db.tbl
     INSERT INTO | OVERWRITE db.tbl <select | VALUES ...>
     DELETE FROM db.tbl WHERE <cond>
@@ -225,6 +226,10 @@ _CTAS_RE = re.compile(
     r"AS\s+(?P<body>(?:SELECT|WITH|VALUES)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_TRUNCATE_RE = re.compile(
+    r"^TRUNCATE\s+TABLE\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
 _DELETE_RE = re.compile(
     r"^DELETE\s+FROM\s+(?P<db>[A-Za-z_]\w*)\.(?P<tbl>[A-Za-z_]\w*)\s+"
     r"WHERE\s+(?P<cond>.+)$",
@@ -355,6 +360,8 @@ class DdlFrontend:
             self._alter(m, resp)
         elif m := _INSERT_RE.match(stmt):
             self._insert(m, resp)
+        elif m := _TRUNCATE_RE.match(stmt):
+            self._truncate(m, resp)
         elif m := _DELETE_RE.match(stmt):
             self._delete(m, resp)
         elif m := _UPDATE_RE.match(stmt):
@@ -633,6 +640,19 @@ class DdlFrontend:
                 "'merge-on-read'"
             )
         return "merge_on_read" if mode == "merge-on-read" else "copy_on_write"
+
+    def _truncate(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
+        """``TRUNCATE TABLE db.t`` (Spark/Iceberg verb): one overwrite
+        commit with an empty frame — the schema, partition spec,
+        properties, and full time-travel history all survive (a
+        truncate is a data operation, not a drop)."""
+        table = self._load_for_dml(m, resp, "TRUNCATE")
+        empty = self.spark.createDataFrame([], table.schema)
+        snap = table.overwrite(empty)
+        resp.message_list.append(
+            f"Truncated {m.group('db')}.{m.group('tbl')} "
+            f"(snapshot {snap.snapshot_id}; history retained)"
+        )
 
     def _delete(self, m: re.Match, resp: ProcessSchemaResponse) -> None:
         table = self._load_for_dml(m, resp, "DELETE")

@@ -77,9 +77,12 @@ _PRIORITY = [
     "c22_chunk_overlap", "c33_dup_span_removal",
     "s10_stream_lake_replication",
     # --- driver window boundary (50) ---
-    # Out-of-window: everything else carries r11/r12 evidence.
-    # Full-registry local sweeps cover the gaps between driver
-    # windows (SURVEY §5.8).
+    # Out-of-window: everything else carries r11/r12 evidence, plus
+    # the two r13-late additions c34_semantic_dedup_cells and
+    # c35_bigram_lm_score (oracle-green in the local sweep; FIRST in
+    # the r14 rotation as the only never-gated keys). Full-registry
+    # local sweeps cover the gaps between driver windows (SURVEY
+    # §5.8).
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,

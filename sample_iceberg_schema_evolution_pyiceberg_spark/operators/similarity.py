@@ -496,3 +496,94 @@ def c06e_ann_ivf_verified_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(20)
     )
+
+@query(
+    "c34_semantic_dedup_cells",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+      WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT e.vec_id, s.seed_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY LIST_COSINE_SIMILARITY(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(s.sv AS DOUBLE[])) DESC, s.seed_id) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    cells AS (
+      SELECT vec_id, seed_id AS cell FROM assign WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a
+      JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+            CAST(eb.embedding AS DOUBLE[])) >= 0.3
+    )
+    SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+    FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+    """,
+)
+def c34_semantic_dedup_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): assign every
+    embedding to its nearest of K centroids, then drop, WITHIN each
+    cell only, every vector with a smaller-id cell-mate above the
+    cosine threshold (keep-first — the deterministic keeper rule c21
+    also uses). The cell gate is the whole point at scale: pairwise
+    work is quadratic in CELL size, never in corpus size, and the
+    per-cell joins shuffle on the cell key exactly like the IVF probe
+    (c06c shares the layout).
+
+    Centroids here are the first K=8 vectors by id — DETERMINISTIC
+    seeding, so the full pipeline (assignment argmax, cell gate,
+    threshold, keeper rule) is hash-checkable against the DuckDB
+    oracle, the same pattern that made the IVF probe gateable (c06e).
+    The production variant swaps in train_ivf_codebook's k-means
+    centroids (c06d) with identical plumbing: a broadcast k x dim
+    matmul for assignment, cell-partitioned self-joins after.
+    Threshold 0.3 matches c13 (calibrated to the synthetic
+    embeddings' cosine range)."""
+    K, TAU = 8, 0.3
+    e = t(spark, sf, "embeddings")
+    seeds = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("seed_id")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("cs", cosine(F.col("embedding"), F.col("sv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"), "embedding")
+    )
+    a = cells.select(
+        F.col("vec_id").alias("va"), "cell", F.col("embedding").alias("ea")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"), "cell", F.col("embedding").alias("eb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1408,3 +1408,92 @@ def c33_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     doc but the cluster minimum; partial overlaps lose interior spans
     only."""
     return remove_duplicate_spans(t(spark, sf, "documents"))
+
+@query(
+    "c35_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws, UNNEST(RANGE(1, LEN(ws))) AS i FROM toks)
+      WHERE LEN(ws) >= 2
+    ),
+    prefix_counts AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ),
+    bigram_counts AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(1000 * LOG2(CAST(p.c1 AS DOUBLE) / bc.c2), 0)
+               AS BIGINT) AS millibits
+      FROM big b
+      JOIN prefix_counts p ON p.w1 = b.w1
+      JOIN bigram_counts bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(millibits) AS BIGINT) AS total_millibits,
+           ROUND(CAST(SUM(millibits) AS DOUBLE) / (1000 * COUNT(*)), 3)
+             AS bits_per_bigram
+    FROM scored GROUP BY doc_id
+    """,
+)
+def c35_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style language-model QUALITY score: per-document average
+    bigram surprisal, -avg log2 P(w2|w1), under a bigram model trained
+    on the corpus itself (self-scoring — the standard trick for
+    flagging boilerplate/garbage outliers without shipping an external
+    LM; every observed bigram has count >= 1, so no smoothing term).
+
+    Determinism across engines: per-bigram surprisal is rounded to
+    integer MILLI-bits before the per-document aggregation, so the
+    reduction is an exact integer sum (float sums are order-sensitive;
+    ulp differences between libm and the JVM's log are 1e-16-scale,
+    twelve orders below the rounding grain). Same construction as the
+    b12 fixed-point kernel.
+
+    100 TB shape: two token-keyed aggregations build the model (the
+    same shuffles c15's TF-IDF pays), one join streams counts back
+    onto the exploded bigrams — model size is vocabulary-sized, not
+    corpus-sized, and nothing rides the driver. Tokenization is the
+    repo-standard STR_SPLIT(LOWER(text), ' ') (c04/c07 share it)."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] as w1, ws[i + 1] as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    prefix = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bigrams = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        big.join(prefix, "w1")
+        .join(bigrams, ["w1", "w2"])
+        .withColumn(
+            "millibits",
+            F.round(
+                1000
+                * F.log2(F.col("c1").cast("double") / F.col("c2")),
+                0,
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("millibits").alias("total_millibits"),
+        F.round(
+            F.sum("millibits").cast("double")
+            / (1000 * F.count(F.lit(1))),
+            3,
+        ).alias("bits_per_bigram"),
+    )

@@ -995,3 +995,22 @@ def test_alter_table_rename_to(spark, ddl):
     # appends keep working after the move
     ddl.sql("INSERT INTO d2.near VALUES (4, 'd')")
     assert ddl.catalog.load_table("d2", "near").to_df(spark).count() == 4
+
+def test_truncate_table(spark, ddl):
+    """TRUNCATE TABLE: one overwrite commit with an empty frame —
+    schema/spec/properties survive, time travel reaches the pre-
+    truncate state, and appends resume normally."""
+    ddl.sql("CREATE TABLE d.tr (k BIGINT, v STRING)")
+    ddl.sql("INSERT INTO d.tr VALUES (1, 'a'), (2, 'b')")
+    t = ddl.catalog.load_table("d", "tr")
+    pre = t.snapshots[-1].snapshot_id
+    r = ddl.sql("TRUNCATE TABLE d.tr")
+    assert not r.has_error, r.message_list
+    t = ddl.catalog.load_table("d", "tr")
+    assert t.to_df(spark).count() == 0
+    assert [f.name for f in t.schema.fields] == ["k", "v"]
+    assert t.to_df(spark, as_of_snapshot=pre).count() == 2
+    ddl.sql("INSERT INTO d.tr VALUES (3, 'c')")
+    assert ddl.catalog.load_table("d", "tr").to_df(spark).count() == 1
+    r = ddl.sql("TRUNCATE TABLE d.gone")
+    assert r.has_error
