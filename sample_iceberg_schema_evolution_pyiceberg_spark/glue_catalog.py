@@ -253,6 +253,40 @@ class GlueLakeCatalog:
         self._attach(t, database, table)
         return t
 
+    def _location_shared(
+        self, database: str, table: str, entry: dict
+    ) -> bool:
+        """True when another Glue entry references the same storage
+        location or metadata pointer as ``entry``. The only way two
+        entries share a location is a crashed rename (create of the
+        new name succeeded, delete of the old one didn't), so this
+        scan normally finds nothing; it is what makes dropping the
+        stale half of a crashed rename safe (r13 ADVICE: deleting the
+        shared location would destroy the LIVE renamed table)."""
+        loc = (entry.get("StorageDescriptor") or {}).get("Location")
+        ptr = (entry.get("Parameters") or {}).get("metadata_location")
+        for dpage in self.glue.get_paginator("get_databases").paginate():
+            for db in dpage["DatabaseList"]:
+                pages = self.glue.get_paginator("get_tables").paginate(
+                    DatabaseName=db["Name"]
+                )
+                for tpage in pages:
+                    for other in tpage["TableList"]:
+                        if (
+                            db["Name"] == database
+                            and other["Name"] == table
+                        ):
+                            continue
+                        oloc = (
+                            other.get("StorageDescriptor") or {}
+                        ).get("Location")
+                        optr = (other.get("Parameters") or {}).get(
+                            "metadata_location"
+                        )
+                        if (loc and oloc == loc) or (ptr and optr == ptr):
+                            return True
+        return False
+
     def drop_table(self, database: str, table: str) -> None:
         from botocore.exceptions import ClientError  # noqa: PLC0415
 
@@ -264,11 +298,21 @@ class GlueLakeCatalog:
         loc = ((entry or {}).get("StorageDescriptor") or {}).get(
             "Location"
         )
+        # crashed-rename recovery (r13 ADVICE): when ANOTHER entry
+        # still points at this location/metadata, this entry is the
+        # stale half of an interrupted rename — drop catalog-only so
+        # the live twin keeps its data
+        catalog_only = (
+            entry is not None
+            and self._location_shared(database, table, entry)
+        )
         try:
             self.glue.delete_table(DatabaseName=database, Name=table)
         except ClientError as e:
             if e.response["Error"]["Code"] != "EntityNotFoundException":
                 raise
+        if catalog_only:
+            return
         if loc:
             self.io.delete_recursive(loc)
         else:
@@ -288,11 +332,14 @@ class GlueLakeCatalog:
         LOCATION never changes; not a byte of data or metadata moves,
         so snapshots/time travel/branches are trivially preserved).
         The create-then-delete pair is not transactional in Glue; the
-        crash window leaves BOTH names pointing at the same metadata
-        (re-running the rename, or dropping the stale old entry,
-        converges — the pointer CAS on later commits publishes through
-        whichever entry the writer loaded). A trailing identifier
-        commit refreshes ``meta['identifier']`` under the new name."""
+        crash window leaves BOTH names pointing at the same metadata.
+        Re-running the rename converges (the target entry carrying the
+        source's metadata pointer is recognized as OUR half-finished
+        rename: the stale source entry is deleted catalog-only and the
+        renamed handle returned); ``drop_table`` on the stale old name
+        also converges (the shared-location scan makes it catalog-only,
+        r13 ADVICE). A trailing identifier commit refreshes
+        ``meta['identifier']`` under the new name."""
         from botocore.exceptions import ClientError  # noqa: PLC0415
 
         entry = self._get_entry(database, table)
@@ -300,13 +347,47 @@ class GlueLakeCatalog:
             raise TableFormatError(
                 f"table {database}.{table} does not exist (glue)"
             )
-        if self.table_exists(new_database, new_table):
+        target = self._get_entry(new_database, new_table)
+        if target is not None:
+            src_ptr = (entry.get("Parameters") or {}).get(
+                "metadata_location"
+            )
+            tgt_ptr = (target.get("Parameters") or {}).get(
+                "metadata_location"
+            )
+            if src_ptr and src_ptr == tgt_ptr:
+                # retry of a crashed rename: the target IS this table
+                # under its new name — finish the job by removing the
+                # stale source entry (catalog-only: the location is
+                # shared, the live twin keeps its bytes)
+                try:
+                    self.glue.delete_table(
+                        DatabaseName=database, Name=table
+                    )
+                except ClientError as e:
+                    code = e.response["Error"]["Code"]
+                    if code != "EntityNotFoundException":
+                        raise
+                t = self.load_table(new_database, new_table)
+                t.meta["identifier"] = f"{new_database}.{new_table}"
+                t._commit()
+                return t
             raise TableFormatError(
                 f"table {new_database}.{new_table} already exists (glue)"
             )
         self.create_namespace_if_not_exists(new_database)
         ti = _table_input_from_entry(entry)
         ti["Name"] = new_table
+        # legacy entries registered before locations were recorded have
+        # no StorageDescriptor.Location; copying that absence would
+        # make the renamed entry fall back to the NEW name-derived dir
+        # (which holds nothing). Backfill from the OLD name-derived dir
+        # — the fallback the source entry was readable through
+        # (r13 ADVICE).
+        if not (ti.get("StorageDescriptor") or {}).get("Location"):
+            sd = dict(ti.get("StorageDescriptor") or {})
+            sd["Location"] = str(self._inner._table_dir(database, table))
+            ti["StorageDescriptor"] = sd
         try:
             self.glue.create_table(
                 DatabaseName=new_database, TableInput=ti

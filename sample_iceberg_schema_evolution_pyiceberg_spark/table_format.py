@@ -2074,6 +2074,17 @@ class LakeTable:
                 F.hash(F.col(sbf.source_column)), F.lit(sbf.param)
             )
             pre = aligned.repartition(sbf.param, bucket_expr)
+            # CONCURRENCY HAZARD (r13 ADVICE, documented not guarded):
+            # the planned-write toggle below is session-global. A
+            # concurrent write on the same SparkSession between set
+            # and restore would run with the wrong planned-write mode,
+            # and the finally-restore can clobber an overlapping
+            # writer's setting. Safe under this engine's documented
+            # single-threaded-runner assumption (one driver thread per
+            # session — the same assumption the CacheManager keying
+            # and temp-view DDL already rely on); if concurrent
+            # same-session writes ever become supported, scope the
+            # toggle via spark.newSession() or a session-level lock.
             planned_conf = "spark.sql.optimizer.plannedWrite.enabled"
             planned_prior = spark.conf.get(planned_conf, "true")
             if rich:
@@ -3344,7 +3355,21 @@ class LakeTable:
             file_schema = from_arrow_schema(
                 pq.read_schema(p), prefer_timestamp_ntz=True
             )
-            for path, leaf in flatten(file_schema).items():
+            file_leaves = flatten(file_schema)
+            # reverse check (r13 ADVICE): a file missing a NOT NULL
+            # table column would import fine and null-fill at scan
+            # time — silently violating the column's nullability
+            # contract. Mirror the extra-column loud refusal.
+            for path, want in table_leaves.items():
+                if want.required and path not in file_leaves:
+                    raise TableFormatError(
+                        f"add_files: {p.name} lacks column {path!r} "
+                        "which the table declares NOT NULL — the scan "
+                        "would null-fill it, violating the nullability "
+                        "contract (make the column nullable first, or "
+                        "backfill the files)"
+                    )
+            for path, leaf in file_leaves.items():
                 want = table_leaves.get(path)
                 if want is None:
                     raise TableFormatError(

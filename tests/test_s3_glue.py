@@ -962,3 +962,118 @@ def test_glue_drop_and_recreate_after_rename(spark, tmp_path, glue_s3):
     assert not cat.io.exists(old_loc + "/_meta/version-hint.text")
     # ...and the re-created 'a' is untouched
     assert cat.load_table("db", "a").to_df(spark).count() == 3
+
+
+def _crash_rename(glue, database, table, new_table):
+    """Replicate rename_table's crash window: the create of the new
+    entry succeeded, the delete of the old one did not — both names
+    point at the same metadata/location."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        _table_input_from_entry,
+    )
+
+    entry = glue.get_table(DatabaseName=database, Name=table)["Table"]
+    ti = _table_input_from_entry(entry)
+    ti["Name"] = new_table
+    glue.create_table(DatabaseName=database, TableInput=ti)
+
+
+def test_glue_rename_retry_converges_after_crash(spark, tmp_path, glue_s3):
+    """r13 ADVICE (medium): re-running a rename whose first attempt
+    crashed between create and delete must CONVERGE (recognize the
+    target entry carrying the source's pointer as our half-finished
+    rename and just drop the stale source entry) — not raise 'already
+    exists'."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        TableFormatError,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "src", SCHEMA)
+    t.append(spark.range(0, 6).select(F.col("id"), F.lit("x").alias("v")))
+    _crash_rename(glue, "db", "src", "dst")
+
+    t2 = cat.rename_table("db", "src", "db", "dst")  # the retry
+    assert not cat.table_exists("db", "src")
+    assert cat.table_exists("db", "dst")
+    assert t2.meta["identifier"] == "db.dst"
+    assert t2.to_df(spark).count() == 6
+    # a genuinely DIFFERENT existing target still refuses
+    cat.create_table("db", "other", SCHEMA)
+    cat.create_table("db", "blocker", SCHEMA)
+    with pytest.raises(TableFormatError, match="already exists"):
+        cat.rename_table("db", "other", "db", "blocker")
+
+
+def test_glue_drop_of_stale_rename_twin_is_catalog_only(
+    spark, tmp_path, glue_s3
+):
+    """r13 ADVICE (medium): after a crashed rename both names share
+    one location; dropping the STALE old entry must delete the
+    catalog entry only — delete_recursive on the shared location
+    would destroy the live renamed table's data and metadata."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "src", SCHEMA)
+    t.append(spark.range(0, 4).select(F.col("id"), F.lit("x").alias("v")))
+    _crash_rename(glue, "db", "src", "dst")
+
+    cat.drop_table("db", "src")  # the documented recovery
+    assert not cat.table_exists("db", "src")
+    # the live twin keeps its bytes and stays readable
+    live = cat.load_table("db", "dst")
+    assert live is not None
+    assert live.to_df(spark).count() == 4
+    # a NON-shared drop still reclaims storage
+    loc = str(live.location)
+    cat.drop_table("db", "dst")
+    assert not cat.io.exists(loc + "/_meta/version-hint.text")
+
+
+def test_glue_rename_backfills_missing_location(spark, tmp_path, glue_s3):
+    """r13 ADVICE (low): renaming a legacy entry that has no
+    StorageDescriptor.Location must backfill it from the OLD
+    name-derived dir — otherwise the renamed entry would fall back to
+    the NEW name-derived dir, which holds nothing."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+        _table_input_from_entry,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "legacy", SCHEMA)
+    t.append(spark.range(0, 5).select(F.col("id"), F.lit("x").alias("v")))
+    old_dir = str(t.location)
+    # strip the StorageDescriptor the way a pre-location registration
+    # would look
+    entry = glue.get_table(DatabaseName="db", Name="legacy")["Table"]
+    ti = _table_input_from_entry(entry)
+    ti.pop("StorageDescriptor", None)
+    glue.update_table(DatabaseName="db", TableInput=ti)
+
+    t2 = cat.rename_table("db", "legacy", "db", "moved")
+    entry = glue.get_table(DatabaseName="db", Name="moved")["Table"]
+    assert entry["StorageDescriptor"]["Location"] == old_dir
+    assert str(t2.location) == old_dir
+    assert t2.to_df(spark).count() == 5

@@ -1409,3 +1409,39 @@ def test_add_files_imports_without_rewrite(spark, tmp_path):
     assert not r.has_error, r.message_list
     assert "imported 1 file(s)" in r.message_list[-1]
     assert cat.load_table("d", "imp").to_df(spark).count() == 118
+
+
+def test_add_files_refuses_missing_not_null_column(spark, tmp_path):
+    """r13 ADVICE: a file missing a NOT NULL table column must be
+    refused at footer validation (importing it would null-fill the
+    column at scan time, silently violating the nullability
+    contract); the same file imports fine once the column is
+    nullable."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    src = tmp_path / "src"
+    spark.range(3).selectExpr("id as k").write.parquet(str(src))
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    strict = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), False),  # NOT NULL, absent
+    ])
+    t = cat.create_table("d", "strict", strict)
+    with _pytest.raises(TableFormatError, match="NOT NULL"):
+        t.add_files(src)
+    assert t.snapshots == []  # nothing committed, nothing copied
+    relaxed = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ])
+    t2 = cat.create_table("d", "relaxed", relaxed)
+    snap = t2.add_files(src)
+    assert snap is not None
+    out = t2.to_df(spark)
+    assert out.count() == 3 and out.filter("v IS NULL").count() == 3
