@@ -547,7 +547,20 @@ def c34_semantic_dedup_cells(spark: SparkSession, sf: str) -> DataFrame:
     centroids (c06d) with identical plumbing: a broadcast k x dim
     matmul for assignment, cell-partitioned self-joins after.
     Threshold 0.3 matches c13 (calibrated to the synthetic
-    embeddings' cosine range)."""
+    embeddings' cosine range).
+
+    Degenerate-codebook guard (r13 VERDICT item 2): pair work is
+    quadratic in CELL size, and nothing in the assignment stops one
+    cell from swallowing the corpus (a codebook whose other centroids
+    sit in empty space). ``_cell_chunks`` bounds it: cells are
+    sub-chunked to at most ``C34_MAX_CELL_SIZE`` vectors (contiguous
+    vec_id ranks, so keep-first stays deterministic) and pairs only
+    form within a chunk — worst-case pair work drops from n^2 to
+    n * C34_MAX_CELL_SIZE. Cross-chunk pairs are skipped, the same
+    recall-for-boundedness trade LSH banding (c02) and the c04 DF cap
+    already make; under the cap the chunk id is 0 everywhere and the
+    semantics (and the sf0.01 gate hash) are bit-identical to the
+    unchunked join."""
     K, TAU = 8, 0.3
     e = t(spark, sf, "embeddings")
     seeds = e.filter(F.col("vec_id") < K).select(
@@ -565,15 +578,8 @@ def c34_semantic_dedup_cells(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("seed_id").alias("cell"), "embedding")
     )
-    a = cells.select(
-        F.col("vec_id").alias("va"), "cell", F.col("embedding").alias("ea")
-    )
-    b = cells.select(
-        F.col("vec_id").alias("vb"), "cell", F.col("embedding").alias("eb")
-    )
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("va") < F.col("vb"))
+        _c34_pair_candidates(cells)
         .filter(cosine(F.col("ea"), F.col("eb")) >= TAU)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
@@ -587,3 +593,38 @@ def c34_semantic_dedup_cells(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# Per-cell pair-work bound for c34 (r13 VERDICT item 2). Same blowup
+# class C04_MAX_GRAM_DF caps for the gram join (dedup.py): one
+# degenerate cell makes the within-cell self-join quadratic in corpus
+# size. 4096 keeps a worst chunk at ~16.8M candidate pairs (seconds of
+# executor work); every gate/sweep scale (<=2000 vectors total) sits
+# far under it, so the guard is inert where hashes are pinned.
+C34_MAX_CELL_SIZE = 4096
+
+
+def _c34_pair_candidates(cells: DataFrame) -> DataFrame:
+    """Within-cell candidate pairs (va < vb), bounded: each cell is
+    chunked into contiguous-by-vec_id runs of at most
+    ``C34_MAX_CELL_SIZE`` and the self-join keys on (cell, chunk).
+    The rank window shuffles on the cell key once — the same exchange
+    the join itself needs, so under the cap the plan cost is the sort,
+    not an extra shuffle."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    wc = Window.partitionBy("cell").orderBy("vec_id")
+    chunked = cells.withColumn(
+        "chunk",
+        ((F.row_number().over(wc) - 1) / F.lit(C34_MAX_CELL_SIZE))
+        .cast("long"),
+    )
+    a = chunked.select(
+        F.col("vec_id").alias("va"), "cell", "chunk",
+        F.col("embedding").alias("ea"),
+    )
+    b = chunked.select(
+        F.col("vec_id").alias("vb"), "cell", "chunk",
+        F.col("embedding").alias("eb"),
+    )
+    return a.join(b, ["cell", "chunk"]).filter(F.col("va") < F.col("vb"))

@@ -432,3 +432,33 @@ def test_c35_bigram_lm_score_properties(spark):
     # corpus-wide average surprisal is meaningfully positive
     avg = out.agg(F.avg("bits_per_bigram")).first()[0]
     assert avg > 0.5, avg
+
+
+def test_c34_giant_cell_pair_work_is_bounded(spark, monkeypatch):
+    """r13 VERDICT item 2: a degenerate codebook (one cell swallowing
+    the corpus) must NOT make c34's within-cell join quadratic in
+    corpus size. With the cap at 10, 60 same-cell vectors form
+    6 chunks x C(10,2) = 270 candidate pairs, not C(60,2) = 1770;
+    with the cap above the cell size the candidates are exactly the
+    unchunked set (the guard is inert where gate hashes are pinned)."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators import (
+        similarity as sim,
+    )
+
+    cells = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("cell"),  # one giant cell
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float"))
+        .alias("embedding"),
+    )
+    monkeypatch.setattr(sim, "C34_MAX_CELL_SIZE", 10)
+    bounded = sim._c34_pair_candidates(cells)
+    assert bounded.count() == 6 * 45
+    # chunks are contiguous vec_id ranks: no pair spans a chunk edge
+    assert bounded.filter(
+        (F.col("va") / 10).cast("long") != (F.col("vb") / 10).cast("long")
+    ).count() == 0
+    monkeypatch.setattr(sim, "C34_MAX_CELL_SIZE", 4096)
+    assert sim._c34_pair_candidates(cells).count() == 60 * 59 // 2
