@@ -1497,3 +1497,249 @@ def c35_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
             3,
         ).alias("bits_per_bigram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c36: REAL byte-BPE tokenizer (r14, VERDICT r13 item 3) — train merge
+# ranks on the corpus, apply them, replacing c09's "BPE-ish" regex
+# proxy as the tokenizer-exact sizing query. Tier C by construction
+# (the reference has no read path, let alone a tokenizer).
+#
+# The cross-engine trick that makes BPE hash-gateable: a word's
+# segmentation is ONE delimited string — every token wrapped as
+# \x1e token \x1f — so applying a merge (l, r) is a plain
+# REPLACE(s, "\x1e l \x1f \x1e r \x1f", "\x1e lr \x1f"). Both Spark's
+# replace() and DuckDB's REPLACE scan left-to-right replacing
+# non-overlapping occurrences, which is EXACTLY BPE's simultaneous
+# leftmost-non-overlapping merge step ("aaaa" + (a,a) -> [aa][aa]).
+# The sentinels double as anchors: a pattern can only match where l is
+# a COMPLETE token followed by a complete r token, and because each
+# token carries its own open+close sentinel, consecutive matches share
+# no characters (four a's merge to [aa][aa], not [aa][a][a]).
+#
+# Scale shape: training runs on the WORD-FREQUENCY table (the standard
+# BPE trick — vocabulary-sized, not corpus-sized), one pair-count
+# aggregation per merge with a k=1 argmax pulled driver-side (model
+# parameters, same contract as train_ivf_codebook's k x dim pulls).
+# Application re-tokenizes each DISTINCT word once and joins the
+# per-word token count back onto the corpus — the corpus-sized side
+# shuffles once on the word key (or broadcasts when the vocab fits).
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+_BPE_TL = "\x1e"  # token-open sentinel
+_BPE_TR = "\x1f"  # token-close sentinel
+# words carrying C0 controls / unicode line separators are excluded
+# from the vocabulary: the sentinels must stay unambiguous, and Java's
+# '.' and RE2's '.' disagree on line terminators — dropping those
+# (synthetic-corpus-absent) words keeps the two engines' char
+# splitting provably identical
+_BPE_BAD_WORD_RE = r"[\x00-\x1f\x{0085}\x{2028}\x{2029}]"
+_BPE_BAD_WORD_RE_DUCK = r"[\x00-\x1f\x{0085}\x{2028}\x{2029}]"
+
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(w, wc) word-frequency table — repo-standard whitespace/lower
+    tokenization (c04/c07/c35 share it)."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter((F.col("w") != "") & ~F.col("w").rlike(_BPE_BAD_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def _bpe_seed(vocab: DataFrame) -> DataFrame:
+    """Character-level seed segmentation, wrapped in sentinels."""
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), F.lit(0))
+    return vocab.withColumn(
+        "s",
+        F.concat(
+            F.lit(_BPE_TL),
+            F.array_join(chars, _BPE_TR + _BPE_TL),
+            F.lit(_BPE_TR),
+        ),
+    )
+
+
+def _bpe_tokens(col) -> "F.Column":  # type: ignore[no-untyped-def]
+    """Token list of a wrapped segmentation string."""
+    return F.regexp_extract_all(
+        col, F.lit(f"{_BPE_TL}([^{_BPE_TR}]*){_BPE_TR}"), F.lit(1)
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame, n_merges: int = _BPE_N_MERGES
+) -> "tuple[list[dict], DataFrame]":
+    """Learn ``n_merges`` BPE merges on ``docs.text`` and return
+    ``(merges, seg)``: the ranked merge table (driver-side — it IS the
+    model, k rows) and the final per-word segmentation DataFrame
+    ``(w, wc, s)``. Ties break (count DESC, lhs, rhs) so the ranks are
+    deterministic and DuckDB-replayable. Stops early when no adjacent
+    pair remains (every word fully merged)."""
+    vocab = _bpe_vocab(docs).persist()
+    merges: list[dict] = []
+    seg = _bpe_seed(vocab)
+    try:
+        for rank in range(1, n_merges + 1):
+            toks = seg.select(
+                "wc", _bpe_tokens(F.col("s")).alias("ws")
+            ).filter(F.size("ws") >= 2)
+            pairs = (
+                toks.select(
+                    "wc",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(ws) - 2), "
+                            "i -> struct(ws[i] as l, ws[i + 1] as r))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(
+                    F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs")
+                )
+                .agg(F.sum("wc").alias("c"))
+            )
+            # model parameters: the argmax pair — ONE row per merge
+            best = (
+                pairs.orderBy(F.col("c").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            lhs, rhs, c = best[0].lhs, best[0].rhs, int(best[0].c)
+            merges.append(
+                {
+                    "rank": rank,
+                    "lhs": lhs,
+                    "rhs": rhs,
+                    "merged": lhs + rhs,
+                    "pair_count": c,
+                }
+            )
+            pat = _BPE_TL + lhs + _BPE_TR + _BPE_TL + rhs + _BPE_TR
+            rep = _BPE_TL + lhs + rhs + _BPE_TR
+            seg = seg.withColumn("s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
+    finally:
+        vocab.unpersist()
+    return merges, seg
+
+
+def _bpe_oracle_prefix(n_merges: int) -> str:
+    """The unrolled DuckDB replay of training: one (pairs -> argmax ->
+    REPLACE) CTE block per merge. Generated, not handwritten — the
+    recurrence is mechanical."""
+    tl, tr = "CHR(30)", "CHR(31)"
+    sql = f"""
+    WITH w0 AS (
+      SELECT w, COUNT(*) AS wc
+      FROM (SELECT UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+      WHERE w <> '' AND NOT REGEXP_MATCHES(w, '{_BPE_BAD_WORD_RE_DUCK}')
+      GROUP BY w
+    ),
+    seg0 AS (
+      SELECT w, wc,
+             {tl} || ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(w, '.'),
+                 {tr} || {tl}) || {tr} AS s
+      FROM w0
+    )"""
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        sql += f""",
+    toks{i} AS (
+      SELECT w, wc, STR_SPLIT(TRIM(s, {tl} || {tr}), {tr} || {tl}) AS ws, s
+      FROM seg{p}
+    ),
+    pairs{i} AS (
+      SELECT ws[j] AS lhs, ws[j+1] AS rhs, SUM(wc) AS c
+      FROM (SELECT wc, ws, UNNEST(RANGE(1, LEN(ws))) AS j FROM toks{i}
+            WHERE LEN(ws) >= 2)
+      GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT lhs, rhs, c, {i} AS rank FROM pairs{i}
+      ORDER BY c DESC, lhs, rhs LIMIT 1
+    ),
+    seg{i} AS (
+      SELECT t.w, t.wc,
+             COALESCE(REPLACE(t.s,
+                 {tl} || b.lhs || {tr} || {tl} || b.rhs || {tr},
+                 {tl} || b.lhs || b.rhs || {tr}), t.s) AS s
+      FROM toks{i} t LEFT JOIN best{i} b ON TRUE
+    )"""
+    return sql
+
+
+_C36_MERGES_ORACLE = _bpe_oracle_prefix(_BPE_N_MERGES) + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, lhs || rhs AS merged,
+           CAST(c AS BIGINT) AS pair_count
+    FROM ({" UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(1, _BPE_N_MERGES + 1))})
+    """
+
+
+@query("c36_bpe_train_merges", oracle=_C36_MERGES_ORACLE)
+def c36_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """The learned merge-rank table — BPE's entire model. Hash-gated:
+    DuckDB re-trains from scratch through the unrolled replay and must
+    land on the same 8 (lhs, rhs) pairs with the same counts in the
+    same order."""
+    merges, _ = train_bpe_merges(t(spark, sf, "documents"))
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+_C36B_APPLY_ORACLE = _bpe_oracle_prefix(_BPE_N_MERGES) + f"""
+    , perword AS (
+      SELECT w, LEN(STR_SPLIT(TRIM(s, CHR(30) || CHR(31)),
+                              CHR(31) || CHR(30))) AS n_toks
+      FROM seg{_BPE_N_MERGES}
+    ),
+    cw AS (
+      SELECT source, doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_toks) AS BIGINT) AS bpe_tokens
+    FROM cw JOIN perword USING (w)
+    GROUP BY source
+    """
+
+
+@query("c36b_bpe_apply_tokens", oracle=_C36B_APPLY_ORACLE)
+def c36b_bpe_apply_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-EXACT corpus sizing: apply the learned merges and
+    count real BPE tokens per source (supersedes c09's regex proxy
+    for sizing; c09 stays as the cheap first-pass estimate). Each
+    DISTINCT word is tokenized once on the vocabulary table; the
+    corpus joins to it on the word key — at 100 TB that is one
+    corpus shuffle (or none, when the vocab broadcasts)."""
+    docs = t(spark, sf, "documents")
+    _, seg = train_bpe_merges(docs)
+    per_word = seg.select(
+        "w", F.size(_bpe_tokens(F.col("s"))).alias("n_toks")
+    )
+    cw = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    return (
+        cw.join(per_word, "w")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("bpe_tokens"),
+        )
+    )

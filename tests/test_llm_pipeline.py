@@ -462,3 +462,47 @@ def test_c34_giant_cell_pair_work_is_bounded(spark, monkeypatch):
     ).count() == 0
     monkeypatch.setattr(sim, "C34_MAX_CELL_SIZE", 4096)
     assert sim._c34_pair_candidates(cells).count() == 60 * 59 // 2
+
+
+def test_c36_bpe_planted_merges(spark):
+    """Planted-merge pin (r13 VERDICT item 3): the classic BPE corpus
+    low/lower/lowest/newer/newest/wider/widest learns exactly
+    (l,o) -> (lo,w) -> (e,r) -> (e,s) under count-then-lexicographic
+    tie-breaking, and the leftmost-non-overlapping merge step is real:
+    'aaaa' under (a,a) becomes [aa][aa], never [aa][a][a]."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        _bpe_tokens,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "newer newest wider widest")],
+        "doc_id long, text string",
+    )
+    merges, seg = train_bpe_merges(docs, n_merges=4)
+    assert [(m["lhs"], m["rhs"]) for m in merges] == [
+        ("l", "o"), ("lo", "w"), ("e", "r"), ("e", "s"),
+    ]
+    assert [m["pair_count"] for m in merges] == [5, 5, 3, 3]
+    toks = {
+        r.w: r.ws
+        for r in seg.select("w", _bpe_tokens(F.col("s")).alias("ws")).collect()
+    }
+    assert toks["low"] == ["low"]
+    assert toks["lower"] == ["low", "er"]
+    assert toks["lowest"] == ["low", "es", "t"]
+    assert toks["newest"] == ["n", "e", "w", "es", "t"]
+
+    # overlap semantics: a run of four identical chars merges pairwise
+    aaaa = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    m2, seg2 = train_bpe_merges(aaaa, n_merges=1)
+    assert (m2[0]["lhs"], m2[0]["rhs"], m2[0]["pair_count"]) == ("a", "a", 3)
+    [row] = seg2.select(_bpe_tokens(F.col("s")).alias("ws")).collect()
+    assert row.ws == ["aa", "aa"]
+
+    # early stop: a fully-merged vocabulary yields no further merges
+    tiny = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m3, _ = train_bpe_merges(tiny, n_merges=5)
+    assert [(m["lhs"], m["rhs"]) for m in m3] == [("a", "b")]
