@@ -2,10 +2,13 @@
 with typed metadata, decode/feature-extract plumbing via Arrow-batched
 mapInPandas.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly marked deterministic stub — the Spark-side plumbing (binary
-schema, batch iteration, output schema, partition behavior) is real and
-tested; swapping the stub for PIL/librosa is a one-function change.
+IMAGE decode is REAL as of r14: encode_bmp/decode_bmp below are
+stdlib struct-level 24bpp BMP codecs, and c12b's gate hashes stats of
+actually-decoded pixels. Only VIDEO/AUDIO decode remains a clearly
+marked deterministic stub (pyav/librosa are genuinely absent from the
+container) — for those the Spark-side plumbing (binary schema, batch
+iteration, output schema, partition behavior) is real and tested;
+swapping the stub for the codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -185,4 +188,183 @@ def c14_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         sample,
         "doc_id bigint, frame_idx int, frame_fingerprint string, "
         "byte_offset bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# c12b: REAL image decode (r14, VERDICT r13 item 4). The container has
+# no media libraries, but BMP needs none — the writer/parser below are
+# stdlib struct-level implementations of the 24bpp BI_RGB format
+# (14-byte file header, 40-byte BITMAPINFOHEADER, BGR rows padded to 4
+# bytes, bottom-up unless height < 0). With this, the decode stage of
+# the multimodal pipeline is real decoded pixels; only video/audio
+# decode remains stubbed (sample_frames_stub / decode_media_stub above
+# — pyav/librosa are genuinely absent from the container).
+# ---------------------------------------------------------------------------
+
+IMG_W, IMG_H = 6, 4  # fixture dims: 18-byte rows force 2 pad bytes
+
+
+def encode_bmp(width: int, height: int, pixels: "list[list[tuple[int, int, int]]]") -> bytes:
+    """Real 24-bit BMP writer. ``pixels[y][x] = (r, g, b)`` with y=0 the
+    TOP row; rows are emitted bottom-up per the format."""
+    import struct  # noqa: PLC0415
+
+    row_len = width * 3
+    pad = (-row_len) % 4
+    img_size = (row_len + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y][x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> "tuple[int, int, list[list[tuple[int, int, int]]]]":
+    """Real 24-bit BMP parser: returns ``(width, height, pixels)`` with
+    ``pixels[y][x] = (r, g, b)``, y=0 the top row. Handles row padding
+    and both bottom-up (height > 0) and top-down (height < 0) layouts;
+    refuses non-BMP magic, compressed, or non-24bpp payloads loudly."""
+    import struct  # noqa: PLC0415
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, raw_h = struct.unpack_from("<ii", payload, 18)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(
+            f"unsupported BMP: bpp={bpp} compression={compression} "
+            f"planes={planes} (only 24bpp BI_RGB)"
+        )
+    height = abs(raw_h)
+    top_down = raw_h < 0
+    row_len = width * 3
+    stride = row_len + ((-row_len) % 4)
+    pixels: list[list[tuple[int, int, int]]] = []
+    for i in range(height):
+        y_src = i if top_down else height - 1 - i
+        off = data_off + y_src * stride
+        row = []
+        for x in range(width):
+            b, g, r = payload[off + 3 * x : off + 3 * x + 3]
+            row.append((r, g, b))
+        pixels.append(row)
+    return width, height, pixels
+
+
+def _fixture_pixel(doc_id: int, x: int, y: int) -> "tuple[int, int, int]":
+    """Deterministic synthetic pixel — x and y enter each channel with
+    different weights, so a parser that misreads padding, row order, or
+    channel order produces different stats (the gate would catch it)."""
+    return (
+        (doc_id + 3 * x + 7 * y) % 256,
+        (2 * doc_id + 5 * x + 11 * y) % 256,
+        (3 * doc_id + x + 13 * y) % 256,
+    )
+
+
+def encode_image_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, payload): one real BMP per document, pixels from
+    ``_fixture_pixel``. Encoding runs inside mapInPandas — the payload
+    column is born distributed, exactly like ingesting real media."""
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    IMG_W,
+                    IMG_H,
+                    [
+                        [_fixture_pixel(int(doc), x, y) for x in range(IMG_W)]
+                        for y in range(IMG_H)
+                    ],
+                )
+                for doc in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(enc, "doc_id bigint, payload binary")
+
+
+@query(
+    "c12b_multimodal_real_decode",
+    # The oracle computes the SAME stats directly from the pixel
+    # formula — the Spark side must round-trip them through real BMP
+    # bytes (writer -> parser), so any padding/row-order/channel-order
+    # misread in the decoder breaks the hash.
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id + 3 * x.g + 7 * y.g) % 256 AS r,
+             (2 * d.doc_id + 5 * x.g + 11 * y.g) % 256 AS g,
+             (3 * d.doc_id + x.g + 13 * y.g) % 256 AS b
+      FROM documents d
+      CROSS JOIN range({IMG_W}) x(g) CROSS JOIN range({IMG_H}) y(g)
+    )
+    SELECT doc_id,
+           {IMG_W} AS width, {IMG_H} AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(MIN(r) AS BIGINT) AS min_r, CAST(MAX(r) AS BIGINT) AS max_r,
+           CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+           ROUND(CAST(SUM(r) AS DOUBLE) / ({IMG_W} * {IMG_H}), 6) AS mean_r
+    FROM px GROUP BY doc_id
+    """,
+)
+def c12b_multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL decode features: encode each doc's fixture image as actual
+    BMP bytes, then parse those bytes back with the stdlib decoder and
+    aggregate per-channel sums/extrema/mean of the DECODED pixels.
+    Both stages are Arrow-batched mapInPandas over the binary column —
+    the same plumbing a PIL-backed deployment would use, with the
+    decode itself no longer a stub."""
+    imgs = encode_image_fixture(spark, sf)
+
+    def dec(batches):
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "sum_r", "sum_g",
+                    "sum_b", "min_r", "max_r", "min_b", "max_b", "mean_r",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_bmp(bytes(payload))
+                rs = [p[0] for row in px for p in row]
+                gs = [p[1] for row in px for p in row]
+                bs = [p[2] for row in px for p in row]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(rs))
+                out["sum_g"].append(sum(gs))
+                out["sum_b"].append(sum(bs))
+                out["min_r"].append(min(rs))
+                out["max_r"].append(max(rs))
+                out["min_b"].append(min(bs))
+                out["max_b"].append(max(bs))
+                out["mean_r"].append(round(sum(rs) / (w * h), 6))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        dec,
+        "doc_id bigint, width int, height int, sum_r bigint, sum_g bigint, "
+        "sum_b bigint, min_r bigint, max_r bigint, min_b bigint, "
+        "max_b bigint, mean_r double",
     )

@@ -463,3 +463,79 @@ def test_c06e_verified_ivf_restricts_and_is_exact(spark):
         / cells.count()
     )
     assert frac < 0.5, f"probed cells hold {frac:.0%} of the corpus"
+
+
+# -- r14: real BMP codec (c12b) ---------------------------------------------
+
+
+def test_bmp_codec_roundtrip_padding_and_row_order():
+    """The stdlib BMP codec is real: byte-level layout pins (magic,
+    54-byte data offset, 4-byte row padding, bottom-up row storage),
+    exact roundtrip, top-down (negative height) decode, and loud
+    refusal of non-BMP / unsupported payloads."""
+    import struct
+
+    import pytest as _pytest
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # 2x2, distinct channel values per pixel
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    raw = encode_bmp(2, 2, px)
+    assert raw[:2] == b"BM"
+    (off,) = struct.unpack_from("<I", raw, 10)
+    assert off == 54
+    # row stride = 2*3 padded to 8; file = 54 + 16
+    assert len(raw) == 54 + 16
+    # bottom-up: first stored row is pixels[1]; BGR order on disk
+    assert raw[54:57] == bytes((9, 8, 7))
+    assert raw[60:62] == b"\x00\x00"  # the pad bytes
+    w, h, back = decode_bmp(raw)
+    assert (w, h, back) == (2, 2, px)
+
+    # top-down variant: flip height sign and row order manually
+    td = bytearray(raw)
+    struct.pack_into("<i", td, 22, -2)
+    td[54:62], td[62:70] = raw[62:70], raw[54:62]
+    assert decode_bmp(bytes(td))[2] == px
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"not a bmp at all, just bytes")
+    bad = bytearray(raw)
+    struct.pack_into("<H", bad, 28, 32)  # 32bpp unsupported
+    with _pytest.raises(ValueError, match="bpp=32"):
+        decode_bmp(bytes(bad))
+
+
+def test_c12b_decodes_real_pixels(spark):
+    """c12b's stats come from DECODED bytes, not the formula: corrupt
+    one payload byte and the decoded stats change accordingly."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        _fixture_pixel,
+        c12b_multimodal_real_decode,
+        decode_bmp,
+        encode_image_fixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        c12b_multimodal_real_decode(spark, sf)
+        .filter("doc_id = 7").first()
+    )
+    expect = [
+        _fixture_pixel(7, x, y) for y in range(IMG_H) for x in range(IMG_W)
+    ]
+    assert row.sum_r == sum(p[0] for p in expect)
+    assert row.min_b == min(p[2] for p in expect)
+    assert (row.width, row.height) == (IMG_W, IMG_H)
+    # and the payload really is a parseable BMP carrying those pixels
+    payload = bytes(
+        encode_image_fixture(spark, sf).filter("doc_id = 7").first().payload
+    )
+    w, h, px = decode_bmp(payload)
+    assert [p for prow in px for p in prow] == expect
