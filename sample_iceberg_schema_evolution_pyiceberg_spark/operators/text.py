@@ -604,26 +604,62 @@ def c23_decontamination(spark: SparkSession, sf: str) -> DataFrame:
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# r14 (VERDICT r13 item 5): phone + credit-card classes. Both RE2-safe
+# (alternation instead of backreferences/lookaround — RE2 has neither).
+# Phone covers NANP local formats — (415) 555-0134 / 415-555-0134 /
+# 415.555.0134; the parens branch needs no leading \b (\b between two
+# non-word chars never holds), the bare-digit branch uses it to refuse
+# matching inside longer digit runs. Card covers 4x4 grouped (uniform
+# space or dash separators — a mixed-separator [ -] class was measured
+# to cross class boundaries, eating a phone's trailing 4 digits plus
+# three card groups as one "card"; per-branch uniform separators are
+# the RE2-safe stand-in for the backreference RE2 lacks) and bare
+# 16-digit runs.
+PII_PHONE_RE = (
+    r"\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b"
+    r"|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b"
+)
+PII_CC_RE = (
+    r"\b\d{4} \d{4} \d{4} \d{4}\b"
+    r"|\b\d{4}-\d{4}-\d{4}-\d{4}\b"
+    r"|\b\d{16}\b"
+)
 
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_emails, n_ips, scrubbed) — counts of redacted spans
-    plus the redacted text (emails -> <EMAIL>, IPv4 -> <IP>). Pure
-    codegen regex kernels: one scan, zero shuffles, no Python in the
-    row path — the shape a 100 TB compliance pass needs."""
+    """(doc_id, n_emails, n_ips, n_phones, n_ccs, scrubbed) — per-class
+    span counts (measured independently on the ORIGINAL text) plus the
+    redacted text. Redaction order email -> card -> phone -> IP: cards
+    go before phones so a grouped card number can't get half-eaten by
+    the phone pattern's digit groups. Pure codegen regex kernels: one
+    scan, zero shuffles, no Python in the row path — the shape a
+    100 TB compliance pass needs."""
     c = F.col(text_col)
     # Column-form patterns, NOT F.expr SQL literals: Spark SQL string
     # literals eat backslashes ('\b' -> backspace), Column lits don't
+    def n(pattern: str, name: str):  # type: ignore[no-untyped-def]
+        return (
+            F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
     return docs.select(
         "doc_id",
-        F.size(
-            F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))
-        ).cast("long").alias("n_emails"),
-        F.size(
-            F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0))
-        ).cast("long").alias("n_ips"),
+        n(PII_EMAIL_RE, "n_emails"),
+        n(PII_IPV4_RE, "n_ips"),
+        n(PII_PHONE_RE, "n_phones"),
+        n(PII_CC_RE, "n_ccs"),
         F.regexp_replace(
-            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+                    PII_CC_RE,
+                    "<CARD>",
+                ),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
             PII_IPV4_RE,
             "<IP>",
         ).alias("scrubbed"),
@@ -641,7 +677,14 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     || CAST(doc_id % 256 AS VARCHAR) || '.'
                     || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
                     || CAST((doc_id * 13) % 256 AS VARCHAR) || ' ok'
-             ELSE text END AS text
+             ELSE text END
+             || CASE WHEN doc_id % 5 = 0 THEN
+               ' call (415) 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR),
+                                          4, '0')
+                    || ' card 4111 1111 1111 '
+                    || LPAD(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                    || ' done'
+             ELSE '' END AS text
       FROM documents
     )
     SELECT doc_id,
@@ -651,9 +694,20 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
            CAST(LEN(REGEXP_EXTRACT_ALL(text,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
              AS BIGINT) AS n_ips,
-           MD5(REGEXP_REPLACE(REGEXP_REPLACE(text,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b'))
+             AS BIGINT) AS n_phones,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '\b\d{4} \d{4} \d{4} \d{4}\b|\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{16}\b'))
+             AS BIGINT) AS n_ccs,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              '<EMAIL>', 'g'),
+             '\b\d{4} \d{4} \d{4} \d{4}\b|\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{16}\b',
+             '<CARD>', 'g'),
+             '\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b',
+             '<PHONE>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
              '<IP>', 'g')) AS scrub_md5
     FROM aug
@@ -661,11 +715,12 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def c24_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """Gate wiring for ``scrub_pii``: every 7th document gets a
-    deterministic planted email + IPv4 suffix (so the redaction is
-    exercised on known spans, not just on whatever the synthetic text
-    happens to contain), then both engines scrub with the identical
-    RE2-safe patterns and hash the redacted text. n_emails/n_ips
-    count the extracted spans BEFORE redaction."""
+    deterministic planted email + IPv4 suffix and every 5th a planted
+    phone + card suffix (so each redaction class is exercised on known
+    spans, not just on whatever the synthetic text happens to
+    contain; docs divisible by 35 carry all four), then both engines
+    scrub with the identical RE2-safe patterns and hash the redacted
+    text. The n_* columns count extracted spans BEFORE redaction."""
     d = t(spark, sf, "documents")
     k = F.col("doc_id")
     planted = F.concat(
@@ -680,12 +735,22 @@ def c24_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         ((k * 13) % 256).cast("string"),
         F.lit(" ok"),
     )
+    phone_cc = F.concat(
+        F.lit(" call (415) 555-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" card 4111 1111 1111 "),
+        F.lpad(((k * 3) % 10000).cast("string"), 4, "0"),
+        F.lit(" done"),
+    )
     aug = d.select(
         "doc_id",
-        F.when(k % 7 == 0, planted).otherwise(F.col("text")).alias("text"),
+        F.concat(
+            F.when(k % 7 == 0, planted).otherwise(F.col("text")),
+            F.when(k % 5 == 0, phone_cc).otherwise(F.lit("")),
+        ).alias("text"),
     )
     return scrub_pii(aug).select(
-        "doc_id", "n_emails", "n_ips",
+        "doc_id", "n_emails", "n_ips", "n_phones", "n_ccs",
         F.md5(F.col("scrubbed")).alias("scrub_md5"),
     )
 

@@ -506,3 +506,41 @@ def test_c36_bpe_planted_merges(spark):
     tiny = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     m3, _ = train_bpe_merges(tiny, n_merges=5)
     assert [(m["lhs"], m["rhs"]) for m in m3] == [("a", "b")]
+
+
+def test_scrub_pii_phone_and_card_spans(spark):
+    """r13 VERDICT item 5: phone and credit-card classes redact
+    planted spans; card redaction precedes phone so grouped card
+    digits never half-match as phones; bare 16-digit runs and all
+    three NANP phone formats are covered; digits inside words/longer
+    runs stay untouched."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "call (415) 555-0134 or 415-555-0134 or 415.555.0134 ok"),
+            (2, "card 4111 1111 1111 1111 and bare 4111111111111111 end"),
+            (3, "order 55555123456789012345 is not a card or phone"),
+            (4, "mix a@b.io 10.0.0.1 (212) 555-0100 4000-1234-5678-9010"),
+            (5, "no pii at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].n_phones == 3
+    assert got[1].scrubbed == "call <PHONE> or <PHONE> or <PHONE> ok"
+    assert got[2].n_ccs == 2 and got[2].n_phones == 0
+    assert got[2].scrubbed == "card <CARD> and bare <CARD> end"
+    # a 20-digit run is neither a 16-digit card nor a phone (\b guards)
+    assert (got[3].n_ccs, got[3].n_phones) == (0, 0)
+    assert got[3].scrubbed == docs.filter("doc_id = 3").first().text
+    assert (
+        got[4].n_emails, got[4].n_ips, got[4].n_phones, got[4].n_ccs
+    ) == (1, 1, 1, 1)
+    assert got[4].scrubbed == "mix <EMAIL> <IP> <PHONE> <CARD>"
+    assert all(
+        getattr(got[5], c) == 0
+        for c in ("n_emails", "n_ips", "n_phones", "n_ccs")
+    )
