@@ -36,53 +36,52 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- Round-13 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1: keys that have NEVER held a driver-window slot — this
-    # round's new surfaces (a35 full-vocabulary bucket sort order,
-    # a36 rewrite_manifests, a37 table rename).
-    "a35_bucket_sort_rich_vocab",
-    "a36_rewrite_manifests_episode",
-    "a37_table_rename_episode",
-    "a38_add_files_import_episode",
-    # Tier 2: keys most exposed to this round's code changes — the
-    # capped distributed reader fix (s12), the bucket-sort claim
-    # split (a34), and the c04 cache-lifecycle change. (a08, r12
-    # evidence, yields its slot to the never-gated a38; its compact
-    # exposure is covered by the local comparator + pytest.)
-    "s12_stream_backfill_capped_distributed",
-    "a34_bucket_sort_compose",
-    "c04_dedup_ngram_jaccard",
-    "a19_glue_catalog_episode",  # load_table now honors the registered
-    # StorageDescriptor location (rename support)
-    # Tier 3: the ENTIRE remaining r9-evidence band — 42 keys here,
-    # plus c04 above in tier 2 (43 total) — the oldest driver
-    # evidence in the registry (VERDICT r12 item 1). With these slots
-    # no oracle-bearing key's driver evidence is older than r11.
-    "a23_zorder_clustering_episode", "a24_changelog_cdc",
-    "a25_cdc_replication", "a27_position_delete_episode",
-    "a28_bucket_truncate_episode", "a29_rename_evolution_episode",
-    "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
-    "b20_window_running_frame", "b33_json_funcs", "b35_cast_promotion",
-    "b37b_deterministic_sample", "b42_udtf_explode",
-    "b43_json_scan_roundtrip", "b44_csv_scan_roundtrip",
-    "b52_grouping_sets", "b54_sessionize_batch", "b55_pivot",
-    "b56_unpivot", "b57_string_agg", "b58_grouped_map_pandas",
-    "b59_map_hof", "b61_null_safe_join", "b66_lake_bucket_join",
-    "c02_dedup_minhash_lsh", "c02b_minhash_signatures",
-    "c03_dedup_simhash", "c05_cosine_topk_brute", "c06b_knn_join_sampled",
-    "c07_text_langid", "c08_text_quality", "c10_text_fingerprint",
-    "c11_multimodal_binary_meta", "c12_multimodal_decode_features",
-    "c13_dedup_embedding_cosine", "c19_sequence_packing",
-    "c20_weighted_mixture", "c21_dedup_keeper_selection",
-    "c22_chunk_overlap", "c33_dup_span_removal",
-    "s10_stream_lake_replication",
+    # ---- Round-14 window (first 50 slots, oracle-bearing only) ----
+    # Tier 1: never-gated keys (VERDICT r13 item 1 — c34/c35 were the
+    # only oracle-bearing keys without driver-window evidence) plus
+    # this round's new surfaces (c36/c36b byte-BPE tokenizer, c12b
+    # real BMP decode) and c24, whose hash CHANGED this round
+    # (phone + credit-card classes added).
+    "c34_semantic_dedup_cells",
+    "c35_bigram_lm_score",
+    "c36_bpe_train_merges",
+    "c36b_bpe_apply_tokens",
+    "c12b_multimodal_real_decode",
+    # Tier 2: the r11-evidence band — the oldest driver evidence in
+    # the registry (49 keys; 45 fit). Includes the judge-named
+    # a31/a32/a33/s11 and c24 (changed). With these slots no
+    # oracle-bearing key's driver evidence is older than r11, and
+    # after r15 rotates the r12 band nothing will be older than r13.
+    "a01_evolution_episode", "a03_lake_roundtrip", "a07_time_travel",
+    "a10_iceberg_export_roundtrip", "a14_metadata_tables",
+    "a18_merge_on_read_export", "a20_pruned_scan_episode",
+    "a21_snapshot_tags_episode", "a22_write_audit_publish",
+    "a30_scd2_incremental_apply", "a31_sort_order_episode",
+    "a32_spec_bucket_join", "a33_column_metrics_episode",
+    "b01_scan_projection", "b02_filter_predicates",
+    "b03_join_inner_3way", "b05_join_right_outer",
+    "b06_join_full_outer", "b07_join_left_semi", "b08_join_left_anti",
+    "b12_agg_pricing_summary", "b14_agg_rollup", "b15_agg_cube",
+    "b17_agg_minmax_stats", "b18_window_ranking",
+    "b19_window_lag_lead", "b21_topk", "b22_sort_nulls",
+    "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
+    "b48_in_subquery_sql", "b49_cte_sql",
+    "c16_salted_hot_key_agg", "c17_corpus_prep_pipeline",
+    "c23_decontamination", "c24_pii_scrub", "c25_repetition_stats",
+    "c26_domain_cap_filter", "c27_dup_ngram_fraction",
+    "s01_stream_tumbling_window", "s02_stream_sliding_window",
+    "s03_stream_dedup", "s08_stream_lake_sink",
+    "s09_stream_lake_source", "s11_stream_backfill_capped",
     # --- driver window boundary (50) ---
-    # Out-of-window: everything else carries r11/r12 evidence, plus
-    # the two r13-late additions c34_semantic_dedup_cells and
-    # c35_bigram_lm_score (oracle-green in the local sweep; FIRST in
-    # the r14 rotation as the only never-gated keys). Full-registry
-    # local sweeps cover the gaps between driver windows (SURVEY
-    # §5.8).
+    # Spilled from the r11 band to r15 (each has a same-family twin
+    # gated r12/r13, so family coverage stays fresh): b04 (b05/b06 in
+    # this window), b09 (b10/b11 r13), b23 (b24-26 r12), c14 (c11/c12
+    # r13, c12b this window). FIRST in the r15 rotation, then the r12
+    # band. Out-of-window: everything else carries r12/r13 evidence.
+    # Full-registry local sweeps cover the gaps between driver
+    # windows (SURVEY §5.8).
+    "b04_join_left_outer", "b09_join_cross", "b23_union_all",
+    "c14_multimodal_frame_sample",
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,
