@@ -1255,6 +1255,21 @@ def read_iceberg_table(
     # catalog resolution passes metadata_file directly (a Glue pointer
     # read never consults the hint — glue_catalog.py)
     doc = json.loads(Path(metadata_file).read_text())
+    # format-version gate (r14, VERDICT r13 item 8): v1/v2 in full;
+    # v3 accepted as a v2 superset — row-lineage manifest fields are
+    # ignorable metadata, `initial-default` column defaults ARE
+    # implemented (below), and the three v3 surfaces this reader does
+    # not decode (deletion vectors, variant/unknown/geo types,
+    # nanosecond timestamps) refuse LOUDLY at their exact feature
+    # site instead of silently misreading. ICEBERG_CONFORMANCE.md
+    # rows 35-38.
+    fv = int(doc.get("format-version", 1))
+    if fv > 3:
+        raise ValueError(
+            f"Iceberg format-version {fv} is newer than this reader "
+            "(v1-v3 with documented v3 limits) — refusing rather than "
+            "misreading unknown metadata"
+        )
     want_id = (
         doc["current-snapshot-id"] if snapshot_id is None else snapshot_id
     )
@@ -1271,6 +1286,62 @@ def read_iceberg_table(
         for s in doc["schemas"]
         if s["schema-id"] == doc["current-schema-id"]
     )
+
+    # v3 type surface this reader does not decode — loud refusal with
+    # the exact field path (the same posture as nested uuid/time)
+    _V3_UNSUPPORTED_TYPES = (
+        "variant", "unknown", "geometry", "geography",
+        "timestamp_ns", "timestamptz_ns",
+    )
+
+    def _scan_unsupported(ty: Any, path: str) -> "tuple[str, str] | None":
+        if isinstance(ty, str):
+            base = ty.split("(", 1)[0]
+            if base in _V3_UNSUPPORTED_TYPES:
+                return path, ty
+            return None
+        kind = ty.get("type")
+        if kind == "struct":
+            for sf in ty["fields"]:
+                hit = _scan_unsupported(sf["type"], f"{path}.{sf['name']}")
+                if hit:
+                    return hit
+        elif kind == "list":
+            return _scan_unsupported(ty["element"], f"{path}.element")
+        elif kind == "map":
+            return _scan_unsupported(
+                ty["key"], f"{path}.key"
+            ) or _scan_unsupported(ty["value"], f"{path}.value")
+        return None
+
+    for f in current_schema["fields"]:
+        hit = _scan_unsupported(f["type"], f["name"])
+        if hit:
+            raise ValueError(
+                f"field {hit[0]!r} has v3 type {hit[1]!r}, which this "
+                "reader does not decode (variant/unknown/geo/ns-"
+                "timestamp) — project it away with the writing engine "
+                "or read via an engine with v3 type support "
+                "(ICEBERG_CONFORMANCE.md row 37)"
+            )
+
+    # v3 `initial-default`: files written before the field existed
+    # read as the default, NOT null (spec: default applies to
+    # pre-evolution files; files that materialize the column keep
+    # their own values, including real nulls). Top-level primitives
+    # only — a nested or non-primitive default refuses loudly.
+    column_defaults: dict[str, Any] = {}
+    for f in current_schema["fields"]:
+        if "initial-default" in f and f["initial-default"] is not None:
+            if not isinstance(f["type"], str):
+                raise ValueError(
+                    f"field {f['name']!r} carries initial-default on a "
+                    "nested type — this reader implements defaults for "
+                    "top-level primitive columns only "
+                    "(ICEBERG_CONFORMANCE.md row 36)"
+                )
+            column_defaults[f["name"]] = f["initial-default"]
+
     table_schema = T.StructType(
         [
             T.StructField(
@@ -1390,6 +1461,21 @@ def read_iceberg_table(
             if e["status"] == 2:  # DELETED
                 continue
             d = e["data_file"]
+            # v3 deletion vectors: puffin-encoded roaring bitmaps
+            # referencing one data file. Not decoded here — refusing
+            # beats silently returning undeleted rows.
+            if (
+                d.get("referenced_data_file") is not None
+                or str(d.get("file_format", "")).upper() == "PUFFIN"
+            ):
+                raise ValueError(
+                    "deletion-vector (puffin) delete file "
+                    f"{d.get('file_path')!r} is a v3 feature this "
+                    "reader does not decode — compact/rewrite the "
+                    "deletes to position-delete parquet with the "
+                    "writing engine, or read a snapshot before the DV "
+                    "commit (ICEBERG_CONFORMANCE.md row 35)"
+                )
             # sequence-number inheritance: entry null -> manifest-list
             seq = e.get("sequence_number")
             if seq is None:
@@ -1443,6 +1529,15 @@ def read_iceberg_table(
             ).drop("_ice_file", "_ice_pos")
         else:
             arm = _align_df(raw, table_schema)
+        # initial-default fill: only for columns this FILE SET lacks
+        # (alignment null-filled them); files that carry the column
+        # keep their own values, real nulls included
+        for cname, dval in column_defaults.items():
+            if cname not in raw.columns:
+                arm = arm.withColumn(
+                    cname,
+                    F.lit(dval).cast(table_schema[cname].dataType),
+                )
         for dseq, d in eq_dels:
             if dseq <= arm_seq:
                 continue  # strictly-smaller rule

