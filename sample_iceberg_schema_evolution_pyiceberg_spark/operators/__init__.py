@@ -47,6 +47,7 @@ _PRIORITY = [
     "c36_bpe_train_merges",
     "c36b_bpe_apply_tokens",
     "c12b_multimodal_real_decode",
+    "a39_v3_initial_default_episode",
     # Tier 2: the r11-evidence band — the oldest driver evidence in
     # the registry (49 keys; 45 fit). Includes the judge-named
     # a31/a32/a33/s11 and c24 (changed). With these slots no
@@ -62,7 +63,7 @@ _PRIORITY = [
     "b03_join_inner_3way", "b05_join_right_outer",
     "b06_join_full_outer", "b07_join_left_semi", "b08_join_left_anti",
     "b12_agg_pricing_summary", "b14_agg_rollup", "b15_agg_cube",
-    "b17_agg_minmax_stats", "b18_window_ranking",
+    "b18_window_ranking",
     "b19_window_lag_lead", "b21_topk", "b22_sort_nulls",
     "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
     "b48_in_subquery_sql", "b49_cte_sql",
@@ -74,14 +75,15 @@ _PRIORITY = [
     "s09_stream_lake_source", "s11_stream_backfill_capped",
     # --- driver window boundary (50) ---
     # Spilled from the r11 band to r15 (each has a same-family twin
-    # gated r12/r13, so family coverage stays fresh): b04 (b05/b06 in
-    # this window), b09 (b10/b11 r13), b23 (b24-26 r12), c14 (c11/c12
-    # r13, c12b this window). FIRST in the r15 rotation, then the r12
-    # band. Out-of-window: everything else carries r12/r13 evidence.
-    # Full-registry local sweeps cover the gaps between driver
-    # windows (SURVEY §5.8).
-    "b04_join_left_outer", "b09_join_cross", "b23_union_all",
-    "c14_multimodal_frame_sample",
+    # gated r12/r13 or in this window, so family coverage stays
+    # fresh): b04 (b05/b06 in this window), b09 (b10/b11 r13),
+    # b17 (b12/b14/b15 in this window), b23 (b24-26 r12), c14
+    # (c11/c12 r13, c12b this window). FIRST in the r15 rotation,
+    # then the r12 band. Out-of-window: everything else carries
+    # r12/r13 evidence. Full-registry local sweeps cover the gaps
+    # between driver windows (SURVEY §5.8).
+    "b04_join_left_outer", "b09_join_cross", "b17_agg_minmax_stats",
+    "b23_union_all", "c14_multimodal_frame_sample",
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,

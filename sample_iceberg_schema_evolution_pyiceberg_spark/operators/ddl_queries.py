@@ -2184,3 +2184,116 @@ def a38_add_files_import_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+@query(
+    "a39_v3_initial_default_episode",
+    # v3 read edge (r14, ICEBERG_CONFORMANCE rows 35-38): data outcome
+    # is the external read with the evolved column's initial-default
+    # filling PRE-EVOLUTION files only; flags pin the loud refusals of
+    # a future format version and a variant-typed field on edited
+    # twins of the same metadata.
+    oracle="""
+    SELECT status, COUNT(*) AS n,
+           TRUE AS future_version_refused, TRUE AS variant_refused
+    FROM (
+      SELECT CASE WHEN o_orderkey <= 1000 THEN 'BACKFILL'
+                  ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    GROUP BY status
+    """,
+)
+def a39_v3_initial_default_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v3 read edge as a gate episode: evolve a lake table
+    (the first snapshot's files predate the added column), export,
+    then declare the metadata format-version 3 with
+    ``initial-default`` on the evolved column — the v3 spec's column
+    defaults. The external read must fill the PRE-evolution files with
+    the default while post-evolution files keep their real values
+    (incl. none of the default leaking into them), and the v3 refusal
+    surface (format-version 4, a variant-typed field) must refuse
+    loudly on edited twins of the same metadata document."""
+    import copy  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
+    from pathlib import Path as _P  # noqa: PLC0415
+
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    with tempfile.TemporaryDirectory(prefix="v3_gate_") as wh:
+        cat = LakeCatalog(wh)
+        schema = (
+            spark.range(1)
+            .selectExpr(
+                "cast(id as long) o_orderkey",
+                "cast('' as string) o_orderpriority",
+            )
+            .schema
+        )
+        table = cat.create_table("gate", "v3t", schema)
+        table.append(
+            src.filter("o_orderkey <= 1000")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(1)
+        )
+        r = DdlFrontend(spark, cat).sql(
+            "ALTER TABLE gate.v3t ADD COLUMN o_orderstatus STRING"
+        )
+        assert not r.has_error, r.message_list
+        table = cat.load_table("gate", "v3t")
+        table.append(
+            src.filter("o_orderkey > 1000")
+            .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+            .repartition(1)
+        )
+        export_to_iceberg(table)
+        meta_dir = _P(table.location) / "metadata"
+        hint = (meta_dir / "version-hint.text").read_text().strip()
+        mpath = meta_dir / f"v{hint}.metadata.json"
+        doc = _json.loads(mpath.read_text())
+        doc["format-version"] = 3
+        cur = next(
+            s for s in doc["schemas"]
+            if s["schema-id"] == doc["current-schema-id"]
+        )
+        for fld in cur["fields"]:
+            if fld["name"] == "o_orderstatus":
+                fld["initial-default"] = "BACKFILL"
+        mpath.write_text(_json.dumps(doc))
+        external, rdoc = read_iceberg_table(spark, table.location)
+        # refusal twins: same document, one edit each
+        d4 = copy.deepcopy(doc)
+        d4["format-version"] = 4
+        p4 = meta_dir / "v99.metadata.json"
+        p4.write_text(_json.dumps(d4))
+        try:
+            read_iceberg_table(spark, table.location, metadata_file=p4)
+            future_version_refused = False
+        except ValueError:
+            future_version_refused = True
+        dv = copy.deepcopy(doc)
+        cur2 = next(
+            s for s in dv["schemas"]
+            if s["schema-id"] == dv["current-schema-id"]
+        )
+        cur2["fields"].append(
+            {"id": 999, "name": "payload", "required": False,
+             "type": "variant"}
+        )
+        p98 = meta_dir / "v98.metadata.json"
+        p98.write_text(_json.dumps(dv))
+        try:
+            read_iceberg_table(spark, table.location, metadata_file=p98)
+            variant_refused = False
+        except ValueError:
+            variant_refused = True
+        out = (
+            external.select(F.col("o_orderstatus").alias("status"))
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "future_version_refused", F.lit(future_version_refused)
+            )
+            .withColumn("variant_refused", F.lit(variant_refused))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
