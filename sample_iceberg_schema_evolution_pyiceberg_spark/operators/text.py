@@ -624,14 +624,22 @@ PII_CC_RE = (
     r"|\b\d{4}-\d{4}-\d{4}-\d{4}\b"
     r"|\b\d{16}\b"
 )
+# IBAN: ISO 13616 shape — country code, 2 check digits, 10-30
+# alphanumeric BBAN (the shortest real IBANs are 15 chars total, e.g.
+# Norway; the longest 34). Uppercase-only by spec, so prose words
+# never match; no country-table validation (over-redaction is the
+# safe side, same stance as the card pattern).
+PII_IBAN_RE = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
 
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_emails, n_ips, n_phones, n_ccs, scrubbed) — per-class
-    span counts (measured independently on the ORIGINAL text) plus the
-    redacted text. Redaction order email -> card -> phone -> IP: cards
-    go before phones so a grouped card number can't get half-eaten by
-    the phone pattern's digit groups. Pure codegen regex kernels: one
+    """(doc_id, n_emails, n_ips, n_phones, n_ccs, n_ibans, scrubbed)
+    — per-class span counts (measured independently on the ORIGINAL
+    text) plus the redacted text. Redaction order email -> IBAN ->
+    card -> phone -> IP: cards go before phones so a grouped card
+    number can't get half-eaten by the phone pattern's digit groups
+    (IBAN/card can't cross because both are \b-guarded single
+    word-runs). Pure codegen regex kernels: one
     scan, zero shuffles, no Python in the row path — the shape a
     100 TB compliance pass needs."""
     c = F.col(text_col)
@@ -650,10 +658,15 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n(PII_IPV4_RE, "n_ips"),
         n(PII_PHONE_RE, "n_phones"),
         n(PII_CC_RE, "n_ccs"),
+        n(PII_IBAN_RE, "n_ibans"),
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+                    F.regexp_replace(
+                        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+                        PII_IBAN_RE,
+                        "<IBAN>",
+                    ),
                     PII_CC_RE,
                     "<CARD>",
                 ),
@@ -683,7 +696,9 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
                                           4, '0')
                     || ' card 4111 1111 1111 '
                     || LPAD(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
-                    || ' done'
+                    || ' iban DE89370400'
+                    || LPAD(CAST((doc_id * 7) % 100000000 AS VARCHAR), 8, '0')
+                    || '3000 done'
              ELSE '' END AS text
       FROM documents
     )
@@ -700,10 +715,16 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
            CAST(LEN(REGEXP_EXTRACT_ALL(text,
              '\b\d{4} \d{4} \d{4} \d{4}\b|\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{16}\b'))
              AS BIGINT) AS n_ccs,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b'))
+             AS BIGINT) AS n_ibans,
            MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_REPLACE(
              text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              '<EMAIL>', 'g'),
+             '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b',
+             '<IBAN>', 'g'),
              '\b\d{4} \d{4} \d{4} \d{4}\b|\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{16}\b',
              '<CARD>', 'g'),
              '\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}\b|\b\d{3}[ .-]\d{3}[ .-]\d{4}\b',
@@ -740,7 +761,9 @@ def c24_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.lpad((k % 10000).cast("string"), 4, "0"),
         F.lit(" card 4111 1111 1111 "),
         F.lpad(((k * 3) % 10000).cast("string"), 4, "0"),
-        F.lit(" done"),
+        F.lit(" iban DE89370400"),
+        F.lpad(((k * 7) % 100000000).cast("string"), 8, "0"),
+        F.lit("3000 done"),
     )
     aug = d.select(
         "doc_id",
@@ -750,7 +773,7 @@ def c24_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return scrub_pii(aug).select(
-        "doc_id", "n_emails", "n_ips", "n_phones", "n_ccs",
+        "doc_id", "n_emails", "n_ips", "n_phones", "n_ccs", "n_ibans",
         F.md5(F.col("scrubbed")).alias("scrub_md5"),
     )
 
@@ -1668,9 +1691,9 @@ def train_bpe_merges(
                 )
                 .agg(F.sum("wc").alias("c"))
             )
-            # model parameters: the argmax pair — ONE row per merge
             best = (
                 pairs.orderBy(F.col("c").desc(), "lhs", "rhs")
+                # model parameters: the argmax pair — ONE row per merge
                 .limit(1)
                 .collect()
             )

@@ -542,5 +542,20 @@ def test_scrub_pii_phone_and_card_spans(spark):
     assert got[4].scrubbed == "mix <EMAIL> <IP> <PHONE> <CARD>"
     assert all(
         getattr(got[5], c) == 0
-        for c in ("n_emails", "n_ips", "n_phones", "n_ccs")
+        for c in ("n_emails", "n_ips", "n_phones", "n_ccs", "n_ibans")
     )
+    # IBAN: real-shaped IBANs redact; lowercase and too-short
+    # uppercase runs don't (ISO 13616 is uppercase, >= 15 chars)
+    iban_docs = spark.createDataFrame(
+        [
+            (10, "pay to DE89370400440532013000 or GB29NWBK60161331926819"),
+            (11, "not ibans: de89370400440532013000 and AB12SHORT"),
+            (12, "NO9386011117947 is the shortest real shape"),
+        ],
+        "doc_id long, text string",
+    )
+    g2 = {r.doc_id: r for r in scrub_pii(iban_docs).collect()}
+    assert g2[10].n_ibans == 2
+    assert g2[10].scrubbed == "pay to <IBAN> or <IBAN>"
+    assert g2[11].n_ibans == 0
+    assert g2[12].n_ibans == 1 and g2[12].scrubbed.startswith("<IBAN>")
