@@ -206,3 +206,43 @@ def b49_cte_sql(spark: SparkSession, sf: str) -> DataFrame:
         FROM {c} c JOIN big b ON b.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """)
+
+
+@query(
+    "b67_orc_scan_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS sum_qty
+    FROM lineitem WHERE l_orderkey <= 2000
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b67_orc_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink + scan (B5 family, r14): Spark bundles the ORC
+    source natively — columnar with the same predicate-pushdown /
+    column-pruning contract as parquet, and the interchange format a
+    Hive-lineage warehouse hands this engine. Write a slice as ORC,
+    read it back (ORC files carry their own schema — no inference
+    pass), aggregate; the oracle reads the original parquet, so the
+    ORC encode/decode must be value-lossless."""
+    src = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    )
+    with tempfile.TemporaryDirectory(prefix="orc_rt_") as d:
+        src.write.mode("overwrite").orc(d)
+        back = spark.read.orc(d)
+        out = back.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_qty"),
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
