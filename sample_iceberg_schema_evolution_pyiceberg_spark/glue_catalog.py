@@ -77,6 +77,19 @@ def _table_input_from_entry(entry: dict) -> dict:
     return {k: entry[k] for k in _TABLE_INPUT_KEYS if k in entry}
 
 
+def _ptr_version(ptr: "str | None") -> "int | None":
+    """Metadata version from a pointer's filename (``v{N}-{hex}
+    .metadata.json``, the store's unique-name scheme). None when the
+    pointer is absent or foreign-named — callers treat that as
+    'cannot compare'."""
+    import re as _re  # noqa: PLC0415
+
+    if not ptr:
+        return None
+    m = _re.search(r"/v(\d+)-[0-9a-f]+\.metadata\.json$", ptr)
+    return int(m.group(1)) if m else None
+
+
 def _ensure_database(glue: Any, name: str) -> None:
     from botocore.exceptions import ClientError  # noqa: PLC0415
 
@@ -253,18 +266,25 @@ class GlueLakeCatalog:
         self._attach(t, database, table)
         return t
 
-    def _location_shared(
+    def _location_twins(
         self, database: str, table: str, entry: dict
-    ) -> bool:
-        """True when another Glue entry references the same storage
-        location or metadata pointer as ``entry``. The only way two
-        entries share a location is a crashed rename (create of the
-        new name succeeded, delete of the old one didn't), so this
-        scan normally finds nothing; it is what makes dropping the
-        stale half of a crashed rename safe (r13 ADVICE: deleting the
-        shared location would destroy the LIVE renamed table)."""
+    ) -> "list[tuple[str, str, str | None]]":
+        """Other Glue entries referencing the same storage location or
+        metadata pointer as ``entry``, as (db, name, their pointer).
+        The only way two entries share a location is a crashed rename
+        (create of the new name succeeded, delete of the old one
+        didn't), so this scan normally finds nothing; it is what makes
+        dropping the stale half of a crashed rename safe (r13 ADVICE:
+        deleting the shared location would destroy the LIVE renamed
+        table)."""
         loc = (entry.get("StorageDescriptor") or {}).get("Location")
         ptr = (entry.get("Parameters") or {}).get("metadata_location")
+        if not loc and not ptr:
+            # nothing this entry references can be shared — skip the
+            # catalog scan entirely (r14 review: the scan is
+            # O(catalog) Glue calls; don't pay it when it cannot match)
+            return []
+        twins = []
         for dpage in self.glue.get_paginator("get_databases").paginate():
             for db in dpage["DatabaseList"]:
                 pages = self.glue.get_paginator("get_tables").paginate(
@@ -284,8 +304,10 @@ class GlueLakeCatalog:
                             "metadata_location"
                         )
                         if (loc and oloc == loc) or (ptr and optr == ptr):
-                            return True
-        return False
+                            twins.append(
+                                (db["Name"], other["Name"], optr)
+                            )
+        return twins
 
     def drop_table(self, database: str, table: str) -> None:
         from botocore.exceptions import ClientError  # noqa: PLC0415
@@ -302,10 +324,35 @@ class GlueLakeCatalog:
         # still points at this location/metadata, this entry is the
         # stale half of an interrupted rename — drop catalog-only so
         # the live twin keeps its data
-        catalog_only = (
-            entry is not None
-            and self._location_shared(database, table, entry)
+        twins = (
+            self._location_twins(database, table, entry)
+            if entry is not None
+            else []
         )
+        catalog_only = bool(twins)
+        if catalog_only:
+            # split-brain guard (r14 review): if commits published
+            # through THIS name after the crash, this entry's pointer
+            # is NEWER than every twin's — dropping it would hide the
+            # committed snapshots behind the twin's stale pointer.
+            # Refuse with the explicit choice instead of silently
+            # discarding data.
+            my_v = _ptr_version(
+                (entry.get("Parameters") or {}).get("metadata_location")
+            )
+            twin_vs = [_ptr_version(p) for _, _, p in twins]
+            if my_v is not None and all(
+                v is None or v < my_v for v in twin_vs
+            ):
+                names = ", ".join(f"{d}.{t}" for d, t, _ in twins)
+                raise TableFormatError(
+                    f"{database}.{table} shares its location with "
+                    f"{names} but carries the NEWER metadata pointer "
+                    f"(v{my_v}) — dropping it would hide committed "
+                    "data behind the twin's stale pointer. Drop the "
+                    "stale twin instead, or re-point it at this "
+                    "entry's metadata_location first."
+                )
         try:
             self.glue.delete_table(DatabaseName=database, Name=table)
         except ClientError as e:
@@ -338,8 +385,12 @@ class GlueLakeCatalog:
         rename: the stale source entry is deleted catalog-only and the
         renamed handle returned); ``drop_table`` on the stale old name
         also converges (the shared-location scan makes it catalog-only,
-        r13 ADVICE). A trailing identifier commit refreshes
-        ``meta['identifier']`` under the new name."""
+        r13 ADVICE). If commits published through EITHER name after
+        the crash (diverged pointers — split-brain), both recovery
+        paths refuse loudly, naming the newer pointer: drop or
+        re-point the stale entry explicitly, then retry (r14 review).
+        A trailing identifier commit refreshes ``meta['identifier']``
+        under the new name."""
         from botocore.exceptions import ClientError  # noqa: PLC0415
 
         entry = self._get_entry(database, table)
@@ -372,6 +423,33 @@ class GlueLakeCatalog:
                 t.meta["identifier"] = f"{new_database}.{new_table}"
                 t._commit()
                 return t
+            src_loc = (entry.get("StorageDescriptor") or {}).get(
+                "Location"
+            )
+            tgt_loc = (target.get("StorageDescriptor") or {}).get(
+                "Location"
+            )
+            if src_loc and src_loc == tgt_loc:
+                # same table under both names but the pointers have
+                # DIVERGED — a commit published through one of the
+                # names after the crash (split-brain; r14 review). No
+                # automatic resolution is safe: name which pointer is
+                # newer and make the operator choose.
+                sv, tv = _ptr_version(src_ptr), _ptr_version(tgt_ptr)
+                newer = (
+                    f"{database}.{table} (v{sv})"
+                    if (sv or 0) >= (tv or 0)
+                    else f"{new_database}.{new_table} (v{tv})"
+                )
+                raise TableFormatError(
+                    f"crashed rename left {database}.{table} and "
+                    f"{new_database}.{new_table} sharing one location "
+                    f"with DIVERGED metadata pointers (v{sv} vs v{tv}) "
+                    "— commits published through both names. The newer "
+                    f"pointer is on {newer}; re-point the stale entry "
+                    "at it (or drop the stale entry) before retrying "
+                    "the rename."
+                )
             raise TableFormatError(
                 f"table {new_database}.{new_table} already exists (glue)"
             )

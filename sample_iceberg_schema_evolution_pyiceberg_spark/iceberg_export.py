@@ -1498,6 +1498,33 @@ def read_iceberg_table(
             .distinct()
         )
 
+    def _default_groups(files: list) -> "list[tuple[list, set]]":
+        """Partition a manifest's files by WHICH default-bearing
+        columns each file's own footer lacks. One manifest can mix
+        pre- and post-evolution files (Iceberg writers merge manifests
+        on append; rewrite_manifests folds them in-engine), and a
+        single merged spark.read would infer ONE schema for the arm —
+        filling per inferred-arm schema either skips the default
+        (column inferred present, pre-evolution rows read null) or
+        stomps real values (column inferred absent). Per-FILE footer
+        grouping (driver-side, footer-priced — the same cost class as
+        the manifest reads) keeps the fill exact. (r14 review
+        finding.)"""
+        if not column_defaults:
+            return [(files, set())]
+        import pyarrow.parquet as pq  # noqa: PLC0415
+        import re as _re  # noqa: PLC0415
+
+        groups: dict[frozenset, list] = {}
+        for fp in files:
+            local = _re.sub("^file:/+", "/", str(fp))
+            names = set(pq.read_schema(local).names)
+            missing = frozenset(
+                c for c in column_defaults if c not in names
+            )
+            groups.setdefault(missing, []).append(fp)
+        return [(fs, set(m)) for m, fs in groups.items()]
+
     df = None
     for m in data_ms:
         arm_seq = m.get("sequence_number", 0)
@@ -1508,36 +1535,41 @@ def read_iceberg_table(
         ]
         if not files:
             continue
-        raw = _open_data_files(files)
-        if need_pos:
-            sel = [
-                _align_expr(
-                    F.col(f.name), raw.schema[f.name].dataType, f.dataType
-                ).alias(f.name)
-                if f.name in raw.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in table_schema.fields
-            ]
-            sel.append(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("_ice_file")
-            )
-            sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
-            arm = raw.select(*sel).join(
-                pos_df, ["_ice_file", "_ice_pos"], "left_anti"
-            ).drop("_ice_file", "_ice_pos")
-        else:
-            arm = _align_df(raw, table_schema)
-        # initial-default fill: only for columns this FILE SET lacks
-        # (alignment null-filled them); files that carry the column
-        # keep their own values, real nulls included
-        for cname, dval in column_defaults.items():
-            if cname not in raw.columns:
-                arm = arm.withColumn(
-                    cname,
-                    F.lit(dval).cast(table_schema[cname].dataType),
+        arm = None
+        for group_files, missing_defaults in _default_groups(files):
+            raw = _open_data_files(group_files)
+            if need_pos:
+                sel = [
+                    _align_expr(
+                        F.col(f.name), raw.schema[f.name].dataType, f.dataType
+                    ).alias(f.name)
+                    if f.name in raw.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in table_schema.fields
+                ]
+                sel.append(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ).alias("_ice_file")
                 )
+                sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
+                sub = raw.select(*sel).join(
+                    pos_df, ["_ice_file", "_ice_pos"], "left_anti"
+                ).drop("_ice_file", "_ice_pos")
+            else:
+                sub = _align_df(raw, table_schema)
+            # initial-default fill: only for columns THIS FILE GROUP
+            # lacks in its own footers (alignment null-filled them);
+            # files that carry the column keep their own values, real
+            # nulls included
+            for cname in missing_defaults:
+                sub = sub.withColumn(
+                    cname,
+                    F.lit(column_defaults[cname]).cast(
+                        table_schema[cname].dataType
+                    ),
+                )
+            arm = sub if arm is None else arm.unionByName(sub)
         for dseq, d in eq_dels:
             if dseq <= arm_seq:
                 continue  # strictly-smaller rule

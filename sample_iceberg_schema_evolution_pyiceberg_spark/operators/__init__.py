@@ -49,10 +49,11 @@ _PRIORITY = [
     "c12b_multimodal_real_decode",
     "a39_v3_initial_default_episode",
     # Tier 2: the r11-evidence band — the oldest driver evidence in
-    # the registry (49 keys; 45 fit). Includes the judge-named
-    # a31/a32/a33/s11 and c24 (changed). With these slots no
-    # oracle-bearing key's driver evidence is older than r11, and
-    # after r15 rotates the r12 band nothing will be older than r13.
+    # the registry (49 keys; 44 fit behind the 6 tier-1 slots, 5
+    # spill). Includes the judge-named a31/a32/a33/s11 and c24
+    # (changed). With these slots no oracle-bearing key's driver
+    # evidence is older than r11, and after r15 rotates the spills +
+    # the r12 band nothing will be older than r13.
     "a01_evolution_episode", "a03_lake_roundtrip", "a07_time_travel",
     "a10_iceberg_export_roundtrip", "a14_metadata_tables",
     "a18_merge_on_read_export", "a20_pruned_scan_episode",

@@ -247,7 +247,21 @@ def decode_bmp(payload: bytes) -> "tuple[int, int, list[list[tuple[int, int, int
             f"unsupported BMP: bpp={bpp} compression={compression} "
             f"planes={planes} (only 24bpp BI_RGB)"
         )
+    # corrupt-header guard (r14 review): a non-positive width or zero
+    # height would silently yield an empty/garbage grid; refuse loudly
+    # like every other malformed-payload path, and bound the pixel
+    # data against the actual payload size before indexing.
+    if width <= 0 or raw_h == 0:
+        raise ValueError(
+            f"malformed BMP header: width={width} height={raw_h}"
+        )
     height = abs(raw_h)
+    stride_check = width * 3 + ((-(width * 3)) % 4)
+    if data_off + height * stride_check > len(payload):
+        raise ValueError(
+            f"malformed BMP: declared {width}x{height} pixels exceed "
+            f"the {len(payload)}-byte payload"
+        )
     top_down = raw_h < 0
     row_len = width * 3
     stride = row_len + ((-row_len) % 4)

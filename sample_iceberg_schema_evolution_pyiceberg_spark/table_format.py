@@ -3356,12 +3356,37 @@ class LakeTable:
                 pq.read_schema(p), prefer_timestamp_ntz=True
             )
             file_leaves = flatten(file_schema)
+
             # reverse check (r13 ADVICE): a file missing a NOT NULL
             # table column would import fine and null-fill at scan
             # time — silently violating the column's nullability
-            # contract. Mirror the extra-column loud refusal.
+            # contract. Mirror the extra-column loud refusal. A
+            # required leaf whose ABSENT ancestor container is
+            # nullable is a legal omit (the whole container null-fills
+            # as one NULL, which never yields a non-null container
+            # with a null required child — r14 review finding).
+            def _omitted_nullable_ancestor(path: str) -> bool:
+                parent = table_leaves[path].parent
+                while parent:
+                    fld = table_leaves.get(parent)
+                    if fld is None:
+                        # synthetic path segment (".element"/".value")
+                        # — hop to the real container
+                        if parent.endswith((".element", ".value")):
+                            parent = parent.rsplit(".", 1)[0]
+                            continue
+                        return False
+                    if parent not in file_leaves and not fld.required:
+                        return True
+                    parent = fld.parent
+                return False
+
             for path, want in table_leaves.items():
-                if want.required and path not in file_leaves:
+                if (
+                    want.required
+                    and path not in file_leaves
+                    and not _omitted_nullable_ancestor(path)
+                ):
                     raise TableFormatError(
                         f"add_files: {p.name} lacks column {path!r} "
                         "which the table declares NOT NULL — the scan "

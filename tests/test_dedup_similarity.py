@@ -508,6 +508,15 @@ def test_bmp_codec_roundtrip_padding_and_row_order():
     struct.pack_into("<H", bad, 28, 32)  # 32bpp unsupported
     with _pytest.raises(ValueError, match="bpp=32"):
         decode_bmp(bytes(bad))
+    # corrupt dimensions refuse loudly (r14 review finding)
+    neg_w = bytearray(raw)
+    struct.pack_into("<i", neg_w, 18, -2)
+    with _pytest.raises(ValueError, match="malformed BMP header"):
+        decode_bmp(bytes(neg_w))
+    huge = bytearray(raw)
+    struct.pack_into("<i", huge, 22, 10**6)  # height beyond payload
+    with _pytest.raises(ValueError, match="exceed"):
+        decode_bmp(bytes(huge))
 
 
 def test_c12b_decodes_real_pixels(spark):

@@ -1012,3 +1012,58 @@ def test_v3_variant_and_future_version_refuse(spark, tmp_path):
     ], last_col=2)
     with pytest.raises(ValueError, match="s.g"):
         read_iceberg_table(spark, root5)
+
+
+def test_v3_initial_default_mixed_manifest(spark, tmp_path):
+    """r14 review finding: ONE manifest mixing pre- and post-evolution
+    files (Iceberg writers merge manifests; rewrite_manifests folds
+    them) must fill the default per-FILE, not per inferred-arm-schema
+    — pre-evolution rows get the default, post-evolution rows keep
+    real values (including real nulls), inside the same manifest."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v3_mixed"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    d_old = root / "data" / "old.parquet"  # pre-evolution
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["a", "b"])}), d_old,
+    )
+    d_new = root / "data" / "new.parquet"  # has score incl. a real null
+    pq.write_table(
+        pa.table({"id": pa.array([3, 4], pa.int64()),
+                  "name": pa.array(["c", "d"]),
+                  "score": pa.array([7, None], pa.int64())}), d_new,
+    )
+    mschema = (FOREIGN / "v2_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v2_manifest_list.avsc").read_text()
+
+    def entry(path):
+        e = _df(path, 1, content=0)
+        e["sequence_number"] = 1
+        e["file_sequence_number"] = 1
+        return e
+
+    # BOTH files in ONE manifest — the shape that broke the arm-level
+    # fill
+    write_avro_java(
+        spark, root / "metadata" / "m1.avro", mschema,
+        [entry(d_old), entry(d_new)],
+    )
+    write_avro_java(
+        spark, root / "metadata" / "snap-901.avro", lschema,
+        [_mlist_entry(root, "m1.avro", 0, 1)],
+    )
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "name", "required": False, "type": "string"},
+        {"id": 3, "name": "score", "required": False, "type": "long",
+         "initial-default": 42},
+    ], last_col=3)
+
+    df, _doc = read_iceberg_table(spark, root)
+    got = {r.id: r.score for r in df.collect()}
+    assert got == {1: 42, 2: 42, 3: 7, 4: None}

@@ -1077,3 +1077,44 @@ def test_glue_rename_backfills_missing_location(spark, tmp_path, glue_s3):
     assert entry["StorageDescriptor"]["Location"] == old_dir
     assert str(t2.location) == old_dir
     assert t2.to_df(spark).count() == 5
+
+
+def test_glue_crashed_rename_with_diverged_pointers(spark, tmp_path, glue_s3):
+    """r14 review finding: commits published through either name AFTER
+    a crashed rename diverge the two entries' pointers (split-brain).
+    Neither recovery may silently discard the newer metadata: the
+    rename retry refuses naming the newer pointer, dropping the
+    NEWER-pointer entry refuses, dropping the STALE-pointer twin is
+    catalog-only — after which the rename retry converges and the
+    post-crash commit is visible."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        TableFormatError,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "src", SCHEMA)
+    t.append(spark.range(0, 5).select(F.col("id"), F.lit("x").alias("v")))
+    _crash_rename(glue, "db", "src", "dst")
+    # a writer keeps using the OLD name: its pointer advances past dst's
+    t2 = cat.load_table("db", "src")
+    t2.append(spark.range(5, 9).select(F.col("id"), F.lit("y").alias("v")))
+
+    with pytest.raises(TableFormatError, match="DIVERGED"):
+        cat.rename_table("db", "src", "db", "dst")
+    with pytest.raises(TableFormatError, match="NEWER metadata pointer"):
+        cat.drop_table("db", "src")  # src carries the newer pointer
+    # the safe recovery: drop the STALE twin (catalog-only)...
+    cat.drop_table("db", "dst")
+    assert cat.load_table("db", "src").to_df(spark).count() == 9
+    # ...then the rename retry converges with the post-crash commit
+    t3 = cat.rename_table("db", "src", "db", "dst")
+    assert t3.to_df(spark).count() == 9
+    assert not cat.table_exists("db", "src")

@@ -1445,3 +1445,52 @@ def test_add_files_refuses_missing_not_null_column(spark, tmp_path):
     assert snap is not None
     out = t2.to_df(spark)
     assert out.count() == 3 and out.filter("v IS NULL").count() == 3
+
+
+def test_add_files_allows_required_leaf_under_omitted_nullable_struct(
+    spark, tmp_path
+):
+    """r14 review finding: a required leaf inside a NULLABLE container
+    the file omits ENTIRELY is a legal import (the whole container
+    null-fills as one NULL); the refusal still fires when the file
+    materializes the container but lacks the required child."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    inner = T.StructType([T.StructField("x", T.LongType(), False)])
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("s", inner, True),  # nullable container
+    ])
+    t = cat.create_table("d", "nested", schema)
+
+    src_ok = tmp_path / "ok_src"  # omits the whole nullable struct
+    spark.range(3).selectExpr("id as k").write.parquet(str(src_ok))
+    snap = t.add_files(src_ok)
+    assert snap is not None
+    out = t.to_df(spark)
+    assert out.count() == 3 and out.filter("s IS NULL").count() == 3
+
+    src_bad = tmp_path / "bad_src"  # materializes s but lacks s.x
+    spark.range(3).selectExpr(
+        "id as k", "named_struct('y', id) as s"
+    ).write.parquet(str(src_bad))
+    # (the extra-column refusal fires first on s.y; use a struct with
+    # only a MISSING required child by building s with a nullable
+    # sibling declared in the table)
+    schema2 = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("s", T.StructType([
+            T.StructField("x", T.LongType(), False),
+            T.StructField("y", T.LongType(), True),
+        ]), True),
+    ])
+    t2 = cat.create_table("d", "nested2", schema2)
+    with _pytest.raises(TableFormatError, match="s.x"):
+        t2.add_files(src_bad)
