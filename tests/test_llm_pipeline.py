@@ -559,3 +559,40 @@ def test_scrub_pii_phone_and_card_spans(spark):
     assert g2[10].scrubbed == "pay to <IBAN> or <IBAN>"
     assert g2[11].n_ibans == 0
     assert g2[12].n_ibans == 1 and g2[12].scrubbed.startswith("<IBAN>")
+
+
+def test_c36_bpe_concat_invariant_random_corpus(spark):
+    """BPE structural invariant on a deterministic pseudo-random
+    corpus: after any number of merges, each word's token sequence
+    concatenates back to exactly the word (merges only ever fuse
+    adjacent tokens), every token is non-empty, and re-training on
+    the same corpus is bit-stable."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        _bpe_tokens,
+        train_bpe_merges,
+    )
+
+    rng = random.Random(1414)
+    words = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 12)))
+        for _ in range(120)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::4])) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges, seg = train_bpe_merges(docs, n_merges=6)
+    assert len(merges) == 6
+    rows = seg.select(
+        "w", _bpe_tokens(F.col("s")).alias("ws")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert "".join(r.ws) == r.w
+        assert all(tok for tok in r.ws)
+    merges2, _ = train_bpe_merges(docs, n_merges=6)
+    assert merges == merges2
