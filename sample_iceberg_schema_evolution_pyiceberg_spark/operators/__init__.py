@@ -85,10 +85,11 @@ _PRIORITY = [
     # between driver windows (SURVEY §5.8).
     "b04_join_left_outer", "b09_join_cross", "b17_agg_minmax_stats",
     "b23_union_all", "c14_multimodal_frame_sample",
-    # b67 (ORC roundtrip, new r14, local-sweep evidence only — joins
-    # the never-gated tier of the r15 head; B5 family twins b43/b44
-    # carry r13 driver evidence)
-    "b67_orc_scan_roundtrip",
+    # b67/a40 (ORC roundtrip + v3 deletion-vector decode, new r14,
+    # local-sweep evidence only — they join the never-gated tier of
+    # the r15 head; family twins b43/b44 and a39 carry r13/r14 driver
+    # evidence)
+    "b67_orc_scan_roundtrip", "a40_v3_deletion_vector_episode",
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,

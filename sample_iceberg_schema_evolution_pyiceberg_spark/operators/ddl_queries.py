@@ -2297,3 +2297,158 @@ def a39_v3_initial_default_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+@query(
+    "a40_v3_deletion_vector_episode",
+    # v3 deletion vectors (ICEBERG_CONFORMANCE row 35, now DECODED):
+    # data outcome is the external read with a REAL puffin
+    # roaring64 bitmap masking every 7th file position of the sorted
+    # export; the oracle replays positions via ROW_NUMBER. The flag
+    # pins the CRC refusal on a corrupted twin.
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT o_orderpriority, COUNT(*) AS n, TRUE AS crc_refused
+    FROM ranked WHERE pos % 7 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def a40_v3_deletion_vector_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v3 deletion vectors end-to-end THROUGH REAL BYTES:
+    export a sorted lake table as v2, then commit a deletion vector
+    the way a v3 writer would — a puffin container holding a
+    portable-roaring64 bitmap of deleted row positions, referenced by
+    a delete manifest carrying referenced_data_file/content_offset/
+    content_size_in_bytes — and read the table back externally. The
+    positions are file row indices, so the sorted single-file write
+    makes them replayable as ROW_NUMBER in the oracle. A corrupted
+    blob CRC must refuse loudly (flag)."""
+    import json as _json  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+    from pathlib import Path as _P  # noqa: PLC0415
+
+    from ..avro_ocf import write_ocf  # noqa: PLC0415
+    from ..iceberg_export import (  # noqa: PLC0415
+        _manifest_entry_schema,
+        _manifest_file_schema,
+        read_avro_jvm,
+    )
+    from ..puffin import dv_blob_serialize, write_puffin  # noqa: PLC0415
+
+    src = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    with tempfile.TemporaryDirectory(prefix="v3_dv_gate_") as wh:
+        cat = LakeCatalog(wh)
+        table = cat.create_table("gate", "dvt", src.schema)
+        table.append(
+            src.repartition(1).sortWithinPartitions("o_orderkey")
+        )
+        export_to_iceberg(table, format_version=2)
+        meta_dir = _P(table.location) / "metadata"
+        hint = (meta_dir / "version-hint.text").read_text().strip()
+        mpath = meta_dir / f"v{hint}.metadata.json"
+        doc = _json.loads(mpath.read_text())
+        doc["format-version"] = 3
+        mpath.write_text(_json.dumps(doc))
+        snap = next(
+            s for s in doc["snapshots"]
+            if s["snapshot-id"] == doc["current-snapshot-id"]
+        )
+        mlist_path = snap["manifest-list"]
+        mlist = read_avro_jvm(spark, mlist_path)
+        data_m = next(m for m in mlist if m.get("content") in (None, 0))
+        [entry] = read_avro_jvm(spark, data_m["manifest_path"])
+        dfile = entry["data_file"]["file_path"]
+        n_rows = int(entry["data_file"]["record_count"])
+        positions = [p for p in range(n_rows) if p % 7 == 0]
+
+        blob = dv_blob_serialize(positions)
+        ppath = meta_dir / "dv-0001.puffin"
+        write_puffin(str(ppath), [{
+            "data": blob, "type": "deletion-vector-v1", "fields": [],
+            "snapshot-id": snap["snapshot-id"], "sequence-number": 2,
+            "properties": {"referenced-data-file": str(dfile),
+                           "cardinality": str(len(positions))},
+        }])
+
+        # delete manifest: the v2 entry schema + the three v3 DV
+        # fields on data_file (ids 143/144/145 per the v3 spec)
+        eschema = _manifest_entry_schema([], 2)
+        df_rec = next(
+            f for f in eschema["fields"] if f["name"] == "data_file"
+        )
+        df_rec["type"]["fields"] += [
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "default": None, "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"],
+             "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"],
+             "default": None, "field-id": 145},
+        ]
+        dv_manifest = meta_dir / "manifest-dv-0001.avro"
+        write_ocf(
+            str(dv_manifest), eschema,
+            [{
+                "status": 1,
+                "snapshot_id": snap["snapshot-id"],
+                "sequence_number": 2,
+                "file_sequence_number": 2,
+                "data_file": {
+                    "content": 1,
+                    "file_path": str(ppath),
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": len(positions),
+                    "file_size_in_bytes": _os.path.getsize(ppath),
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "referenced_data_file": str(dfile),
+                    "content_offset": 4,
+                    "content_size_in_bytes": len(blob),
+                },
+            }],
+            {"format-version": "2", "content": "deletes"},
+        )
+        mlist.append({
+            "manifest_path": str(dv_manifest),
+            "manifest_length": _os.path.getsize(dv_manifest),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": 2,
+            "min_sequence_number": 2,
+            "added_snapshot_id": snap["snapshot-id"],
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": len(positions),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
+        write_ocf(
+            mlist_path, _manifest_file_schema(2), mlist,
+            {"format-version": "2"},
+        )
+
+        external, rdoc = read_iceberg_table(spark, table.location)
+        # CRC guard: a corrupted blob copy must refuse loudly
+        corrupted = bytearray(_P(ppath).read_bytes())
+        corrupted[8] ^= 0xFF  # flip a vector byte, CRC now wrong
+        _P(ppath).write_bytes(bytes(corrupted))
+        try:
+            read_iceberg_table(spark, table.location)[0].count()
+            crc_refused = False
+        except ValueError:
+            crc_refused = True
+        out = (
+            external.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("crc_refused", F.lit(crc_refused))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

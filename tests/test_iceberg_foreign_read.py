@@ -933,47 +933,86 @@ def test_v3_initial_default_read(spark, tmp_path):
     assert got == {1: 42, 2: 42, 3: 7, 4: None}
 
 
-def test_v3_deletion_vector_refuses_loudly(spark, tmp_path):
-    """A v3 deletion-vector (puffin) delete entry refuses with a
-    targeted message instead of silently returning undeleted rows."""
-    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
-        read_iceberg_table,
+def _dv_table(spark, tmp_path, name, dv_specs, corrupt_crc=False):
+    """v3 fixture: one 4-row data file + REAL puffin deletion vectors.
+    dv_specs = [(seq, positions)] — multiple entries reference the
+    SAME data file to exercise latest-DV-wins."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.puffin import (
+        dv_blob_serialize,
+        write_puffin,
     )
 
-    root = tmp_path / "v3_dv"
+    root = tmp_path / name
     (root / "data").mkdir(parents=True)
     (root / "metadata").mkdir()
     d1 = root / "data" / "d.parquet"
     pq.write_table(
-        pa.table({"id": pa.array([1, 2], pa.int64()),
-                  "name": pa.array(["a", "b"])}), d1,
+        pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "name": pa.array(["a", "b", "c", "d"])}), d1,
     )
     m3 = (FOREIGN / "v3_manifest.avsc").read_text()
     m2 = (FOREIGN / "v2_manifest.avsc").read_text()
     lschema = (FOREIGN / "v2_manifest_list.avsc").read_text()
-    de = _df(root / "data" / "dv.puffin", 1, content=1,
-             file_format="PUFFIN")
-    de["data_file"]["referenced_data_file"] = str(d1)
-    de["data_file"]["content_offset"] = 4
-    de["data_file"]["content_size_in_bytes"] = 17
-    de["sequence_number"] = 1
-    de["file_sequence_number"] = 1
     dd = _df(d1, 1, content=0)
     dd["sequence_number"] = 1
     dd["file_sequence_number"] = 1
     write_avro_java(spark, root / "metadata" / "m1.avro", m2, [dd])
-    write_avro_java(spark, root / "metadata" / "mdv.avro", m3, [de])
+    mlist = [_mlist_entry(root, "m1.avro", 0, 1)]
+    for i, (seq, positions) in enumerate(dv_specs):
+        blob = dv_blob_serialize(positions)
+        if corrupt_crc:
+            blob = blob[:-4] + b"\x00\x00\x00\x00"
+        ppath = root / "data" / f"dv{i}.puffin"
+        write_puffin(ppath, [{
+            "data": blob, "type": "deletion-vector-v1", "fields": [],
+            "properties": {"referenced-data-file": str(d1),
+                           "cardinality": str(len(positions))},
+        }])
+        de = _df(ppath, 1, content=1, file_format="PUFFIN")
+        de["data_file"]["referenced_data_file"] = str(d1)
+        de["data_file"]["content_offset"] = 4
+        de["data_file"]["content_size_in_bytes"] = len(blob)
+        de["sequence_number"] = seq
+        de["file_sequence_number"] = seq
+        write_avro_java(
+            spark, root / "metadata" / f"mdv{i}.avro", m3, [de]
+        )
+        mlist.append(_mlist_entry(root, f"mdv{i}.avro", 1, seq))
     write_avro_java(
-        spark, root / "metadata" / "snap-901.avro", lschema,
-        [_mlist_entry(root, "m1.avro", 0, 1),
-         _mlist_entry(root, "mdv.avro", 1, 1)],
+        spark, root / "metadata" / "snap-901.avro", lschema, mlist
     )
     _v3_meta(root, [
         {"id": 1, "name": "id", "required": False, "type": "long"},
         {"id": 2, "name": "name", "required": False, "type": "string"},
     ], last_col=2)
-    with pytest.raises(ValueError, match="deletion-vector"):
-        read_iceberg_table(spark, root)
+    return root
+
+
+def test_v3_deletion_vector_decodes(spark, tmp_path):
+    """v3 deletion vectors are DECODED (r14 second pass): a real
+    puffin file's portable-roaring64 bitmap masks exactly its
+    positions; with TWO DVs for one data file the LATEST sequence
+    wins outright (a DV replaces its predecessor — deltas are never
+    merged); a corrupt blob CRC refuses loudly."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = _dv_table(spark, tmp_path, "v3_dv", [(2, [0, 2])])
+    df, doc = read_iceberg_table(spark, root)
+    assert sorted(r.id for r in df.collect()) == [2, 4]
+
+    root2 = _dv_table(
+        spark, tmp_path, "v3_dv_latest", [(2, [0, 2]), (3, [1])]
+    )
+    df2, _ = read_iceberg_table(spark, root2)
+    assert sorted(r.id for r in df2.collect()) == [1, 3, 4]
+
+    root3 = _dv_table(
+        spark, tmp_path, "v3_dv_bad", [(2, [0])], corrupt_crc=True
+    )
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        read_iceberg_table(spark, root3)
 
 
 def test_v3_variant_and_future_version_refuse(spark, tmp_path):
