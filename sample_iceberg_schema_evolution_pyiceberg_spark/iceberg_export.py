@@ -444,6 +444,7 @@ def _manifest_entry_schema(
     partition_fields: list[dict[str, Any]],
     format_version: int = 1,
     include_equality_ids: bool = False,
+    include_dv_fields: bool = False,
 ) -> dict:
     partition_record = {
         "type": "record",
@@ -486,6 +487,18 @@ def _manifest_entry_schema(
                 "field-id": 135,
             }
         )
+    if include_dv_fields:
+        # v3 deletion-vector addressing (TableSpec v3 data_file
+        # fields): the referenced data file plus the blob coordinates
+        # inside the puffin container
+        df_fields += [
+            {"name": "referenced_data_file", "type": ["null", "string"],
+             "default": None, "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"],
+             "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": ["null", "long"],
+             "default": None, "field-id": 145},
+        ]
     data_file = {"type": "record", "name": "r2", "fields": df_fields}
     entry_fields: list[dict[str, Any]] = [
         {"name": "status", "type": "int", "field-id": 0},
@@ -689,6 +702,83 @@ def _write_position_deletes(
     )
 
 
+def _dv_entries_from_pos_dir(
+    pos_dir: Path, puffin_path: Path
+) -> list[dict[str, Any]]:
+    """v3 delete representation: turn a computed (file_path, pos)
+    position-delete directory into ONE puffin container holding one
+    deletion-vector blob per referenced data file, and return the
+    manifest entries addressing each blob (referenced_data_file +
+    content_offset/content_size_in_bytes). Idempotent like the pos-dir
+    computation itself: an existing container is reused via its own
+    footer. Driver-side and bounded by the deleted-row count — the
+    same envelope the position-delete write already had."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from .puffin import (  # noqa: PLC0415
+        dv_blob_serialize,
+        read_puffin_footer,
+        write_puffin,
+    )
+
+    if not puffin_path.exists():
+        by_file: dict[str, list[int]] = {}
+        for dp, _dirs, fs in os.walk(pos_dir):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(dp, f), columns=["file_path", "pos"]
+                )
+                for fp, pos in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    by_file.setdefault(fp, []).append(int(pos))
+        blobs = [
+            {
+                "data": dv_blob_serialize(sorted(set(positions))),
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "properties": {
+                    "referenced-data-file": fp,
+                    "cardinality": str(len(set(positions))),
+                },
+            }
+            for fp, positions in sorted(by_file.items())
+        ]
+        puffin_path.parent.mkdir(parents=True, exist_ok=True)
+        write_puffin(puffin_path, blobs)
+    raw = puffin_path.read_bytes()
+    entries = []
+    for desc in read_puffin_footer(raw):
+        if desc.get("type") != "deletion-vector-v1":
+            continue
+        props = desc.get("properties") or {}
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": None,  # inherited
+                "sequence_number": None,  # inherited
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": str(puffin_path),
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": int(props.get("cardinality", 0)),
+                    "file_size_in_bytes": len(raw),
+                    "referenced_data_file": props.get(
+                        "referenced-data-file"
+                    ),
+                    "content_offset": desc["offset"],
+                    "content_size_in_bytes": desc["length"],
+                },
+            }
+        )
+    return entries
+
+
 def export_to_iceberg(
     table: LakeTable,
     spark=None,
@@ -701,16 +791,25 @@ def export_to_iceberg(
 
     ``format_version``: None (default) auto-selects — v2 when the live
     set carries merge-on-read delete entries (which need spec v2
-    delete files), else v1. ``spark`` is required only when PREDICATE
-    deletes are live: those export as position-delete files computed
-    at export time (module docstring)."""
+    delete files), else v1. ``format_version=3`` (opt-in, r14) exports
+    position/predicate deletes as DELETION VECTORS — one puffin
+    container per delete snapshot, one portable-roaring64 blob per
+    referenced data file (puffin.py) — per the v3 rule that new
+    position deletes must be DVs; equality deletes stay parquet (legal
+    in v3). v3 metadata carries ``next-row-id`` and per-snapshot
+    ``first-row-id`` (row-lineage assignment state); the avro-level
+    row-lineage fields (first_row_id inheritance columns) are NOT
+    emitted — documented divergence, ICEBERG_CONFORMANCE.md row 39.
+    ``spark`` is required only when PREDICATE deletes are live: those
+    export as position tuples computed at export time (module
+    docstring)."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     has_deletes = any(s.is_row_delete for s in table.snapshots)
     fv = format_version if format_version is not None else (
         2 if has_deletes else 1
     )
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise ValueError(f"unsupported iceberg format version {fv}")
     if fv == 1 and has_deletes:
         # a v1 export of data files alone would resurrect the deleted
@@ -723,7 +822,7 @@ def export_to_iceberg(
     has_predicate_deletes = any(
         s.delete_predicate for s in table.snapshots
     )
-    if fv == 2 and has_predicate_deletes and spark is None:
+    if fv >= 2 and has_predicate_deletes and spark is None:
         raise RuntimeError(
             "predicate delete entries export as position-delete files "
             "computed at export time — pass spark=<SparkSession> to "
@@ -822,7 +921,7 @@ def export_to_iceberg(
     unpart_spec_id = next(
         (sid for sid, d in spec_docs.items() if not d["fields"]), None
     )
-    if fv == 2 and has_deletes and unpart_spec_id is None:
+    if fv >= 2 and has_deletes and unpart_spec_id is None:
         unpart_spec_id = max(spec_docs) + 1
         spec_docs[unpart_spec_id] = {
             "spec-id": unpart_spec_id,
@@ -929,11 +1028,20 @@ def export_to_iceberg(
                 entries = _delete_file_entries(
                     _parquet_files_under(pos_dir), 1, None
                 )
+            if fv == 3 and not snap.delete_keys_dir:
+                # v3: the position tuples become deletion vectors —
+                # one puffin blob per referenced file (pos_dir was
+                # computed by whichever branch ran above)
+                entries = _dv_entries_from_pos_dir(
+                    pos_dir,
+                    meta_dir / "deletes" / f"dv-{snap.snapshot_id}.puffin",
+                )
             p_fields: list[dict[str, Any]] = []
             spec_id_for_manifest = unpart_spec_id
             content = 1
             entry_schema = _manifest_entry_schema(
-                p_fields, fv, include_equality_ids=True
+                p_fields, fv, include_equality_ids=True,
+                include_dv_fields=(fv == 3),
             )
         else:
             p_fields = partition_fields_for(snap.spec_id)
@@ -1029,6 +1137,7 @@ def export_to_iceberg(
     snapshots_json: list[dict[str, Any]] = []
     current_id: int | None = None
     parent_id: int | None = None
+    _row_id_cursor = 0
     for i, snap in enumerate(live):
         sid = _snapshot_int_id(snap)
         list_path = meta_dir / f"snap-{sid}-1-{uuid.uuid4()}.avro"
@@ -1066,6 +1175,13 @@ def export_to_iceberg(
         }
         if fv >= 2:
             entry["sequence-number"] = snap.sequence_number
+        if fv >= 3:
+            # v3 row lineage: each snapshot's first-row-id is the
+            # row-id space consumed by all PRIOR data rows (deletes
+            # assign no rows); next-row-id below continues from here
+            entry["first-row-id"] = _row_id_cursor
+            if manifests[i]["content"] == 0:
+                _row_id_cursor += manifests[i]["added_rows_count"]
         if parent_id is not None:
             entry["parent-snapshot-id"] = parent_id
         snapshots_json.append(entry)
@@ -1116,6 +1232,8 @@ def export_to_iceberg(
         doc["last-sequence-number"] = int(
             table.meta.get("last_sequence_number", 0)
         )
+    if fv >= 3:
+        doc["next-row-id"] = _row_id_cursor
 
     tags = table.meta.get("tags") or {}
     if tags or current_id is not None:
