@@ -126,9 +126,19 @@ class GlueLakeCatalog:
         glue: Any = None,
         region: "str | None" = None,
         endpoint_url: "str | None" = None,
+        scan_catalog_on_drop: bool = False,
     ) -> None:
         self._inner = LakeCatalog(warehouse, io=io)
         self.glue = glue or _boto_glue(region, endpoint_url)
+        # r15 ADVICE (medium): the crashed-rename twin search used to
+        # paginate get_databases × get_tables over the ENTIRE catalog
+        # on essentially every drop — O(all tables) Glue calls plus
+        # throttling risk to guard a rare crash. rename_table now
+        # leaves rename_pending_to/_from markers in Parameters, so the
+        # default twin search is an O(1) marker-directed lookup. Set
+        # scan_catalog_on_drop=True only for catalogs that may hold
+        # rename debris from writers without markers (pre-r15 layers).
+        self.scan_catalog_on_drop = scan_catalog_on_drop
 
     # the DDL frontend reaches for catalog.io / catalog.warehouse
     @property
@@ -273,41 +283,79 @@ class GlueLakeCatalog:
         metadata pointer as ``entry``, as (db, name, their pointer).
         The only way two entries share a location is a crashed rename
         (create of the new name succeeded, delete of the old one
-        didn't), so this scan normally finds nothing; it is what makes
-        dropping the stale half of a crashed rename safe (r13 ADVICE:
-        deleting the shared location would destroy the LIVE renamed
-        table)."""
+        didn't), so this search normally finds nothing; it is what
+        makes dropping the stale half of a crashed rename safe (r13
+        ADVICE: deleting the shared location would destroy the LIVE
+        renamed table).
+
+        Cost posture (r15 ADVICE, medium): rename_table stamps both
+        halves with rename_pending_to/_from markers BEFORE the
+        non-transactional create+delete pair, so the crash window is
+        always marker-visible and the default search is one GetTable
+        per marker — no catalog scan on the common drop path. The
+        exhaustive get_databases × get_tables sweep survives behind
+        ``scan_catalog_on_drop=True`` for catalogs holding debris from
+        pre-marker writers."""
         loc = (entry.get("StorageDescriptor") or {}).get("Location")
         ptr = (entry.get("Parameters") or {}).get("metadata_location")
         if not loc and not ptr:
-            # nothing this entry references can be shared — skip the
-            # catalog scan entirely (r14 review: the scan is
-            # O(catalog) Glue calls; don't pay it when it cannot match)
+            # nothing this entry references can be shared — skip any
+            # search entirely (r14 review)
             return []
+
+        def _match(db_name: str, name: str, other: dict) -> "tuple | None":
+            if (db_name, name) == (database, table):
+                return None
+            oloc = (other.get("StorageDescriptor") or {}).get("Location")
+            optr = (other.get("Parameters") or {}).get("metadata_location")
+            if (loc and oloc == loc) or (ptr and optr == ptr):
+                return (db_name, name, optr)
+            return None
+
         twins = []
-        for dpage in self.glue.get_paginator("get_databases").paginate():
-            for db in dpage["DatabaseList"]:
-                pages = self.glue.get_paginator("get_tables").paginate(
-                    DatabaseName=db["Name"]
-                )
-                for tpage in pages:
-                    for other in tpage["TableList"]:
-                        if (
-                            db["Name"] == database
-                            and other["Name"] == table
-                        ):
-                            continue
-                        oloc = (
-                            other.get("StorageDescriptor") or {}
-                        ).get("Location")
-                        optr = (other.get("Parameters") or {}).get(
-                            "metadata_location"
-                        )
-                        if (loc and oloc == loc) or (ptr and optr == ptr):
-                            twins.append(
-                                (db["Name"], other["Name"], optr)
-                            )
+        if self.scan_catalog_on_drop:
+            for dpage in self.glue.get_paginator("get_databases").paginate():
+                for db in dpage["DatabaseList"]:
+                    pages = self.glue.get_paginator("get_tables").paginate(
+                        DatabaseName=db["Name"]
+                    )
+                    for tpage in pages:
+                        for other in tpage["TableList"]:
+                            hit = _match(db["Name"], other["Name"], other)
+                            if hit:
+                                twins.append(hit)
+            return twins
+        params = entry.get("Parameters") or {}
+        seen = set()
+        for marker in ("rename_pending_to", "rename_pending_from"):
+            ref = params.get(marker)
+            if not ref or "." not in ref or ref in seen:
+                continue
+            seen.add(ref)
+            cdb, cname = ref.split(".", 1)
+            other = self._get_entry(cdb, cname)
+            if other is None:
+                continue
+            hit = _match(cdb, cname, other)
+            if hit:
+                twins.append(hit)
         return twins
+
+    def _clear_rename_markers(self, database: str, table: str) -> None:
+        """Remove rename_pending_to/_from from an entry's Parameters
+        (rename completed, or its counterpart was dropped)."""
+        entry = self._get_entry(database, table)
+        if entry is None:
+            return
+        params = dict(entry.get("Parameters") or {})
+        if not (set(params) & {"rename_pending_to", "rename_pending_from"}):
+            return
+        params.pop("rename_pending_to", None)
+        params.pop("rename_pending_from", None)
+        ti = _table_input_from_entry(entry)
+        ti["Name"] = table
+        ti["Parameters"] = params
+        self.glue.update_table(DatabaseName=database, TableInput=ti)
 
     def drop_table(self, database: str, table: str) -> None:
         from botocore.exceptions import ClientError  # noqa: PLC0415
@@ -359,6 +407,10 @@ class GlueLakeCatalog:
             if e.response["Error"]["Code"] != "EntityNotFoundException":
                 raise
         if catalog_only:
+            # the surviving twin's marker now points at a deleted
+            # entry; clear it so later drops stay O(1)-clean
+            for tdb, tname, _ in twins:
+                self._clear_rename_markers(tdb, tname)
             return
         if loc:
             self.io.delete_recursive(loc)
@@ -419,6 +471,7 @@ class GlueLakeCatalog:
                     code = e.response["Error"]["Code"]
                     if code != "EntityNotFoundException":
                         raise
+                self._clear_rename_markers(new_database, new_table)
                 t = self.load_table(new_database, new_table)
                 t.meta["identifier"] = f"{new_database}.{new_table}"
                 t._commit()
@@ -454,8 +507,23 @@ class GlueLakeCatalog:
                 f"table {new_database}.{new_table} already exists (glue)"
             )
         self.create_namespace_if_not_exists(new_database)
+        # stamp the rename in flight on BOTH halves before the
+        # non-transactional create+delete pair: a crash between them
+        # leaves each entry carrying a marker naming its twin, so
+        # drop_table's twin search is one GetTable instead of a
+        # full-catalog sweep (r15 ADVICE, medium)
+        src_ti = _table_input_from_entry(entry)
+        src_ti["Name"] = table
+        src_params = dict(src_ti.get("Parameters") or {})
+        src_params["rename_pending_to"] = f"{new_database}.{new_table}"
+        src_ti["Parameters"] = src_params
+        self.glue.update_table(DatabaseName=database, TableInput=src_ti)
         ti = _table_input_from_entry(entry)
         ti["Name"] = new_table
+        tgt_params = dict(ti.get("Parameters") or {})
+        tgt_params.pop("rename_pending_to", None)  # never inherit
+        tgt_params["rename_pending_from"] = f"{database}.{table}"
+        ti["Parameters"] = tgt_params
         # legacy entries registered before locations were recorded have
         # no StorageDescriptor.Location; copying that absence would
         # make the renamed entry fall back to the NEW name-derived dir
@@ -482,6 +550,7 @@ class GlueLakeCatalog:
         except ClientError as e:
             if e.response["Error"]["Code"] != "EntityNotFoundException":
                 raise
+        self._clear_rename_markers(new_database, new_table)
         t = self.load_table(new_database, new_table)
         t.meta["identifier"] = f"{new_database}.{new_table}"
         t._commit()

@@ -965,16 +965,27 @@ def test_glue_drop_and_recreate_after_rename(spark, tmp_path, glue_s3):
 
 
 def _crash_rename(glue, database, table, new_table):
-    """Replicate rename_table's crash window: the create of the new
-    entry succeeded, the delete of the old one did not — both names
-    point at the same metadata/location."""
+    """Replicate rename_table's crash window: the in-flight markers
+    were stamped and the create of the new entry succeeded, but the
+    delete of the old one did not — both names point at the same
+    metadata/location, each carrying a marker naming its twin (r15:
+    the markers are what drop_table's O(1) twin lookup follows)."""
     from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
         _table_input_from_entry,
     )
 
     entry = glue.get_table(DatabaseName=database, Name=table)["Table"]
+    src_ti = _table_input_from_entry(entry)
+    src_ti["Name"] = table
+    src_params = dict(src_ti.get("Parameters") or {})
+    src_params["rename_pending_to"] = f"{database}.{new_table}"
+    src_ti["Parameters"] = src_params
+    glue.update_table(DatabaseName=database, TableInput=src_ti)
     ti = _table_input_from_entry(entry)
     ti["Name"] = new_table
+    params = dict(ti.get("Parameters") or {})
+    params["rename_pending_from"] = f"{database}.{table}"
+    ti["Parameters"] = params
     glue.create_table(DatabaseName=database, TableInput=ti)
 
 
@@ -1118,3 +1129,88 @@ def test_glue_crashed_rename_with_diverged_pointers(spark, tmp_path, glue_s3):
     t3 = cat.rename_table("db", "src", "db", "dst")
     assert t3.to_df(spark).count() == 9
     assert not cat.table_exists("db", "src")
+
+
+def test_glue_drop_common_path_never_scans_catalog(spark, tmp_path, glue_s3):
+    """r15 ADVICE (medium): the twin search on drop must be
+    marker-directed O(1) Glue calls, not a get_databases × get_tables
+    sweep of the whole catalog. A routine drop (no rename in flight)
+    and even a crashed-rename recovery drop must complete without ever
+    touching the paginators; the exhaustive sweep only runs behind
+    scan_catalog_on_drop=True."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "plain", SCHEMA)
+    t.append(spark.range(0, 3).select(F.col("id"), F.lit("x").alias("v")))
+    t2 = cat.create_table("db", "renamed_src", SCHEMA)
+    t2.append(spark.range(0, 4).select(F.col("id"), F.lit("y").alias("v")))
+    _crash_rename(glue, "db", "renamed_src", "renamed_dst")
+
+    real_paginator = glue.get_paginator
+
+    def forbidden(_name):
+        raise AssertionError(
+            "drop_table paged the catalog on the common path"
+        )
+
+    glue.get_paginator = forbidden
+    try:
+        cat.drop_table("db", "plain")  # routine drop: no markers
+        # crashed-rename recovery still converges via the markers
+        cat.drop_table("db", "renamed_src")
+    finally:
+        glue.get_paginator = real_paginator
+    assert not cat.table_exists("db", "plain")
+    live = cat.load_table("db", "renamed_dst")
+    assert live.to_df(spark).count() == 4
+    # the surviving twin's marker was cleared by the recovery drop
+    entry = glue.get_table(DatabaseName="db", Name="renamed_dst")["Table"]
+    assert "rename_pending_from" not in (entry.get("Parameters") or {})
+    # a COMPLETED rename leaves no markers either
+    t3 = cat.create_table("db", "m_src", SCHEMA)
+    t3.append(spark.range(0, 2).select(F.col("id"), F.lit("z").alias("v")))
+    cat.rename_table("db", "m_src", "db", "m_dst")
+    entry = glue.get_table(DatabaseName="db", Name="m_dst")["Table"]
+    params = entry.get("Parameters") or {}
+    assert "rename_pending_from" not in params
+    assert "rename_pending_to" not in params
+
+
+def test_glue_drop_opt_in_scan_finds_markerless_debris(
+    spark, tmp_path, glue_s3
+):
+    """scan_catalog_on_drop=True restores the exhaustive sweep for
+    catalogs holding crashed-rename debris from pre-marker writers:
+    the marker-less stale twin is still recognized and the drop stays
+    catalog-only."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+        _table_input_from_entry,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue,
+        scan_catalog_on_drop=True,
+    )
+    t = cat.create_table("db", "src", SCHEMA)
+    t.append(spark.range(0, 4).select(F.col("id"), F.lit("x").alias("v")))
+    # pre-marker crash debris: twin entry with NO rename markers
+    entry = glue.get_table(DatabaseName="db", Name="src")["Table"]
+    ti = _table_input_from_entry(entry)
+    ti["Name"] = "dst"
+    glue.create_table(DatabaseName="db", TableInput=ti)
+
+    cat.drop_table("db", "src")
+    assert not cat.table_exists("db", "src")
+    assert cat.load_table("db", "dst").to_df(spark).count() == 4
