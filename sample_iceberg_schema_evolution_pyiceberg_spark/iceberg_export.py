@@ -1448,6 +1448,19 @@ def read_iceberg_table(
     # pre-evolution files; files that materialize the column keep
     # their own values, including real nulls). Top-level primitives
     # only — a nested or non-primitive default refuses loudly.
+    # Whitelist of primitive types whose Iceberg JSON single-value
+    # encoding a Spark cast decodes CORRECTLY. binary/fixed encode as
+    # HEX strings — casting that text to BinaryType keeps the UTF-8
+    # bytes of the hex, a silent misread — and `time` ("HH:MM:SS.ff")
+    # maps to micros-since-midnight LONG here, which a string cast
+    # nulls; both refuse loudly instead (r15 ADVICE; same posture as
+    # the nested-type refusal below). `uuid` IS whitelisted: this
+    # reader surfaces uuid columns as the canonical lowercase string,
+    # which is exactly the JSON default encoding.
+    _CASTABLE_DEFAULT_TYPES = (
+        "boolean", "int", "long", "float", "double", "string", "date",
+        "timestamp", "timestamptz", "uuid",
+    )
     column_defaults: dict[str, Any] = {}
     for f in current_schema["fields"]:
         if "initial-default" in f and f["initial-default"] is not None:
@@ -1456,6 +1469,19 @@ def read_iceberg_table(
                     f"field {f['name']!r} carries initial-default on a "
                     "nested type — this reader implements defaults for "
                     "top-level primitive columns only "
+                    "(ICEBERG_CONFORMANCE.md row 36)"
+                )
+            if not (
+                f["type"] in _CASTABLE_DEFAULT_TYPES
+                or f["type"].startswith("decimal")
+            ):
+                raise ValueError(
+                    f"field {f['name']!r} carries initial-default on "
+                    f"type {f['type']!r}, whose JSON single-value "
+                    "encoding (hex/uuid text) a string cast would "
+                    "silently misread as raw bytes — decode not "
+                    "implemented; drop the default or materialize the "
+                    "column with the writing engine "
                     "(ICEBERG_CONFORMANCE.md row 36)"
                 )
             column_defaults[f["name"]] = f["initial-default"]

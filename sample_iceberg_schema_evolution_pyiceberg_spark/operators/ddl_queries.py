@@ -2435,15 +2435,20 @@ def a40_v3_deletion_vector_episode(spark: SparkSession, sf: str) -> DataFrame:
         )
 
         external, rdoc = read_iceberg_table(spark, table.location)
-        # CRC guard: a corrupted blob copy must refuse loudly
+        # CRC guard: a corrupted blob copy must refuse loudly. Blob
+        # layout: PFA1 0-3, BE combined length 4-7, DV magic 8-11,
+        # vector 12.. — flip a VECTOR byte so the CRC-mismatch path is
+        # what this gate pins (byte 8 would hit the bad-magic refusal
+        # instead; r15 ADVICE)
         corrupted = bytearray(_P(ppath).read_bytes())
-        corrupted[8] ^= 0xFF  # flip a vector byte, CRC now wrong
+        corrupted[12] ^= 0xFF  # first roaring-vector byte, CRC now wrong
         _P(ppath).write_bytes(bytes(corrupted))
         try:
             read_iceberg_table(spark, table.location)[0].count()
             crc_refused = False
-        except ValueError:
-            crc_refused = True
+        except ValueError as e:
+            # pin the CRC path specifically, not just "some refusal"
+            crc_refused = "CRC mismatch" in str(e)
         out = (
             external.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -933,6 +933,58 @@ def test_v3_initial_default_read(spark, tmp_path):
     assert got == {1: 42, 2: 42, 3: 7, 4: None}
 
 
+def test_v3_initial_default_binary_refuses(spark, tmp_path):
+    """r15 ADVICE (low): binary/fixed initial-defaults are JSON
+    hex strings and `time` is a text clock reading — a blind
+    F.lit(text).cast() would keep the UTF-8 bytes of the hex (or
+    null the long), a SILENT misread. The reader must refuse loudly,
+    mirroring the nested-default refusal; whitelisted encodings
+    (e.g. string) still fill."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    mschema = (FOREIGN / "v2_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v2_manifest_list.avsc").read_text()
+
+    def build(name, field):
+        root = tmp_path / name
+        (root / "data").mkdir(parents=True)
+        (root / "metadata").mkdir()
+        d1 = root / "data" / "old.parquet"  # pre-evolution file
+        pq.write_table(
+            pa.table({"id": pa.array([1, 2], pa.int64())}), d1,
+        )
+        e = _df(d1, 1, content=0)
+        e["sequence_number"] = 1
+        e["file_sequence_number"] = 1
+        write_avro_java(spark, root / "metadata" / "m1.avro", mschema, [e])
+        write_avro_java(
+            spark, root / "metadata" / "snap-901.avro", lschema,
+            [_mlist_entry(root, "m1.avro", 0, 1)],
+        )
+        _v3_meta(root, [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            dict(field, id=2, required=False),
+        ], last_col=2)
+        return root
+
+    for bad in (
+        {"name": "payload", "type": "binary", "initial-default": "0xDEAD"},
+        {"name": "tag", "type": "fixed[4]", "initial-default": "0xCAFE"},
+        {"name": "at", "type": "time", "initial-default": "10:15:00"},
+    ):
+        with pytest.raises(ValueError, match="initial-default"):
+            read_iceberg_table(spark, build("bad_" + bad["name"], bad))
+
+    root = build(
+        "good_str",
+        {"name": "src", "type": "string", "initial-default": "legacy"},
+    )
+    df, _ = read_iceberg_table(spark, root)
+    assert {r.src for r in df.collect()} == {"legacy"}
+
+
 def _dv_table(spark, tmp_path, name, dv_specs, corrupt_crc=False):
     """v3 fixture: one 4-row data file + REAL puffin deletion vectors.
     dv_specs = [(seq, positions)] — multiple entries reference the
