@@ -2,13 +2,15 @@
 with typed metadata, decode/feature-extract plumbing via Arrow-batched
 mapInPandas.
 
-IMAGE decode is REAL as of r14: encode_bmp/decode_bmp below are
-stdlib struct-level 24bpp BMP codecs, and c12b's gate hashes stats of
-actually-decoded pixels. Only VIDEO/AUDIO decode remains a clearly
-marked deterministic stub (pyav/librosa are genuinely absent from the
-container) — for those the Spark-side plumbing (binary schema, batch
-iteration, output schema, partition behavior) is real and tested;
-swapping the stub for the codec is a one-function change.
+IMAGE decode is REAL as of r14 (encode_bmp/decode_bmp: stdlib
+struct-level 24bpp BMP codecs, c12b hash-gated on actually-decoded
+pixels) and AUDIO decode is REAL as of r15 (encode_wav/decode_wav:
+stdlib ``wave`` RIFF/PCM codecs, c12c hash-gated on actually-decoded
+samples). Only VIDEO decode remains a clearly marked deterministic
+stub (sample_frames_stub — the stdlib has no video codec and pyav is
+genuinely absent from the container); its Spark-side plumbing (binary
+schema, batch iteration, fan-out shape, partition behavior) is real
+and tested, so swapping the stub for a codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -55,10 +57,11 @@ def c11_multimodal_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def decode_media_stub(payload: bytes) -> list[float]:
-    """STUB decoder: a real deployment replaces this with image/audio
-    decoding (PIL.Image.open / librosa.load — not in this container).
-    Deterministic fake features derived from the payload digest so
-    tests are stable."""
+    """STUB decoder kept for the generic c12 feature-plumbing query: a
+    real deployment replaces this with its media decoder. Real stdlib
+    codecs now exist for IMAGE (decode_bmp, c12b) and AUDIO
+    (decode_wav, c12c); only video lacks one. Deterministic fake
+    features derived from the payload digest so tests are stable."""
     h = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
@@ -381,4 +384,172 @@ def c12b_multimodal_real_decode(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id bigint, width int, height int, sum_r bigint, sum_g bigint, "
         "sum_b bigint, min_r bigint, max_r bigint, min_b bigint, "
         "max_b bigint, mean_r double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# c12c: REAL audio decode (r15, VERDICT r14 item 2). Python's stdlib
+# `wave` module reads/writes RIFF/PCM WAV with no external deps, so —
+# like the BMP move in r14 — "no media libs in the container" no
+# longer excuses an audio stub. The fixture encodes one real 16-bit
+# PCM WAV per document inside mapInPandas; the decode stage parses
+# those bytes back with `wave` and aggregates sample statistics of the
+# ACTUALLY-DECODED frames, hash-gated against a formula oracle. Only
+# VIDEO decode remains stubbed (sample_frames_stub above — the stdlib
+# has no video codec).
+# ---------------------------------------------------------------------------
+
+N_FRAMES = 64   # fixture frames per clip
+SAMPLE_RATE = 8000
+
+
+def _fixture_sample(doc_id: int, i: int) -> int:
+    """Deterministic synthetic int16 sample. doc_id and the frame index
+    enter with different weights (including a quadratic term), so a
+    decoder that misreads endianness, sample width, or frame order
+    produces different stats and the gate catches it."""
+    return ((doc_id * 7919 + i * i * 31 + i * 1009) % 65536) - 32768
+
+
+def encode_wav(sample_rate: int, samples: "list[int]", channels: int = 1) -> bytes:
+    """Real RIFF/PCM WAV writer (stdlib ``wave``): 16-bit little-endian
+    PCM, ``samples`` interleaved when ``channels > 1``."""
+    import io  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> "tuple[int, int, list[int]]":
+    """Real RIFF/PCM WAV parser (stdlib ``wave``): returns
+    ``(sample_rate, channels, samples)`` with samples interleaved
+    across channels. Refuses non-WAV payloads and non-16-bit or
+    compressed encodings loudly (same posture as ``decode_bmp``)."""
+    import io  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    try:
+        w = wave.open(io.BytesIO(payload), "rb")
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a RIFF/PCM WAV payload: {e}") from e
+    with w:
+        if w.getcomptype() != "NONE":
+            raise ValueError(
+                f"unsupported WAV compression {w.getcomptype()!r} "
+                "(only PCM)"
+            )
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV sample width {w.getsampwidth()} "
+                "bytes (only 16-bit PCM)"
+            )
+        n = w.getnframes()
+        raw = w.readframes(n)
+        channels = w.getnchannels()
+        expected = n * channels * 2
+        if len(raw) != expected:
+            raise ValueError(
+                f"truncated WAV: header declares {n} frames x "
+                f"{channels} ch ({expected} bytes), payload carries "
+                f"{len(raw)}"
+            )
+        samples = list(struct.unpack(f"<{n * channels}h", raw))
+        return w.getframerate(), channels, samples
+
+
+def encode_audio_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, payload): one real mono 16-bit PCM WAV per document,
+    samples from ``_fixture_sample``. Encoding runs inside mapInPandas
+    — the payload column is born distributed, like ingesting real
+    recordings."""
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    SAMPLE_RATE,
+                    [_fixture_sample(int(doc), i) for i in range(N_FRAMES)],
+                )
+                for doc in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(enc, "doc_id bigint, payload binary")
+
+
+@query(
+    "c12c_multimodal_audio_decode",
+    # The oracle computes the SAME stats directly from the sample
+    # formula — the Spark side must round-trip them through real WAV
+    # bytes (wave writer -> wave parser), so an endianness / sample
+    # width / frame-count misread breaks the hash.
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7919 + i.g * i.g * 31 + i.g * 1009) % 65536)
+               - 32768 AS v
+      FROM documents d CROSS JOIN range({N_FRAMES}) i(g)
+    )
+    SELECT doc_id,
+           {N_FRAMES} AS n_frames, {SAMPLE_RATE} AS sample_rate,
+           1 AS channels,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(MIN(v) AS BIGINT) AS min_s,
+           CAST(MAX(v) AS BIGINT) AS max_s,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           ROUND(CAST(SUM(v) AS DOUBLE) / {N_FRAMES}, 6) AS mean_s
+    FROM s GROUP BY doc_id
+    """,
+)
+def c12c_multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode features: encode each doc's fixture clip as
+    actual RIFF/PCM WAV bytes, then parse those bytes back with the
+    stdlib ``wave`` decoder and aggregate sample sum/extrema/energy of
+    the DECODED frames. Both stages are Arrow-batched mapInPandas over
+    the binary column — the same plumbing a librosa-backed deployment
+    would use, with the decode itself no longer a stub. sum_sq is the
+    integer energy (the RMS numerator), kept integral so the gate is
+    IEEE-exact on both engines."""
+    clips = encode_audio_fixture(spark, sf)
+
+    def dec(batches):
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "n_frames", "sample_rate", "channels",
+                    "sum_s", "min_s", "max_s", "sum_sq", "mean_s",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, channels, samples = decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(samples) // channels)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["sum_s"].append(sum(samples))
+                out["min_s"].append(min(samples))
+                out["max_s"].append(max(samples))
+                out["sum_sq"].append(sum(v * v for v in samples))
+                out["mean_s"].append(
+                    round(sum(samples) / (len(samples) or 1), 6)
+                )
+            yield pd.DataFrame(out)
+
+    return clips.mapInPandas(
+        dec,
+        "doc_id bigint, n_frames int, sample_rate int, channels int, "
+        "sum_s bigint, min_s bigint, max_s bigint, sum_sq bigint, "
+        "mean_s double",
     )

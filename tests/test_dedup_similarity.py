@@ -548,3 +548,81 @@ def test_c12b_decodes_real_pixels(spark):
     )
     w, h, px = decode_bmp(payload)
     assert [p for prow in px for p in prow] == expect
+
+
+# -- r15: real WAV codec (c12c) ----------------------------------------------
+
+
+def test_wav_codec_roundtrip_and_refusals():
+    """The stdlib WAV codec is real: RIFF byte-level pins, exact
+    int16 roundtrip (mono and stereo-interleaved), and loud refusal
+    of non-WAV, non-16-bit, and truncated payloads."""
+    import struct
+
+    import pytest as _pytest
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321, 7]
+    raw = encode_wav(8000, samples)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    rate, channels, back = decode_wav(raw)
+    assert (rate, channels, back) == (8000, 1, samples)
+    # stereo interleave survives the roundtrip
+    raw2 = encode_wav(16000, samples, channels=2)
+    rate2, ch2, back2 = decode_wav(raw2)
+    assert (rate2, ch2, back2) == (16000, 2, samples)
+
+    with _pytest.raises(ValueError, match="not a RIFF/PCM WAV"):
+        decode_wav(b"definitely not audio bytes")
+    # 8-bit PCM refuses (sample width 1)
+    eight = encode_wav(8000, samples)
+    mut = bytearray(eight)
+    # flip BlockAlign+BitsPerSample in the fmt chunk (offsets 32, 34)
+    struct.pack_into("<H", mut, 32, 1)
+    struct.pack_into("<H", mut, 34, 8)
+    with _pytest.raises(ValueError, match="sample width"):
+        decode_wav(bytes(mut))
+    # truncated data refuses: chop half the sample bytes but keep the
+    # header's declared frame count
+    trunc = bytearray(raw)
+    declared = struct.unpack_from("<I", trunc, 4)[0]
+    del trunc[len(trunc) - 8:]
+    struct.pack_into("<I", trunc, 4, declared)  # keep RIFF size stale
+    with _pytest.raises(ValueError, match="truncated|not a RIFF"):
+        decode_wav(bytes(trunc))
+
+
+def test_c12c_decodes_real_samples(spark):
+    """c12c's stats come from DECODED bytes: the fixture payload is a
+    parseable WAV whose samples match the formula, and the aggregated
+    stats equal the formula's."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.multimodal import (
+        N_FRAMES,
+        SAMPLE_RATE,
+        _fixture_sample,
+        c12c_multimodal_audio_decode,
+        decode_wav,
+        encode_audio_fixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        c12c_multimodal_audio_decode(spark, sf)
+        .filter("doc_id = 7").first()
+    )
+    expect = [_fixture_sample(7, i) for i in range(N_FRAMES)]
+    assert row.sum_s == sum(expect)
+    assert row.min_s == min(expect) and row.max_s == max(expect)
+    assert row.sum_sq == sum(v * v for v in expect)
+    assert (row.n_frames, row.sample_rate, row.channels) == (
+        N_FRAMES, SAMPLE_RATE, 1,
+    )
+    payload = bytes(
+        encode_audio_fixture(spark, sf).filter("doc_id = 7").first().payload
+    )
+    rate, channels, samples = decode_wav(payload)
+    assert (rate, channels, samples) == (SAMPLE_RATE, 1, expect)
