@@ -146,3 +146,191 @@ def write_ocf(
             f.write(_zigzag(len(payload)))
             f.write(payload)
             f.write(sync)
+
+
+# ---------------------------------------------------------------------------
+# Reader (r15, VERDICT r14 item 5): the decode inverse of the writer
+# above, same public-spec subset plus the deflate codec and multi-block
+# files (both of which independent writers produce even though write_ocf
+# does not). Cross-checked in tests against files written by the
+# bundled Apache Avro Java implementation.
+# ---------------------------------------------------------------------------
+
+
+class _Buf:
+    """Byte cursor with the Avro binary primitives."""
+
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes) -> None:
+        self.b = b
+        self.i = 0
+
+    def take(self, n: int) -> bytes:
+        if self.i + n > len(self.b):
+            raise ValueError(
+                f"truncated avro data: need {n} bytes at offset {self.i}, "
+                f"have {len(self.b) - self.i}"
+            )
+        out = self.b[self.i : self.i + n]
+        self.i += n
+        return out
+
+    def at_end(self) -> bool:
+        return self.i >= len(self.b)
+
+    def varlong(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            (byte,) = self.take(1)
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("malformed avro varint (>10 bytes)")
+        return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def _decode(schema: Any, buf: _Buf) -> Any:
+    if isinstance(schema, list):  # union
+        idx = buf.varlong()
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"union branch {idx} out of range")
+        branch = schema[idx]
+        return None if branch == "null" else _decode(branch, buf)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {
+                f["name"]: _decode(f["type"], buf)
+                for f in schema["fields"]
+            }
+        if t == "array":
+            out = []
+            while True:
+                n = buf.varlong()
+                if n == 0:
+                    return out
+                if n < 0:  # negative count: byte size follows (spec)
+                    n = -n
+                    buf.varlong()
+                for _ in range(n):
+                    out.append(_decode(schema["items"], buf))
+        if t == "map":
+            out = {}
+            while True:
+                n = buf.varlong()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    buf.varlong()
+                for _ in range(n):
+                    k = _decode("string", buf)
+                    out[k] = _decode(schema["values"], buf)
+        if t == "enum":
+            symbols = schema["symbols"]
+            idx = buf.varlong()
+            if not 0 <= idx < len(symbols):
+                raise ValueError(f"enum index {idx} out of range")
+            return symbols[idx]
+        if t == "fixed":
+            return buf.take(int(schema["size"]))
+        # annotated primitive, e.g. {"type": "int", "logicalType": ...}
+        return _decode(t, buf)
+    if schema in ("int", "long"):
+        return buf.varlong()
+    if schema == "boolean":
+        return buf.take(1) != b"\x00"
+    if schema == "string":
+        return buf.take(buf.varlong()).decode("utf-8")
+    if schema == "bytes":
+        return buf.take(buf.varlong())
+    if schema == "double":
+        import struct  # noqa: PLC0415
+
+        return struct.unpack("<d", buf.take(8))[0]
+    if schema == "float":
+        import struct  # noqa: PLC0415
+
+        return struct.unpack("<f", buf.take(4))[0]
+    if schema == "null":
+        return None
+    raise ValueError(f"unsupported avro type: {schema!r}")
+
+
+def read_ocf(
+    data: "bytes | str",
+) -> "tuple[dict[str, Any], dict[str, str], list[dict[str, Any]]]":
+    """Read one Avro Object Container File: ``(schema, metadata,
+    records)``. Accepts a path or the raw bytes. Handles the null and
+    deflate codecs and any number of data blocks; refuses unknown
+    codecs, bad magic, and sync-marker mismatches loudly."""
+    import zlib  # noqa: PLC0415
+
+    raw = data if isinstance(data, bytes) else open(data, "rb").read()
+    buf = _Buf(raw)
+    if buf.take(4) != b"Obj\x01":
+        raise ValueError("not an avro object container file (bad magic)")
+    meta: dict[str, str] = {}
+    while True:
+        n = buf.varlong()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            buf.varlong()
+        for _ in range(n):
+            k = buf.take(buf.varlong()).decode("utf-8")
+            v = buf.take(buf.varlong())
+            meta[k] = v.decode("utf-8", errors="replace")
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", "null")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    sync = buf.take(16)
+    records: list[dict[str, Any]] = []
+    while not buf.at_end():
+        count = buf.varlong()
+        size = buf.varlong()
+        payload = buf.take(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)  # raw deflate
+        block = _Buf(payload)
+        for _ in range(count):
+            records.append(_decode(schema, block))
+        if not block.at_end():
+            raise ValueError(
+                f"avro block declared {count} records but "
+                f"{len(payload) - block.i} bytes remain"
+            )
+        if buf.take(16) != sync:
+            raise ValueError("avro sync marker mismatch (corrupt block)")
+    return schema, meta, records
+
+
+def read_ocf_header(data: "bytes | str") -> dict[str, str]:
+    """Parse only the OCF header metadata map (schema inference must
+    not decode the data blocks)."""
+    if isinstance(data, bytes):
+        raw = data
+    else:
+        with open(data, "rb") as f:
+            raw = f.read(1 << 20)  # header fits well within 1 MiB
+    buf = _Buf(raw)
+    if buf.take(4) != b"Obj\x01":
+        raise ValueError("not an avro object container file (bad magic)")
+    meta: dict[str, str] = {}
+    while True:
+        n = buf.varlong()
+        if n == 0:
+            return meta
+        if n < 0:
+            n = -n
+            buf.varlong()
+        for _ in range(n):
+            k = buf.take(buf.varlong()).decode("utf-8")
+            v = buf.take(buf.varlong())
+            meta[k] = v.decode("utf-8", errors="replace")

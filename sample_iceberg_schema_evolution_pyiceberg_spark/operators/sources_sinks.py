@@ -246,3 +246,71 @@ def b67_orc_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "b68_avro_scan_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE), 6) AS sum_price
+    FROM lineitem WHERE l_orderkey <= 2000
+    GROUP BY l_returnflag, ship_month
+    """,
+)
+def b68_avro_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro OCF sink + scan (B5 family, r15) — the last common lake
+    ingest format after parquet/JSON/CSV/ORC. No spark-avro jar or
+    Python avro package ships in this container, so the repo registers
+    its own Spark 4 Python data source (sources/avro_source.py) over
+    the pure-Python OCF codec already used for Iceberg manifests
+    (avro_ocf.py, cross-checked against the bundled Avro Java library).
+    Write a slice distributed (one OCF per task), read it back
+    file-parallel (one InputPartition per file; schema from the OCF
+    header, no inference pass), aggregate. The slice exercises long,
+    int, string, double, decimal (bytes logical type), and
+    local-timestamp-micros; the oracle reads the original parquet, so
+    the Avro encode/decode must be value-lossless."""
+    from ..sources.avro_source import register_avro_ocf  # noqa: PLC0415
+
+    register_avro_ocf(spark)
+    src = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            "l_returnflag",
+            "l_quantity",
+            F.col("l_extendedprice").cast("decimal(18,4)").alias(
+                "l_extendedprice"
+            ),
+            F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="avro_rt_") as d:
+        target = f"{d}/rows"
+        src.repartition(4).write.format("avro_ocf").mode("append").save(target)
+        back = spark.read.format("avro_ocf").load(target)
+        out = back.groupBy(
+            "l_returnflag",
+            F.month("l_shipdate").alias("ship_month"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice").cast("double"), 6).alias(
+                "sum_price"
+            ),
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)

@@ -1,0 +1,305 @@
+"""Avro OCF batch data source (SURVEY B5 family; r15, VERDICT r14
+item 5) — completes parquet/JSON/CSV/ORC/**Avro** source parity.
+
+The container ships no spark-avro datasource jar and no Python avro
+package, so this registers a Spark 4 *Python data source*
+(``spark.dataSource.register``, the same public API the streaming
+lake source uses) backed by the repo's pure-Python OCF codec
+(``avro_ocf.write_ocf`` / ``read_ocf`` — public Apache Avro 1.x
+binary spec, cross-checked against the bundled Avro *Java* library in
+tests).
+
+Scale posture: reads are one InputPartition per ``.avro`` file —
+file-parallel across executors exactly like Spark's file sources (an
+OCF is block-sync'd internally, but files are the unit real lake
+ingest directories shard by); writes emit one OCF per task partition.
+Paths are local-filesystem (the test/interchange shape); a deployment
+would swap ``os.listdir``/``open`` for its FileIO — the source's
+schema mapping, partition planning, and codec are storage-agnostic.
+
+Type mapping (both directions): long/int/double/float/string/boolean/
+binary are primitive-for-primitive; DateType <-> ``{"type": "int",
+"logicalType": "date"}`` (epoch days); TimestampNTZType <->
+``{"type": "long", "logicalType": "local-timestamp-micros"}`` (wall
+clock, timezone-free — deterministic across engines); DecimalType <->
+``{"type": "bytes", "logicalType": "decimal"}`` (big-endian
+two's-complement unscaled int, per the Avro spec). Nullable fields
+are ``["null", T]`` unions.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import date, datetime, timedelta
+from decimal import Decimal
+from typing import Any, Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+SOURCE_NAME = "avro_ocf"
+
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_NTZ = datetime(1970, 1, 1)
+
+_PRIMITIVE_TO_AVRO = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_field_to_avro(f: T.StructField) -> dict[str, Any]:
+    dt = f.dataType
+    avro: Any
+    if isinstance(dt, T.DateType):
+        avro = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.TimestampNTZType):
+        avro = {"type": "long", "logicalType": "local-timestamp-micros"}
+    elif isinstance(dt, T.DecimalType):
+        avro = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    elif type(dt) in _PRIMITIVE_TO_AVRO:
+        avro = _PRIMITIVE_TO_AVRO[type(dt)]
+    else:
+        raise ValueError(
+            f"avro_ocf: unsupported Spark type {dt.simpleString()} for "
+            f"field {f.name!r} (primitives, date, timestamp_ntz, "
+            "decimal)"
+        )
+    return {
+        "name": f.name,
+        "type": ["null", avro] if f.nullable else avro,
+    }
+
+
+def spark_schema_to_avro(schema: T.StructType) -> dict[str, Any]:
+    return {
+        "type": "record",
+        "name": "spark_row",
+        "fields": [spark_field_to_avro(f) for f in schema.fields],
+    }
+
+
+def _unwrap_union(t: Any) -> "tuple[Any, bool]":
+    """(branch, nullable) of a possibly-``["null", T]`` union."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(
+                f"avro_ocf: only [null, T] unions supported, got {t!r}"
+            )
+        return branches[0], True
+    return t, False
+
+
+def avro_field_to_spark(f: dict[str, Any]) -> T.StructField:
+    branch, nullable = _unwrap_union(f["type"])
+    if isinstance(branch, dict):
+        lt = branch.get("logicalType")
+        if lt == "date":
+            dt: T.DataType = T.DateType()
+        elif lt in ("local-timestamp-micros",):
+            dt = T.TimestampNTZType()
+        elif lt == "timestamp-micros":
+            dt = T.TimestampType()
+        elif lt == "decimal":
+            dt = T.DecimalType(
+                int(branch["precision"]), int(branch.get("scale", 0))
+            )
+        else:
+            raise ValueError(
+                f"avro_ocf: unsupported nested/logical type {branch!r} "
+                f"for field {f['name']!r}"
+            )
+    else:
+        inv = {
+            "long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "float": T.FloatType(),
+            "string": T.StringType(), "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+        }
+        if branch not in inv:
+            raise ValueError(
+                f"avro_ocf: unsupported avro type {branch!r} for field "
+                f"{f['name']!r}"
+            )
+        dt = inv[branch]
+    return T.StructField(f["name"], dt, nullable)
+
+
+def avro_schema_to_spark(schema: dict[str, Any]) -> T.StructType:
+    if schema.get("type") != "record":
+        raise ValueError("avro_ocf: top-level schema must be a record")
+    return T.StructType(
+        [avro_field_to_spark(f) for f in schema["fields"]]
+    )
+
+
+# -- value conversions (python <-> avro-decoded) ----------------------------
+
+
+def _to_avro_value(v: Any, f: T.StructField) -> Any:
+    if v is None:
+        return None
+    dt = f.dataType
+    if isinstance(dt, T.DateType):
+        return (v - _EPOCH_DATE).days
+    if isinstance(dt, T.TimestampNTZType):
+        return (v - _EPOCH_NTZ) // timedelta(microseconds=1)
+    if isinstance(dt, T.DecimalType):
+        unscaled = int(v.scaleb(dt.scale).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    return v
+
+
+def _from_avro_value(v: Any, f: T.StructField) -> Any:
+    if v is None:
+        return None
+    dt = f.dataType
+    if isinstance(dt, T.DateType):
+        return _EPOCH_DATE + timedelta(days=v)
+    if isinstance(dt, T.TimestampNTZType):
+        return _EPOCH_NTZ + timedelta(microseconds=v)
+    if isinstance(dt, T.TimestampType):
+        from datetime import timezone  # noqa: PLC0415
+
+        return datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc)
+    if isinstance(dt, T.DecimalType):
+        unscaled = int.from_bytes(v, "big", signed=True)
+        return Decimal(unscaled).scaleb(-dt.scale)
+    if isinstance(dt, T.BinaryType):
+        return bytes(v)
+    return v
+
+
+def _list_avro_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".avro")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"avro_ocf: no .avro files under {path}")
+    return files
+
+
+@dataclass
+class _AvroFilePartition(InputPartition):
+    file_path: str
+
+
+class AvroOcfReader(DataSourceReader):
+    def __init__(self, path: str, schema: T.StructType) -> None:
+        self._files = _list_avro_files(path)
+        self._schema = schema
+
+    def partitions(self) -> list[_AvroFilePartition]:
+        # one partition per file: executor-parallel, like Spark's own
+        # file sources split their listings
+        return [_AvroFilePartition(f) for f in self._files]
+
+    def read(self, partition: _AvroFilePartition) -> Iterator[tuple]:
+        from ..avro_ocf import read_ocf  # noqa: PLC0415
+
+        _schema, _meta, records = read_ocf(partition.file_path)
+        fields = self._schema.fields
+        for rec in records:
+            yield tuple(
+                _from_avro_value(rec.get(f.name), f) for f in fields
+            )
+
+
+@dataclass
+class _AvroCommit(WriterCommitMessage):
+    file_path: str
+    n_rows: int
+
+
+class AvroOcfWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: T.StructType) -> None:
+        self._path = path
+        self._schema = schema
+        self._avro = spark_schema_to_avro(schema)
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator: Iterator[Any]) -> _AvroCommit:
+        from ..avro_ocf import write_ocf  # noqa: PLC0415
+
+        fields = self._schema.fields
+        records = [
+            {
+                f.name: _to_avro_value(row[i], f)
+                for i, f in enumerate(fields)
+            }
+            for row in iterator
+        ]
+        out = os.path.join(self._path, f"part-{uuid.uuid4().hex}.avro")
+        write_ocf(out, self._avro, records)
+        return _AvroCommit(out, len(records))
+
+    def commit(self, messages) -> None:  # files are already in place
+        pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file_path):
+                os.remove(m.file_path)
+
+
+class AvroOcfDataSource(DataSource):
+    """``spark.read.format("avro_ocf").load(path)`` /
+    ``df.write.format("avro_ocf").save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> T.StructType:
+        import json as _json  # noqa: PLC0415
+
+        from ..avro_ocf import read_ocf_header  # noqa: PLC0415
+
+        first = _list_avro_files(self.options["path"])[0]
+        meta = read_ocf_header(first)
+        return avro_schema_to_spark(_json.loads(meta["avro.schema"]))
+
+    def reader(self, schema: T.StructType) -> AvroOcfReader:
+        return AvroOcfReader(self.options["path"], schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> AvroOcfWriter:
+        if overwrite:
+            path = self.options["path"]
+            if os.path.isdir(path):
+                for n in os.listdir(path):
+                    if n.endswith(".avro"):
+                        os.remove(os.path.join(path, n))
+        return AvroOcfWriter(self.options["path"], schema)
+
+
+def register_avro_ocf(spark: SparkSession) -> None:
+    """Idempotent session registration of the avro_ocf source."""
+    spark.dataSource.register(AvroOcfDataSource)
