@@ -2457,3 +2457,98 @@ def a40_v3_deletion_vector_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a41_v3_row_lineage_episode",
+    # The oracle replays the ASSIGNMENT ARITHMETIC, not the reader:
+    # appends of n1 then n2 rows occupy exactly [0, n1) and
+    # [n1, n1+n2) of the row-id space (the v3 contract), so per-append
+    # count / min / max / sum of _row_id are order-independent
+    # closed forms over the same source slices.
+    oracle="""
+    WITH c AS (
+      SELECT 1 AS last_seq, COUNT(*) AS n
+      FROM orders WHERE o_orderkey <= 1200
+      UNION ALL
+      SELECT 2, COUNT(*)
+      FROM orders WHERE o_orderkey > 1200 AND o_orderkey <= 2000
+    ),
+    b AS (
+      SELECT last_seq, n,
+             COALESCE(SUM(n) OVER (ORDER BY last_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base
+      FROM c
+    )
+    SELECT CAST(last_seq AS BIGINT) AS last_seq,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n AS BIGINT) AS n_distinct_ids,
+           CAST(base AS BIGINT) AS min_row_id,
+           CAST(base + n - 1 AS BIGINT) AS max_row_id,
+           CAST(n * base + n * (n - 1) / 2 AS BIGINT) AS sum_row_id
+    FROM b
+    """,
+)
+def a41_v3_row_lineage_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE read (r15, VERDICT r14 item 4): append
+    two slices as two snapshots, export format_version=3 (the write
+    side records per-snapshot first-row-id / next-row-id), then read
+    the export back with ``lineage=True`` and aggregate the derived
+    ``_row_id`` / ``_last_updated_sequence_number`` columns per
+    snapshot. The gate pins the whole assignment contract: each
+    append's rows occupy a contiguous, disjoint id block in commit
+    order, every id is distinct, and the lineage sequence number is
+    the committing snapshot's. A v2 twin of the same table must
+    refuse the lineage request loudly."""
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    with tempfile.TemporaryDirectory(prefix="v3_lineage_") as wh:
+        cat = LakeCatalog(wh)
+        schema = (
+            spark.range(1)
+            .selectExpr(
+                "cast(id as long) o_orderkey",
+                "cast('' as string) o_orderpriority",
+            )
+            .schema
+        )
+        table = cat.create_table("gate", "lint", schema)
+        table.append(
+            src.filter("o_orderkey <= 1200")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(2)
+        )
+        table = cat.load_table("gate", "lint")
+        table.append(
+            src.filter("o_orderkey > 1200")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(2)
+        )
+        table = cat.load_table("gate", "lint")
+        export_to_iceberg(table, spark=spark, format_version=3)
+        external, doc = read_iceberg_table(
+            spark, table.location, lineage=True
+        )
+        assert doc["format-version"] == 3 and "next-row-id" in doc
+        out = (
+            external.groupBy(
+                F.col("_last_updated_sequence_number").alias("last_seq")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("_row_id").alias("n_distinct_ids"),
+                F.min("_row_id").alias("min_row_id"),
+                F.max("_row_id").alias("max_row_id"),
+                F.sum("_row_id").alias("sum_row_id"),
+            )
+        )
+        rows = out.collect()
+        # the v2 export twin refuses the lineage request loudly
+        export_to_iceberg(table, spark=spark, format_version=2)
+        try:
+            read_iceberg_table(spark, table.location, lineage=True)
+            raise AssertionError("v2 lineage read did not refuse")
+        except ValueError as e:
+            assert "format-version 3" in str(e)
+        # materialize before the temp dir vanishes (bounded agg)
+        return spark.createDataFrame(rows, out.schema)

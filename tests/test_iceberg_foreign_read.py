@@ -1158,3 +1158,139 @@ def test_v3_initial_default_mixed_manifest(spark, tmp_path):
     df, _doc = read_iceberg_table(spark, root)
     got = {r.id: r.score for r in df.collect()}
     assert got == {1: 42, 2: 42, 3: 7, 4: None}
+
+
+# ---------------------------------------------------------------------------
+# v3 row lineage read (r15, VERDICT r14 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _lineage_schemas():
+    """Fixture manifest/list schemas extended with the v3 row-lineage
+    fields (data_file.first_row_id id 142; manifest_file.first_row_id
+    id 520) the base fixtures omit."""
+    m = json.loads((FOREIGN / "v2_manifest.avsc").read_text())
+    df_rec = next(f for f in m["fields"] if f["name"] == "data_file")
+    df_rec["type"]["fields"].append(
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 142}
+    )
+    lst = json.loads((FOREIGN / "v2_manifest_list.avsc").read_text())
+    lst["fields"].append(
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 520}
+    )
+    return json.dumps(m), json.dumps(lst)
+
+
+def test_v3_lineage_explicit_ids_honored(spark, tmp_path):
+    """A foreign v3 writer materializes first_row_id explicitly:
+    entry-level ids win outright (including EXISTING entries), and a
+    manifest-list first_row_id seeds inheritance for null entries —
+    even when the snapshot itself records no first-row-id."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v3_lin_explicit"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    files = {}
+    for name, ids in (("f1", [1, 2]), ("f2", [3, 4]), ("f3", [5, 6])):
+        p = root / "data" / f"{name}.parquet"
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), p)
+        files[name] = p
+    mschema, lschema = _lineage_schemas()
+
+    def entry(path, status, first_row_id):
+        e = _df(path, status, record_count=2, content=0)
+        e["data_file"]["first_row_id"] = first_row_id
+        e["sequence_number"] = 1
+        e["file_sequence_number"] = 1
+        return e
+
+    # m1: one ADDED + one EXISTING entry, both explicit
+    write_avro_java(
+        spark, root / "metadata" / "m1.avro", mschema,
+        [entry(files["f1"], 1, 100), entry(files["f2"], 0, 500)],
+    )
+    # m2: null entry id, the manifest-list base (1000) seeds it
+    write_avro_java(
+        spark, root / "metadata" / "m2.avro", mschema,
+        [entry(files["f3"], 1, None)],
+    )
+    e1 = _mlist_entry(root, "m1.avro", 0, 1)
+    e2 = _mlist_entry(root, "m2.avro", 0, 1)
+    e2["first_row_id"] = 1000
+    write_avro_java(
+        spark, root / "metadata" / "snap-901.avro", lschema, [e1, e2]
+    )
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+    ], last_col=1)  # note: snapshot has NO first-row-id on purpose
+
+    df, _ = read_iceberg_table(spark, root, lineage=True)
+    got = {r.id: r._row_id for r in df.collect()}
+    assert got == {1: 100, 2: 101, 3: 500, 4: 501, 5: 1000, 6: 1001}
+    assert {
+        r._last_updated_sequence_number for r in df.collect()
+    } == {1}
+
+
+def test_v3_lineage_existing_without_id_refuses(spark, tmp_path):
+    """An EXISTING entry with no explicit first_row_id cannot be
+    derived (the spec requires existing entries to materialize their
+    assignment) — the lineage read must refuse, not invent ids."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v3_lin_bad"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    p = root / "data" / "f.parquet"
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), p)
+    mschema, lschema = _lineage_schemas()
+    e = _df(p, 0, record_count=2, content=0)  # status EXISTING
+    e["data_file"]["first_row_id"] = None
+    e["sequence_number"] = 1
+    e["file_sequence_number"] = 1
+    write_avro_java(spark, root / "metadata" / "m1.avro", mschema, [e])
+    write_avro_java(
+        spark, root / "metadata" / "snap-901.avro", lschema,
+        [_mlist_entry(root, "m1.avro", 0, 1)],
+    )
+    doc = _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+    ], last_col=1)
+    # give the snapshot a first-row-id so the refusal is specifically
+    # about the EXISTING entry, not a missing snapshot base
+    doc["snapshots"][0]["first-row-id"] = 0
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps(doc))
+
+    with pytest.raises(ValueError, match="EXISTING"):
+        read_iceberg_table(spark, root, lineage=True)
+    # without lineage the same table reads fine
+    df, _ = read_iceberg_table(spark, root)
+    assert df.count() == 2
+
+
+def test_v3_lineage_with_deletion_vectors(spark, tmp_path):
+    """Row ids are assigned from the ORIGINAL file positions, so a DV
+    masking rows never shifts the survivors' ids."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = _dv_table(spark, tmp_path, "v3_lin_dv", [(2, [0, 2])])
+    # retrofit the lineage assignment state the fixture omits
+    meta_path = root / "metadata" / "v1.metadata.json"
+    doc = json.loads(meta_path.read_text())
+    doc["snapshots"][0]["first-row-id"] = 0
+    doc["next-row-id"] = 4
+    meta_path.write_text(json.dumps(doc))
+
+    df, _ = read_iceberg_table(spark, root, lineage=True)
+    got = {r.id: r._row_id for r in df.collect()}
+    # positions 0 and 2 masked; survivors keep positions 1 and 3
+    assert got == {2: 1, 4: 3}
