@@ -36,60 +36,54 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- Round-14 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1: never-gated keys (VERDICT r13 item 1 — c34/c35 were the
-    # only oracle-bearing keys without driver-window evidence) plus
-    # this round's new surfaces (c36/c36b byte-BPE tokenizer, c12b
-    # real BMP decode) and c24, whose hash CHANGED this round
-    # (phone + credit-card classes added).
-    "c34_semantic_dedup_cells",
-    "c35_bigram_lm_score",
-    "c36_bpe_train_merges",
-    "c36b_bpe_apply_tokens",
-    "c12b_multimodal_real_decode",
-    "a39_v3_initial_default_episode",
-    # Tier 2: the r11-evidence band — the oldest driver evidence in
-    # the registry (49 keys; 44 fit behind the 6 tier-1 slots, 5
-    # spill). Includes the judge-named a31/a32/a33/s11 and c24
-    # (changed). With these slots no oracle-bearing key's driver
-    # evidence is older than r11, and after r15 rotates the spills +
-    # the r12 band nothing will be older than r13.
-    "a01_evolution_episode", "a03_lake_roundtrip", "a07_time_travel",
-    "a10_iceberg_export_roundtrip", "a14_metadata_tables",
-    "a18_merge_on_read_export", "a20_pruned_scan_episode",
-    "a21_snapshot_tags_episode", "a22_write_audit_publish",
-    "a30_scd2_incremental_apply", "a31_sort_order_episode",
-    "a32_spec_bucket_join", "a33_column_metrics_episode",
-    "b01_scan_projection", "b02_filter_predicates",
-    "b03_join_inner_3way", "b05_join_right_outer",
-    "b06_join_full_outer", "b07_join_left_semi", "b08_join_left_anti",
-    "b12_agg_pricing_summary", "b14_agg_rollup", "b15_agg_cube",
-    "b18_window_ranking",
-    "b19_window_lag_lead", "b21_topk", "b22_sort_nulls",
-    "b46_exists_subquery_sql", "b47_scalar_subquery_sql",
-    "b48_in_subquery_sql", "b49_cte_sql",
-    "c16_salted_hot_key_agg", "c17_corpus_prep_pipeline",
-    "c23_decontamination", "c24_pii_scrub", "c25_repetition_stats",
-    "c26_domain_cap_filter", "c27_dup_ngram_fraction",
-    "s01_stream_tumbling_window", "s02_stream_sliding_window",
-    "s03_stream_dedup", "s08_stream_lake_sink",
-    "s09_stream_lake_source", "s11_stream_backfill_capped",
-    # --- driver window boundary (50) ---
-    # Spilled from the r11 band to r15 (each has a same-family twin
-    # gated r12/r13 or in this window, so family coverage stays
-    # fresh): b04 (b05/b06 in this window), b09 (b10/b11 r13),
-    # b17 (b12/b14/b15 in this window), b23 (b24-26 r12), c14
-    # (c11/c12 r13, c12b this window). FIRST in the r15 rotation,
-    # then the r12 band. Out-of-window: everything else carries
-    # r12/r13 evidence. Full-registry local sweeps cover the gaps
-    # between driver windows (SURVEY §5.8).
+    # ---- Round-15 window (first 50 slots, oracle-bearing only) ----
+    # Tier 1: never-gated keys — r14-new b67/a40 (local-sweep + one
+    # judge spot-check only), the five r14 spills (each had a fresh
+    # family twin last round), and this round's four new surfaces
+    # (c12c real WAV decode, c09b tokenizer-exact sizing, b68 Avro
+    # source, a41 v3 row-lineage read).
+    "b67_orc_scan_roundtrip", "a40_v3_deletion_vector_episode",
     "b04_join_left_outer", "b09_join_cross", "b17_agg_minmax_stats",
     "b23_union_all", "c14_multimodal_frame_sample",
-    # b67/a40 (ORC roundtrip + v3 deletion-vector decode, new r14,
-    # local-sweep evidence only — they join the never-gated tier of
-    # the r15 head; family twins b43/b44 and a39 carry r13/r14 driver
-    # evidence)
-    "b67_orc_scan_roundtrip", "a40_v3_deletion_vector_episode",
+    "c12c_multimodal_audio_decode", "c09b_token_count_exact",
+    "b68_avro_scan_roundtrip", "a41_v3_row_lineage_episode",
+    # Tier 2: the r12-evidence band — the oldest driver evidence left
+    # in the registry (48 keys after excluding a34/s12, re-gated r13;
+    # 39 fit behind the 11 tier-1 slots, 9 spill — see the boundary
+    # note). After this window no oracle-bearing key's driver
+    # evidence is older than r13 except the 9 spills, each of which
+    # carries judge(r14) or fresh-family-twin evidence.
+    "a02_partition_transforms", "a04_schema_diff_report",
+    "a05_merge_upsert", "a06_delete_update_where",
+    "a08_compaction_invariance", "a09_sql_ddl_episode",
+    "a11_sql_dml_episode", "a12_sql_merge_conditional",
+    "a13_incremental_read", "a15_sql_rollback_episode",
+    "a16_merge_on_read_delete", "a17_merge_on_read_merge",
+    "a26_scd2_dimension_history",
+    "b13_agg_count_distinct", "b24_union_distinct",
+    "b27_string_funcs", "b28_date_funcs", "b29_math_funcs",
+    "b30_conditional_null", "b31_array_funcs", "b32_map_struct_funcs",
+    "b36_dedup_keep_first", "b39_python_udf", "b40_pandas_udf",
+    "b45_lake_overwrite_sink", "b50_python_udtf",
+    "b53_percentile_median", "b62_asof_join", "b64_lateral_topn",
+    "c01_dedup_exact", "c06e_ann_ivf_verified_topk", "c09_token_count",
+    "c15_tfidf_top_terms", "c18_dedup_cluster_resolution",
+    "c30_filter_funnel", "c31_stratified_sample",
+    "c32_leakage_safe_split",
+    "s04_stream_session_window", "s07_stream_stream_join",
+    # --- driver window boundary (50) ---
+    # Spilled from the r12 band to r16 (chosen because each already
+    # carries judge(r14) spot-check evidence — b63, b65, c28, c29 —
+    # or a same-family twin gated r13/this-window: b25/b26 (b24 in
+    # window), b34 (b33 r13), b41 (b58 r13), b51 (b19 r14 / b20
+    # r13). FIRST in the r16 rotation, then the r13 band.
+    "b25_intersect", "b26_except", "b34_from_json_schema",
+    "b41_grouped_agg_pandas_udf", "b51_window_first_last",
+    "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
+    "c28_substring_dup_spans", "c29_incremental_ingest_dedup",
+    # The r14 window (c34/c35/c36/c36b/c12b/a39 + the r11 band)
+    # carries r14 driver evidence — freshest in the registry, so it
+    # follows the spills in registration order (unlisted mid).
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,
@@ -99,7 +93,7 @@ _PRIORITY = [
     "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
     "s05_stream_late_data_drop", "s06_stream_stateful_counter",
     "c06d_ann_ivf_trained_topk",
-    # Everything unlisted (r7/r8-green) keeps registration order.
+    # Everything unlisted (r13/r14-green) keeps registration order.
 ]
 
 # (b37/b38/b60 moved into _PRIORITY's r1 band this round — the tail
