@@ -188,7 +188,10 @@ class _Buf:
             if not byte & 0x80:
                 break
             shift += 7
-            if shift > 70:
+            # a 64-bit zigzag long is at most 10 bytes: continuation
+            # shifts run 0..63; shift 70 would be an 11th byte
+            # (r15 review: the previous `> 70` accepted it)
+            if shift > 63:
                 raise ValueError("malformed avro varint (>10 bytes)")
         return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 
@@ -270,7 +273,11 @@ def read_ocf(
     codecs, bad magic, and sync-marker mismatches loudly."""
     import zlib  # noqa: PLC0415
 
-    raw = data if isinstance(data, bytes) else open(data, "rb").read()
+    if isinstance(data, bytes):
+        raw = data
+    else:
+        with open(data, "rb") as f:
+            raw = f.read()
     buf = _Buf(raw)
     if buf.take(4) != b"Obj\x01":
         raise ValueError("not an avro object container file (bad magic)")

@@ -341,6 +341,50 @@ class GlueLakeCatalog:
                 twins.append(hit)
         return twins
 
+    def _finish_pending_rename(
+        self, database: str, table: str, entry: dict
+    ) -> dict:
+        """When ``entry`` is the TARGET half of a crashed rename whose
+        stale source still exists, finish that recovery (catalog-only
+        delete of the stale source) before anything else touches the
+        pair. Without this, a CHAINED rename (crashed src->dst, then
+        dst->dst2) would clear dst2's markers while the stale src
+        still points at the shared location — and a later
+        drop_table(src) would find no twin and delete the live
+        table's bytes (r15 review finding; the removed full-catalog
+        scan used to cover this). Diverged pointers refuse with the
+        split-brain posture. Returns the refreshed entry."""
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+
+        params = entry.get("Parameters") or {}
+        prev = params.get("rename_pending_from")
+        if not prev or "." not in prev:
+            return entry
+        pdb, pname = prev.split(".", 1)
+        twin = self._get_entry(pdb, pname)
+        if twin is not None:
+            my_ptr = params.get("metadata_location")
+            tw_ptr = (twin.get("Parameters") or {}).get("metadata_location")
+            loc = (entry.get("StorageDescriptor") or {}).get("Location")
+            tw_loc = (twin.get("StorageDescriptor") or {}).get("Location")
+            if (my_ptr and tw_ptr == my_ptr) or (loc and tw_loc == loc):
+                if tw_ptr != my_ptr:
+                    sv, tv = _ptr_version(tw_ptr), _ptr_version(my_ptr)
+                    raise TableFormatError(
+                        f"crashed rename left {pdb}.{pname} and "
+                        f"{database}.{table} sharing one location with "
+                        f"DIVERGED metadata pointers (v{sv} vs v{tv}) — "
+                        "commits published through both names. Re-point "
+                        "or drop the stale entry explicitly, then retry."
+                    )
+                try:
+                    self.glue.delete_table(DatabaseName=pdb, Name=pname)
+                except ClientError as e:
+                    if e.response["Error"]["Code"] != "EntityNotFoundException":
+                        raise
+        self._clear_rename_markers(database, table)
+        return self._get_entry(database, table) or entry
+
     def _clear_rename_markers(self, database: str, table: str) -> None:
         """Remove rename_pending_to/_from from an entry's Parameters
         (rename completed, or its counterpart was dropped)."""
@@ -450,6 +494,42 @@ class GlueLakeCatalog:
             raise TableFormatError(
                 f"table {database}.{table} does not exist (glue)"
             )
+        # finish any crashed rename this entry is the TARGET of before
+        # renaming it onward (chained-rename guard, r15 review)
+        entry = self._finish_pending_rename(database, table, entry)
+        # ...and refuse to rename the STALE half of a crashed rename
+        # to a THIRD name: that would duplicate the table identity.
+        # The legit recoveries are the retry (handled below) or
+        # drop_table on this entry.
+        pend_to = (entry.get("Parameters") or {}).get("rename_pending_to")
+        if (
+            pend_to
+            and "." in pend_to
+            and pend_to != f"{new_database}.{new_table}"
+        ):
+            pdb, pname = pend_to.split(".", 1)
+            twin = self._get_entry(pdb, pname)
+            if twin is not None:
+                my_ptr = (entry.get("Parameters") or {}).get(
+                    "metadata_location"
+                )
+                tw_ptr = (twin.get("Parameters") or {}).get(
+                    "metadata_location"
+                )
+                loc = (entry.get("StorageDescriptor") or {}).get("Location")
+                tw_loc = (twin.get("StorageDescriptor") or {}).get(
+                    "Location"
+                )
+                if (my_ptr and tw_ptr == my_ptr) or (loc and tw_loc == loc):
+                    raise TableFormatError(
+                        f"{database}.{table} is the stale half of a "
+                        f"crashed rename to {pend_to} — retry that "
+                        "rename or drop this entry before renaming it "
+                        "elsewhere"
+                    )
+            # target gone or unrelated: the marker is dead — clear it
+            self._clear_rename_markers(database, table)
+            entry = self._get_entry(database, table) or entry
         target = self._get_entry(new_database, new_table)
         if target is not None:
             src_ptr = (entry.get("Parameters") or {}).get(

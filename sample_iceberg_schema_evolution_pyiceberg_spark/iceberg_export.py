@@ -1340,6 +1340,17 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
     raise ValueError(f"unknown iceberg type {t!r}")
 
 
+def _norm_file_path(p: str) -> str:
+    """``file:///x`` / ``file:/x`` -> ``/x`` — the ONE normalization
+    every join key against ``_metadata.file_path`` uses (lineage map,
+    position-delete/DV anti-join). Keep the Column-side
+    ``F.regexp_replace(..., "^file:/+", "/")`` expressions in sync
+    with this (r15 review: three drifting copies)."""
+    import re as _re  # noqa: PLC0415
+
+    return _re.sub("^file:/+", "/", str(p))
+
+
 def read_iceberg_table(
     spark, location: str | Path, snapshot_id=None, metadata_file=None,
     lineage: bool = False,
@@ -1623,17 +1634,12 @@ def read_iceberg_table(
 
     lineage_df = None
     if lineage:
-        import re as _lre  # noqa: PLC0415
-
         if fv < 3:
             raise ValueError(
                 f"row lineage requires format-version 3 (table is v{fv})"
                 " — _row_id/_last_updated_sequence_number do not exist "
                 "before v3"
             )
-
-        def _lnorm(p: str) -> str:
-            return _lre.sub("^file:/+", "/", str(p))
 
         snap_first = {
             s["snapshot-id"]: s.get("first-row-id")
@@ -1686,14 +1692,56 @@ def read_iceberg_table(
                 if seq is None:
                     seq = m.get("sequence_number", 0)
                 lineage_rows.append(
-                    (_lnorm(d["file_path"]), int(fr), int(seq))
+                    (
+                        _norm_file_path(d["file_path"]),
+                        int(fr),
+                        int(seq),
+                        int(d["record_count"]),
+                    )
                 )
                 if e["status"] == 1:
                     cum += int(d["record_count"])
-            if explicit_base is None and snap_first.get(sid) is not None:
+            # the id space a manifest's ADDED rows occupy is consumed
+            # regardless of whether its base was explicit or derived —
+            # otherwise a later derived-base manifest of the same
+            # snapshot would silently reuse an explicit sibling's block
+            # (r15 review finding)
+            if snap_first.get(sid) is not None:
                 snap_cursor[sid] = snap_cursor.get(sid, 0) + cum
+        # a file re-listed across manifests (EXISTING after a rewrite)
+        # must carry ONE consistent assignment: dedupe identical
+        # entries so the join stays 1:1, refuse on conflict
+        by_path: dict[str, tuple[int, int, int]] = {}
+        for path, fr, seq, n in lineage_rows:
+            prev = by_path.get(path)
+            if prev is not None and prev != (fr, seq, n):
+                raise ValueError(
+                    f"conflicting row-lineage assignments for {path!r}: "
+                    f"{prev} vs {(fr, seq, n)} — refusing rather than "
+                    "returning ambiguous _row_ids"
+                )
+            by_path[path] = (fr, seq, n)
+        lineage_rows = [
+            (path, fr, seq, n)
+            for path, (fr, seq, n) in by_path.items()
+        ]
+        # global invariant: per-file id blocks [first, first+rows) must
+        # be disjoint — a writer that rebased explicit ids out of
+        # canonical order would otherwise surface duplicate _row_ids
+        # silently. Metadata-sized check, refuses loudly.
+        spans = sorted(
+            (fr, fr + n, path) for path, fr, _seq, n in lineage_rows
+        )
+        for (a0, a1, pa), (b0, _b1, pb) in zip(spans, spans[1:]):
+            if b0 < a1:
+                raise ValueError(
+                    f"row-lineage id blocks overlap: {pa!r} occupies "
+                    f"[{a0}, {a1}) and {pb!r} starts at {b0} — the "
+                    "table's first_row_id assignment is inconsistent; "
+                    "refusing rather than returning duplicate _row_ids"
+                )
         lineage_df = spark.createDataFrame(
-            lineage_rows or [],
+            [(p, f, q) for p, f, q, _n in lineage_rows],
             "_ice_file string, _lin_first long, _lin_seq long",
         )
 
@@ -1734,13 +1782,9 @@ def read_iceberg_table(
     # merged across DVs)
     dv_rows: list[tuple[str, int]] = []
     if dv_entries:
-        import re as _re  # noqa: PLC0415
-
         from .puffin import read_dv_for_file, read_puffin_footer  # noqa: PLC0415
 
-        def _norm(p: str) -> str:
-            return _re.sub("^file:/+", "/", str(p))
-
+        _norm = _norm_file_path
         latest: dict[str, tuple[int, dict]] = {}
         for seq, d in dv_entries:
             ref = _norm(d.get("referenced_data_file") or "")

@@ -2542,6 +2542,7 @@ def a41_v3_row_lineage_episode(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum("_row_id").alias("sum_row_id"),
             )
         )
+        # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         # the v2 export twin refuses the lineage request loudly
         export_to_iceberg(table, spark=spark, format_version=2)
@@ -2550,5 +2551,4 @@ def a41_v3_row_lineage_episode(spark: SparkSession, sf: str) -> DataFrame:
             raise AssertionError("v2 lineage read did not refuse")
         except ValueError as e:
             assert "format-version 3" in str(e)
-        # materialize before the temp dir vanishes (bounded agg)
         return spark.createDataFrame(rows, out.schema)

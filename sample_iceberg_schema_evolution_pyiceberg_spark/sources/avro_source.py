@@ -184,7 +184,14 @@ def _from_avro_value(v: Any, f: T.StructField) -> Any:
     if isinstance(dt, T.TimestampType):
         from datetime import timezone  # noqa: PLC0415
 
-        return datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc)
+        # integer timedelta arithmetic, NOT fromtimestamp(v / 1e6):
+        # the float division loses sub-microsecond precision for
+        # modern epochs (float64 spacing ~0.5 us at 2023 values) and
+        # can shift a value by 1 us (r15 review finding)
+        return (
+            datetime(1970, 1, 1, tzinfo=timezone.utc)
+            + timedelta(microseconds=v)
+        )
     if isinstance(dt, T.DecimalType):
         unscaled = int.from_bytes(v, "big", signed=True)
         return Decimal(unscaled).scaleb(-dt.scale)
@@ -225,8 +232,22 @@ class AvroOcfReader(DataSourceReader):
     def read(self, partition: _AvroFilePartition) -> Iterator[tuple]:
         from ..avro_ocf import read_ocf  # noqa: PLC0415
 
-        _schema, _meta, records = read_ocf(partition.file_path)
+        file_schema, _meta, records = read_ocf(partition.file_path)
         fields = self._schema.fields
+        # schema was inferred from ONE file (or user-supplied): a file
+        # whose own writer schema differs would silently null-fill
+        # missing columns and drop extras — refuse loudly instead
+        # (r15 review finding; same posture as the lake scan)
+        file_names = [f["name"] for f in file_schema.get("fields", [])]
+        expect = [f.name for f in fields]
+        if sorted(file_names) != sorted(expect):
+            raise ValueError(
+                f"avro_ocf: {partition.file_path} carries fields "
+                f"{sorted(file_names)} but the scan schema expects "
+                f"{sorted(expect)} — heterogeneous directories are not "
+                "silently aligned; read the files separately or "
+                "rewrite them under one schema"
+            )
         for rec in records:
             yield tuple(
                 _from_avro_value(rec.get(f.name), f) for f in fields
@@ -239,12 +260,27 @@ class _AvroCommit(WriterCommitMessage):
     n_rows: int
 
 
+_TMP_DIR = "_tmp"
+
+
 class AvroOcfWriter(DataSourceWriter):
-    def __init__(self, path: str, schema: T.StructType) -> None:
+    """Task attempts write into ``path/_tmp/`` (invisible to the
+    reader's ``*.avro`` top-level listing); ``commit()`` publishes
+    exactly the files named by the SUCCESSFUL attempts' commit
+    messages via rename, then clears the temp dir — so failed or
+    speculative duplicate attempts never surface rows, and an
+    ``overwrite`` removes the previous files only at commit time (a
+    failed overwrite job leaves the old data intact; r15 review
+    findings)."""
+
+    def __init__(
+        self, path: str, schema: T.StructType, overwrite: bool
+    ) -> None:
         self._path = path
         self._schema = schema
         self._avro = spark_schema_to_avro(schema)
-        os.makedirs(path, exist_ok=True)
+        self._overwrite = overwrite
+        os.makedirs(os.path.join(path, _TMP_DIR), exist_ok=True)
 
     def write(self, iterator: Iterator[Any]) -> _AvroCommit:
         from ..avro_ocf import write_ocf  # noqa: PLC0415
@@ -257,17 +293,32 @@ class AvroOcfWriter(DataSourceWriter):
             }
             for row in iterator
         ]
-        out = os.path.join(self._path, f"part-{uuid.uuid4().hex}.avro")
+        out = os.path.join(
+            self._path, _TMP_DIR, f"part-{uuid.uuid4().hex}.avro"
+        )
         write_ocf(out, self._avro, records)
         return _AvroCommit(out, len(records))
 
-    def commit(self, messages) -> None:  # files are already in place
-        pass
+    def commit(self, messages) -> None:
+        import shutil  # noqa: PLC0415
+
+        if self._overwrite:
+            for n in os.listdir(self._path):
+                if n.endswith(".avro"):
+                    os.remove(os.path.join(self._path, n))
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self._path, os.path.basename(m.file_path))
+            os.replace(m.file_path, final)
+        # losers of speculative races / failed attempts stay in _tmp —
+        # drop them with the dir
+        shutil.rmtree(os.path.join(self._path, _TMP_DIR), ignore_errors=True)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.file_path):
-                os.remove(m.file_path)
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(os.path.join(self._path, _TMP_DIR), ignore_errors=True)
 
 
 class AvroOcfDataSource(DataSource):
@@ -291,13 +342,7 @@ class AvroOcfDataSource(DataSource):
         return AvroOcfReader(self.options["path"], schema)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> AvroOcfWriter:
-        if overwrite:
-            path = self.options["path"]
-            if os.path.isdir(path):
-                for n in os.listdir(path):
-                    if n.endswith(".avro"):
-                        os.remove(os.path.join(path, n))
-        return AvroOcfWriter(self.options["path"], schema)
+        return AvroOcfWriter(self.options["path"], schema, overwrite)
 
 
 def register_avro_ocf(spark: SparkSession) -> None:

@@ -149,3 +149,72 @@ def test_avro_schema_mapping_is_inverse():
         T.StructField("e", T.TimestampNTZType(), False),
     ])
     assert avro_schema_to_spark(spark_schema_to_avro(schema)) == schema
+
+
+def test_avro_writer_commit_protocol(spark, tmp_path):
+    """r15 review findings: task files land in _tmp and only commit()
+    publishes them — an abort (failed job) leaves previously-committed
+    data intact even in overwrite mode, and uncommitted attempt files
+    never surface to the reader."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources.avro_source import (
+        AvroOcfWriter,
+    )
+
+    register_avro_ocf(spark)
+    schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    df = spark.createDataFrame([(1,), (2,)], schema)
+    target = str(tmp_path / "proto")
+    df.write.format("avro_ocf").mode("append").save(target)
+    assert spark.read.format("avro_ocf").load(target).count() == 2
+
+    # a failed OVERWRITE job: write an attempt, then abort — the old
+    # files must survive (the old code deleted them at planning time)
+    w = AvroOcfWriter(target, schema, overwrite=True)
+    msg = w.write(iter([(99,)]))
+    import os as _os
+
+    assert "_tmp" in msg.file_path  # staged, not published
+    # the reader never sees staged attempts
+    assert spark.read.format("avro_ocf").load(target).count() == 2
+    w.abort([msg])
+    assert spark.read.format("avro_ocf").load(target).count() == 2
+    assert not _os.path.exists(msg.file_path)
+
+    # a SUCCESSFUL overwrite commit: old files replaced, losers of
+    # speculative races (staged but not in messages) are dropped
+    w2 = AvroOcfWriter(target, schema, overwrite=True)
+    winner = w2.write(iter([(7,)]))
+    _loser = w2.write(iter([(7,)]))  # duplicate attempt, not committed
+    w2.commit([winner])
+    got = [r.id for r in spark.read.format("avro_ocf").load(target).collect()]
+    assert got == [7]
+
+
+def test_avro_reader_refuses_heterogeneous_directory(spark, tmp_path):
+    """A directory mixing writer schemas must refuse loudly, not
+    silently null-fill the columns a file lacks (r15 review)."""
+    d = tmp_path / "hetero"
+    d.mkdir()
+    s1 = {"type": "record", "name": "r",
+          "fields": [{"name": "a", "type": "long"}]}
+    s2 = {"type": "record", "name": "r",
+          "fields": [{"name": "a", "type": "long"},
+                     {"name": "b", "type": ["null", "string"],
+                      "default": None}]}
+    write_ocf(str(d / "p1.avro"), s1, [{"a": 1}])
+    write_ocf(str(d / "p2.avro"), s2, [{"a": 2, "b": "x"}])
+    register_avro_ocf(spark)
+    with pytest.raises(Exception, match="heterogeneous"):
+        spark.read.format("avro_ocf").load(str(d)).collect()
+
+
+def test_varlong_rejects_overlong_varint():
+    """An 11-byte continuation sequence must refuse (a 64-bit zigzag
+    long is at most 10 bytes); r15 review: the guard was off by one."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.avro_ocf import _Buf
+
+    ok = _Buf(b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01")  # 10 bytes
+    assert isinstance(ok.varlong(), int)
+    bad = _Buf(b"\xff" * 11 + b"\x01")
+    with pytest.raises(ValueError, match="varint"):
+        bad.varlong()

@@ -1294,3 +1294,67 @@ def test_v3_lineage_with_deletion_vectors(spark, tmp_path):
     got = {r.id: r._row_id for r in df.collect()}
     # positions 0 and 2 masked; survivors keep positions 1 and 3
     assert got == {2: 1, 4: 3}
+
+
+def test_v3_lineage_mixed_explicit_and_derived_manifests(spark, tmp_path):
+    """r15 review finding: a snapshot mixing an explicit-base manifest
+    with a derived-base one must not reuse the explicit sibling's id
+    block — the cursor advances for BOTH, and a genuinely overlapping
+    assignment (rebased explicit ids) refuses loudly."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    mschema, lschema = _lineage_schemas()
+
+    def build(name, m1_base, snap_first):
+        root = tmp_path / name
+        (root / "data").mkdir(parents=True)
+        (root / "metadata").mkdir()
+        files = {}
+        for fname, ids in (("f1", [1, 2]), ("f2", [3, 4])):
+            fp = root / "data" / f"{fname}.parquet"
+            pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), fp)
+            files[fname] = fp
+
+        def entry(path, first_row_id):
+            e = _df(path, 1, record_count=2, content=0)
+            e["data_file"]["first_row_id"] = first_row_id
+            e["sequence_number"] = 1
+            e["file_sequence_number"] = 1
+            return e
+
+        # m1: manifest-list explicit base, null entry id (inherits)
+        write_avro_java(
+            spark, root / "metadata" / "m1.avro", mschema,
+            [entry(files["f1"], None)],
+        )
+        # m2: NO explicit base anywhere — derives from the snapshot
+        write_avro_java(
+            spark, root / "metadata" / "m2.avro", mschema,
+            [entry(files["f2"], None)],
+        )
+        e1 = _mlist_entry(root, "m1.avro", 0, 1)
+        e1["first_row_id"] = m1_base
+        e2 = _mlist_entry(root, "m2.avro", 0, 1)
+        write_avro_java(
+            spark, root / "metadata" / "snap-901.avro", lschema, [e1, e2]
+        )
+        doc = _v3_meta(root, [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+        ], last_col=1)
+        doc["snapshots"][0]["first-row-id"] = snap_first
+        (root / "metadata" / "v1.metadata.json").write_text(json.dumps(doc))
+        return root
+
+    # canonical writer: m1's explicit base IS the snapshot base; m2
+    # derives AFTER m1's block -> 100,101 then 102,103
+    root = build("mixed_ok", m1_base=100, snap_first=100)
+    df, _ = read_iceberg_table(spark, root, lineage=True)
+    got = {r.id: r._row_id for r in df.collect()}
+    assert got == {1: 100, 2: 101, 3: 102, 4: 103}
+
+    # rebased explicit ids that collide with the derivation refuse
+    root2 = build("mixed_overlap", m1_base=103, snap_first=100)
+    with pytest.raises(ValueError, match="overlap"):
+        read_iceberg_table(spark, root2, lineage=True)

@@ -1214,3 +1214,65 @@ def test_glue_drop_opt_in_scan_finds_markerless_debris(
     cat.drop_table("db", "src")
     assert not cat.table_exists("db", "src")
     assert cat.load_table("db", "dst").to_df(spark).count() == 4
+
+
+def test_glue_chained_rename_finishes_crashed_recovery(
+    spark, tmp_path, glue_s3
+):
+    """r15 review finding: rename src->dst crashes, then the user
+    renames dst->dst2. The second rename must FINISH the first one's
+    recovery (delete stale src catalog-only) — otherwise dst2 loses
+    its markers while stale src still points at the shared location,
+    and a later drop_table(src) would delete the live table's data."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "src", SCHEMA)
+    t.append(spark.range(0, 6).select(F.col("id"), F.lit("x").alias("v")))
+    _crash_rename(glue, "db", "src", "dst")
+
+    t2 = cat.rename_table("db", "dst", "db", "dst2")  # chained rename
+    # the stale source was removed as part of the chain
+    assert not cat.table_exists("db", "src")
+    assert t2.to_df(spark).count() == 6
+    # and a drop of dst2 (now the only entry) behaves normally
+    cat.drop_table("db", "dst2")
+    assert not cat.table_exists("db", "dst2")
+
+
+def test_glue_rename_of_stale_half_to_third_name_refuses(
+    spark, tmp_path, glue_s3
+):
+    """Renaming the STALE half of a crashed rename to a third name
+    would duplicate the table identity; it must refuse, pointing at
+    the retry/drop recoveries — while the retry itself still works."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.glue_catalog import (
+        GlueLakeCatalog,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        TableFormatError,
+    )
+
+    glue, store = glue_s3
+    cat = GlueLakeCatalog(
+        tmp_path / "wh", io=ObjectStoreFileIO(store), glue=glue
+    )
+    t = cat.create_table("db", "src", SCHEMA)
+    t.append(spark.range(0, 4).select(F.col("id"), F.lit("x").alias("v")))
+    _crash_rename(glue, "db", "src", "dst")
+
+    with pytest.raises(TableFormatError, match="stale half"):
+        cat.rename_table("db", "src", "db", "elsewhere")
+    # the documented recovery still converges
+    t2 = cat.rename_table("db", "src", "db", "dst")
+    assert t2.to_df(spark).count() == 4
+    assert not cat.table_exists("db", "src")
