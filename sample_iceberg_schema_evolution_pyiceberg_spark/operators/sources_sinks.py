@@ -314,3 +314,69 @@ def b68_avro_scan_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "b68b_avro_pruned_scan",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS files_pruned
+    FROM lineitem WHERE l_orderkey <= 500
+    GROUP BY l_returnflag
+    """,
+)
+def b68b_avro_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro source with FILTER-PUSHDOWN file pruning (r15): the writer
+    embeds per-column min/max in each OCF header, and the
+    ``avro_ocf_pruned`` format's reader implements ``pushFilters`` —
+    comparison predicates prune whole files by their stats before any
+    decode, with every filter kept residual so Spark re-applies it
+    row-level (pruning can only skip files, never change results).
+    The episode writes range-partitioned files (disjoint l_orderkey
+    ranges per file), asserts the planner actually drops files for a
+    selective predicate, and hash-gates the filtered aggregate against
+    the parquet oracle."""
+    from pyspark.sql.datasource import LessThanOrEqual  # noqa: PLC0415
+
+    from ..sources.avro_source import (  # noqa: PLC0415
+        AvroOcfPrunedReader,
+        register_avro_ocf,
+    )
+
+    register_avro_ocf(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    src = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_returnflag")
+    )
+    with tempfile.TemporaryDirectory(prefix="avro_prune_") as d:
+        target = f"{d}/rows"
+        # range partitioning gives each file a disjoint key interval —
+        # the layout a partitioned ingest naturally produces, and what
+        # makes min/max stats selective
+        src.repartitionByRange(4, "l_orderkey").write.format(
+            "avro_ocf"
+        ).mode("append").save(target)
+        # planner-level proof the stats prune: the same reader Spark
+        # instantiates, fed the pushed filter directly
+        probe = AvroOcfPrunedReader(target, src.schema)
+        probe.pushFilters([LessThanOrEqual(("l_orderkey",), 500)])
+        n_kept = len(probe.partitions())
+        n_all = len(AvroOcfPrunedReader(target, src.schema).partitions())
+        pruned = n_kept < n_all
+        out = (
+            spark.read.format("avro_ocf_pruned")
+            .load(target)
+            .filter(F.col("l_orderkey") <= 500)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_orderkey").alias("sum_key"),
+            )
+            .withColumn("files_pruned", F.lit(bool(pruned)))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

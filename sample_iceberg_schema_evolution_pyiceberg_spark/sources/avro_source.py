@@ -283,20 +283,40 @@ class AvroOcfWriter(DataSourceWriter):
         os.makedirs(os.path.join(path, _TMP_DIR), exist_ok=True)
 
     def write(self, iterator: Iterator[Any]) -> _AvroCommit:
+        import json as _json  # noqa: PLC0415
+
         from ..avro_ocf import write_ocf  # noqa: PLC0415
 
         fields = self._schema.fields
+        rows = list(iterator)
         records = [
             {
                 f.name: _to_avro_value(row[i], f)
                 for i, f in enumerate(fields)
             }
-            for row in iterator
+            for row in rows
         ]
+        # per-column min/max for int/float/string columns, embedded in
+        # the OCF header — the file-skip statistics the pruned reader
+        # uses (the parquet row-group-stats idea at file granularity)
+        stats: dict[str, list] = {}
+        for i, f in enumerate(fields):
+            if not isinstance(
+                f.dataType,
+                (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                 T.DoubleType, T.FloatType, T.StringType),
+            ):
+                continue
+            vals = [row[i] for row in rows if row[i] is not None]
+            if vals:
+                stats[f.name] = [min(vals), max(vals)]
         out = os.path.join(
             self._path, _TMP_DIR, f"part-{uuid.uuid4().hex}.avro"
         )
-        write_ocf(out, self._avro, records)
+        write_ocf(
+            out, self._avro, records,
+            {"spark.col.stats": _json.dumps(stats)} if stats else None,
+        )
         return _AvroCommit(out, len(records))
 
     def commit(self, messages) -> None:
@@ -345,6 +365,118 @@ class AvroOcfDataSource(DataSource):
         return AvroOcfWriter(self.options["path"], schema, overwrite)
 
 
+PRUNED_SOURCE_NAME = "avro_ocf_pruned"
+
+
+class AvroOcfPrunedReader(AvroOcfReader):
+    """avro_ocf reader with FILTER-PUSHDOWN file pruning: comparison
+    filters on single columns are checked against each file's embedded
+    min/max header stats (written by AvroOcfWriter) and files the
+    stats provably exclude are never opened — the parquet
+    row-group-stats idea at file granularity, which is what makes a
+    100 TB ingest directory scannable for a selective predicate.
+    Every filter is also returned as residual, so Spark re-applies the
+    exact predicate row-level: pruning can only skip files, never
+    change results. Registered as a SEPARATE format because a reader
+    that implements pushFilters hard-fails under the default
+    ``spark.sql.python.filterPushdown.enabled=false`` — the plain
+    avro_ocf format must stay usable on vanilla sessions."""
+
+    def __init__(self, path: str, schema: T.StructType) -> None:
+        super().__init__(path, schema)
+        self._pruning: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (  # noqa: PLC0415
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        usable = (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual, In,
+        )
+        # eager, not a generator: the pruning list must be complete
+        # even if the caller never exhausts the returned iterable
+        self._pruning = [
+            f
+            for f in filters
+            if isinstance(f, usable) and len(f.attribute) == 1
+        ]
+        return list(filters)  # ALL residual: Spark re-applies them
+
+    @staticmethod
+    def _excludes(f, lo, hi) -> bool:
+        """True when file range [lo, hi] provably has no matching row."""
+        from pyspark.sql.datasource import (  # noqa: PLC0415
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        try:
+            if isinstance(f, EqualTo):
+                return f.value < lo or f.value > hi
+            if isinstance(f, In):
+                return all(v < lo or v > hi for v in f.value)
+            if isinstance(f, GreaterThan):
+                return hi <= f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return hi < f.value
+            if isinstance(f, LessThan):
+                return lo >= f.value
+            if isinstance(f, LessThanOrEqual):
+                return lo > f.value
+        except TypeError:
+            return False  # incomparable types: keep the file
+        return False
+
+    def partitions(self) -> list[_AvroFilePartition]:
+        import json as _json  # noqa: PLC0415
+
+        from ..avro_ocf import read_ocf_header  # noqa: PLC0415
+
+        parts = super().partitions()
+        if not self._pruning:
+            return parts
+        kept = []
+        for p in parts:
+            stats = _json.loads(
+                read_ocf_header(p.file_path).get("spark.col.stats", "{}")
+            )
+            excluded = False
+            for f in self._pruning:
+                rng = stats.get(f.attribute[0])
+                if rng is not None and self._excludes(f, rng[0], rng[1]):
+                    excluded = True
+                    break
+            if not excluded:
+                kept.append(p)
+        # an empty scan still needs one partition to carry the schema
+        return kept or parts[:1]
+
+
+class AvroOcfPrunedDataSource(AvroOcfDataSource):
+    """``spark.read.format("avro_ocf_pruned")`` — requires
+    ``spark.sql.python.filterPushdown.enabled=true`` (Spark refuses a
+    pushFilters reader under the default conf)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return PRUNED_SOURCE_NAME
+
+    def reader(self, schema: T.StructType) -> AvroOcfPrunedReader:
+        return AvroOcfPrunedReader(self.options["path"], schema)
+
+
 def register_avro_ocf(spark: SparkSession) -> None:
-    """Idempotent session registration of the avro_ocf source."""
+    """Idempotent session registration of both avro_ocf formats."""
     spark.dataSource.register(AvroOcfDataSource)
+    spark.dataSource.register(AvroOcfPrunedDataSource)

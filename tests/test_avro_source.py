@@ -218,3 +218,55 @@ def test_varlong_rejects_overlong_varint():
     bad = _Buf(b"\xff" * 11 + b"\x01")
     with pytest.raises(ValueError, match="varint"):
         bad.varlong()
+
+
+def test_avro_pruned_reader_skips_files_by_stats(spark, tmp_path):
+    """The pruned format's pushFilters + header min/max stats skip
+    whole files for selective predicates while every filter stays
+    residual (results identical to the unpruned read)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        LessThanOrEqual,
+    )
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources.avro_source import (
+        AvroOcfPrunedReader,
+    )
+
+    register_avro_ocf(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("s", T.StringType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], schema
+    )
+    target = str(tmp_path / "pruned")
+    df.repartitionByRange(4, "k").write.format("avro_ocf").mode(
+        "append"
+    ).save(target)
+
+    def kept(filters):
+        r = AvroOcfPrunedReader(target, schema)
+        residual = r.pushFilters(filters)
+        assert list(residual) == list(filters)  # all residual
+        return len(r.partitions())
+
+    assert kept([]) == 4
+    assert kept([LessThanOrEqual(("k",), 10)]) < 4
+    assert kept([EqualTo(("k",), 99)]) == 1
+    assert kept([In(("k",), (0, 99))]) == 2
+    assert kept([GreaterThan(("k",), 1000)]) == 1  # empty scan keeps 1
+    # string stats prune too
+    assert kept([EqualTo(("s",), "v0")]) < 4
+    # e2e: the pruned format returns exactly the filtered rows
+    got = (
+        spark.read.format("avro_ocf_pruned")
+        .load(target)
+        .filter("k <= 10")
+        .collect()
+    )
+    assert sorted(r.k for r in got) == list(range(11))
