@@ -113,7 +113,10 @@ def run_canary(spark, runs: int = 5) -> dict[str, float]:
 SF01_QUIET_BAND = {
     "ratio_min": 1.29,
     "ratio_max": 1.58,
-    "source": "r14 triple draw + r12-r13 records (SCALE.md R14)",
+    "source": (
+        "r12-r15 quiet-draw records (SCALE.md R14/R15; r15 draws "
+        "1.43x/1.47x sit inside)"
+    ),
 }
 
 
