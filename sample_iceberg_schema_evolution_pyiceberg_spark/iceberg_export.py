@@ -445,6 +445,7 @@ def _manifest_entry_schema(
     format_version: int = 1,
     include_equality_ids: bool = False,
     include_dv_fields: bool = False,
+    include_lineage_fields: bool = False,
 ) -> dict:
     partition_record = {
         "type": "record",
@@ -486,6 +487,15 @@ def _manifest_entry_schema(
                 "default": None,
                 "field-id": 135,
             }
+        )
+    if include_lineage_fields:
+        # v3 row lineage (TableSpec v3 data_file field 142): the
+        # _row_id of the file's first row — written EXPLICITLY from
+        # the engine's commit-time assignments (a42), closing the
+        # derive-from-metadata divergence (conformance row 39 -> 41)
+        df_fields.append(
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None, "field-id": 142}
         )
     if include_dv_fields:
         # v3 deletion-vector addressing (TableSpec v3 data_file
@@ -535,7 +545,9 @@ def _manifest_entry_schema(
     }
 
 
-def _manifest_file_schema(format_version: int = 1) -> dict:
+def _manifest_file_schema(
+    format_version: int = 1, include_lineage: bool = False
+) -> dict:
     """Manifest-list entry schema. v2 renames the file-count fields
     (added_files_count -> added_data_files_count etc., same field-ids)
     and adds content/sequence_number/min_sequence_number (517/515/516,
@@ -587,6 +599,13 @@ def _manifest_file_schema(format_version: int = 1) -> dict:
                 "default": None,
                 "field-id": fid,
             }
+        )
+    if include_lineage:
+        # v3 row lineage (manifest_file field 520): the first row id
+        # assigned to rows in this manifest's ADDED data files
+        fields.append(
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None, "field-id": 520}
         )
     return {"type": "record", "name": "manifest_file", "fields": fields}
 
@@ -963,6 +982,29 @@ def export_to_iceberg(
             if f.endswith(".parquet")
         )
 
+    # v3 row lineage (a42): when EVERY live data snapshot's engine
+    # manifest carries commit-time first_row_id assignments, the
+    # export materializes them as explicit avro-level fields (data
+    # file 142, manifest-list 520) and uses the recorded values for
+    # the metadata-level assignment state; otherwise (pre-a42 or
+    # rewrite histories) it falls back to the derived cursor with no
+    # avro-level fields — the documented conformance-row-39 shape.
+    lineage_maps: dict[str, dict[str, int]] = {}
+    lineage_ok = fv == 3
+    if lineage_ok:
+        for snap in live:
+            if snap.is_row_delete:
+                continue
+            files = snap.files
+            if files is None or any(
+                f.get("first_row_id") is None for f in files
+            ):
+                lineage_ok = False
+                break
+            lineage_maps[snap.snapshot_id] = {
+                f["path"]: int(f["first_row_id"]) for f in files
+            }
+
     manifests: list[dict[str, Any]] = []
     for snap in live:
         sid = _snapshot_int_id(snap)
@@ -1047,7 +1089,10 @@ def export_to_iceberg(
             p_fields = partition_fields_for(snap.spec_id)
             spec_id_for_manifest = snap.spec_id
             content = 0
-            entry_schema = _manifest_entry_schema(p_fields, fv)
+            entry_schema = _manifest_entry_schema(
+                p_fields, fv, include_lineage_fields=lineage_ok
+            )
+            lin_map = lineage_maps.get(snap.snapshot_id, {})
             entries = []
             for fpath, rawparts in _list_data_files(table, snap):
                 md = pq.ParquetFile(fpath).metadata
@@ -1075,6 +1120,17 @@ def export_to_iceberg(
                 if fv >= 2:
                     entry["sequence_number"] = None  # inherited
                     entry["file_sequence_number"] = None
+                if lineage_ok:
+                    rel = str(Path(fpath).relative_to(table.location))
+                    fr = lin_map.get(rel)
+                    if fr is None:
+                        raise ValueError(
+                            f"data file {rel!r} is on disk but absent "
+                            "from the engine manifest's row-lineage "
+                            "assignments — refusing to export "
+                            "inconsistent lineage"
+                        )
+                    entry["data_file"]["first_row_id"] = fr
                 entries.append(entry)
         mpath = meta_dir / f"manifest-{snap.snapshot_id}.avro"
         write_ocf(
@@ -1108,6 +1164,16 @@ def export_to_iceberg(
                 ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                **(
+                    {
+                        "first_row_id": min(
+                            e["data_file"]["first_row_id"]
+                            for e in entries
+                        )
+                    }
+                    if lineage_ok and content == 0 and entries
+                    else {}
+                ),
             }
         )
 
@@ -1126,7 +1192,7 @@ def export_to_iceberg(
             )
         return rec
 
-    list_schema = _manifest_file_schema(fv)
+    list_schema = _manifest_file_schema(fv, include_lineage=lineage_ok)
     # one `snapshots` entry per contributing live snapshot, chained via
     # parent-snapshot-id, so every manifest's added_snapshot_id resolves
     # to a snapshot a reader can see (expire-snapshots / incremental
@@ -1178,7 +1244,11 @@ def export_to_iceberg(
         if fv >= 3:
             # v3 row lineage: each snapshot's first-row-id is the
             # row-id space consumed by all PRIOR data rows (deletes
-            # assign no rows); next-row-id below continues from here
+            # assign no rows); next-row-id below continues from here.
+            # With engine assignments (a42) the RECORDED base is
+            # authoritative; the cursor is the fallback derivation.
+            if lineage_ok and manifests[i].get("first_row_id") is not None:
+                _row_id_cursor = manifests[i]["first_row_id"]
             entry["first-row-id"] = _row_id_cursor
             if manifests[i]["content"] == 0:
                 _row_id_cursor += manifests[i]["added_rows_count"]
@@ -1233,7 +1303,11 @@ def export_to_iceberg(
             table.meta.get("last_sequence_number", 0)
         )
     if fv >= 3:
-        doc["next-row-id"] = _row_id_cursor
+        doc["next-row-id"] = (
+            int(table.meta["next_row_id"])
+            if lineage_ok and table.meta.get("next_row_id") is not None
+            else _row_id_cursor
+        )
 
     tags = table.meta.get("tags") or {}
     if tags or current_id is not None:

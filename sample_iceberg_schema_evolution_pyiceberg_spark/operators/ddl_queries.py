@@ -2552,3 +2552,96 @@ def a41_v3_row_lineage_episode(spark: SparkSession, sf: str) -> DataFrame:
         except ValueError as e:
             assert "format-version 3" in str(e)
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a42_engine_row_lineage_episode",
+    # Same order-independent closed form as a41 (appends occupy
+    # contiguous disjoint id blocks), plus the cross-layer invariant
+    # flag: the engine's own lineage scan and the external Iceberg
+    # reader consuming the v3 export's EXPLICIT avro-level
+    # first_row_id fields must assign identical ids.
+    oracle="""
+    WITH c AS (
+      SELECT 1 AS last_seq, COUNT(*) AS n
+      FROM orders WHERE o_orderkey <= 1200
+      UNION ALL
+      SELECT 2, COUNT(*)
+      FROM orders WHERE o_orderkey > 1200 AND o_orderkey <= 2000
+    ),
+    b AS (
+      SELECT last_seq, n,
+             COALESCE(SUM(n) OVER (ORDER BY last_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base
+      FROM c
+    )
+    SELECT CAST(last_seq AS BIGINT) AS last_seq,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(base AS BIGINT) AS min_row_id,
+           CAST(base + n - 1 AS BIGINT) AS max_row_id,
+           TRUE AS engine_external_match
+    FROM b
+    """,
+)
+def a42_engine_row_lineage_episode(spark: SparkSession, sf: str) -> DataFrame:
+    """ENGINE-NATIVE row lineage (r15, a42): plain append commits
+    assign each data file a first_row_id in the commit manifest and
+    track next_row_id in table metadata; ``lineage_df`` surfaces
+    ``_row_id`` / ``_last_updated_sequence_number`` over the engine's
+    own scan (merge-on-read deletes never shift survivor ids — ids
+    are positional). The v3 export then materializes the RECORDED
+    assignments as explicit avro-level fields (data_file 142,
+    manifest-list 520) — closing the conformance-row-39 divergence —
+    and the external reader (a41's explicit-fields path) must derive
+    the exact same ids from those bytes. The gate pins both the
+    assignment arithmetic and the engine==external invariant."""
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    with tempfile.TemporaryDirectory(prefix="a42_lineage_") as wh:
+        cat = LakeCatalog(wh)
+        schema = (
+            spark.range(1)
+            .selectExpr("cast(id as long) o_orderkey")
+            .schema
+        )
+        table = cat.create_table("gate", "elin", schema)
+        table.append(
+            src.filter("o_orderkey <= 1200")
+            .select("o_orderkey").repartition(2)
+        )
+        table = cat.load_table("gate", "elin")
+        table.append(
+            src.filter("o_orderkey > 1200")
+            .select("o_orderkey").repartition(2)
+        )
+        table = cat.load_table("gate", "elin")
+        engine = table.lineage_df(spark)
+        engine_ids = {
+            r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            for r in engine.collect()
+        }
+        export_to_iceberg(table, spark=spark, format_version=3)
+        external, doc = read_iceberg_table(
+            spark, table.location, lineage=True
+        )
+        ext_ids = {
+            r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            for r in external.collect()
+        }
+        match = engine_ids == ext_ids and doc["next-row-id"] == int(
+            table.meta["next_row_id"]
+        )
+        out = (
+            engine.groupBy(
+                F.col("_last_updated_sequence_number").alias("last_seq")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("_row_id").alias("min_row_id"),
+                F.max("_row_id").alias("max_row_id"),
+            )
+            .withColumn("engine_external_match", F.lit(bool(match)))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

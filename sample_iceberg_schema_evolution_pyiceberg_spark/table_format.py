@@ -253,6 +253,12 @@ def _snap_to_spec(d: dict[str, Any]) -> dict[str, Any]:
                     if f.get("spark_bucket") is not None
                     else {}
                 ),
+                # v3 row lineage (a42): the id of this file's first row
+                **(
+                    {"first-row-id": f["first_row_id"]}
+                    if f.get("first_row_id") is not None
+                    else {}
+                ),
             }
             for f in d["files"]
         ]
@@ -286,6 +292,11 @@ def _snap_from_spec(d: dict[str, Any]) -> dict[str, Any]:
                 "path": f["path"],
                 "size_bytes": f["size-bytes"],
                 "record_count": f["record-count"],
+                **(
+                    {"first_row_id": f["first-row-id"]}
+                    if f.get("first-row-id") is not None
+                    else {}
+                ),
                 **(
                     {"stats": f["stats"]}
                     if f.get("stats") is not None
@@ -582,6 +593,9 @@ def _meta_to_spec(meta: dict[str, Any]) -> dict[str, Any]:
         "current-snapshot-id": live[-1]["snapshot_id"] if live else None,
         "snapshots": [_snap_to_spec(s) for s in live],
     }
+    if meta.get("next_row_id") is not None:
+        # v3 row lineage (a42): the next unassigned row id
+        doc["next-row-id"] = meta["next_row_id"]
     if meta.get("snapshot_history"):
         doc["snapshot-history"] = [
             _snap_to_spec(s) for s in meta["snapshot_history"]
@@ -658,6 +672,8 @@ def _meta_from_spec(doc: dict[str, Any]) -> dict[str, Any]:
         "properties": doc["properties"],
         "snapshots": [_snap_from_spec(s) for s in doc["snapshots"]],
     }
+    if doc.get("next-row-id") is not None:
+        meta["next_row_id"] = doc["next-row-id"]
     if doc.get("snapshot-history"):
         meta["snapshot_history"] = [
             _snap_from_spec(s) for s in doc["snapshot-history"]
@@ -2214,6 +2230,19 @@ class LakeTable:
         self.meta["last_sequence_number"] = seq
         manifest = self._collect_manifest(rel)
         self._warn_dual_layout_file_product(manifest)
+        if operation == "append" and branch is None:
+            # v3 row lineage (a42): plain appends consume the table's
+            # row-id space — each data file records the id of its
+            # first row, ids continue positionally within the file.
+            # Rewrite commits (overwrite/DML/compaction) and branch
+            # appends (WAP merge order is decided at publish) get no
+            # assignment; lineage_df refuses on such histories rather
+            # than inventing ids.
+            cursor = int(self.meta.get("next_row_id", 0))
+            for f in manifest:
+                f["first_row_id"] = cursor
+                cursor += int(f["record_count"])
+            self.meta["next_row_id"] = cursor
         snap = Snapshot(
             snapshot_id=snap_id,
             timestamp_ms=int(time.time() * 1000),
@@ -3956,6 +3985,66 @@ class LakeTable:
                 )
 
     # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """Scan with v3-style ROW LINEAGE columns (a42): ``_row_id``
+        (a stable per-row id, assigned contiguously by append commits
+        — ``_write`` records each data file's first-row id in the
+        commit manifest and ``next_row_id`` in table metadata) and
+        ``_last_updated_sequence_number`` (the committing snapshot's
+        sequence number). Ids are positional within each file, so
+        merge-on-read deletes never shift the survivors' ids.
+
+        Refuses loudly when any live data file carries no assignment —
+        rewrite commits (overwrite / copy-on-write DML / compaction)
+        and branch appends do not assign ids (materializing lineage
+        through rewrites is the spec's `_row_id` column write, not
+        implemented) — rather than inventing ids. Mirrors the external
+        reader's posture (``read_iceberg_table(lineage=True)``); the
+        v3 export emits these assignments as explicit avro-level
+        ``first_row_id`` fields, which that reader honors."""
+        mapping: list[tuple[str, int, int]] = []
+        for snap in self.snapshots:
+            if snap.is_row_delete:
+                continue  # masks rows, moves no data: ids unaffected
+            if snap.files is None:
+                raise TableFormatError(
+                    f"snapshot {snap.snapshot_id} carries no file "
+                    "manifest — row lineage needs commit-time "
+                    "assignments; re-append under this engine version"
+                )
+            for f in snap.files:
+                if f.get("first_row_id") is None:
+                    raise TableFormatError(
+                        f"data file {f['path']!r} (snapshot "
+                        f"{snap.snapshot_id}, operation "
+                        f"{snap.operation!r}) has no first_row_id — "
+                        "row ids are assigned by plain append commits; "
+                        "rewrite/DML/compaction/branch histories do "
+                        "not materialize lineage. Refusing rather "
+                        "than inventing ids."
+                    )
+                mapping.append(
+                    (
+                        f["path"],
+                        int(f["first_row_id"]),
+                        int(snap.sequence_number),
+                    )
+                )
+        df = self.to_df(spark, _with_positions=True)
+        m = spark.createDataFrame(
+            mapping, "_pos_file string, _lin_first long, _lin_seq long"
+        )
+        return (
+            df.join(F.broadcast(m), "_pos_file")
+            .withColumn(
+                "_row_id", F.col("_lin_first") + F.col("_pos_index")
+            )
+            .withColumn(
+                "_last_updated_sequence_number", F.col("_lin_seq")
+            )
+            .drop("_lin_first", "_lin_seq", "_pos_file", "_pos_index")
+        )
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         """The snapshot log as a queryable DataFrame (Iceberg's

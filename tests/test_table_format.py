@@ -1494,3 +1494,110 @@ def test_add_files_allows_required_leaf_under_omitted_nullable_struct(
     t2 = cat.create_table("d", "nested2", schema2)
     with _pytest.raises(TableFormatError, match="s.x"):
         t2.add_files(src_bad)
+
+
+# ---------------------------------------------------------------------------
+# r15 (a42): engine-native row lineage
+# ---------------------------------------------------------------------------
+
+
+def test_row_lineage_assignment_and_reload(spark, tmp_path):
+    """Append commits assign contiguous per-file first_row_ids and
+    advance next_row_id; lineage_df surfaces _row_id /
+    _last_updated_sequence_number; the assignment survives the
+    metadata JSON round-trip (reloaded handle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "lin", sch)
+    t.append(spark.range(0, 5).select("id"))
+    t = cat.load_table("db", "lin")
+    t.append(spark.range(100, 103).select("id"))
+    t = cat.load_table("db", "lin")  # reload: JSON round-trip
+    assert int(t.meta["next_row_id"]) == 8
+    rows = sorted(
+        (r.id, r._row_id, r._last_updated_sequence_number)
+        for r in t.lineage_df(spark).collect()
+    )
+    assert [r[1] for r in rows] == list(range(8))  # contiguous, unique
+    assert {r[2] for r in rows if r[0] < 100} == {1}
+    assert {r[2] for r in rows if r[0] >= 100} == {2}
+
+
+def test_row_lineage_survives_mor_delete_refuses_rewrite(spark, tmp_path):
+    """Merge-on-read deletes mask rows without shifting survivor ids;
+    a rewrite history (compaction / copy-on-write DML) refuses rather
+    than inventing ids."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "lin2", sch)
+    t.append(spark.range(0, 6).select("id"))
+    t.delete_where(spark, "id IN (1, 3)", strategy="merge_on_read")
+    t = cat.load_table("db", "lin2")
+    got = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert got == {0: 0, 2: 2, 4: 4, 5: 5}  # survivors keep their ids
+    t.compact(spark)
+    t = cat.load_table("db", "lin2")
+    with _pytest.raises(TableFormatError, match="first_row_id"):
+        t.lineage_df(spark)
+
+
+def test_row_lineage_export_explicit_fields_match_engine(spark, tmp_path):
+    """The v3 export materializes RECORDED assignments as explicit
+    avro fields (data_file 142 / manifest-list 520) and the external
+    reader derives the exact ids the engine's lineage_df assigns —
+    the conformance row-41 invariant."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        export_to_iceberg,
+        read_avro_jvm,
+        read_iceberg_table,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "lin3", sch)
+    t.append(spark.range(0, 4).select("id"))
+    t = cat.load_table("db", "lin3")
+    t.append(spark.range(50, 53).select("id"))
+    t = cat.load_table("db", "lin3")
+    engine = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    export_to_iceberg(t, spark=spark, format_version=3)
+
+    meta_dir = t.location / "metadata"
+    import json as _json
+
+    doc = _json.loads(
+        (meta_dir / "v1.metadata.json").read_text()
+    )
+    assert doc["next-row-id"] == 7
+    # every data manifest entry carries the explicit field
+    firsts = []
+    for snap in doc["snapshots"]:
+        for m in read_avro_jvm(spark, snap["manifest-list"]):
+            if m.get("content", 0) != 0:
+                continue
+            assert m.get("first_row_id") is not None
+            for e in read_avro_jvm(spark, m["manifest_path"]):
+                firsts.append(e["data_file"]["first_row_id"])
+    assert all(f is not None for f in firsts)
+    ext, _ = read_iceberg_table(spark, t.location, lineage=True)
+    assert {r.id: r._row_id for r in ext.collect()} == engine
