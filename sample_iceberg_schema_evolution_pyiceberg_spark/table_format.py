@@ -2234,10 +2234,11 @@ class LakeTable:
             # v3 row lineage (a42): plain appends consume the table's
             # row-id space — each data file records the id of its
             # first row, ids continue positionally within the file.
-            # Rewrite commits (overwrite/DML/compaction) and branch
-            # appends (WAP merge order is decided at publish) get no
-            # assignment; lineage_df refuses on such histories rather
-            # than inventing ids.
+            # Rewrite commits (overwrite/DML/compaction) get no
+            # assignment — lineage_df refuses on such histories rather
+            # than inventing ids. Branch appends stage unassigned and
+            # receive their block at fast_forward (publish order is
+            # what decides it; see fast_forward).
             cursor = int(self.meta.get("next_row_id", 0))
             for f in manifest:
                 f["first_row_id"] = cursor
@@ -2324,6 +2325,20 @@ class LakeTable:
                 "through a fresh branch)"
             )
         published = len(br_ids) - len(main_ids)
+        # v3 row lineage (a42): branch appends stage WITHOUT row-id
+        # assignments (main's cursor position at publish time is what
+        # decides them — two branches staging concurrently must not
+        # both consume the same block). Assign here, in publish order,
+        # exactly as a direct append would have.
+        cursor = int(self.meta.get("next_row_id", 0))
+        for snap_json in br["snapshots"][len(main_ids):]:
+            if snap_json.get("operation") != "append":
+                continue
+            for f in snap_json.get("files") or []:
+                if f.get("first_row_id") is None:
+                    f["first_row_id"] = cursor
+                    cursor += int(f["record_count"])
+        self.meta["next_row_id"] = cursor
         self.meta["snapshots"] = br["snapshots"]
         del self.meta["branches"][name]
         self._commit()
@@ -4019,10 +4034,10 @@ class LakeTable:
                         f"data file {f['path']!r} (snapshot "
                         f"{snap.snapshot_id}, operation "
                         f"{snap.operation!r}) has no first_row_id — "
-                        "row ids are assigned by plain append commits; "
-                        "rewrite/DML/compaction/branch histories do "
-                        "not materialize lineage. Refusing rather "
-                        "than inventing ids."
+                        "row ids are assigned by append commits (at "
+                        "publish time for WAP branches); rewrite/DML/"
+                        "compaction histories do not materialize "
+                        "lineage. Refusing rather than inventing ids."
                     )
                 mapping.append(
                     (

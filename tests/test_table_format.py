@@ -1601,3 +1601,35 @@ def test_row_lineage_export_explicit_fields_match_engine(spark, tmp_path):
     assert all(f is not None for f in firsts)
     ext, _ = read_iceberg_table(spark, t.location, lineage=True)
     assert {r.id: r._row_id for r in ext.collect()} == engine
+
+
+def test_row_lineage_assigned_at_wap_publish(spark, tmp_path):
+    """WAP branch appends stage WITHOUT row-id assignments (publish
+    order decides the blocks); fast_forward assigns them exactly as
+    direct appends would, continuing main's cursor."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "wap", sch)
+    t.append(spark.range(0, 3).select("id"))  # main: ids 0..2
+    t.create_branch("audit")
+    t.append(spark.range(10, 14).select("id"), branch="audit")
+    # staged-but-unpublished: the branch read has no assignment yet,
+    # and main's lineage is still clean
+    assert sorted(
+        r._row_id for r in t.lineage_df(spark).collect()
+    ) == [0, 1, 2]
+    t.fast_forward("audit")
+    t = cat.load_table("db", "wap")
+    rows = sorted(
+        (r.id, r._row_id) for r in t.lineage_df(spark).collect()
+    )
+    assert [r[1] for r in rows] == list(range(7))
+    assert int(t.meta["next_row_id"]) == 7
