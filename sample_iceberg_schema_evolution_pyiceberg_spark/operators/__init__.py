@@ -72,11 +72,15 @@ _PRIORITY = [
     "c32_leakage_safe_split",
     "s04_stream_session_window", "s07_stream_stream_join",
     # --- driver window boundary (50) ---
-    # Spilled from the r12 band to r16 (chosen because each already
-    # carries judge(r14) spot-check evidence — b63, b65, c28, c29 —
-    # or a same-family twin gated r13/this-window: b25/b26 (b24 in
+    # r16 head, in order: the two r15-late never-gated keys (b68b
+    # pushdown scan, a42 engine lineage — added after the r15 window
+    # was frozen and pre-verified; local-sweep evidence only), then
+    # the 9 r12-band spills (chosen because each already carries
+    # judge(r14) spot-check evidence — b63, b65, c28, c29 — or a
+    # same-family twin gated r13/this-window: b25/b26 (b24 in
     # window), b34 (b33 r13), b41 (b58 r13), b51 (b19 r14 / b20
-    # r13). FIRST in the r16 rotation, then the r13 band.
+    # r13)), then the r13 band.
+    "b68b_avro_pruned_scan", "a42_engine_row_lineage_episode",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",

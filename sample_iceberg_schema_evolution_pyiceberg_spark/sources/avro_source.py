@@ -282,34 +282,68 @@ class AvroOcfWriter(DataSourceWriter):
         self._overwrite = overwrite
         os.makedirs(os.path.join(path, _TMP_DIR), exist_ok=True)
 
+    # strings longer than this carry no stats: untruncated bounds
+    # could overflow the reader's bounded header probe, and a sound
+    # truncated upper bound needs the UnicodeUtil increment — dropping
+    # the column's stats is always safe (no stats = never pruned)
+    _STATS_MAX_STR = 64
+
     def write(self, iterator: Iterator[Any]) -> _AvroCommit:
         import json as _json  # noqa: PLC0415
 
         from ..avro_ocf import write_ocf  # noqa: PLC0415
 
         fields = self._schema.fields
-        rows = list(iterator)
-        records = [
-            {
-                f.name: _to_avro_value(row[i], f)
-                for i, f in enumerate(fields)
-            }
-            for row in rows
-        ]
-        # per-column min/max for int/float/string columns, embedded in
-        # the OCF header — the file-skip statistics the pruned reader
-        # uses (the parquet row-group-stats idea at file granularity)
-        stats: dict[str, list] = {}
-        for i, f in enumerate(fields):
-            if not isinstance(
+        # single pass: convert AND fold per-column min/max (r15 review:
+        # materializing the raw rows next to the converted records
+        # doubled peak task memory). Stats come from the CONVERTED
+        # values — identical for the int/float/string columns they
+        # cover (conversion only rewrites date/ts/decimal).
+        stat_cols = {
+            f.name
+            for f in fields
+            if isinstance(
                 f.dataType,
                 (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
                  T.DoubleType, T.FloatType, T.StringType),
-            ):
-                continue
-            vals = [row[i] for row in rows if row[i] is not None]
-            if vals:
-                stats[f.name] = [min(vals), max(vals)]
+            )
+        }
+        stats: dict[str, list] = {}
+        dropped: set[str] = set()
+        records = []
+        for row in iterator:
+            rec = {
+                f.name: _to_avro_value(row[i], f)
+                for i, f in enumerate(fields)
+            }
+            records.append(rec)
+            for name in stat_cols:
+                if name in dropped:
+                    continue
+                v = rec[name]
+                if v is None:
+                    continue
+                # NaN is not ordered by min/max but IS matched by
+                # Spark's NaN-is-largest comparisons — a file holding
+                # NaN must never be pruned on this column (r15 review)
+                if isinstance(v, float) and v != v:
+                    dropped.add(name)
+                    stats.pop(name, None)
+                    continue
+                if (
+                    isinstance(v, str)
+                    and len(v) > self._STATS_MAX_STR
+                ):
+                    dropped.add(name)
+                    stats.pop(name, None)
+                    continue
+                cur = stats.get(name)
+                if cur is None:
+                    stats[name] = [v, v]
+                elif v < cur[0]:
+                    cur[0] = v
+                elif v > cur[1]:
+                    cur[1] = v
         out = os.path.join(
             self._path, _TMP_DIR, f"part-{uuid.uuid4().hex}.avro"
         )

@@ -2205,6 +2205,17 @@ class LakeTable:
     def _manifest_rows(files: list[dict[str, Any]]) -> int:
         return sum(f["record_count"] for f in files)
 
+    def _assign_row_ids(self, manifest: list[dict[str, Any]]) -> None:
+        """v3 row lineage (a42): stamp each data file's first_row_id
+        from the table cursor and advance ``next_row_id``. Called by
+        every append-shaped commit (plain append, add_files import,
+        WAP fast_forward publish)."""
+        cursor = int(self.meta.get("next_row_id", 0))
+        for f in manifest:
+            f["first_row_id"] = cursor
+            cursor += int(f["record_count"])
+        self.meta["next_row_id"] = cursor
+
     def _write(
         self,
         df: DataFrame,
@@ -2239,11 +2250,7 @@ class LakeTable:
             # than inventing ids. Branch appends stage unassigned and
             # receive their block at fast_forward (publish order is
             # what decides it; see fast_forward).
-            cursor = int(self.meta.get("next_row_id", 0))
-            for f in manifest:
-                f["first_row_id"] = cursor
-                cursor += int(f["record_count"])
-            self.meta["next_row_id"] = cursor
+            self._assign_row_ids(manifest)
         snap = Snapshot(
             snapshot_id=snap_id,
             timestamp_ms=int(time.time() * 1000),
@@ -3490,6 +3497,12 @@ class LakeTable:
             snap_id = rel.rsplit("snap-", 1)[1]
             seq = int(self.meta.get("last_sequence_number", 0)) + 1
             self.meta["last_sequence_number"] = seq
+            manifest = self._collect_manifest(rel)
+            # add_files IS an append of new rows: it consumes row-id
+            # space like any append (r15 review: forgetting this
+            # forfeited lineage for the whole table and blamed
+            # 'rewrite histories' for an import)
+            self._assign_row_ids(manifest)
             snap = Snapshot(
                 snapshot_id=snap_id,
                 timestamp_ms=int(time.time() * 1000),
@@ -3498,7 +3511,7 @@ class LakeTable:
                 spec_id=int(self.meta["current_spec_id"]),
                 data_dir=rel,
                 sequence_number=seq,
-                files=self._collect_manifest(rel),
+                files=manifest,
             )
             self.meta["snapshots"].append(snap.to_json())
             self._commit()
@@ -4019,9 +4032,21 @@ class LakeTable:
         v3 export emits these assignments as explicit avro-level
         ``first_row_id`` fields, which that reader honors."""
         mapping: list[tuple[str, int, int]] = []
-        for snap in self.snapshots:
-            if snap.is_row_delete:
-                continue  # masks rows, moves no data: ids unaffected
+        datas = [s for s in self.snapshots if not s.is_row_delete]
+        if any(s.source_snapshots for s in datas):
+            # rewrite_manifests folds are content-preserving metadata
+            # commits: the data never moved and NO row was updated, so
+            # lineage must resolve to the SOURCE snapshots (their
+            # sequence numbers), exactly as to_df scans them and the
+            # v3 export expands them (r15 review: mapping the fold's
+            # own sequence number diverged engine from external)
+            by_id = {x.snapshot_id: x for x in self.all_snapshots()}
+            datas = [
+                x
+                for s in datas
+                for x in self._expand_manifest_sources(s, by_id)
+            ]
+        for snap in datas:
             if snap.files is None:
                 raise TableFormatError(
                     f"snapshot {snap.snapshot_id} carries no file "

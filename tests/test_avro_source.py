@@ -270,3 +270,49 @@ def test_avro_pruned_reader_skips_files_by_stats(spark, tmp_path):
         .collect()
     )
     assert sorted(r.k for r in got) == list(range(11))
+
+
+def test_avro_pruned_stats_nan_and_long_strings_never_prune(spark, tmp_path):
+    """r15 review: a file holding NaN must never be pruned on that
+    column (Spark orders NaN largest, so `x > hi` can still match),
+    and string columns with values beyond the stats cap carry no
+    stats (an untruncated bound could overflow the header probe)."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.avro_ocf import (
+        read_ocf_header,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.sources.avro_source import (
+        AvroOcfPrunedReader,
+    )
+
+    register_avro_ocf(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    schema = T.StructType([
+        T.StructField("x", T.DoubleType(), True),
+        T.StructField("s", T.StringType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(5.0, "a"), (float("nan"), "b"), (100.0, "x" * 500)], schema
+    )
+    target = str(tmp_path / "nanstats")
+    df.coalesce(1).write.format("avro_ocf").mode("append").save(target)
+
+    import glob as _glob
+    import json as _json
+
+    (f,) = _glob.glob(target + "/*.avro")
+    stats = _json.loads(read_ocf_header(f).get("spark.col.stats", "{}"))
+    assert "x" not in stats  # NaN present -> no stats for the column
+    assert "s" not in stats  # >64-char value -> no stats
+    r = AvroOcfPrunedReader(target, schema)
+    r.pushFilters([GreaterThan(("x",), 1000.0)])
+    assert len(r.partitions()) == 1  # never pruned
+    got = (
+        spark.read.format("avro_ocf_pruned")
+        .load(target)
+        .filter("x > 1000.0")
+        .collect()
+    )
+    # Spark's NaN-is-largest semantics: the NaN row matches
+    assert len(got) == 1 and str(got[0].x) == "nan"

@@ -1633,3 +1633,52 @@ def test_row_lineage_assigned_at_wap_publish(spark, tmp_path):
     )
     assert [r[1] for r in rows] == list(range(7))
     assert int(t.meta["next_row_id"]) == 7
+
+
+def test_row_lineage_through_rewrite_manifests_and_add_files(
+    spark, tmp_path
+):
+    """r15 review: rewrite_manifests is a content-preserving metadata
+    fold — lineage must keep the SOURCE snapshots' sequence numbers
+    (no row was updated); add_files is an append of new rows and must
+    consume row-id space like any append."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "fold", sch)
+    t.append(spark.range(0, 3).select("id"))
+    t = cat.load_table("db", "fold")
+    t.append(spark.range(10, 12).select("id"))
+    t = cat.load_table("db", "fold")
+    t.rewrite_manifests()
+    t = cat.load_table("db", "fold")
+    rows = sorted(
+        (r.id, r._row_id, r._last_updated_sequence_number)
+        for r in t.lineage_df(spark).collect()
+    )
+    assert [r[1] for r in rows] == list(range(5))
+    # sequence numbers are the ORIGINAL commits', not the fold's
+    assert {r[2] for r in rows if r[0] < 10} == {1}
+    assert {r[2] for r in rows if r[0] >= 10} == {2}
+
+    # add_files: imported rows get the next id block
+    ext = tmp_path / "ext"
+    ext.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([100, 101], pa.int64())}),
+        ext / "import.parquet",
+    )
+    t.add_files(str(ext))
+    t = cat.load_table("db", "fold")
+    rows2 = sorted(
+        (r.id, r._row_id) for r in t.lineage_df(spark).collect()
+    )
+    assert [r[1] for r in rows2] == list(range(7))
+    assert int(t.meta["next_row_id"]) == 7
