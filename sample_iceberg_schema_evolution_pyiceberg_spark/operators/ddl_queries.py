@@ -2616,17 +2616,22 @@ def a42_engine_row_lineage_episode(spark: SparkSession, sf: str) -> DataFrame:
         )
         table = cat.load_table("gate", "elin")
         engine = table.lineage_df(spark)
+        # bounded episode metadata: the gate-sized id map both sides
+        # of the engine==external invariant compare against
+        engine_rows = engine.collect()
         engine_ids = {
             r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
-            for r in engine.collect()
+            for r in engine_rows
         }
         export_to_iceberg(table, spark=spark, format_version=3)
         external, doc = read_iceberg_table(
             spark, table.location, lineage=True
         )
+        # bounded episode metadata: same gate-sized invariant map
+        ext_rows = external.collect()
         ext_ids = {
             r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
-            for r in external.collect()
+            for r in ext_rows
         }
         match = engine_ids == ext_ids and doc["next-row-id"] == int(
             table.meta["next_row_id"]
