@@ -219,10 +219,60 @@ class _AvroFilePartition(InputPartition):
     file_path: str
 
 
+def merged_avro_schema(paths: "list[str]") -> T.StructType:
+    """Union of every file's schema (the ``mergeschema`` inference):
+    fields match by name and must agree on type; a field absent from
+    some file is nullable in the union (its rows null-fill). Type
+    conflicts refuse loudly — schema MERGING is ADD-only evolution,
+    never type rewriting."""
+    import json as _json  # noqa: PLC0415
+
+    from ..avro_ocf import read_ocf_header  # noqa: PLC0415
+
+    merged: dict[str, T.StructField] = {}
+    seen_in: dict[str, int] = {}
+    for n_seen, path in enumerate(paths):
+        doc = _json.loads(read_ocf_header(path)["avro.schema"])
+        for f in doc.get("fields", []):
+            sf = avro_field_to_spark(f)
+            prev = merged.get(sf.name)
+            if prev is None:
+                # absent from earlier files -> nullable in the union
+                merged[sf.name] = T.StructField(
+                    sf.name, sf.dataType,
+                    sf.nullable or n_seen > 0,
+                )
+            elif prev.dataType != sf.dataType:
+                raise ValueError(
+                    f"avro_ocf mergeschema: field {sf.name!r} is "
+                    f"{prev.dataType.simpleString()} in one file and "
+                    f"{sf.dataType.simpleString()} in {path} — type "
+                    "conflicts are not merged"
+                )
+            elif sf.nullable and not prev.nullable:
+                merged[sf.name] = T.StructField(
+                    sf.name, prev.dataType, True
+                )
+            seen_in[sf.name] = seen_in.get(sf.name, 0) + 1
+    n_files = len(paths)
+    return T.StructType(
+        [
+            T.StructField(
+                f.name, f.dataType,
+                f.nullable or seen_in[f.name] < n_files,
+            )
+            for f in merged.values()
+        ]
+    )
+
+
 class AvroOcfReader(DataSourceReader):
-    def __init__(self, path: str, schema: T.StructType) -> None:
+    def __init__(
+        self, path: str, schema: T.StructType, merge: bool = False
+    ) -> None:
         self._files = _list_avro_files(path)
         self._schema = schema
+        self._merge = merge
 
     def partitions(self) -> list[_AvroFilePartition]:
         # one partition per file: executor-parallel, like Spark's own
@@ -234,19 +284,34 @@ class AvroOcfReader(DataSourceReader):
 
         file_schema, _meta, records = read_ocf(partition.file_path)
         fields = self._schema.fields
-        # schema was inferred from ONE file (or user-supplied): a file
-        # whose own writer schema differs would silently null-fill
-        # missing columns and drop extras — refuse loudly instead
-        # (r15 review finding; same posture as the lake scan)
-        file_names = [f["name"] for f in file_schema.get("fields", [])]
+        file_names = {f["name"] for f in file_schema.get("fields", [])}
         expect = [f.name for f in fields]
-        if sorted(file_names) != sorted(expect):
+        if self._merge:
+            # explicit opt-in (.option("mergeschema", "true")):
+            # ADD-only evolution — a field a file lacks must be
+            # NULLABLE in the scan schema (null-fill); extra file
+            # fields were either merged into the schema or the user
+            # projected them away
+            for f in fields:
+                if f.name not in file_names and not f.nullable:
+                    raise ValueError(
+                        f"avro_ocf mergeschema: {partition.file_path} "
+                        f"lacks non-nullable field {f.name!r} — "
+                        "cannot null-fill a required column"
+                    )
+        elif sorted(file_names) != sorted(expect):
+            # schema came from ONE file (or the user): a file whose
+            # own writer schema differs would silently null-fill
+            # missing columns and drop extras — refuse loudly
+            # (r15 review finding; same posture as the lake scan);
+            # heterogeneous directories read via mergeschema=true
             raise ValueError(
                 f"avro_ocf: {partition.file_path} carries fields "
                 f"{sorted(file_names)} but the scan schema expects "
-                f"{sorted(expect)} — heterogeneous directories are not "
-                "silently aligned; read the files separately or "
-                "rewrite them under one schema"
+                f"{sorted(expect)} — heterogeneous directories are "
+                "not silently aligned; pass "
+                '.option("mergeschema", "true") for ADD-only '
+                "evolution, or rewrite the files under one schema"
             )
         for rec in records:
             yield tuple(
@@ -383,17 +448,26 @@ class AvroOcfDataSource(DataSource):
     def name(cls) -> str:
         return SOURCE_NAME
 
+    def _merge(self) -> bool:
+        return str(
+            self.options.get("mergeschema", "false")
+        ).lower() == "true"
+
     def schema(self) -> T.StructType:
         import json as _json  # noqa: PLC0415
 
         from ..avro_ocf import read_ocf_header  # noqa: PLC0415
 
-        first = _list_avro_files(self.options["path"])[0]
-        meta = read_ocf_header(first)
+        files = _list_avro_files(self.options["path"])
+        if self._merge():
+            return merged_avro_schema(files)
+        meta = read_ocf_header(files[0])
         return avro_schema_to_spark(_json.loads(meta["avro.schema"]))
 
     def reader(self, schema: T.StructType) -> AvroOcfReader:
-        return AvroOcfReader(self.options["path"], schema)
+        return AvroOcfReader(
+            self.options["path"], schema, merge=self._merge()
+        )
 
     def writer(self, schema: T.StructType, overwrite: bool) -> AvroOcfWriter:
         return AvroOcfWriter(self.options["path"], schema, overwrite)
@@ -416,8 +490,10 @@ class AvroOcfPrunedReader(AvroOcfReader):
     ``spark.sql.python.filterPushdown.enabled=false`` — the plain
     avro_ocf format must stay usable on vanilla sessions."""
 
-    def __init__(self, path: str, schema: T.StructType) -> None:
-        super().__init__(path, schema)
+    def __init__(
+        self, path: str, schema: T.StructType, merge: bool = False
+    ) -> None:
+        super().__init__(path, schema, merge=merge)
         self._pruning: list = []
 
     def pushFilters(self, filters):
@@ -507,7 +583,9 @@ class AvroOcfPrunedDataSource(AvroOcfDataSource):
         return PRUNED_SOURCE_NAME
 
     def reader(self, schema: T.StructType) -> AvroOcfPrunedReader:
-        return AvroOcfPrunedReader(self.options["path"], schema)
+        return AvroOcfPrunedReader(
+            self.options["path"], schema, merge=self._merge()
+        )
 
 
 def register_avro_ocf(spark: SparkSession) -> None:

@@ -316,3 +316,58 @@ def test_avro_pruned_stats_nan_and_long_strings_never_prune(spark, tmp_path):
     )
     # Spark's NaN-is-largest semantics: the NaN row matches
     assert len(got) == 1 and str(got[0].x) == "nan"
+
+
+def test_avro_mergeschema_reads_add_only_evolution(spark, tmp_path):
+    """.option('mergeschema', 'true'): the union schema is inferred
+    across files, rows from files lacking a column null-fill (the
+    column becomes nullable), extra-column refusal is gone — while
+    type conflicts and missing non-nullable columns still refuse."""
+    d = tmp_path / "merge"
+    d.mkdir()
+    s1 = {"type": "record", "name": "r",
+          "fields": [{"name": "a", "type": "long"}]}
+    s2 = {"type": "record", "name": "r",
+          "fields": [{"name": "a", "type": "long"},
+                     {"name": "b", "type": ["null", "string"],
+                      "default": None}]}
+    write_ocf(str(d / "p1.avro"), s1, [{"a": 1}])
+    write_ocf(str(d / "p2.avro"), s2, [{"a": 2, "b": "x"}])
+    register_avro_ocf(spark)
+    back = (
+        spark.read.format("avro_ocf")
+        .option("mergeschema", "true")
+        .load(str(d))
+    )
+    assert back.schema["b"].nullable
+    got = sorted((r.a, r.b) for r in back.collect())
+    assert got == [(1, None), (2, "x")]
+    # without the option the heterogeneous dir still refuses
+    with pytest.raises(Exception, match="mergeschema"):
+        spark.read.format("avro_ocf").load(str(d)).collect()
+
+    # type conflict refuses even under mergeschema
+    d2 = tmp_path / "conflict"
+    d2.mkdir()
+    write_ocf(str(d2 / "p1.avro"), s1, [{"a": 1}])
+    write_ocf(
+        str(d2 / "p2.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "string"}]},
+        [{"a": "oops"}],
+    )
+    with pytest.raises(Exception, match="type conflicts|conflict"):
+        spark.read.format("avro_ocf").option(
+            "mergeschema", "true"
+        ).load(str(d2)).collect()
+
+    # a user-supplied schema with a NON-nullable column some file
+    # lacks refuses (cannot null-fill a required column)
+    strict = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.StringType(), False),
+    ])
+    with pytest.raises(Exception, match="non-nullable"):
+        spark.read.format("avro_ocf").option(
+            "mergeschema", "true"
+        ).schema(strict).load(str(d)).collect()
