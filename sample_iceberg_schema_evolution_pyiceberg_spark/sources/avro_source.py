@@ -219,6 +219,26 @@ class _AvroFilePartition(InputPartition):
     file_path: str
 
 
+_HEADER_CACHE: dict[tuple, dict] = {}
+
+
+def _cached_header(path: str) -> dict:
+    """OCF header metadata with a per-process cache keyed by
+    (path, mtime, size) — merge-mode inference and stats-based pruning
+    both probe headers driver-side; without the cache one scan reads
+    every header twice (r15 review)."""
+    from ..avro_ocf import read_ocf_header  # noqa: PLC0415
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _HEADER_CACHE.get(key)
+    if hit is None:
+        if len(_HEADER_CACHE) > 4096:  # bound the cache
+            _HEADER_CACHE.clear()
+        hit = _HEADER_CACHE[key] = read_ocf_header(path)
+    return hit
+
+
 def merged_avro_schema(paths: "list[str]") -> T.StructType:
     """Union of every file's schema (the ``mergeschema`` inference):
     fields match by name and must agree on type; a field absent from
@@ -227,21 +247,25 @@ def merged_avro_schema(paths: "list[str]") -> T.StructType:
     never type rewriting."""
     import json as _json  # noqa: PLC0415
 
-    from ..avro_ocf import read_ocf_header  # noqa: PLC0415
-
     merged: dict[str, T.StructField] = {}
     seen_in: dict[str, int] = {}
-    for n_seen, path in enumerate(paths):
-        doc = _json.loads(read_ocf_header(path)["avro.schema"])
+    for path in paths:
+        doc = _json.loads(_cached_header(path)["avro.schema"])
+        if not isinstance(doc, dict) or doc.get("type") != "record":
+            # same refusal as the non-merge path — a non-record
+            # top-level schema must not silently contribute zero
+            # fields (r15 review)
+            raise ValueError(
+                f"avro_ocf mergeschema: {path} has a non-record "
+                "top-level schema — only record files merge"
+            )
         for f in doc.get("fields", []):
             sf = avro_field_to_spark(f)
             prev = merged.get(sf.name)
             if prev is None:
-                # absent from earlier files -> nullable in the union
-                merged[sf.name] = T.StructField(
-                    sf.name, sf.dataType,
-                    sf.nullable or n_seen > 0,
-                )
+                # nullability for absent-from-some-file fields is
+                # decided by the seen_in pass below
+                merged[sf.name] = sf
             elif prev.dataType != sf.dataType:
                 raise ValueError(
                     f"avro_ocf mergeschema: field {sf.name!r} is "
@@ -291,13 +315,31 @@ class AvroOcfReader(DataSourceReader):
             # ADD-only evolution — a field a file lacks must be
             # NULLABLE in the scan schema (null-fill); extra file
             # fields were either merged into the schema or the user
-            # projected them away
+            # projected them away. PRESENT fields must match the scan
+            # type exactly — with a user-supplied schema the union
+            # inference never ran, so the per-file check is the only
+            # type gate (r15 review: a mismatch would otherwise
+            # surface as an opaque Arrow crash or silent corruption)
+            file_types = {
+                f["name"]: avro_field_to_spark(f).dataType
+                for f in file_schema.get("fields", [])
+            }
             for f in fields:
-                if f.name not in file_names and not f.nullable:
+                if f.name not in file_names:
+                    if not f.nullable:
+                        raise ValueError(
+                            f"avro_ocf mergeschema: "
+                            f"{partition.file_path} lacks "
+                            f"non-nullable field {f.name!r} — "
+                            "cannot null-fill a required column"
+                        )
+                elif file_types[f.name] != f.dataType:
                     raise ValueError(
-                        f"avro_ocf mergeschema: {partition.file_path} "
-                        f"lacks non-nullable field {f.name!r} — "
-                        "cannot null-fill a required column"
+                        f"avro_ocf mergeschema: field {f.name!r} is "
+                        f"{file_types[f.name].simpleString()} in "
+                        f"{partition.file_path} but the scan schema "
+                        f"expects {f.dataType.simpleString()} — type "
+                        "conflicts are not merged"
                     )
         elif sorted(file_names) != sorted(expect):
             # schema came from ONE file (or the user): a file whose
@@ -551,15 +593,13 @@ class AvroOcfPrunedReader(AvroOcfReader):
     def partitions(self) -> list[_AvroFilePartition]:
         import json as _json  # noqa: PLC0415
 
-        from ..avro_ocf import read_ocf_header  # noqa: PLC0415
-
         parts = super().partitions()
         if not self._pruning:
             return parts
         kept = []
         for p in parts:
             stats = _json.loads(
-                read_ocf_header(p.file_path).get("spark.col.stats", "{}")
+                _cached_header(p.file_path).get("spark.col.stats", "{}")
             )
             excluded = False
             for f in self._pruning:

@@ -371,3 +371,34 @@ def test_avro_mergeschema_reads_add_only_evolution(spark, tmp_path):
         spark.read.format("avro_ocf").option(
             "mergeschema", "true"
         ).schema(strict).load(str(d)).collect()
+
+
+def test_avro_mergeschema_user_schema_type_conflict_refuses(
+    spark, tmp_path
+):
+    """r15 review: with a USER-supplied schema the union inference
+    never runs, so the per-file read must still refuse a present
+    field whose file type conflicts — not crash opaquely in Arrow.
+    Non-record top-level files refuse under merge inference too."""
+    d = tmp_path / "uschema"
+    d.mkdir()
+    write_ocf(
+        str(d / "p1.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "string"}]},
+        [{"a": "text"}],
+    )
+    register_avro_ocf(spark)
+    user = T.StructType([T.StructField("a", T.LongType(), True)])
+    with pytest.raises(Exception, match="type conflicts"):
+        spark.read.format("avro_ocf").option(
+            "mergeschema", "true"
+        ).schema(user).load(str(d)).collect()
+
+    d2 = tmp_path / "nonrecord"
+    d2.mkdir()
+    write_ocf(str(d2 / "p1.avro"), "long", [])
+    with pytest.raises(Exception, match="non-record"):
+        spark.read.format("avro_ocf").option(
+            "mergeschema", "true"
+        ).load(str(d2)).collect()
