@@ -72,8 +72,9 @@ _PRIORITY = [
     "c32_leakage_safe_split",
     "s04_stream_session_window", "s07_stream_stream_join",
     # --- driver window boundary (50) ---
-    # r16 head, in order: the two r15-late never-gated keys (b68b
-    # pushdown scan, a42 engine lineage — added after the r15 window
+    # r16 head, in order: the three r15-late never-gated keys (b68b
+    # pushdown scan, a42 engine lineage, c37 boilerplate — added
+    # after the r15 window
     # was frozen and pre-verified; local-sweep evidence only), then
     # the 9 r12-band spills (chosen because each already carries
     # judge(r14) spot-check evidence — b63, b65, c28, c29 — or a
@@ -81,6 +82,7 @@ _PRIORITY = [
     # window), b34 (b33 r13), b41 (b58 r13), b51 (b19 r14 / b20
     # r13)), then the r13 band.
     "b68b_avro_pruned_scan", "a42_engine_row_lineage_episode",
+    "c37_boilerplate_ngrams",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",

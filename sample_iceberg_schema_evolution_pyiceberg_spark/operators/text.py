@@ -1891,3 +1891,98 @@ def c09b_token_count_exact(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+_C37_K = 3       # gram width (words)
+_C37_TOP = 20    # heavy hitters returned
+
+
+@query(
+    "c37_boilerplate_ngrams",
+    # same md5-portable 60-bit digest family as c27/c28; the oracle
+    # replays df-per-digest, the (df DESC, digest) top-k, and the
+    # min-gram text recovery bit-for-bit
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, gram,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(
+                 [array_to_string(ws[i:i+{_C37_K - 1}], ' ')
+                  for i in RANGE(1, GREATEST(LEN(ws) - {_C37_K - 2}, 1))]
+               )) AS gram
+        FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws
+              FROM documents)
+        WHERE LEN(ws) >= {_C37_K}
+      )
+    ),
+    df AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY h
+    ),
+    top AS (
+      SELECT h, n_docs,
+             ROW_NUMBER() OVER (ORDER BY n_docs DESC, h) AS rank
+      FROM df ORDER BY n_docs DESC, h LIMIT {_C37_TOP}
+    )
+    SELECT CAST(t.rank AS INT) AS rank,
+           MIN(g.gram) AS gram,
+           CAST(t.n_docs AS BIGINT) AS n_docs
+    FROM top t JOIN g ON g.h = t.h
+    GROUP BY t.rank, t.n_docs
+    """,
+)
+def c37_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level BOILERPLATE detection (r15): the top-20 word
+    3-grams by document frequency — the heavy-hitter pass that
+    identifies templated headers/footers/navigation before targeted
+    removal (c27 measures per-doc duplication, c33 cuts known spans;
+    this finds WHAT to cut corpus-wide).
+
+    Scale shape: document frequency aggregates on 60-bit gram DIGESTS
+    (distinct per doc first, so one doc repeating a gram counts once)
+    — digests shuffle, never text. Only the top-k digests (driver-side
+    model output, k rows) join back against the gram texts, broadcast,
+    to recover a deterministic representative string (min per digest)
+    — at 100 TB the text-recovery join touches each partition once
+    against a k-row broadcast, and no text-keyed shuffle exists
+    anywhere."""
+    from ..functions import words  # noqa: PLC0415
+
+    docs = t(spark, sf, "documents")
+    ws = docs.select("doc_id", words("text").alias("ws")).filter(
+        F.size("ws") >= _C37_K
+    )
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(ws) - {_C37_K}),"
+                f" i -> array_join(slice(ws, i + 1, {_C37_K}), ' ')))"
+            )
+        ).alias("gram"),
+    ).withColumn(
+        "h",
+        F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS bigint)"),
+    )
+    df_per_hash = grams.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    top = (
+        df_per_hash.orderBy(F.col("n_docs").desc(), "h")
+        .limit(_C37_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_docs").desc(), "h")
+            ),
+        )
+    )
+    return (
+        grams.join(F.broadcast(top), "h")
+        .groupBy("rank", "n_docs")
+        .agg(F.min("gram").alias("gram"))
+        .select("rank", "gram", "n_docs")
+    )

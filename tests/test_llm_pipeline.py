@@ -596,3 +596,38 @@ def test_c36_bpe_concat_invariant_random_corpus(spark):
         assert all(tok for tok in r.ws)
     merges2, _ = train_bpe_merges(docs, n_merges=6)
     assert merges == merges2
+
+
+def test_c37_boilerplate_ngrams_finds_planted_template(spark, tmp_path):
+    """c37: a trigram planted across most docs ranks first with the
+    exact document frequency; ranks are dense and df non-increasing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        c37_boilerplate_ngrams,
+    )
+
+    docs = []
+    for i in range(30):
+        body = f"unique{i} filler{i} words{i} more{i} body{i}"
+        if i < 24:  # the planted boilerplate footer
+            body += " subscribe to newsletter"
+        docs.append((i, "web", body))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "source": pa.array([d[1] for d in docs]),
+                "text": pa.array([d[2] for d in docs]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = c37_boilerplate_ngrams(spark, str(tmp_path)).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    dfs = [r.n_docs for r in out]
+    assert dfs == sorted(dfs, reverse=True)
+    assert out[0].gram == "subscribe to newsletter"
+    assert out[0].n_docs == 24
+    assert all(len(r.gram.split(" ")) == 3 for r in out)
