@@ -320,13 +320,32 @@ def read_ocf(
 
 def read_ocf_header(data: "bytes | str") -> dict[str, str]:
     """Parse only the OCF header metadata map (schema inference must
-    not decode the data blocks)."""
+    not decode the data blocks). Probes 1 MiB and doubles the read on
+    exhaustion up to 64 MiB — a giant schema/stats map parses instead
+    of failing as a misleading "truncated avro data" (r15 advice);
+    past the ceiling the error names the real problem."""
     if isinstance(data, bytes):
-        raw = data
-    else:
+        return _parse_ocf_header(_Buf(data))
+    cap = 1 << 20  # common case: header fits well within 1 MiB
+    while True:
         with open(data, "rb") as f:
-            raw = f.read(1 << 20)  # header fits well within 1 MiB
-    buf = _Buf(raw)
+            raw = f.read(cap)
+        short = len(raw) < cap  # whole file read — no bigger re-read
+        try:
+            return _parse_ocf_header(_Buf(raw))
+        except ValueError as e:
+            if short or "truncated avro data" not in str(e):
+                raise
+            if cap >= (1 << 26):
+                raise ValueError(
+                    f"avro OCF header exceeds the {cap >> 20} MiB "
+                    f"probe limit in {data!r} — metadata map too "
+                    "large to be a plausible header"
+                ) from e
+            cap <<= 1
+
+
+def _parse_ocf_header(buf: "_Buf") -> dict[str, str]:
     if buf.take(4) != b"Obj\x01":
         raise ValueError("not an avro object container file (bad magic)")
     meta: dict[str, str] = {}

@@ -36,60 +36,65 @@ _MODULES += [
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # ---- Round-15 window (first 50 slots, oracle-bearing only) ----
-    # Tier 1: never-gated keys — r14-new b67/a40 (local-sweep + one
-    # judge spot-check only), the five r14 spills (each had a fresh
-    # family twin last round), and this round's four new surfaces
-    # (c12c real WAV decode, c09b tokenizer-exact sizing, b68 Avro
-    # source, a41 v3 row-lineage read).
-    "b67_orc_scan_roundtrip", "a40_v3_deletion_vector_episode",
-    "b04_join_left_outer", "b09_join_cross", "b17_agg_minmax_stats",
-    "b23_union_all", "c14_multimodal_frame_sample",
-    "c12c_multimodal_audio_decode", "c09b_token_count_exact",
-    "b68_avro_scan_roundtrip", "a41_v3_row_lineage_episode",
-    # Tier 2: the r12-evidence band — the oldest driver evidence left
-    # in the registry (48 keys after excluding a34/s12, re-gated r13;
-    # 39 fit behind the 11 tier-1 slots, 9 spill — see the boundary
-    # note). After this window no oracle-bearing key's driver
-    # evidence is older than r13 except the 9 spills, each of which
-    # carries judge(r14) or fresh-family-twin evidence.
-    "a02_partition_transforms", "a04_schema_diff_report",
-    "a05_merge_upsert", "a06_delete_update_where",
-    "a08_compaction_invariance", "a09_sql_ddl_episode",
-    "a11_sql_dml_episode", "a12_sql_merge_conditional",
-    "a13_incremental_read", "a15_sql_rollback_episode",
-    "a16_merge_on_read_delete", "a17_merge_on_read_merge",
-    "a26_scd2_dimension_history",
-    "b13_agg_count_distinct", "b24_union_distinct",
-    "b27_string_funcs", "b28_date_funcs", "b29_math_funcs",
-    "b30_conditional_null", "b31_array_funcs", "b32_map_struct_funcs",
-    "b36_dedup_keep_first", "b39_python_udf", "b40_pandas_udf",
-    "b45_lake_overwrite_sink", "b50_python_udtf",
-    "b53_percentile_median", "b62_asof_join", "b64_lateral_topn",
-    "c01_dedup_exact", "c06e_ann_ivf_verified_topk", "c09_token_count",
-    "c15_tfidf_top_terms", "c18_dedup_cluster_resolution",
-    "c30_filter_funnel", "c31_stratified_sample",
-    "c32_leakage_safe_split",
-    "s04_stream_session_window", "s07_stream_stream_join",
-    # --- driver window boundary (50) ---
-    # r16 head, in order: the three r15-late never-gated keys (b68b
-    # pushdown scan, a42 engine lineage, c37 boilerplate — added
-    # after the r15 window
-    # was frozen and pre-verified; local-sweep evidence only), then
-    # the 9 r12-band spills (chosen because each already carries
-    # judge(r14) spot-check evidence — b63, b65, c28, c29 — or a
-    # same-family twin gated r13/this-window: b25/b26 (b24 in
-    # window), b34 (b33 r13), b41 (b58 r13), b51 (b19 r14 / b20
-    # r13)), then the r13 band.
+    # ---- Round-16 window (first 50 slots, oracle-bearing only) ----
+    # Tier 1: the three r15-late never-gated keys (b68b pushdown scan,
+    # a42 engine lineage, c37 boilerplate — added after the r15 window
+    # was frozen; judge(r15) spot-check + local-sweep evidence only),
+    # then the 9 r12-band spills from the r15 rotation (each carried
+    # judge(r14/r15) or fresh-family-twin cover while waiting).
+    # New r16 surfaces are inserted here as they are built (r15
+    # precedent), each displacing one r13-band key to the spill note.
     "b68b_avro_pruned_scan", "a42_engine_row_lineage_episode",
     "c37_boilerplate_ngrams",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
     "c28_substring_dup_spans", "c29_incremental_ingest_dedup",
-    # The r14 window (c34/c35/c36/c36b/c12b/a39 + the r11 band)
-    # carries r14 driver evidence — freshest in the registry, so it
-    # follows the spills in registration order (unlisted mid).
+    # Tier 2: the r13-evidence band — the oldest driver evidence left
+    # (50 keys gated r13, none re-gated since; 38 fit behind the 12
+    # tier-1 slots, 12 spill). Spills chosen for freshest non-driver
+    # evidence: judge(r15) spot-checked a28/a24/b66/c33, plus
+    # family-twin cover for b43 (b67/b68 roundtrips gated r15),
+    # c02b (twin c02 in-window), b56 (twin b55 in-window), a35 (twin
+    # a34 in-window), c06b (c05 in-window, c06e gated r15), b58
+    # (b41 in tier 1, b40 gated r15), b20 (b65/b51 in tier 1), s12
+    # (twin s10 in-window). After this window no oracle-bearing key's
+    # driver evidence is older than r13 except those 12 spills.
+    "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
+    "b33_json_funcs", "b35_cast_promotion", "b37b_deterministic_sample",
+    "b52_grouping_sets", "b54_sessionize_batch", "b61_null_safe_join",
+    "b59_map_hof", "b55_pivot", "b57_string_agg",
+    "b42_udtf_explode", "b44_csv_scan_roundtrip",
+    "a19_glue_catalog_episode", "a23_zorder_clustering_episode",
+    "a25_cdc_replication", "a27_position_delete_episode",
+    "a29_rename_evolution_episode", "a34_bucket_sort_compose",
+    "a36_rewrite_manifests_episode", "a37_table_rename_episode",
+    "a38_add_files_import_episode",
+    "c02_dedup_minhash_lsh", "c03_dedup_simhash",
+    "c04_dedup_ngram_jaccard", "c05_cosine_topk_brute",
+    "c07_text_langid", "c08_text_quality", "c10_text_fingerprint",
+    "c11_multimodal_binary_meta", "c12_multimodal_decode_features",
+    "c13_dedup_embedding_cosine", "c19_sequence_packing",
+    "c20_weighted_mixture", "c21_dedup_keeper_selection",
+    "c22_chunk_overlap",
+    "s10_stream_lake_replication",
+    # --- driver window boundary (50) ---
+    # r17 head, in order: any r16-late never-gated keys first, then
+    # the 12 r13-band spills (a28, a24, b66, c33, b43, c02b, b56,
+    # a35, c06b, b58, b20, s12 — evidence noted above), then the r14
+    # band (c34/c35/c36/c36b/c12b/a39 + the r11 band, freshest after
+    # the r15 re-gate of the r12 band).
+    "a28_bucket_truncate_episode", "a24_changelog_cdc",
+    "b66_lake_bucket_join", "c33_dup_span_removal",
+    "b43_json_scan_roundtrip", "c02b_minhash_signatures",
+    "b56_unpivot", "a35_bucket_sort_rich_vocab",
+    "c06b_knn_join_sampled", "b58_grouped_map_pandas",
+    "b20_window_running_frame", "s12_stream_backfill_capped_distributed",
+    # The r15 window keys (b67/a40/b04/b09/b17/b23/c14/c12c/c09b/b68/
+    # a41 + the r12 band) carry r15 driver evidence — freshest in the
+    # registry, so they follow in registration order (unlisted mid),
+    # as does the r14 window (c34/c35/c36/c36b/c12b/a39 + the r11
+    # band).
     # Window policy (standing, VERDICT r6 item 7 / r7 item 7): the
     # first 50 slots hold ONLY oracle-bearing queries. Rows-only
     # sketches (b37/b38/b60 RNG+sketches, c06 family LSH/matmul,

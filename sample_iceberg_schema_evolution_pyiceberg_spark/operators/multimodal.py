@@ -200,9 +200,10 @@ def c14_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 # stdlib struct-level implementations of the 24bpp BI_RGB format
 # (14-byte file header, 40-byte BITMAPINFOHEADER, BGR rows padded to 4
 # bytes, bottom-up unless height < 0). With this, the decode stage of
-# the multimodal pipeline is real decoded pixels; only video/audio
-# decode remains stubbed (sample_frames_stub / decode_media_stub above
-# — pyav/librosa are genuinely absent from the container).
+# the multimodal pipeline is real decoded pixels; audio decode became
+# real in r15 (stdlib `wave` RIFF/PCM, c12c), so only VIDEO decode
+# remains stubbed (sample_frames_stub above — pyav is genuinely
+# absent from the container).
 # ---------------------------------------------------------------------------
 
 IMG_W, IMG_H = 6, 4  # fixture dims: 18-byte rows force 2 pad bytes

@@ -345,38 +345,54 @@ def b68b_avro_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     register_avro_ocf(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    src = (
-        t(spark, sf, "lineitem")
-        .filter(F.col("l_orderkey") <= 2000)
-        .select("l_orderkey", "l_returnflag")
-    )
-    with tempfile.TemporaryDirectory(prefix="avro_prune_") as d:
-        target = f"{d}/rows"
-        # range partitioning gives each file a disjoint key interval —
-        # the layout a partitioned ingest naturally produces, and what
-        # makes min/max stats selective
-        src.repartitionByRange(4, "l_orderkey").write.format(
-            "avro_ocf"
-        ).mode("append").save(target)
-        # planner-level proof the stats prune: the same reader Spark
-        # instantiates, fed the pushed filter directly
-        probe = AvroOcfPrunedReader(target, src.schema)
-        probe.pushFilters([LessThanOrEqual(("l_orderkey",), 500)])
-        n_kept = len(probe.partitions())
-        n_all = len(AvroOcfPrunedReader(target, src.schema).partitions())
-        pruned = n_kept < n_all
-        out = (
-            spark.read.format("avro_ocf_pruned")
-            .load(target)
-            .filter(F.col("l_orderkey") <= 500)
-            .groupBy("l_returnflag")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("l_orderkey").alias("sum_key"),
-            )
-            .withColumn("files_pruned", F.lit(bool(pruned)))
+    # scoped conf: pushFilters hard-fails without this flag, but
+    # leaving it set would leak a behavior change into every later
+    # query on the shared session (r15 advice) — restore on exit
+    _pd_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        _pd_prev = spark.conf.get(_pd_key)
+    except Exception:
+        _pd_prev = None
+    try:
+        spark.conf.set(_pd_key, "true")
+        src = (
+            t(spark, sf, "lineitem")
+            .filter(F.col("l_orderkey") <= 2000)
+            .select("l_orderkey", "l_returnflag")
         )
-        # materialize before the temp dir vanishes (bounded agg)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        with tempfile.TemporaryDirectory(prefix="avro_prune_") as d:
+            target = f"{d}/rows"
+            # range partitioning gives each file a disjoint key
+            # interval — the layout a partitioned ingest naturally
+            # produces, and what makes min/max stats selective
+            src.repartitionByRange(4, "l_orderkey").write.format(
+                "avro_ocf"
+            ).mode("append").save(target)
+            # planner-level proof the stats prune: the same reader
+            # Spark instantiates, fed the pushed filter directly
+            probe = AvroOcfPrunedReader(target, src.schema)
+            probe.pushFilters([LessThanOrEqual(("l_orderkey",), 500)])
+            n_kept = len(probe.partitions())
+            n_all = len(
+                AvroOcfPrunedReader(target, src.schema).partitions()
+            )
+            pruned = n_kept < n_all
+            out = (
+                spark.read.format("avro_ocf_pruned")
+                .load(target)
+                .filter(F.col("l_orderkey") <= 500)
+                .groupBy("l_returnflag")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("l_orderkey").alias("sum_key"),
+                )
+                .withColumn("files_pruned", F.lit(bool(pruned)))
+            )
+            # materialize before the temp dir vanishes (bounded agg)
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+    finally:
+        if _pd_prev is None:
+            spark.conf.unset(_pd_key)
+        else:
+            spark.conf.set(_pd_key, _pd_prev)

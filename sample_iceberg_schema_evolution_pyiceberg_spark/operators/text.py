@@ -1947,20 +1947,18 @@ def c37_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     — at 100 TB the text-recovery join touches each partition once
     against a k-row broadcast, and no text-keyed shuffle exists
     anywhere."""
-    from ..functions import words  # noqa: PLC0415
+    from ..functions import word_ngrams, words  # noqa: PLC0415
 
     docs = t(spark, sf, "documents")
+    # ws projected behind its own alias per word_ngrams' documented
+    # plan/codegen pitfall (r15 advice: reuse the shared helper
+    # instead of an inline F.expr duplicate)
     ws = docs.select("doc_id", words("text").alias("ws")).filter(
         F.size("ws") >= _C37_K
     )
     grams = ws.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(0, size(ws) - {_C37_K}),"
-                f" i -> array_join(slice(ws, i + 1, {_C37_K}), ' ')))"
-            )
-        ).alias("gram"),
+        F.explode(word_ngrams(F.col("ws"), _C37_K)).alias("gram"),
     ).withColumn(
         "h",
         F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS bigint)"),

@@ -239,12 +239,52 @@ def _cached_header(path: str) -> dict:
     return hit
 
 
+# Avro-spec-legal numeric widenings (Avro 1.11 "Schema Resolution"):
+# a reader may resolve a writer's narrower type into these wider scan
+# types. Kept to the lossless-or-spec-named set — int->long,
+# int->double, long->double, float->double; narrowings and the lossy
+# long->float never promote. The per-file "cast" is value-level: a
+# decoded Python int feeding a DoubleType scan column is made float
+# before Arrow conversion (everything else is identity in Python).
+_PROMOTIONS: dict = {
+    T.IntegerType(): {T.LongType(), T.DoubleType()},
+    T.LongType(): {T.DoubleType()},
+    T.FloatType(): {T.DoubleType()},
+}
+
+
+def _promotes_to(file_dt: T.DataType, scan_dt: T.DataType) -> bool:
+    """True when a file's decoded ``file_dt`` may legally widen into
+    the scan's ``scan_dt`` (r16: Avro schema-resolution promotions)."""
+    return scan_dt in _PROMOTIONS.get(file_dt, ())
+
+
+def _widen(a: T.DataType, b: T.DataType) -> "T.DataType | None":
+    """The wider of two types when they sit on a legal promotion
+    chain, else None (the conflict-refusal path)."""
+    if a == b:
+        return a
+    if _promotes_to(a, b):
+        return b
+    if _promotes_to(b, a):
+        return a
+    # int vs float: no direct promotion either way in our set, but
+    # both widen to double — take the common supremum
+    if {a, b} == {T.IntegerType(), T.FloatType()} or (
+        {a, b} == {T.LongType(), T.FloatType()}
+    ):
+        return T.DoubleType()
+    return None
+
+
 def merged_avro_schema(paths: "list[str]") -> T.StructType:
     """Union of every file's schema (the ``mergeschema`` inference):
-    fields match by name and must agree on type; a field absent from
-    some file is nullable in the union (its rows null-fill). Type
-    conflicts refuse loudly — schema MERGING is ADD-only evolution,
-    never type rewriting."""
+    fields match by name; a field absent from some file is nullable in
+    the union (its rows null-fill). Types must agree up to the
+    Avro-legal widenings in ``_PROMOTIONS`` (r16) — the union takes
+    the wider type and each file casts at read. Any other type
+    conflict refuses loudly — schema MERGING is ADD-plus-widen
+    evolution, never type rewriting."""
     import json as _json  # noqa: PLC0415
 
     merged: dict[str, T.StructField] = {}
@@ -267,11 +307,17 @@ def merged_avro_schema(paths: "list[str]") -> T.StructType:
                 # decided by the seen_in pass below
                 merged[sf.name] = sf
             elif prev.dataType != sf.dataType:
-                raise ValueError(
-                    f"avro_ocf mergeschema: field {sf.name!r} is "
-                    f"{prev.dataType.simpleString()} in one file and "
-                    f"{sf.dataType.simpleString()} in {path} — type "
-                    "conflicts are not merged"
+                wide = _widen(prev.dataType, sf.dataType)
+                if wide is None:
+                    raise ValueError(
+                        f"avro_ocf mergeschema: field {sf.name!r} is "
+                        f"{prev.dataType.simpleString()} in one file "
+                        f"and {sf.dataType.simpleString()} in {path} "
+                        "— not an Avro-legal widening, type conflicts "
+                        "are not merged"
+                    )
+                merged[sf.name] = T.StructField(
+                    sf.name, wide, prev.nullable or sf.nullable
                 )
             elif sf.nullable and not prev.nullable:
                 merged[sf.name] = T.StructField(
@@ -310,6 +356,10 @@ class AvroOcfReader(DataSourceReader):
         fields = self._schema.fields
         file_names = {f["name"] for f in file_schema.get("fields", [])}
         expect = [f.name for f in fields]
+        # per-file promotion plan: file fields whose decoded type
+        # legally widens into the scan type (mergeschema only) — the
+        # value-level "cast" is applied at yield time below
+        promote_float: set[str] = set()
         if self._merge:
             # explicit opt-in (.option("mergeschema", "true")):
             # ADD-only evolution — a field a file lacks must be
@@ -334,27 +384,70 @@ class AvroOcfReader(DataSourceReader):
                             "cannot null-fill a required column"
                         )
                 elif file_types[f.name] != f.dataType:
+                    if _promotes_to(file_types[f.name], f.dataType):
+                        # Avro-legal widening (r16): the file decodes
+                        # at its own narrower type; only int->double
+                        # needs an explicit Python float() — the rest
+                        # are identity at the value level
+                        if f.dataType == T.DoubleType():
+                            promote_float.add(f.name)
+                    else:
+                        raise ValueError(
+                            f"avro_ocf mergeschema: field {f.name!r} "
+                            f"is {file_types[f.name].simpleString()} "
+                            f"in {partition.file_path} but the scan "
+                            f"schema expects "
+                            f"{f.dataType.simpleString()} — not an "
+                            "Avro-legal widening, type conflicts are "
+                            "not merged"
+                        )
+        else:
+            if sorted(file_names) != sorted(expect):
+                # schema came from ONE file (or the user): a file
+                # whose own writer schema differs would silently
+                # null-fill missing columns and drop extras — refuse
+                # loudly (r15 review finding; same posture as the
+                # lake scan); heterogeneous dirs read via mergeschema
+                raise ValueError(
+                    f"avro_ocf: {partition.file_path} carries fields "
+                    f"{sorted(file_names)} but the scan schema "
+                    f"expects {sorted(expect)} — heterogeneous "
+                    "directories are not silently aligned; pass "
+                    '.option("mergeschema", "true") for ADD-only '
+                    "evolution, or rewrite the files under one schema"
+                )
+            # names match — the types must too: a same-named field of
+            # a different decoded type would otherwise surface as an
+            # opaque Arrow conversion error instead of this typed
+            # refusal (r15 advice); widenings require the explicit
+            # mergeschema opt-in
+            file_types = {
+                f["name"]: avro_field_to_spark(f).dataType
+                for f in file_schema.get("fields", [])
+            }
+            for f in fields:
+                if file_types[f.name] != f.dataType:
                     raise ValueError(
-                        f"avro_ocf mergeschema: field {f.name!r} is "
+                        f"avro_ocf: field {f.name!r} is "
                         f"{file_types[f.name].simpleString()} in "
                         f"{partition.file_path} but the scan schema "
-                        f"expects {f.dataType.simpleString()} — type "
-                        "conflicts are not merged"
+                        f"expects {f.dataType.simpleString()} — pass "
+                        '.option("mergeschema", "true") to widen '
+                        "Avro-promotable types, or rewrite the files "
+                        "under one schema"
                     )
-        elif sorted(file_names) != sorted(expect):
-            # schema came from ONE file (or the user): a file whose
-            # own writer schema differs would silently null-fill
-            # missing columns and drop extras — refuse loudly
-            # (r15 review finding; same posture as the lake scan);
-            # heterogeneous directories read via mergeschema=true
-            raise ValueError(
-                f"avro_ocf: {partition.file_path} carries fields "
-                f"{sorted(file_names)} but the scan schema expects "
-                f"{sorted(expect)} — heterogeneous directories are "
-                "not silently aligned; pass "
-                '.option("mergeschema", "true") for ADD-only '
-                "evolution, or rewrite the files under one schema"
-            )
+        if promote_float:
+            for rec in records:
+                yield tuple(
+                    (
+                        float(v)
+                        if f.name in promote_float
+                        and (v := rec.get(f.name)) is not None
+                        else _from_avro_value(rec.get(f.name), f)
+                    )
+                    for f in fields
+                )
+            return
         for rec in records:
             yield tuple(
                 _from_avro_value(rec.get(f.name), f) for f in fields

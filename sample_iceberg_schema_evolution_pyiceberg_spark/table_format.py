@@ -4031,7 +4031,7 @@ class LakeTable:
         reader's posture (``read_iceberg_table(lineage=True)``); the
         v3 export emits these assignments as explicit avro-level
         ``first_row_id`` fields, which that reader honors."""
-        mapping: list[tuple[str, int, int]] = []
+        mapping: list[tuple[str, int, int, int]] = []
         datas = [s for s in self.snapshots if not s.is_row_delete]
         if any(s.source_snapshots for s in datas):
             # rewrite_manifests folds are content-preserving metadata
@@ -4069,11 +4069,39 @@ class LakeTable:
                         f["path"],
                         int(f["first_row_id"]),
                         int(snap.sequence_number),
+                        int(f["record_count"]),
                     )
+                )
+        # mirror the external reader's guards (r15 advice): a path
+        # listed twice (e.g. a future manifest-source expansion
+        # overlap) would silently fan out rows in the join below —
+        # dedupe identical assignments, refuse on conflict, and
+        # assert per-file id blocks are disjoint. Metadata-sized.
+        by_path: dict[str, tuple[int, int, int]] = {}
+        for path, fr, seq, n in mapping:
+            prev = by_path.get(path)
+            if prev is not None and prev != (fr, seq, n):
+                raise TableFormatError(
+                    f"conflicting row-lineage assignments for "
+                    f"{path!r}: {prev} vs {(fr, seq, n)} — refusing "
+                    "rather than returning ambiguous _row_ids"
+                )
+            by_path[path] = (fr, seq, n)
+        spans = sorted(
+            (fr, fr + n, path) for path, (fr, _s, n) in by_path.items()
+        )
+        for (a0, a1, pa), (b0, _b1, pb) in zip(spans, spans[1:]):
+            if b0 < a1:
+                raise TableFormatError(
+                    f"row-lineage id blocks overlap: {pa!r} occupies "
+                    f"[{a0}, {a1}) and {pb!r} starts at {b0} — "
+                    "first_row_id assignment is inconsistent; "
+                    "refusing rather than returning duplicate _row_ids"
                 )
         df = self.to_df(spark, _with_positions=True)
         m = spark.createDataFrame(
-            mapping, "_pos_file string, _lin_first long, _lin_seq long"
+            [(p, fr, seq) for p, (fr, seq, _n) in by_path.items()],
+            "_pos_file string, _lin_first long, _lin_seq long",
         )
         return (
             df.join(F.broadcast(m), "_pos_file")

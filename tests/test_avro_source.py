@@ -402,3 +402,154 @@ def test_avro_mergeschema_user_schema_type_conflict_refuses(
         spark.read.format("avro_ocf").option(
             "mergeschema", "true"
         ).load(str(d2)).collect()
+
+
+def test_avro_mergeschema_widens_legal_promotions(spark, tmp_path):
+    """r16 (VERDICT r15 item 6): Avro schema-resolution promotions —
+    int->long, int/long/float->double — merge to the WIDER type with
+    a per-file value cast at read; narrowing and non-numeric
+    conflicts still refuse."""
+    d = tmp_path / "widen"
+    d.mkdir()
+    s_int = {"type": "record", "name": "r",
+             "fields": [{"name": "a", "type": "int"},
+                        {"name": "b", "type": "float"}]}
+    s_wide = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "b", "type": "double"}]}
+    write_ocf(str(d / "p1.avro"), s_int, [{"a": 1, "b": 1.5}])
+    write_ocf(str(d / "p2.avro"), s_wide,
+              [{"a": 2**40, "b": 2.25}])
+    register_avro_ocf(spark)
+    back = (
+        spark.read.format("avro_ocf")
+        .option("mergeschema", "true")
+        .load(str(d))
+    )
+    assert back.schema["a"].dataType == T.LongType()
+    assert back.schema["b"].dataType == T.DoubleType()
+    got = sorted((r.a, r.b) for r in back.collect())
+    assert got == [(1, 1.5), (2**40, 2.25)]
+
+    # int file + float file for the same field: no direct promotion
+    # either way, but both legally widen to double (common supremum)
+    d2 = tmp_path / "supremum"
+    d2.mkdir()
+    write_ocf(
+        str(d2 / "p1.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "int"}]},
+        [{"x": 3}],
+    )
+    write_ocf(
+        str(d2 / "p2.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "float"}]},
+        [{"x": 0.5}],
+    )
+    back2 = (
+        spark.read.format("avro_ocf")
+        .option("mergeschema", "true")
+        .load(str(d2))
+    )
+    assert back2.schema["x"].dataType == T.DoubleType()
+    assert sorted(r.x for r in back2.collect()) == [0.5, 3.0]
+
+    # USER-supplied wide schema + mergeschema: per-file gate allows
+    # the promotion (int file read as long/double)
+    user = T.StructType([
+        T.StructField("a", T.DoubleType(), True),
+        T.StructField("b", T.DoubleType(), True),
+    ])
+    got3 = sorted(
+        (r.a, r.b)
+        for r in spark.read.format("avro_ocf")
+        .option("mergeschema", "true")
+        .schema(user)
+        .load(str(d))
+        .collect()
+    )
+    assert got3 == [(1.0, 1.5), (1099511627776.0, 2.25)]
+
+    # narrowing (long file, int scan) still refuses under mergeschema
+    narrow = T.StructType([
+        T.StructField("a", T.IntegerType(), True),
+        T.StructField("b", T.DoubleType(), True),
+    ])
+    with pytest.raises(Exception, match="not an Avro-legal widening"):
+        spark.read.format("avro_ocf").option(
+            "mergeschema", "true"
+        ).schema(narrow).load(str(d)).collect()
+
+
+def test_avro_plain_read_same_names_different_types_refuses(
+    spark, tmp_path
+):
+    """r15 advice: WITHOUT mergeschema, a directory whose files share
+    field names but differ in decoded types must refuse with the
+    typed message, not fail later as an opaque Arrow error."""
+    d = tmp_path / "plainconflict"
+    d.mkdir()
+    write_ocf(
+        str(d / "p1.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "long"}]},
+        [{"a": 1}],
+    )
+    write_ocf(
+        str(d / "p2.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "string"}]},
+        [{"a": "oops"}],
+    )
+    register_avro_ocf(spark)
+    user = T.StructType([T.StructField("a", T.LongType(), True)])
+    with pytest.raises(Exception, match="mergeschema"):
+        spark.read.format("avro_ocf").schema(user).load(
+            str(d)
+        ).collect()
+
+
+def test_read_ocf_header_grows_past_probe_limit(tmp_path):
+    """r15 advice: a header whose metadata map exceeds the 1 MiB
+    probe re-reads with a doubled cap instead of failing as
+    'truncated avro data'; a genuinely truncated file still raises
+    the truncation error."""
+    import json as _json
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+    p = tmp_path / "big_header.avro"
+    # hand-assemble an OCF whose metadata map is ~3 MiB
+    def vlong(n: int) -> bytes:
+        n = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    pad = b"x" * (3 << 20)
+    sj = _json.dumps(schema).encode()
+    buf = bytearray(b"Obj\x01")
+    buf += vlong(3)
+    for k, v in [(b"avro.schema", sj), (b"avro.codec", b"null"),
+                 (b"pad", pad)]:
+        buf += vlong(len(k)) + k + vlong(len(v)) + v
+    buf += vlong(0)
+    buf += b"S" * 16  # sync marker
+    p.write_bytes(bytes(buf))
+    meta = read_ocf_header(str(p))
+    assert _json.loads(meta["avro.schema"]) == schema
+    assert len(meta["pad"]) == 3 << 20
+
+    # truncated mid-header (file ends before the map closes): the
+    # whole file was read, so the truncation error surfaces as-is
+    q = tmp_path / "trunc.avro"
+    q.write_bytes(bytes(buf[: 1 << 10]))
+    with pytest.raises(ValueError, match="truncated avro data"):
+        read_ocf_header(str(q))

@@ -1682,3 +1682,68 @@ def test_row_lineage_through_rewrite_manifests_and_add_files(
     )
     assert [r[1] for r in rows2] == list(range(7))
     assert int(t.meta["next_row_id"]) == 7
+
+
+def test_row_lineage_guards_duplicate_and_overlapping_blocks(
+    spark, tmp_path
+):
+    """r15 advice: lineage_df mirrors the external reader's guards —
+    a path listed twice with a CONFLICTING assignment refuses (a
+    silent duplicate would fan out rows in the join), and overlapping
+    per-file id blocks refuse rather than yield duplicate _row_ids.
+    Identical duplicate entries dedupe harmlessly."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "ling", sch)
+    t.append(spark.range(0, 4).select("id"))
+    t.append(spark.range(10, 14).select("id"))
+    t = cat.load_table("db", "ling")
+
+    # t.snapshots materializes fresh Snapshot objects per access, so
+    # injections go through the backing metadata dict (in-memory
+    # internal spellings: "files" / "first_row_id")
+    man0 = t.meta["snapshots"][0]["files"]
+
+    # identical duplicate listing (benign): dedupes, ids unchanged
+    man0.append(dict(man0[0]))
+    got = sorted(r._row_id for r in t.lineage_df(spark).collect())
+    assert got == list(range(8))
+
+    # conflicting assignment for the same path: refuse
+    t = cat.load_table("db", "ling")
+    man0 = t.meta["snapshots"][0]["files"]
+    clone = dict(man0[0])
+    clone["first_row_id"] = int(clone["first_row_id"]) + 1
+    man0.append(clone)
+    with _pytest.raises(TableFormatError, match="conflicting"):
+        t.lineage_df(spark)
+
+    # overlapping id blocks across files: refuse
+    t = cat.load_table("db", "ling")
+    # second append's first file block rebased onto [0, 4)'s ids
+    t.meta["snapshots"][1]["files"][0]["first_row_id"] = 2
+    with _pytest.raises(TableFormatError, match="overlap"):
+        t.lineage_df(spark)
+
+
+def test_b68b_episode_restores_filter_pushdown_conf(spark):
+    """r15 advice: the b68b episode flips
+    spark.sql.python.filterPushdown.enabled for its pruned-format
+    read but must leave the shared session as it found it."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.sources_sinks import (
+        b68b_avro_pruned_scan,
+    )
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    before = spark.conf.get(key)
+    out = b68b_avro_pruned_scan(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert spark.conf.get(key) == before
