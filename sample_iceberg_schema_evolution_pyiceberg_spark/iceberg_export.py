@@ -1980,23 +1980,56 @@ def read_iceberg_table(
                     ).alias("_ice_file")
                 )
                 sel.append(F.col("_metadata.row_index").alias("_ice_pos"))
+                if lineage:
+                    # physically MATERIALIZED lineage (a43): a rewrite
+                    # that carried row ids wrote _row_id /
+                    # _last_updated_sequence_number into the data file
+                    # itself; the spec's rule is materialized values
+                    # take precedence over positional inheritance
+                    # (matched here by column name — this engine's
+                    # parquet carries no field-id metadata)
+                    sel.append(
+                        (
+                            F.col("_row_id").cast("long")
+                            if "_row_id" in raw.columns
+                            else F.lit(None).cast("long")
+                        ).alias("_mat_row_id")
+                    )
+                    sel.append(
+                        (
+                            F.col("_last_updated_sequence_number")
+                            .cast("long")
+                            if "_last_updated_sequence_number"
+                            in raw.columns
+                            else F.lit(None).cast("long")
+                        ).alias("_mat_seq")
+                    )
                 sub = raw.select(*sel)
                 if lineage:
                     # per-file assignment base joins in broadcast
-                    # (metadata-sized); _row_id = first_row_id + _pos.
-                    # Computed BEFORE position deletes/DVs apply, so a
-                    # masked row never shifts its survivors' ids.
+                    # (metadata-sized); _row_id = coalesce(materialized,
+                    # first_row_id + _pos). Computed BEFORE position
+                    # deletes/DVs apply, so a masked row never shifts
+                    # its survivors' ids.
                     sub = (
                         sub.join(F.broadcast(lineage_df), "_ice_file")
                         .withColumn(
                             "_row_id",
-                            F.col("_lin_first") + F.col("_ice_pos"),
+                            F.coalesce(
+                                F.col("_mat_row_id"),
+                                F.col("_lin_first") + F.col("_ice_pos"),
+                            ),
                         )
                         .withColumn(
                             "_last_updated_sequence_number",
-                            F.col("_lin_seq"),
+                            F.coalesce(
+                                F.col("_mat_seq"), F.col("_lin_seq")
+                            ),
                         )
-                        .drop("_lin_first", "_lin_seq")
+                        .drop(
+                            "_lin_first", "_lin_seq",
+                            "_mat_row_id", "_mat_seq",
+                        )
                     )
                 if need_pos:
                     sub = sub.join(

@@ -46,6 +46,9 @@ _PRIORITY = [
     # precedent), each displacing one r13-band key to the spill note.
     "b68b_avro_pruned_scan", "a42_engine_row_lineage_episode",
     "c37_boilerplate_ngrams",
+    # r16-new surfaces (each displaces one r13-band key to the spill
+    # note below):
+    "a43_lineage_through_compaction_episode",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
@@ -76,7 +79,6 @@ _PRIORITY = [
     "c11_multimodal_binary_meta", "c12_multimodal_decode_features",
     "c13_dedup_embedding_cosine", "c19_sequence_packing",
     "c20_weighted_mixture", "c21_dedup_keeper_selection",
-    "c22_chunk_overlap",
     "s10_stream_lake_replication",
     # --- driver window boundary (50) ---
     # r17 head, in order: any r16-late never-gated keys first, then
@@ -90,6 +92,9 @@ _PRIORITY = [
     "b56_unpivot", "a35_bucket_sort_rich_vocab",
     "c06b_knn_join_sampled", "b58_grouped_map_pandas",
     "b20_window_running_frame", "s12_stream_backfill_capped_distributed",
+    # displaced by r16-new surfaces (family evidence: c19/c20 of the
+    # packing/mixture/chunk family hold window slots):
+    "c22_chunk_overlap",
     # The r15 window keys (b67/a40/b04/b09/b17/b23/c14/c12c/c09b/b68/
     # a41 + the r12 band) carry r15 driver evidence — freshest in the
     # registry, so they follow in registration order (unlisted mid),

