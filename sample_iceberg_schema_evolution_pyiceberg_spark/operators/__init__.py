@@ -49,6 +49,7 @@ _PRIORITY = [
     # r16-new surfaces (each displaces one r13-band key to the spill
     # note below):
     "a43_lineage_through_compaction_episode",
+    "c38_boilerplate_removal",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
@@ -76,7 +77,7 @@ _PRIORITY = [
     "c02_dedup_minhash_lsh", "c03_dedup_simhash",
     "c04_dedup_ngram_jaccard", "c05_cosine_topk_brute",
     "c07_text_langid", "c08_text_quality", "c10_text_fingerprint",
-    "c11_multimodal_binary_meta", "c12_multimodal_decode_features",
+    "c11_multimodal_binary_meta",
     "c13_dedup_embedding_cosine", "c19_sequence_packing",
     "c20_weighted_mixture", "c21_dedup_keeper_selection",
     "s10_stream_lake_replication",
@@ -93,8 +94,9 @@ _PRIORITY = [
     "c06b_knn_join_sampled", "b58_grouped_map_pandas",
     "b20_window_running_frame", "s12_stream_backfill_capped_distributed",
     # displaced by r16-new surfaces (family evidence: c19/c20 of the
-    # packing/mixture/chunk family hold window slots):
-    "c22_chunk_overlap",
+    # packing/mixture/chunk family hold window slots; c12's decode
+    # family c12b/c12c/c14 all gated r15):
+    "c22_chunk_overlap", "c12_multimodal_decode_features",
     # The r15 window keys (b67/a40/b04/b09/b17/b23/c14/c12c/c09b/b68/
     # a41 + the r12 band) carry r15 driver evidence — freshest in the
     # registry, so they follow in registration order (unlisted mid),

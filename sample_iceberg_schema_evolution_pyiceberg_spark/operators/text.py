@@ -1373,6 +1373,17 @@ def remove_duplicate_spans(
             (F.col("pos") + k - 1).cast("long").alias("e"),
         )
     )
+    return _rebuild_minus_spans(ws, rem)
+
+
+def _rebuild_minus_spans(ws: DataFrame, rem: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_clean): subtract removal
+    spans from token arrays. ``ws`` is (doc_id, ws array<string>);
+    ``rem`` is (doc_id, s, e) token-index spans (inclusive).
+    Overlapping/adjacent spans islands-merge per doc (one window pass
+    keyed by doc_id), then the rebuild runs as JVM higher-order
+    functions (zip_with / filter / exists) — no Python. Shared by
+    c33 (cross-doc duplicate spans) and c38 (corpus boilerplate)."""
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("s")
@@ -1984,3 +1995,137 @@ def c37_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("gram").alias("gram"))
         .select("rank", "gram", "n_docs")
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    k: int = _C37_K,
+    top: int = _C37_TOP,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_clean): cut the corpus's
+    top-``top`` word k-grams by document frequency (c37's detected
+    boilerplate — templated headers/footers/navigation) out of EVERY
+    document. Unlike c33's duplicate-span removal there is no keeper:
+    boilerplate is noise wherever it appears. ``min_docs`` floors the
+    document frequency so a tiny corpus can't promote singleton grams
+    to "boilerplate".
+
+    Scale shape: detection is c37's pass (document frequency on
+    60-bit gram digests — countDistinct(doc_id) folds a doc's
+    repeats, digests shuffle, never text; top-k is a k-row driver
+    model). The cut pass joins each position's digest against the
+    k-row winner set BROADCAST, islands-merges per doc, and rebuilds
+    text in JVM higher-order functions (the shared
+    ``_rebuild_minus_spans``). Two corpus passes total (detect, cut),
+    no text-keyed shuffle anywhere, no UDF."""
+    ws = docs.select("doc_id", words("text").alias("ws"))
+    anchored = ws.filter(F.size("ws") >= k)
+    gh = F.expr(
+        f"transform(sequence(0, size(ws) - {k}), i -> "
+        f"cast(conv(substring(md5(array_join(slice(ws, i + 1, {k}), ' ')), "
+        f"1, 15), 16, 10) AS bigint))"
+    )
+    g = anchored.select("doc_id", F.posexplode(gh).alias("pos", "ghash"))
+    winners = (
+        g.groupBy("ghash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), "ghash")
+        .limit(top)
+        .select("ghash")
+    )
+    rem = g.join(F.broadcast(winners), "ghash").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + k - 1).cast("long").alias("e"),
+    )
+    return _rebuild_minus_spans(ws, rem)
+
+
+@query(
+    "c38_boilerplate_removal",
+    # full DuckDB replay of the c37 -> cut composition: document
+    # frequency on the same 60-bit gram digests, top-20 by
+    # (df DESC, digest) with a df >= 2 floor, every matching position
+    # a removal span, islands merge, positional anti-join rebuild —
+    # every value (including the rebuilt text) hash-gated
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents
+    ),
+    gi AS (
+      SELECT doc_id, ws,
+             UNNEST(RANGE(1, GREATEST(LEN(ws) - {_C37_K} + 2, 1))) AS i
+      FROM ws
+      WHERE LEN(ws) >= {_C37_K}
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             (('0x' || substr(md5(ARRAY_TO_STRING(ws[i:i + {_C37_K} - 1],
+                ' ')), 1, 15))::BIGINT) AS ghash
+      FROM gi
+    ),
+    winners AS (
+      SELECT ghash
+      FROM g
+      GROUP BY ghash
+      HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY COUNT(DISTINCT doc_id) DESC, ghash
+      LIMIT {_C37_TOP}
+    ),
+    rem AS (
+      SELECT g.doc_id, pos AS s, pos + {_C37_K} - 1 AS e
+      FROM g JOIN winners USING (ghash)
+    ),
+    b AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM rem
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM b
+    ),
+    spans AS (
+      SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+      FROM isl GROUP BY doc_id, island
+    ),
+    removed_pos AS (
+      SELECT doc_id, UNNEST(RANGE(ss, se + 1)) AS p FROM spans
+    ),
+    toks AS (
+      SELECT ws.doc_id, ws.ws[i] AS w, i - 1 AS p
+      FROM ws, UNNEST(RANGE(1, LEN(ws.ws) + 1)) AS r(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.w, t.p
+      FROM toks t
+      LEFT JOIN removed_pos r ON t.doc_id = r.doc_id AND t.p = r.p
+      WHERE r.p IS NULL
+    )
+    SELECT w.doc_id,
+           CAST(LEN(w.ws) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nr.n, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.txt, '') AS text_clean
+    FROM ws w
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM removed_pos
+               GROUP BY doc_id) nr ON w.doc_id = nr.doc_id
+    LEFT JOIN (SELECT doc_id, STRING_AGG(w, ' ' ORDER BY p) AS txt
+               FROM kept GROUP BY doc_id) k ON w.doc_id = k.doc_id
+    """,
+)
+def c38_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate REMOVAL (r16 — VERDICT r15 item 3, closing c37's
+    detect-but-not-remove gap): the c37 heavy-hitter grams become
+    removal spans over the whole corpus, cut through the same islands
+    + JVM-HOF rebuild machinery c33 uses. Composition is one call:
+    ``remove_boilerplate(docs)``."""
+    return remove_boilerplate(t(spark, sf, "documents"))

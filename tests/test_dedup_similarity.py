@@ -330,6 +330,40 @@ def test_dup_span_removal_keeps_first_occurrence(spark):
     assert "unrelated" in got[3].text_clean
 
 
+def test_remove_boilerplate_cuts_planted_template(spark):
+    """c38 (r16): a planted template shared by most docs is detected
+    as a top-df gram and cut from EVERY occurrence (no keeper);
+    non-template text survives, and a doc made of template-only text
+    empties. min_docs floors singleton grams out of the winner set."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.text import (
+        remove_boilerplate,
+    )
+
+    tpl = "subscribe to our newsletter"  # 4 tokens, two 3-grams
+    rows = [
+        (i, f"{tpl} article body {i} unique words here")
+        for i in range(1, 7)
+    ]
+    rows.append((7, tpl))  # template-only doc
+    rows.append((8, "completely different text with no template at all"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_boilerplate(docs, k=3, top=2, min_docs=5).collect()
+    }
+    # the two template 3-grams appear in 7 docs each — both win;
+    # their islands merge into one 4-token span per doc
+    for i in range(1, 7):
+        assert got[i].n_removed == 4, got[i]
+        assert got[i].text_clean == f"article body {i} unique words here"
+    # no keeper: the template-only doc empties
+    assert got[7].n_removed == 4
+    assert got[7].text_clean == ""
+    # untouched doc passes through (normalized)
+    assert got[8].n_removed == 0
+    assert "template" in got[8].text_clean
+
+
 def test_ivf_recall_at_scale_fixture(spark):
     """The measured ANN contract (VERDICT r9 item 6): on a 200k
     deterministic sub-corpus of the 1M x 64 clustered fixture
