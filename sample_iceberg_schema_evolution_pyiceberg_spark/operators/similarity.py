@@ -168,11 +168,30 @@ def ivf_assign_udf(n_nearest: int, centroids: np.ndarray | None = None):
     return pandas_udf(_assign, "array<int>")
 
 
+IVF_TARGET_CELL = 2048  # auto-sizing target: mean vectors per cell
+
+
+def auto_codebook_k(
+    n_vectors: int, target_cell: int = IVF_TARGET_CELL
+) -> int:
+    """Codebook size for an ``n_vectors`` corpus: k ~ n/target_cell,
+    floored at N_CENTROIDS and capped at n (r16 — VERDICT r15 item 4,
+    enforcing the SCALE.md R15 guidance as the default). The R15
+    decade probe measured why: an UNDERSIZED codebook (k=16 at 200k
+    vectors) trips the C34_MAX_CELL_SIZE pair cap in every cell
+    (1.256B->391M pairs), while sane sizing (k=64@20k, k=256@200k)
+    leaves the cap inert — auto-sizing makes the cap
+    belt-and-suspenders, not the primary defense."""
+    if n_vectors <= 0:
+        return N_CENTROIDS
+    return max(1, min(n_vectors, max(N_CENTROIDS, n_vectors // target_cell)))
+
+
 def train_ivf_codebook(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = N_CENTROIDS,
+    k: "int | None" = None,
     iters: int = 3,
 ) -> np.ndarray:
     """Spherical-KMeans training for the IVF codebook, as DataFrame
@@ -187,11 +206,17 @@ def train_ivf_codebook(
     change). Empty cells keep their previous centroid. Returns a
     unit-norm (k, dim) codebook.
 
+    ``k=None`` (the default) AUTO-SIZES via ``auto_codebook_k`` —
+    one count() of the training frame, then k ~ n/IVF_TARGET_CELL.
+    Pass k explicitly to pin a size (gates and probes do).
+
     At 100 TB: train on a bounded sample (``df.sample(...)``) — one
     pass per iteration over the sample, centroids stay a broadcast
     closure; the corpus itself is only ever touched by the final
     assignment pass that writes the partition-key cell column.
     """
+    if k is None:
+        k = auto_codebook_k(df.count())
     # bounded: model parameters (k init vectors), not data
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = np.stack(

@@ -660,3 +660,37 @@ def test_c12c_decodes_real_samples(spark):
     )
     rate, channels, samples = decode_wav(payload)
     assert (rate, channels, samples) == (SAMPLE_RATE, 1, expect)
+
+
+def test_auto_codebook_k_sizing(spark):
+    """r16 (VERDICT r15 item 4): codebook auto-sizing enforces the
+    SCALE.md R15 guidance — k ~ n / IVF_TARGET_CELL, floored at
+    N_CENTROIDS, capped at n — and train_ivf_codebook(k=None) applies
+    it, so gate-scale corpora keep the historical k=16 (hashes
+    unchanged) while decade-scale corpora get sane cells by default."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        IVF_TARGET_CELL,
+        N_CENTROIDS,
+        auto_codebook_k,
+        train_ivf_codebook,
+    )
+
+    # floor: every gate/sweep scale sits at the historical default
+    assert auto_codebook_k(0) == N_CENTROIDS
+    assert auto_codebook_k(2_000) == N_CENTROIDS
+    assert auto_codebook_k(16 * IVF_TARGET_CELL) == N_CENTROIDS
+    # scaling: the R15 probe points
+    assert auto_codebook_k(200_000) == 200_000 // IVF_TARGET_CELL
+    assert auto_codebook_k(10_000_000) == 10_000_000 // IVF_TARGET_CELL
+    # cap: never more centroids than vectors
+    assert auto_codebook_k(5) == 5
+    # default k=None routes through the auto-sizer (tiny frame -> the
+    # floor, capped at n rows of init)
+    import numpy as np
+
+    rows = [(i, [float(i), 1.0]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = train_ivf_codebook(e, iters=0)
+    assert cb.shape == (N_CENTROIDS, 2)
+    norms = np.linalg.norm(cb, axis=1)
+    assert np.allclose(norms, 1.0)
