@@ -628,6 +628,38 @@ def _snapshot_int_id(snap: Snapshot) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _variant_batch_to_json(s):
+    """One Arrow batch of struct<metadata binary, value binary> (a
+    pandas DataFrame) -> JSON strings; rows with a null half render
+    as SQL NULL. The binary spec decode lives in variant.py."""
+    import pandas as pd  # noqa: PLC0415
+
+    from .variant import variant_to_json  # noqa: PLC0415
+
+    out = [
+        None
+        if m is None or v is None
+        else variant_to_json(bytes(m), bytes(v))
+        for m, v in zip(s["metadata"], s["value"])
+    ]
+    return pd.Series(out, dtype=object)
+
+
+def _variant_json_udf():
+    """Arrow-batched decoder for unshredded variant columns (r16,
+    conformance row 43). Built via the explicit PandasUDFType path —
+    this module uses `from __future__ import annotations`, which
+    stringifies type hints and breaks pandas_udf's hint inference."""
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        PandasUDFType,
+        pandas_udf,
+    )
+
+    return pandas_udf(
+        _variant_batch_to_json, "string", PandasUDFType.SCALAR
+    )
+
+
 def _list_data_files(
     table: LakeTable, snap: Snapshot
 ) -> list[tuple[str, dict[str, str]]]:
@@ -1503,11 +1535,19 @@ def read_iceberg_table(
     )
 
     # v3 type surface this reader does not decode — loud refusal with
-    # the exact field path (the same posture as nested uuid/time)
+    # the exact field path (the same posture as nested uuid/time).
+    # TOP-LEVEL `variant` is decoded since r16 (unshredded binary ->
+    # JSON string surface, ICEBERG_CONFORMANCE.md row 43); nested
+    # variant and the rest of the class still refuse.
     _V3_UNSUPPORTED_TYPES = (
         "variant", "unknown", "geometry", "geography",
         "timestamp_ns", "timestamptz_ns",
     )
+    variant_cols = {
+        f["name"]
+        for f in current_schema["fields"]
+        if f["type"] == "variant"
+    }
 
     def _scan_unsupported(ty: Any, path: str) -> "tuple[str, str] | None":
         if isinstance(ty, str):
@@ -1530,14 +1570,16 @@ def read_iceberg_table(
         return None
 
     for f in current_schema["fields"]:
+        if f["name"] in variant_cols:
+            continue  # top-level variant decodes (row 43)
         hit = _scan_unsupported(f["type"], f["name"])
         if hit:
             raise ValueError(
                 f"field {hit[0]!r} has v3 type {hit[1]!r}, which this "
-                "reader does not decode (variant/unknown/geo/ns-"
-                "timestamp) — project it away with the writing engine "
-                "or read via an engine with v3 type support "
-                "(ICEBERG_CONFORMANCE.md row 37)"
+                "reader does not decode (nested variant/unknown/geo/"
+                "ns-timestamp) — project it away with the writing "
+                "engine or read via an engine with v3 type support "
+                "(ICEBERG_CONFORMANCE.md rows 37/43)"
             )
 
     # v3 `initial-default`: files written before the field existed
@@ -1586,7 +1628,13 @@ def read_iceberg_table(
     table_schema = T.StructType(
         [
             T.StructField(
-                f["name"], iceberg_type_to_spark(f["type"]), not f["required"]
+                f["name"],
+                # variant surfaces as its deterministic JSON text
+                # (decoded in _open_data_files; row 43)
+                T.StringType()
+                if f["name"] in variant_cols
+                else iceberg_type_to_spark(f["type"]),
+                not f["required"],
             )
             for f in current_schema["fields"]
         ]
@@ -1631,7 +1679,57 @@ def read_iceberg_table(
                     "the file directly (ICEBERG_CONFORMANCE.md row 33)"
                 )
 
+    _VARIANT_PHYS = T.StructType(
+        [
+            T.StructField("metadata", T.BinaryType(), True),
+            T.StructField("value", T.BinaryType(), True),
+        ]
+    )
+
+    def _probe_variant_physical(files: list[str]) -> None:
+        # driver-side footer probe (metadata-priced, like the export's
+        # own stats pass): every file carrying a variant column must
+        # hold the UNSHREDDED layout — struct of exactly
+        # metadata/value binaries. A `typed_value` child means the
+        # file is SHREDDED, a different physical layout this reader
+        # refuses loudly instead of silently null-reading (row 43).
+        import pyarrow as _pa  # noqa: PLC0415
+        import pyarrow.parquet as _pq  # noqa: PLC0415
+
+        for fp in files:
+            sch = _pq.ParquetFile(fp).schema_arrow
+            for c in variant_cols:
+                if c not in sch.names:
+                    continue  # pre-evolution file: null-fills
+                ftype = sch.field(c).type
+                if not _pa.types.is_struct(ftype):
+                    raise ValueError(
+                        f"variant column {c!r} in {fp!r} is not a "
+                        "struct — not a variant encoding this reader "
+                        "understands (ICEBERG_CONFORMANCE.md row 43)"
+                    )
+                children = {
+                    ftype.field(i).name for i in range(ftype.num_fields)
+                }
+                if "typed_value" in children:
+                    raise ValueError(
+                        f"variant column {c!r} in {fp!r} is SHREDDED "
+                        "(typed_value present) — this reader decodes "
+                        "unshredded variants only; rewrite unshredded "
+                        "or read with a shredding-aware engine "
+                        "(ICEBERG_CONFORMANCE.md row 43)"
+                    )
+                if not {"metadata", "value"} <= children:
+                    raise ValueError(
+                        f"variant column {c!r} in {fp!r} lacks the "
+                        "metadata/value pair (has "
+                        f"{sorted(children)}) — not an unshredded "
+                        "variant (ICEBERG_CONFORMANCE.md row 43)"
+                    )
+
     def _open_data_files(files: list[str]):
+        if variant_cols:
+            _probe_variant_physical(files)
         if time_cols or uuid_cols:
             # Spark rejects parquet's TIME logical type (and the UUID
             # logical type real Iceberg writers annotate on fixed[16])
@@ -1646,7 +1744,13 @@ def read_iceberg_table(
                 [
                     T.StructField(
                         f.name,
-                        T.BinaryType() if f.name in uuid_cols else f.dataType,
+                        T.BinaryType()
+                        if f.name in uuid_cols
+                        else (
+                            _VARIANT_PHYS
+                            if f.name in variant_cols
+                            else f.dataType
+                        ),
                         True,
                     )
                     for f in table_schema.fields
@@ -1655,6 +1759,16 @@ def read_iceberg_table(
             raw = spark.read.schema(read_schema).parquet(*files)
         else:
             raw = spark.read.parquet(*files)
+        for c in variant_cols:
+            if c in raw.columns and isinstance(
+                raw.schema[c].dataType, T.StructType
+            ):
+                # unshredded variant -> deterministic JSON text.
+                # Arrow-batched pandas UDF: the binary decode is
+                # genuinely inexpressible in built-ins, and the
+                # struct<binary,binary> column arrives as a pandas
+                # DataFrame per batch (row 43).
+                raw = raw.withColumn(c, _variant_json_udf()(F.col(c)))
         for c in uuid_cols:
             if c in raw.columns and isinstance(
                 raw.schema[c].dataType, T.BinaryType

@@ -49,7 +49,7 @@ _PRIORITY = [
     # r16-new surfaces (each displaces one r13-band key to the spill
     # note below):
     "a43_lineage_through_compaction_episode",
-    "c38_boilerplate_removal",
+    "c38_boilerplate_removal", "a44_v3_variant_decode",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
@@ -68,7 +68,7 @@ _PRIORITY = [
     "b33_json_funcs", "b35_cast_promotion", "b37b_deterministic_sample",
     "b52_grouping_sets", "b54_sessionize_batch", "b61_null_safe_join",
     "b59_map_hof", "b55_pivot", "b57_string_agg",
-    "b42_udtf_explode", "b44_csv_scan_roundtrip",
+    "b44_csv_scan_roundtrip",
     "a19_glue_catalog_episode", "a23_zorder_clustering_episode",
     "a25_cdc_replication", "a27_position_delete_episode",
     "a29_rename_evolution_episode", "a34_bucket_sort_compose",
@@ -95,8 +95,10 @@ _PRIORITY = [
     "b20_window_running_frame", "s12_stream_backfill_capped_distributed",
     # displaced by r16-new surfaces (family evidence: c19/c20 of the
     # packing/mixture/chunk family hold window slots; c12's decode
-    # family c12b/c12c/c14 all gated r15):
+    # family c12b/c12c/c14 all gated r15; b42's UDTF twin b50 gated
+    # r15):
     "c22_chunk_overlap", "c12_multimodal_decode_features",
+    "b42_udtf_explode",
     # The r15 window keys (b67/a40/b04/b09/b17/b23/c14/c12c/c09b/b68/
     # a41 + the r12 band) carry r15 driver evidence — freshest in the
     # registry, so they follow in registration order (unlisted mid),

@@ -2761,3 +2761,85 @@ def a43_lineage_through_compaction_episode(
         # materialize before the temp dir vanishes (bounded agg)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "a44_v3_variant_decode",
+    # The oracle replays the deterministic JSON rendering contract
+    # (module doc of variant.py): sorted keys, ints unquoted, strings
+    # quoted — plain SQL string building over the same source rows.
+    oracle="""
+    SELECT o_orderkey,
+           '{"k":' || o_orderkey || ',"p":"' || o_orderpriority || '"}'
+             AS payload_json
+    FROM orders WHERE o_orderkey <= 800
+    """,
+)
+def a44_v3_variant_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg-v3 VARIANT decode kernel (r16 — VERDICT r15 item 5):
+    unshredded variant pairs (metadata/value binaries per the PUBLIC
+    Parquet VariantEncoding spec, variant.py) written into a parquet
+    fixture, then decoded DISTRIBUTED through the same Arrow-batched
+    pandas UDF the external Iceberg reader applies
+    (iceberg_export._variant_json_udf) and hash-gated against a plain
+    SQL rendering of the same rows. Full read_iceberg_table
+    integration — metadata-time type routing, per-file shredded
+    refusal, null rows — is pinned by
+    tests/test_iceberg_foreign_read.py::test_v3_unshredded_variant_decodes
+    on an Avro-Java-written v3 fixture (conformance row 43)."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from ..iceberg_export import _variant_json_udf  # noqa: PLC0415
+    from ..variant import encode_variant  # noqa: PLC0415
+
+    src = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 800)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # bounded episode fixture build (gate-sized, like the ddl gate
+    # tables): the DISTRIBUTED surface under test is the decode scan
+    rows = src.collect()
+    payload = pa.array(
+        [
+            dict(
+                zip(
+                    ("metadata", "value"),
+                    encode_variant(
+                        {"k": r.o_orderkey, "p": r.o_orderpriority}
+                    ),
+                )
+            )
+            for r in rows
+        ],
+        type=pa.struct(
+            [("metadata", pa.binary()), ("value", pa.binary())]
+        ),
+    )
+    with tempfile.TemporaryDirectory(prefix="a44_variant_") as d:
+        fp = f"{d}/variant.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        [r.o_orderkey for r in rows], pa.int64()
+                    ),
+                    "payload": payload,
+                }
+            ),
+            fp,
+        )
+        out = (
+            spark.read.parquet(fp)
+            .repartition(8)  # the decode runs executor-parallel
+            .select(
+                "o_orderkey",
+                _variant_json_udf()(F.col("payload")).alias(
+                    "payload_json"
+                ),
+            )
+        )
+        # materialize before the temp dir vanishes (bounded episode)
+        mat = out.collect()
+        return spark.createDataFrame(mat, out.schema)

@@ -1074,13 +1074,18 @@ def test_v3_variant_and_future_version_refuse(spark, tmp_path):
         read_iceberg_table,
     )
 
+    # NESTED variant still refuses (top-level decodes since r16)
     root = tmp_path / "v3_variant"
     (root / "data").mkdir(parents=True)
     _v3_meta(root, [
         {"id": 1, "name": "id", "required": False, "type": "long"},
-        {"id": 2, "name": "payload", "required": False, "type": "variant"},
-    ], last_col=2)
-    with pytest.raises(ValueError, match="payload.*variant|variant.*payload"):
+        {"id": 2, "name": "s", "required": False, "type": {
+            "type": "struct", "fields": [
+                {"id": 3, "name": "payload", "required": False,
+                 "type": "variant"},
+            ]}},
+    ], last_col=3)
+    with pytest.raises(ValueError, match="s.payload"):
         read_iceberg_table(spark, root)
 
     root4 = tmp_path / "v4_future"
@@ -1358,3 +1363,93 @@ def test_v3_lineage_mixed_explicit_and_derived_manifests(spark, tmp_path):
     root2 = build("mixed_overlap", m1_base=103, snap_first=100)
     with pytest.raises(ValueError, match="overlap"):
         read_iceberg_table(spark, root2, lineage=True)
+
+
+def _variant_table(spark, tmp_path, name, shredded=False):
+    """v3 table with one unshredded (or, for the refusal twin,
+    shredded) variant column, manifests written by Avro-Java."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.variant import (
+        encode_variant,
+    )
+
+    root = tmp_path / name
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    m1, v1 = encode_variant({"a": 1, "b": "x"})
+    m2, v2 = encode_variant([1, 2.5, None, "s"])
+    if shredded:
+        typ = pa.struct([
+            ("metadata", pa.binary()),
+            ("value", pa.binary()),
+            ("typed_value", pa.int64()),
+        ])
+        payload = pa.array(
+            [
+                {"metadata": m1, "value": v1, "typed_value": None},
+                {"metadata": m2, "value": None, "typed_value": 7},
+                None,
+            ],
+            type=typ,
+        )
+    else:
+        typ = pa.struct([("metadata", pa.binary()), ("value", pa.binary())])
+        payload = pa.array(
+            [
+                {"metadata": m1, "value": v1},
+                {"metadata": m2, "value": v2},
+                None,
+            ],
+            type=typ,
+        )
+    d1 = root / "data" / "d.parquet"
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "payload": payload,
+        }),
+        d1,
+    )
+    m2s = (FOREIGN / "v2_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v2_manifest_list.avsc").read_text()
+    dd = _df(d1, 1, content=0, record_count=3)
+    dd["sequence_number"] = 1
+    dd["file_sequence_number"] = 1
+    write_avro_java(spark, root / "metadata" / "m1.avro", m2s, [dd])
+    write_avro_java(
+        spark,
+        root / "metadata" / "snap-901.avro",
+        lschema,
+        [_mlist_entry(root, "m1.avro", 0, 1)],
+    )
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "payload", "required": False, "type": "variant"},
+    ], last_col=2)
+    return root
+
+
+def test_v3_unshredded_variant_decodes(spark, tmp_path):
+    """r16 (VERDICT r15 item 5, conformance row 43): a TOP-LEVEL
+    unshredded variant column reads as its deterministic JSON text —
+    objects, arrays, mixed scalar types, and a null variant row —
+    while a SHREDDED file (typed_value present) refuses loudly
+    naming the column and file."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = _variant_table(spark, tmp_path, "v3_variant_ok")
+    df, _doc = read_iceberg_table(spark, root)
+    got = {r.id: r.payload for r in df.collect()}
+    assert got == {
+        1: '{"a":1,"b":"x"}',
+        2: '[1,2.5,null,"s"]',
+        3: None,
+    }
+    assert dict(df.dtypes)["payload"] == "string"
+
+    root2 = _variant_table(
+        spark, tmp_path, "v3_variant_shredded", shredded=True
+    )
+    with pytest.raises(ValueError, match="SHREDDED"):
+        read_iceberg_table(spark, root2).__class__  # force the read
