@@ -50,6 +50,7 @@ _PRIORITY = [
     # note below):
     "a43_lineage_through_compaction_episode",
     "c38_boilerplate_removal", "a44_v3_variant_decode",
+    "b67b_orc_evolved_scan",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
@@ -65,7 +66,7 @@ _PRIORITY = [
     # (twin s10 in-window). After this window no oracle-bearing key's
     # driver evidence is older than r13 except those 12 spills.
     "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
-    "b33_json_funcs", "b35_cast_promotion", "b37b_deterministic_sample",
+    "b35_cast_promotion", "b37b_deterministic_sample",
     "b52_grouping_sets", "b54_sessionize_batch", "b61_null_safe_join",
     "b59_map_hof", "b55_pivot", "b57_string_agg",
     "b44_csv_scan_roundtrip",
@@ -96,9 +97,9 @@ _PRIORITY = [
     # displaced by r16-new surfaces (family evidence: c19/c20 of the
     # packing/mixture/chunk family hold window slots; c12's decode
     # family c12b/c12c/c14 all gated r15; b42's UDTF twin b50 gated
-    # r15):
+    # r15; b33's JSON-funcs twin b34 holds a tier-1 slot):
     "c22_chunk_overlap", "c12_multimodal_decode_features",
-    "b42_udtf_explode",
+    "b42_udtf_explode", "b33_json_funcs",
     # The r15 window keys (b67/a40/b04/b09/b17/b23/c14/c12c/c09b/b68/
     # a41 + the r12 band) carry r15 driver evidence — freshest in the
     # registry, so they follow in registration order (unlisted mid),

@@ -396,3 +396,139 @@ def b68b_avro_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.unset(_pd_key)
         else:
             spark.conf.set(_pd_key, _pd_prev)
+
+
+def read_orc_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """ADD-plus-widen evolution read over a heterogeneous ORC
+    directory (r16 — VERDICT r15 item 6's ORC half): Spark's native
+    ``mergeSchema`` refuses ANY type change (CANNOT_MERGE_SCHEMAS on
+    int vs bigint, measured), so this helper implements the same
+    evolution contract the Avro source has — fields match by name,
+    a field absent from some files null-fills, present fields must
+    agree up to the Avro-legal widenings (int->long,
+    int/long/float->double; the avro source's lattice is reused),
+    anything else refuses loudly.
+
+    Scale shape: per-file footer schemas are read driver-side
+    (metadata-priced — ``spark.read.orc(file).schema`` plans without
+    scanning); files GROUP BY their schema so the data plane stays
+    one columnar scan per distinct schema (not per file), each arm
+    projecting a cast/null-fill alignment, arms unioned by name —
+    the same per-version-arm shape the lake scan uses."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from ..sources.avro_source import _widen  # noqa: PLC0415
+
+    files = sorted(glob.glob(os.path.join(path, "*.orc"))) or sorted(
+        glob.glob(os.path.join(path, "**", "*.orc"), recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"read_orc_evolved: no .orc under {path}")
+    groups: dict[str, tuple[T.StructType, list[str]]] = {}
+    for f in files:
+        sch = spark.read.orc(f).schema  # footer only, no scan
+        key = sch.simpleString()
+        if key in groups:
+            groups[key][1].append(f)
+        else:
+            groups[key] = (sch, [f])
+    # widened union across the distinct schemas
+    union: dict[str, T.DataType] = {}
+    for sch, _fs in groups.values():
+        for fld in sch.fields:
+            prev = union.get(fld.name)
+            if prev is None:
+                union[fld.name] = fld.dataType
+            elif prev != fld.dataType:
+                wide = _widen(prev, fld.dataType)
+                if wide is None:
+                    raise ValueError(
+                        f"read_orc_evolved: field {fld.name!r} is "
+                        f"{prev.simpleString()} in one file and "
+                        f"{fld.dataType.simpleString()} in another — "
+                        "not an Avro-legal widening, type conflicts "
+                        "are not merged"
+                    )
+                union[fld.name] = wide
+    out = None
+    for sch, fs in groups.values():
+        have = {f.name for f in sch.fields}
+        arm = spark.read.orc(*fs).select(
+            *[
+                (
+                    F.col(name).cast(dt)
+                    if name in have
+                    else F.lit(None).cast(dt)
+                ).alias(name)
+                for name, dt in union.items()
+            ]
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+@query(
+    "b67b_orc_evolved_scan",
+    # the oracle replays both evolution slices from the original
+    # parquet: the int->long widened key aggregates identically, the
+    # added column null-fills on pre-evolution rows
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           COUNT(l_linestatus2) AS n_with_status
+    FROM (
+      SELECT l_returnflag, l_orderkey,
+             CAST(NULL AS VARCHAR) AS l_linestatus2
+      FROM lineitem WHERE l_orderkey <= 1000
+      UNION ALL
+      SELECT l_returnflag, l_orderkey, l_linestatus AS l_linestatus2
+      FROM lineitem WHERE l_orderkey > 1000 AND l_orderkey <= 2000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def b67b_orc_evolved_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC evolution read (r16): slice 1 written with l_orderkey as
+    INT and no second status column; slice 2 written post-evolution
+    with the key widened to LONG and the column added.
+    ``read_orc_evolved`` reads the heterogeneous directory under the
+    widened union schema (key long, added column null-filled on
+    slice-1 rows) — Spark's native mergeSchema refuses this exact layout."""
+    base = t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_orderkey",
+        F.col("l_linestatus").alias("l_linestatus2"),
+    )
+    with tempfile.TemporaryDirectory(prefix="orc_evo_") as d:
+        base.filter("l_orderkey <= 1000").selectExpr(
+            "l_returnflag", "cast(l_orderkey as int) l_orderkey"
+        ).coalesce(1).write.orc(f"{d}/s1")
+        base.filter(
+            "l_orderkey > 1000 AND l_orderkey <= 2000"
+        ).selectExpr(
+            "l_returnflag", "cast(l_orderkey as long) l_orderkey",
+            "l_linestatus2",
+        ).coalesce(1).write.orc(f"{d}/s2")
+        import glob  # noqa: PLC0415
+        import os  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+
+        dd = f"{d}/all"
+        os.makedirs(dd)
+        for i, f in enumerate(
+            sorted(glob.glob(f"{d}/s1/*.orc"))
+            + sorted(glob.glob(f"{d}/s2/*.orc"))
+        ):
+            shutil.copy(f, f"{dd}/part-{i:04d}.orc")
+        back = read_orc_evolved(spark, dd)
+        out = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("sum_key"),
+            F.count("l_linestatus2").alias("n_with_status"),
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes (bounded agg)
+        return spark.createDataFrame(rows, out.schema)
