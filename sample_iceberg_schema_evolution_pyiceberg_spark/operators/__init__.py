@@ -50,7 +50,7 @@ _PRIORITY = [
     # note below):
     "a43_lineage_through_compaction_episode",
     "c38_boilerplate_removal", "a44_v3_variant_decode",
-    "b67b_orc_evolved_scan",
+    "b67b_orc_evolved_scan", "a45_lineage_through_cow_dml_episode",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
@@ -67,7 +67,7 @@ _PRIORITY = [
     # driver evidence is older than r13 except those 12 spills.
     "b10_join_broadcast_hint", "b11_join_range", "b16_agg_having",
     "b35_cast_promotion", "b37b_deterministic_sample",
-    "b52_grouping_sets", "b54_sessionize_batch", "b61_null_safe_join",
+    "b52_grouping_sets", "b54_sessionize_batch",
     "b59_map_hof", "b55_pivot", "b57_string_agg",
     "b44_csv_scan_roundtrip",
     "a19_glue_catalog_episode", "a23_zorder_clustering_episode",
@@ -97,9 +97,10 @@ _PRIORITY = [
     # displaced by r16-new surfaces (family evidence: c19/c20 of the
     # packing/mixture/chunk family hold window slots; c12's decode
     # family c12b/c12c/c14 all gated r15; b42's UDTF twin b50 gated
-    # r15; b33's JSON-funcs twin b34 holds a tier-1 slot):
+    # r15; b33's JSON-funcs twin b34 holds a tier-1 slot; b61's
+    # join family b04/b09 gated r15 with b10/b11 in-window):
     "c22_chunk_overlap", "c12_multimodal_decode_features",
-    "b42_udtf_explode", "b33_json_funcs",
+    "b42_udtf_explode", "b33_json_funcs", "b61_null_safe_join",
     # The r15 window keys (b67/a40/b04/b09/b17/b23/c14/c12c/c09b/b68/
     # a41 + the r12 band) carry r15 driver evidence — freshest in the
     # registry, so they follow in registration order (unlisted mid),

@@ -2843,3 +2843,137 @@ def a44_v3_variant_decode(spark: SparkSession, sf: str) -> DataFrame:
         # materialize before the temp dir vanishes (bounded episode)
         mat = out.collect()
         return spark.createDataFrame(mat, out.schema)
+
+
+@query(
+    "a45_lineage_through_cow_dml_episode",
+    # Hashed values are closed-form DML-group aggregates (counts +
+    # key sums per _last_updated_sequence_number after deterministic
+    # CoW UPDATE and MERGE); id behavior gates through the flags:
+    # ids_stable (every pre-DML row keeps its _row_id through both
+    # rewrites) and engine_external_match (post-DML engine lineage ==
+    # external Iceberg reader over the v3 export).
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey <= 1200 THEN 1 ELSE 2 END AS seq0
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    final AS (
+      SELECT k,
+             CASE WHEN k <= 100 THEN 4
+                  WHEN k % 7 = 0 THEN 3
+                  ELSE seq0 END AS last_seq
+      FROM t
+      UNION ALL
+      SELECT 2000001, 4
+      UNION ALL
+      SELECT 2000002, 4
+    )
+    SELECT CAST(last_seq AS BIGINT) AS last_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_key,
+           TRUE AS ids_stable, TRUE AS engine_external_match
+    FROM final GROUP BY last_seq
+    """,
+)
+def a45_lineage_through_cow_dml_episode(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Row lineage through COPY-ON-WRITE DML (r16, a45 — extends a43
+    beyond compaction): CoW UPDATE keeps every row's ``_row_id`` and
+    bumps ``_last_updated_sequence_number`` on exactly the updated
+    rows; CoW MERGE keeps carried ids, bumps matched-updated rows,
+    and inserts take fresh positional ids from the commit's
+    first_row_id block (the spec's null-slot inheritance). All via
+    the a43 machinery — lineage rides the rewrites as physical
+    columns, the v3 export references them in place, and the external
+    reader derives identical ids.
+
+    Episode: two appends (seq 1, 2) → CoW UPDATE keys divisible by 7
+    (seq 3) → CoW MERGE updating keys <= 100 and inserting two new
+    keys (seq 4) → per-sequence aggregates + the two invariants."""
+    src = t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    with tempfile.TemporaryDirectory(prefix="a45_cow_") as wh:
+        cat = LakeCatalog(wh)
+        schema = (
+            spark.range(1)
+            .selectExpr(
+                "cast(id as long) o_orderkey",
+                "cast(0.0 as double) price",
+            )
+            .schema
+        )
+        table = cat.create_table("gate", "cowlin", schema)
+        table.append(
+            src.filter("o_orderkey <= 1200")
+            .selectExpr("o_orderkey", "cast(o_totalprice as double) price")
+            .repartition(2)
+        )
+        table = cat.load_table("gate", "cowlin")
+        table.append(
+            src.filter("o_orderkey > 1200")
+            .selectExpr("o_orderkey", "cast(o_totalprice as double) price")
+            .repartition(2)
+        )
+        table = cat.load_table("gate", "cowlin")
+        pre = {
+            r.o_orderkey: r._row_id
+            for r in table.lineage_df(spark).collect()
+        }
+        table.update_where(
+            spark,
+            "o_orderkey % 7 = 0",
+            {"price": "price + 1.0"},
+            strategy="copy_on_write",
+        )
+        table = cat.load_table("gate", "cowlin")
+        merge_src = spark.createDataFrame(
+            [(2000001, 1.0), (2000002, 2.0)],
+            "o_orderkey bigint, price double",
+        ).unionByName(
+            src.filter("o_orderkey <= 100").selectExpr(
+                "o_orderkey", "cast(0.5 as double) price"
+            )
+        )
+        table.merge_into(
+            spark,
+            merge_src,
+            ["o_orderkey"],
+            when_matched_update={"price": "s_price"},
+            strategy="copy_on_write",
+        )
+        table = cat.load_table("gate", "cowlin")
+        engine = table.lineage_df(spark)
+        post = {
+            r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            for r in engine.collect()
+        }
+        ids_stable = all(
+            post[k][0] == rid for k, rid in pre.items()
+        ) and len({v[0] for v in post.values()}) == len(post)
+        export_to_iceberg(table, spark=spark, format_version=3)
+        external, doc = read_iceberg_table(
+            spark, table.location, lineage=True
+        )
+        ext = {
+            r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            for r in external.collect()
+        }
+        match = post == ext and doc["next-row-id"] == int(
+            table.meta["next_row_id"]
+        )
+        out = (
+            engine.groupBy(
+                F.col("_last_updated_sequence_number").alias("last_seq")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+            )
+            .withColumn("ids_stable", F.lit(bool(ids_stable)))
+            .withColumn("engine_external_match", F.lit(bool(match)))
+        )
+        # materialize before the temp dir vanishes (bounded agg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

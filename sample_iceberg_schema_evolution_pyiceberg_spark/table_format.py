@@ -2570,8 +2570,13 @@ class LakeTable:
                 raise
         if strategy != "copy_on_write":
             raise TableFormatError(f"unknown delete strategy {strategy!r}")
-        kept = self.to_df(spark).filter(f"NOT ({self._null_safe(condition)})")
-        return self._replace_live(spark, kept, "delete")
+        # a45: survivors carry their row lineage through the rewrite
+        # (a DELETE does not update them, so sequence numbers hold)
+        src, carry = self._lineage_source(spark)
+        kept = src.filter(f"NOT ({self._null_safe(condition)})")
+        return self._replace_live(
+            spark, kept, "delete", lineage_materialized=carry
+        )
 
     def update_where(
         self,
@@ -2744,21 +2749,35 @@ class LakeTable:
                 raise
         if strategy != "copy_on_write":
             raise TableFormatError(f"unknown update strategy {strategy!r}")
-        df = self.to_df(spark)
-        df = df.select(
-            *[
-                F.when(
-                    cond,
-                    F.expr(assignments[f.name]).cast(f.dataType),
-                )
-                .otherwise(F.col(f.name))
-                .alias(f.name)
-                if f.name in assignments
-                else F.col(f.name)
-                for f in self.schema.fields
+        df, carry = self._lineage_source(spark)
+        sel = [
+            F.when(
+                cond,
+                F.expr(assignments[f.name]).cast(f.dataType),
+            )
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in self.schema.fields
+        ]
+        if carry:
+            # a45: updated rows keep their _row_id and bump
+            # _last_updated_sequence_number to THIS commit's sequence
+            # (peeked as last+1 — _write assigns the same value on the
+            # very next call of this single-threaded handle); untouched
+            # rows carry both through unchanged
+            next_seq = int(self.meta.get("last_sequence_number", 0)) + 1
+            sel += [
+                F.col("_row_id"),
+                F.when(cond, F.lit(next_seq).cast("long"))
+                .otherwise(F.col("_last_updated_sequence_number"))
+                .alias("_last_updated_sequence_number"),
             ]
+        df = df.select(*sel)
+        return self._replace_live(
+            spark, df, "update", lineage_materialized=carry
         )
-        return self._replace_live(spark, df, "update")
 
     def _check_assignment_targets(self, assignments: dict[str, str]) -> None:
         unknown = set(assignments) - {f.name for f in self.schema.fields}
@@ -2860,7 +2879,12 @@ class LakeTable:
             # copy-on-write path is a single action and needs none of
             # this.
             source = source.localCheckpoint(eager=True)
-        target = self.to_df(spark)
+        # a45: the CoW rewrite carries row lineage when assignable
+        # (the MoR path derives its own plain target scan)
+        if strategy == "copy_on_write":
+            target, carry_lineage = self._lineage_source(spark)
+        else:
+            target, carry_lineage = self.to_df(spark), False
         cols = [f.name for f in self.schema.fields]
         src = source.select(
             *[F.col(c).alias(f"s_{c}") for c in source.columns]
@@ -2944,15 +2968,38 @@ class LakeTable:
             "left",
         )
         matched = F.col(f"s_{key_cols[0]}").isNotNull()
-        col_expr, drop, _updated = clause_flags(matched)
-        kept = joined.filter(~drop).select(
-            *[col_expr[c].alias(c) for c in cols]
-        )
+        col_expr, drop, updated = clause_flags(matched)
+        kept_cols = [col_expr[c].alias(c) for c in cols]
+        if carry_lineage:
+            # a45: carried/updated rows keep their _row_id; rows an
+            # update clause fired on bump their sequence to THIS
+            # commit's (peeked last+1, same as update_where); inserts
+            # get NULL lineage — the fresh first_row_id block the
+            # commit consumes assigns them positionally (the spec's
+            # null-slot inheritance rule, same coalesce as a43)
+            next_seq = int(self.meta.get("last_sequence_number", 0)) + 1
+            kept_cols += [
+                F.col("_row_id"),
+                F.when(updated, F.lit(next_seq).cast("long"))
+                .otherwise(F.col("_last_updated_sequence_number"))
+                .alias("_last_updated_sequence_number"),
+            ]
+        kept = joined.filter(~drop).select(*kept_cols)
         result = kept
         inserts_aligned = build_inserts()
         if inserts_aligned is not None:
+            if carry_lineage:
+                inserts_aligned = inserts_aligned.select(
+                    "*",
+                    F.lit(None).cast("long").alias("_row_id"),
+                    F.lit(None)
+                    .cast("long")
+                    .alias("_last_updated_sequence_number"),
+                )
             result = kept.unionByName(inserts_aligned)
-        return self._replace_live(spark, result, "merge")
+        return self._replace_live(
+            spark, result, "merge", lineage_materialized=carry_lineage
+        )
 
     def _merge_on_read(
         self,
@@ -3081,8 +3128,26 @@ class LakeTable:
             self.meta = backup
             raise
 
+    def _lineage_source(
+        self, spark: SparkSession
+    ) -> "tuple[DataFrame, bool]":
+        """Rewrite input for copy-on-write DML (a45): the
+        lineage-bearing scan when every live file carries an
+        assignment — each surviving row's _row_id /
+        _last_updated_sequence_number ride the rewrite as physical
+        columns, exactly as ``compact`` does (a43) — else the plain
+        scan, leaving the rewrite non-materializing (and lineage_df's
+        refusal intact for pre-lineage histories)."""
+        if self._lineage_assignable():
+            return self.lineage_df(spark), True
+        return self.to_df(spark), False
+
     def _replace_live(
-        self, spark: SparkSession, df: DataFrame, operation: str
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        operation: str,
+        lineage_materialized: bool = False,
     ) -> Snapshot:
         """Materialize a rewritten live set, then commit it as the one
         live snapshot (old snapshots move to history for time travel).
@@ -3095,7 +3160,9 @@ class LakeTable:
             raise TableFormatError(
                 "_replace_live is for rewrite operations only"
             )
-        return self._write(df, operation)  # moves old live to history
+        return self._write(
+            df, operation, lineage_materialized=lineage_materialized
+        )  # moves old live to history
 
     # -- incremental reads -------------------------------------------------
 

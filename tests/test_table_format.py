@@ -1532,10 +1532,10 @@ def test_row_lineage_assignment_and_reload(spark, tmp_path):
 
 def test_row_lineage_refuses_nonmaterializing_rewrite(spark, tmp_path):
     """Merge-on-read deletes mask rows without shifting survivor ids;
-    a NON-materializing rewrite history (copy-on-write DML /
-    overwrite) refuses rather than inventing ids. (Compaction
-    MATERIALIZES lineage since a43 — covered by
-    test_lineage_through_compaction_materializes_columns.)"""
+    the NON-materializing rewrite left (overwrite — its rows are new
+    content, no carry is derivable) refuses rather than inventing ids,
+    and so does everything downstream of it. (Compaction and CoW DML
+    MATERIALIZE lineage since a43/a45.)"""
     import pytest as _pytest
     from pyspark.sql import types as T
 
@@ -1552,7 +1552,7 @@ def test_row_lineage_refuses_nonmaterializing_rewrite(spark, tmp_path):
     t = cat.load_table("db", "lin2")
     got = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
     assert got == {0: 0, 2: 2, 4: 4, 5: 5}  # survivors keep their ids
-    t.delete_where(spark, "id = 5", strategy="copy_on_write")
+    t.overwrite(t.to_df(spark).filter("id <> 5"))
     t = cat.load_table("db", "lin2")
     with _pytest.raises(TableFormatError, match="first_row_id"):
         t.lineage_df(spark)
@@ -1562,6 +1562,74 @@ def test_row_lineage_refuses_nonmaterializing_rewrite(spark, tmp_path):
     t = cat.load_table("db", "lin2")
     with _pytest.raises(TableFormatError, match="first_row_id"):
         t.lineage_df(spark)
+
+
+def test_row_lineage_through_cow_dml(spark, tmp_path):
+    """a45: copy-on-write DELETE carries survivor lineage untouched;
+    CoW UPDATE keeps _row_id and bumps _last_updated_sequence_number
+    on exactly the updated rows; CoW MERGE keeps carried ids, bumps
+    updated rows, assigns inserted rows FRESH ids from the commit's
+    null-slot block. All through physical columns, so normal scans
+    stay clean."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),
+    ])
+    t = cat.create_table("db", "lin5", sch)
+    t.append(spark.range(0, 6).selectExpr("id", "id * 10 as v"))
+    # CoW DELETE (seq 2): survivors keep id AND sequence
+    t.delete_where(spark, "id IN (1, 3)", strategy="copy_on_write")
+    t = cat.load_table("db", "lin5")
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in t.lineage_df(spark).collect()
+    }
+    assert got == {0: (0, 1), 2: (2, 1), 4: (4, 1), 5: (5, 1)}
+    # CoW UPDATE (seq 3): updated rows bump seq, keep id
+    t.update_where(
+        spark, "id >= 4", {"v": "v + 1"}, strategy="copy_on_write"
+    )
+    t = cat.load_table("db", "lin5")
+    got = {
+        r.id: (r._row_id, r._last_updated_sequence_number, r.v)
+        for r in t.lineage_df(spark).collect()
+    }
+    assert got == {
+        0: (0, 1, 0), 2: (2, 1, 20), 4: (4, 3, 41), 5: (5, 3, 51),
+    }
+    # CoW MERGE (seq 4): id=2 updated (bump, keep id), id=100 inserted
+    # (fresh id from the commit's block), id=0/4/5 carried untouched
+    src = spark.createDataFrame(
+        [(2, 999), (100, 1000)], "id bigint, v bigint"
+    )
+    t.merge_into(
+        spark, src, ["id"],
+        when_matched_update={"v": "s_v"},
+        strategy="copy_on_write",
+    )
+    t = cat.load_table("db", "lin5")
+    rows = {
+        r.id: (r._row_id, r._last_updated_sequence_number, r.v)
+        for r in t.lineage_df(spark).collect()
+    }
+    assert rows[0] == (0, 1, 0)
+    assert rows[2] == (2, 4, 999)
+    assert rows[4] == (4, 3, 41)
+    assert rows[5] == (5, 3, 51)
+    new_id, new_seq, new_v = rows[100]
+    assert new_v == 1000 and new_seq == 4
+    # fresh id, never colliding with any carried id
+    assert new_id not in {0, 2, 4, 5}
+    assert len({v[0] for v in rows.values()}) == len(rows)
+    # normal scans never see the lineage columns
+    assert t.to_df(spark).columns == ["id", "v"]
 
 
 def test_lineage_through_compaction_materializes_columns(
