@@ -2263,19 +2263,24 @@ class LakeTable:
         manifest = self._collect_manifest(rel)
         self._warn_dual_layout_file_product(manifest)
         if branch is None and (
-            operation == "append" or lineage_materialized
+            operation in ("append", "overwrite") or lineage_materialized
         ):
             # v3 row lineage (a42): plain appends consume the table's
             # row-id space — each data file records the id of its
             # first row, ids continue positionally within the file.
-            # Rewrite commits that MATERIALIZED lineage (a43: the
+            # Rewrite commits that MATERIALIZED lineage (a43/a45: the
             # rewrite wrote each surviving row's _row_id /
             # _last_updated_sequence_number as physical columns) also
             # consume a fresh block — the spec's inheritance base for
             # any null-_row_id slots (empty for a pure compaction;
-            # readers coalesce materialized over positional). Other
-            # rewrites (overwrite/DML) get no assignment — lineage_df
-            # refuses on such histories rather than inventing ids.
+            # merge inserts use it; readers coalesce materialized over
+            # positional). OVERWRITE assigns a fresh block too (r16):
+            # its rows are new content with no prior identity, exactly
+            # the spec's added-files assignment — so lineage stays
+            # servable across every commit this engine writes. Only a
+            # non-carrying "replace" (compact of a pre-lineage
+            # history) stays unassigned — fresh ids there would claim
+            # identity for rows that HAVE one, just unrecorded.
             # Branch appends stage unassigned and receive their block
             # at fast_forward (publish order is what decides it).
             self._assign_row_ids(manifest)
@@ -2667,6 +2672,12 @@ class LakeTable:
                     delete_pos_dir=pos_rel,
                     files=pos_manifest,
                 )
+                app_manifest = self._collect_manifest(rel)
+                # r16: the re-appended post-update versions are ADDED
+                # files — they take a fresh id block (spec assignment;
+                # MoR updates give rewritten rows new ids, CoW is the
+                # id-preserving path)
+                self._assign_row_ids(app_manifest)
                 app_snap = Snapshot(
                     snapshot_id=rel.rsplit("snap-", 1)[1],
                     timestamp_ms=now,
@@ -2677,7 +2688,7 @@ class LakeTable:
                     spec_id=int(self.meta["current_spec_id"]),
                     data_dir=rel,
                     sequence_number=seq0 + 2,
-                    files=self._collect_manifest(rel),
+                    files=app_manifest,
                 )
                 self.meta["last_sequence_number"] = seq0 + 2
                 self.meta["snapshots"].extend(
@@ -2726,6 +2737,9 @@ class LakeTable:
                 del_snap = self._predicate_snapshot(
                     condition, seq0 + 1, now
                 )
+                # r16: fresh id block for the re-appended versions
+                # (same rule as the position flavor above)
+                self._assign_row_ids(manifest)
                 app_snap = Snapshot(
                     snapshot_id=rel.rsplit("snap-", 1)[1],
                     timestamp_ms=now,
@@ -3100,6 +3114,10 @@ class LakeTable:
                 )
             if n_app > 0:
                 seq += 1
+                # r16: re-appended versions/inserts are ADDED files —
+                # fresh id block (spec assignment; the committed-only
+                # guard keeps next_row_id honest on dropped dirs)
+                self._assign_row_ids(app_manifest)
                 new_snaps.append(
                     Snapshot(
                         snapshot_id=rel.rsplit("snap-", 1)[1],
@@ -4167,10 +4185,15 @@ class LakeTable:
         positional derivation, so survivors keep their pre-compaction
         ids.
 
-        Refuses loudly when any live data file carries no assignment —
-        non-materializing rewrites (overwrite / copy-on-write DML) and
-        branch appends do not assign ids — rather than inventing ids.
-        Mirrors the external reader's posture
+        Since r16 EVERY commit this engine writes assigns: CoW DML
+        carries ids as a43 does (a45; updates bump the sequence,
+        merge inserts take null-slot fresh ids), while OVERWRITE and
+        MoR-update re-appends take FRESH blocks (their rows are new
+        content / new row versions — the spec's added-files rule).
+        Refusal therefore survives only where it should: LEGACY
+        manifests that predate assignment, and unpublished branch
+        appends (ids arrive at fast_forward). Mirrors the external
+        reader's posture
         (``read_iceberg_table(lineage=True)``); the v3 export emits
         these assignments as explicit avro-level ``first_row_id``
         fields and references the materialized data files in place,
@@ -5471,6 +5494,10 @@ class LakeTable:
                 self.data_io.delete_recursive(str(self.location / keys_rel))
             if n_app > 0:
                 seq += 1
+                # r16: re-appended versions/inserts are ADDED files —
+                # fresh id block (spec assignment; the committed-only
+                # guard keeps next_row_id honest on dropped dirs)
+                self._assign_row_ids(app_manifest)
                 new_snaps.append(
                     Snapshot(
                         snapshot_id=rel.rsplit("snap-", 1)[1],

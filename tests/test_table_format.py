@@ -1530,12 +1530,15 @@ def test_row_lineage_assignment_and_reload(spark, tmp_path):
     assert {r[2] for r in rows if r[0] >= 100} == {2}
 
 
-def test_row_lineage_refuses_nonmaterializing_rewrite(spark, tmp_path):
-    """Merge-on-read deletes mask rows without shifting survivor ids;
-    the NON-materializing rewrite left (overwrite — its rows are new
-    content, no carry is derivable) refuses rather than inventing ids,
-    and so does everything downstream of it. (Compaction and CoW DML
-    MATERIALIZE lineage since a43/a45.)"""
+def test_row_lineage_overwrite_fresh_and_legacy_refusal(spark, tmp_path):
+    """Merge-on-read deletes mask rows without shifting survivor ids.
+    Since r16 EVERY commit assigns: OVERWRITE rows are new content and
+    take FRESH ids (the spec's added-files rule — no carry exists to
+    preserve), MoR-update re-appends take fresh blocks too, so lineage
+    serves across every engine-written history. The refusal posture
+    survives only where it should: a LEGACY history whose manifests
+    predate assignment (manufactured here by stripping first_row_id),
+    and a compact() of that history must not invent ids either."""
     import pytest as _pytest
     from pyspark.sql import types as T
 
@@ -1552,14 +1555,31 @@ def test_row_lineage_refuses_nonmaterializing_rewrite(spark, tmp_path):
     t = cat.load_table("db", "lin2")
     got = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
     assert got == {0: 0, 2: 2, 4: 4, 5: 5}  # survivors keep their ids
+    # overwrite: fresh contiguous block from the cursor (6 consumed)
     t.overwrite(t.to_df(spark).filter("id <> 5"))
     t = cat.load_table("db", "lin2")
+    got = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert set(got) == {0, 2, 4}
+    assert sorted(got.values()) == [6, 7, 8]  # fresh ids, no reuse
+    assert int(t.meta["next_row_id"]) == 9
+    # MoR update: untouched rows keep ids, the re-appended version
+    # takes a fresh id (spec-legal; CoW is the id-preserving path)
+    t.update_where(
+        spark, "id = 2", {"id": "id"}, strategy="merge_on_read"
+    )
+    t = cat.load_table("db", "lin2")
+    got2 = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert got2[0] == got[0] and got2[4] == got[4]
+    assert got2[2] == 9  # fresh block
+    # LEGACY history (pre-assignment manifests): refusal preserved
+    for sj in t.meta["snapshots"]:
+        for f in sj.get("files") or []:
+            f.pop("first_row_id", None)
     with _pytest.raises(TableFormatError, match="first_row_id"):
         t.lineage_df(spark)
-    # compact() on the now-unassignable history must NOT invent ids
-    # either: it compacts fine, but plain (no materialized columns)
+    # compact() of the legacy history must NOT invent ids: it
+    # compacts plain (no materialized columns), still refuses
     t.compact(spark)
-    t = cat.load_table("db", "lin2")
     with _pytest.raises(TableFormatError, match="first_row_id"):
         t.lineage_df(spark)
 
@@ -1882,3 +1902,51 @@ def test_b68b_episode_restores_filter_pushdown_conf(spark):
     out = b68b_avro_pruned_scan(spark, "/root/testdata/sf0.001")
     assert out.count() > 0
     assert spark.conf.get(key) == before
+
+
+def test_lineage_survives_zorder_and_schema_evolution(spark, tmp_path):
+    """a43 edge interplay: lineage carries through a Z-ORDER compact
+    (the __zorder_tmp column path) and through a compaction AFTER a
+    schema evolution (the per-version alignment arms), and a
+    post-evolution append composes with carried ids."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("x", T.LongType(), True),
+    ])
+    t = cat.create_table("db", "lin6", sch)
+    t.append(spark.range(0, 8).selectExpr("id", "id * 3 as x"))
+    pre = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    # z-order compact: lineage rides through the zcol repartition
+    t.compact(spark, cluster_by=["id", "x"])
+    t = cat.load_table("db", "lin6")
+    assert {r.id: r._row_id for r in t.lineage_df(spark).collect()} == pre
+    # evolve the schema (ADD COLUMN), append under the new version,
+    # compact again: old rows carry, new rows keep their append ids
+    from sample_iceberg_schema_evolution_pyiceberg_spark.ddl import DdlFrontend
+
+    ddl = DdlFrontend(spark, cat)
+    assert not ddl.sql("ALTER TABLE db.lin6 ADD COLUMN y BIGINT").has_error
+    t = cat.load_table("db", "lin6")
+    t.append(
+        spark.range(100, 102).selectExpr(
+            "id", "id as x", "id * 2 as y"
+        )
+    )
+    t = cat.load_table("db", "lin6")
+    mid = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert {k: v for k, v in mid.items() if k < 100} == pre
+    t.compact(spark)
+    t = cat.load_table("db", "lin6")
+    post = {
+        r.id: (r._row_id, r.y) for r in t.lineage_df(spark).collect()
+    }
+    assert {k: v[0] for k, v in post.items()} == mid
+    assert post[100][1] == 200  # evolved column survives the carry
+    assert post[0][1] is None
