@@ -51,6 +51,7 @@ _PRIORITY = [
     "a43_lineage_through_compaction_episode",
     "c38_boilerplate_removal", "a44_v3_variant_decode",
     "b67b_orc_evolved_scan", "a45_lineage_through_cow_dml_episode",
+    "c39_repetition_quality",
     "b25_intersect", "b26_except", "b34_from_json_schema",
     "b41_grouped_agg_pandas_udf", "b51_window_first_last",
     "b63_recursive_cte_hierarchy", "b65_window_time_range_frame",
@@ -77,7 +78,7 @@ _PRIORITY = [
     "a38_add_files_import_episode",
     "c02_dedup_minhash_lsh", "c03_dedup_simhash",
     "c04_dedup_ngram_jaccard", "c05_cosine_topk_brute",
-    "c07_text_langid", "c08_text_quality", "c10_text_fingerprint",
+    "c08_text_quality", "c10_text_fingerprint",
     "c11_multimodal_binary_meta",
     "c13_dedup_embedding_cosine", "c19_sequence_packing",
     "c20_weighted_mixture", "c21_dedup_keeper_selection",
@@ -98,9 +99,11 @@ _PRIORITY = [
     # packing/mixture/chunk family hold window slots; c12's decode
     # family c12b/c12c/c14 all gated r15; b42's UDTF twin b50 gated
     # r15; b33's JSON-funcs twin b34 holds a tier-1 slot; b61's
-    # join family b04/b09 gated r15 with b10/b11 in-window):
+    # join family b04/b09 gated r15 with b10/b11 in-window; c07's C4
+    # text family carries c09/c09b/c15 gated r15 with c08 in-window):
     "c22_chunk_overlap", "c12_multimodal_decode_features",
     "b42_udtf_explode", "b33_json_funcs", "b61_null_safe_join",
+    "c07_text_langid",
     # The r15 window keys (b67/a40/b04/b09/b17/b23/c14/c12c/c09b/b68/
     # a41 + the r12 band) carry r15 driver evidence — freshest in the
     # registry, so they follow in registration order (unlisted mid),

@@ -2129,3 +2129,161 @@ def c38_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
     + JVM-HOF rebuild machinery c33 uses. Composition is one call:
     ``remove_boilerplate(docs)``."""
     return remove_boilerplate(t(spark, sf, "documents"))
+
+
+@query(
+    "c39_repetition_quality",
+    # full replay: per-doc token stats, the modal token, the modal
+    # word 2-gram (count DESC then gram text for a deterministic
+    # winner), and the token mass in repeated 3-grams — the Gopher
+    # (Rae et al. 2021) repetition-filter family over word grams
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS ws FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, LEN(ws) AS n_tokens FROM ws
+    ),
+    t1 AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(ws) AS w FROM ws)
+      GROUP BY doc_id, w
+    ),
+    top1 AS (
+      SELECT doc_id,
+             MAX(c) AS c1,
+             COUNT(*) AS n_distinct
+      FROM t1 GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, COUNT(*) AS c
+      FROM (SELECT doc_id, ws, UNNEST(RANGE(1, LEN(ws))) AS i FROM ws
+            WHERE LEN(ws) >= 2)
+      GROUP BY doc_id, g
+    ),
+    top2 AS (
+      SELECT doc_id, MAX(c) AS c2 FROM g2 GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g,
+             COUNT(*) AS c
+      FROM (SELECT doc_id, ws, UNNEST(RANGE(1, LEN(ws) - 1)) AS i
+            FROM ws WHERE LEN(ws) >= 3)
+      GROUP BY doc_id, g
+    ),
+    dup3 AS (
+      SELECT doc_id, SUM(c) AS dup_mass
+      FROM g3 WHERE c >= 2 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(top1.n_distinct AS DOUBLE) / t.n_tokens, 6)
+             AS ttr,
+           ROUND(CAST(top1.c1 AS DOUBLE) / t.n_tokens, 6)
+             AS top1_frac,
+           ROUND(CAST(COALESCE(top2.c2, 0) * 2 AS DOUBLE) / t.n_tokens,
+                 6) AS top2g_frac,
+           ROUND(CAST(COALESCE(dup3.dup_mass, 0) * 3 AS DOUBLE)
+                 / t.n_tokens, 6) AS dup3g_frac,
+           CASE WHEN CAST(top1.c1 AS DOUBLE) / t.n_tokens <= 0.2
+                 AND CAST(COALESCE(top2.c2, 0) * 2 AS DOUBLE)
+                     / t.n_tokens <= 0.2
+                 AND CAST(COALESCE(dup3.dup_mass, 0) * 3 AS DOUBLE)
+                     / t.n_tokens <= 0.3
+                 AND CAST(top1.n_distinct AS DOUBLE) / t.n_tokens >= 0.3
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM toks t
+    JOIN top1 ON top1.doc_id = t.doc_id
+    LEFT JOIN top2 ON top2.doc_id = t.doc_id
+    LEFT JOIN dup3 ON dup3.doc_id = t.doc_id
+    """,
+)
+def c39_repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """REPETITION quality filters (r16): the Gopher rule family
+    (Rae et al. 2021, Table A1) adapted to word grams — type/token
+    ratio, modal-token fraction, top word-2-gram token fraction, and
+    the token mass sitting in repeated 3-grams, plus the composed
+    pass/fail gate. The signals c08's length/punct/stopword family
+    misses: a doc that loops one phrase passes c08 and fails here.
+
+    100 TB shape: everything is per-document — three gram
+    aggregations keyed by (doc_id, gram) with map-side partial
+    aggregation, no cross-document state, no shuffle wider than a
+    doc's distinct grams, pure codegen (no UDF)."""
+    docs = t(spark, sf, "documents")
+    ws = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    toks = ws.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    t1 = (
+        ws.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top1 = t1.groupBy("doc_id").agg(
+        F.max("c").alias("c1"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    g2 = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> concat(ws[i], ' ', ws[i + 1]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top2 = g2.groupBy("doc_id").agg(F.max("c").alias("c2"))
+    g3 = (
+        ws.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3), "
+                    "i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup3 = (
+        g3.filter(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_mass"))
+    )
+    nt = F.col("n_tokens").cast("double")
+    top1_frac = F.col("c1").cast("double") / nt
+    top2_frac = F.coalesce(F.col("c2"), F.lit(0)).cast("double") * 2 / nt
+    dup3_frac = (
+        F.coalesce(F.col("dup_mass"), F.lit(0)).cast("double") * 3 / nt
+    )
+    ttr = F.col("n_distinct").cast("double") / nt
+    return (
+        toks.join(top1, "doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(ttr, 6).alias("ttr"),
+            F.round(top1_frac, 6).alias("top1_frac"),
+            F.round(top2_frac, 6).alias("top2g_frac"),
+            F.round(dup3_frac, 6).alias("dup3g_frac"),
+            F.when(
+                (top1_frac <= 0.2)
+                & (top2_frac <= 0.2)
+                & (dup3_frac <= 0.3)
+                & (ttr >= 0.3),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("passes_repetition"),
+        )
+    )
