@@ -2207,56 +2207,53 @@ def c39_repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
     pass/fail gate. The signals c08's length/punct/stopword family
     misses: a doc that loops one phrase passes c08 and fails here.
 
-    100 TB shape: everything is per-document — three gram
-    aggregations keyed by (doc_id, gram) with map-side partial
-    aggregation, no cross-document state, no shuffle wider than a
-    doc's distinct grams, pure codegen (no UDF)."""
+    100 TB shape: ONE scan, ONE tagged gram explode (1/2/3-grams in
+    a single generator), then exactly TWO exchanges — (doc_id, k,
+    gram) for the counts, doc_id for the per-doc fold — with
+    map-side partial aggregation on both, no joins, no
+    cross-document state, pure codegen (no UDF). (The first cut used
+    four scans + three join-backs: 18 exchanges at gate scale,
+    corpus-sized shuffles at 100 TB — replaced after the plan
+    audit.)"""
     docs = t(spark, sf, "documents")
     ws = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     )
-    toks = ws.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
-    t1 = (
-        ws.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    grams = ws.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                # size guards: sequence(0, -1) would DESCEND in Spark
+                # (yielding [0, -1]) — short docs must contribute no
+                # 2/3-grams, not garbage indexes
+                "concat("
+                " transform(ws, w -> struct(1 as k, w as g)),"
+                " IF(size(ws) >= 2,"
+                "   transform(sequence(0, size(ws) - 2),"
+                "     i -> struct(2 as k, concat(ws[i], ' ', ws[i + 1])"
+                "       as g)),"
+                "   array()),"
+                " IF(size(ws) >= 3,"
+                "   transform(sequence(0, size(ws) - 3),"
+                "     i -> struct(3 as k, concat(ws[i], ' ', ws[i + 1],"
+                "       ' ', ws[i + 2]) as g)),"
+                "   array()))"
+            )
+        ).alias("kg"),
     )
-    top1 = t1.groupBy("doc_id").agg(
-        F.max("c").alias("c1"), F.count(F.lit(1)).alias("n_distinct")
-    )
-    g2 = (
-        ws.filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ws) - 2), "
-                    "i -> concat(ws[i], ' ', ws[i + 1]))"
-                )
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    top2 = g2.groupBy("doc_id").agg(F.max("c").alias("c2"))
-    g3 = (
-        ws.filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ws) - 3), "
-                    "i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
-                )
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    dup3 = (
-        g3.filter(F.col("c") >= 2)
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("dup_mass"))
+    counts = grams.groupBy(
+        "doc_id", "n_tokens", F.col("kg.k").alias("k"),
+        F.col("kg.g").alias("g"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    one = F.col("k") == 1
+    stats = counts.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(one, F.col("c"))).alias("c1"),
+        F.count(F.when(one, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("c2"),
+        F.sum(
+            F.when((F.col("k") == 3) & (F.col("c") >= 2), F.col("c"))
+        ).alias("dup_mass"),
     )
     nt = F.col("n_tokens").cast("double")
     top1_frac = F.col("c1").cast("double") / nt
@@ -2265,25 +2262,20 @@ def c39_repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("dup_mass"), F.lit(0)).cast("double") * 3 / nt
     )
     ttr = F.col("n_distinct").cast("double") / nt
-    return (
-        toks.join(top1, "doc_id")
-        .join(top2, "doc_id", "left")
-        .join(dup3, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(ttr, 6).alias("ttr"),
-            F.round(top1_frac, 6).alias("top1_frac"),
-            F.round(top2_frac, 6).alias("top2g_frac"),
-            F.round(dup3_frac, 6).alias("dup3g_frac"),
-            F.when(
-                (top1_frac <= 0.2)
-                & (top2_frac <= 0.2)
-                & (dup3_frac <= 0.3)
-                & (ttr >= 0.3),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .alias("passes_repetition"),
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(top1_frac, 6).alias("top1_frac"),
+        F.round(top2_frac, 6).alias("top2g_frac"),
+        F.round(dup3_frac, 6).alias("dup3g_frac"),
+        F.when(
+            (top1_frac <= 0.2)
+            & (top2_frac <= 0.2)
+            & (dup3_frac <= 0.3)
+            & (ttr >= 0.3),
+            F.lit(1),
         )
+        .otherwise(F.lit(0))
+        .alias("passes_repetition"),
     )

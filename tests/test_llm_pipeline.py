@@ -631,3 +631,39 @@ def test_c37_boilerplate_ngrams_finds_planted_template(spark, tmp_path):
     assert out[0].gram == "subscribe to newsletter"
     assert out[0].n_docs == 24
     assert all(len(r.gram.split(" ")) == 3 for r in out)
+
+
+def test_c39_repetition_short_doc_edges(spark):
+    """c39's single-explode shape guards sequence(0, -1) descent:
+    1-token docs contribute no 2/3-grams (zero fractions), a pure
+    loop fails the gate, varied text passes."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello"),
+            (2, "a b"),
+            (3, "x x x x x x x x x x"),
+            (4, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    orig = tx.t
+    try:
+        tx.t = lambda _s, _sf, _n: docs
+        got = {
+            r.doc_id: r
+            for r in tx.c39_repetition_quality(spark, "ignored").collect()
+        }
+    finally:
+        tx.t = orig
+    assert got[1].n_tokens == 1 and got[1].top2g_frac == 0.0
+    assert got[1].dup3g_frac == 0.0 and got[1].ttr == 1.0
+    assert got[2].top2g_frac == 1.0  # one 2-gram covering both tokens
+    assert got[3].passes_repetition == 0  # pure loop: fails
+    # dup3g is overlap-counting token MASS (8 positions x 3 / 10),
+    # deliberately > 1 for a pure loop — it's a mass, not coverage
+    assert got[3].top1_frac == 1.0 and got[3].dup3g_frac == 2.4
+    assert got[4].passes_repetition == 1  # varied text: passes
