@@ -534,3 +534,43 @@ def test_compact_folds_spark_bucket_files(spark, tmp_path):
     )
     assert len(files) == 8 and all(v == 1 for v in cnt.values()), cnt
     assert t.to_df(spark).count() == 30000
+
+
+def test_lineage_survives_bucket_layout_compaction(spark, tmp_path):
+    """a43 x bucket layouts: lineage carries through compact() on
+    spark-bucket, dual, and plain hive-murmur layouts — the bucket
+    writers pass the physical lineage columns through, and the
+    lineage read skips catalog adoption (which would hide them)."""
+    from pyspark.sql import functions as F
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.partitioning import (
+        compile_partition_spec,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    src = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    spec = compile_partition_spec(
+        {"partitions": [{"column_name": "k", "transform": "bucket[4]"}]}
+    )
+    for name, props in (
+        ("b_spark", {"write.bucket-layout": "spark"}),
+        ("b_dual", {"write.bucket-layout": "dual"}),
+        ("b_hive", {}),
+    ):
+        t = cat.create_table(
+            "db", name, src.schema, partition_spec=spec,
+            properties=props,
+        )
+        t.append(src)
+        t = cat.load_table("db", name)
+        pre = {r.k: r._row_id for r in t.lineage_df(spark).collect()}
+        t.compact(spark)
+        t = cat.load_table("db", name)
+        post = {r.k: r._row_id for r in t.lineage_df(spark).collect()}
+        assert post == pre, name
+        assert t.to_df(spark).columns == ["k", "v"], name
