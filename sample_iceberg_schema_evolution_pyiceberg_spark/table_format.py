@@ -4167,7 +4167,11 @@ class LakeTable:
             for s in datas
         )
 
-    def lineage_df(self, spark: SparkSession) -> DataFrame:
+    def lineage_df(
+        self,
+        spark: SparkSession,
+        as_of_snapshot: "str | None" = None,
+    ) -> DataFrame:
         """Scan with v3-style ROW LINEAGE columns (a42): ``_row_id``
         (a stable per-row id, assigned contiguously by append commits
         — ``_write`` records each data file's first-row id in the
@@ -4197,7 +4201,12 @@ class LakeTable:
         (``read_iceberg_table(lineage=True)``); the v3 export emits
         these assignments as explicit avro-level ``first_row_id``
         fields and references the materialized data files in place,
-        which that reader honors with the same coalesce."""
+        which that reader honors with the same coalesce.
+
+        ``as_of_snapshot`` (r16) time-travels the lineage read: ids
+        and sequence numbers AS OF that snapshot/tag/branch — the
+        same segment walk the data scan uses, so a compaction after
+        the target snapshot never changes the historical answer."""
         shadow = {
             f.name for f in self.schema.fields
         } & {"_row_id", "_last_updated_sequence_number"}
@@ -4207,7 +4216,19 @@ class LakeTable:
                 "lineage names — rename them to read lineage"
             )
         mapping: list[tuple[str, int, int, int]] = []
-        datas = [s for s in self.snapshots if not s.is_row_delete]
+        snaps = self.snapshots
+        if as_of_snapshot is not None:
+            # same ref resolution + segment walk as to_df, so the
+            # mapping and the scan below see the SAME snapshot set
+            if as_of_snapshot in (self.meta.get("branches") or {}):
+                raise TableFormatError(
+                    "branch lineage reads are not supported: branch "
+                    "appends stage WITHOUT row-id assignments until "
+                    "fast_forward publishes them"
+                )
+            as_of_snapshot = self.resolve_ref(as_of_snapshot)
+            snaps = self._segment_ending_at(as_of_snapshot)
+        datas = [s for s in snaps if not s.is_row_delete]
         if any(s.source_snapshots for s in datas):
             # rewrite_manifests folds are content-preserving metadata
             # commits: the data never moved and NO row was updated, so
@@ -4274,7 +4295,10 @@ class LakeTable:
                     "refusing rather than returning duplicate _row_ids"
                 )
         df = self.to_df(
-            spark, _with_positions=True, _with_lineage_cols=True
+            spark,
+            as_of_snapshot=as_of_snapshot,
+            _with_positions=True,
+            _with_lineage_cols=True,
         )
         m = spark.createDataFrame(
             [(p, fr, seq) for p, (fr, seq, _n) in by_path.items()],

@@ -1950,3 +1950,49 @@ def test_lineage_survives_zorder_and_schema_evolution(spark, tmp_path):
     assert {k: v[0] for k, v in post.items()} == mid
     assert post[100][1] == 200  # evolved column survives the carry
     assert post[0][1] is None
+
+
+def test_lineage_time_travel(spark, tmp_path):
+    """r16: lineage_df(as_of_snapshot=...) reads ids and sequence
+    numbers AS OF a historical snapshot — a later compaction never
+    changes the historical answer; tags resolve; branch refs refuse
+    (branch appends have no assignments until publish); a rewrite
+    target whose history predates assignment still refuses."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+        TableFormatError,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "lintt", sch)
+    s1 = t.append(spark.range(0, 4).select("id"))
+    t.create_tag("v1", s1.snapshot_id)
+    s2 = t.append(spark.range(10, 13).select("id"))
+    t = cat.load_table("db", "lintt")
+    t.compact(spark)
+    t = cat.load_table("db", "lintt")
+    hist = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in t.lineage_df(spark, as_of_snapshot=s1.snapshot_id).collect()
+    }
+    assert hist == {0: (0, 1), 1: (1, 1), 2: (2, 1), 3: (3, 1)}
+    # tag resolution
+    by_tag = {
+        r.id: r._row_id
+        for r in t.lineage_df(spark, as_of_snapshot="v1").collect()
+    }
+    assert by_tag == {0: 0, 1: 1, 2: 2, 3: 3}
+    # the pre-compaction FULL state: both appends' blocks
+    full = {
+        r.id: r._row_id
+        for r in t.lineage_df(spark, as_of_snapshot=s2.snapshot_id).collect()
+    }
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3, 10: 4, 11: 5, 12: 6}
+    # branch refs refuse
+    t.create_branch("wip")
+    with _pytest.raises(TableFormatError, match="branch lineage"):
+        t.lineage_df(spark, as_of_snapshot="wip")
