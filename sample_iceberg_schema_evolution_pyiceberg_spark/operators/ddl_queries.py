@@ -2726,6 +2726,7 @@ def a43_lineage_through_compaction_episode(
         # both invariants compare against
         pre = {
             r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            # bounded episode metadata (gate-sized)
             for r in table.lineage_df(spark).collect()
         }
         table.compact(spark)
@@ -2733,6 +2734,7 @@ def a43_lineage_through_compaction_episode(
         engine = table.lineage_df(spark)
         post = {
             r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            # bounded episode metadata (gate-sized)
             for r in engine.collect()
         }
         ids_stable = pre == post
@@ -2742,6 +2744,7 @@ def a43_lineage_through_compaction_episode(
         )
         ext = {
             r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            # bounded episode metadata (gate-sized)
             for r in external.collect()
         }
         match = post == ext and doc["next-row-id"] == int(
@@ -2800,6 +2803,7 @@ def a44_v3_variant_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
     # bounded episode fixture build (gate-sized, like the ddl gate
     # tables): the DISTRIBUTED surface under test is the decode scan
+    # bounded episode metadata (gate-sized)
     rows = src.collect()
     payload = pa.array(
         [
@@ -2919,6 +2923,7 @@ def a45_lineage_through_cow_dml_episode(
         table = cat.load_table("gate", "cowlin")
         pre = {
             r.o_orderkey: r._row_id
+            # bounded episode metadata (gate-sized)
             for r in table.lineage_df(spark).collect()
         }
         table.update_where(
@@ -2947,6 +2952,7 @@ def a45_lineage_through_cow_dml_episode(
         engine = table.lineage_df(spark)
         post = {
             r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            # bounded episode metadata (gate-sized)
             for r in engine.collect()
         }
         ids_stable = all(
@@ -2958,6 +2964,7 @@ def a45_lineage_through_cow_dml_episode(
         )
         ext = {
             r.o_orderkey: (r._row_id, r._last_updated_sequence_number)
+            # bounded episode metadata (gate-sized)
             for r in external.collect()
         }
         match = post == ext and doc["next-row-id"] == int(
