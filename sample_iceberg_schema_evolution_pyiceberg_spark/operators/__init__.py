@@ -84,11 +84,13 @@ _PRIORITY = [
     "c20_weighted_mixture", "c21_dedup_keeper_selection",
     "s10_stream_lake_replication",
     # --- driver window boundary (50) ---
-    # r17 head, in order: any r16-late never-gated keys first, then
+    # r17 head, in order: r16-late never-gated b68c (widened-Avro
+    # twin of in-window b68b — family evidence), then
     # the 12 r13-band spills (a28, a24, b66, c33, b43, c02b, b56,
     # a35, c06b, b58, b20, s12 — evidence noted above), then the r14
     # band (c34/c35/c36/c36b/c12b/a39 + the r11 band, freshest after
     # the r15 re-gate of the r12 band).
+    "b68c_avro_widened_scan",
     "a28_bucket_truncate_episode", "a24_changelog_cdc",
     "b66_lake_bucket_join", "c33_dup_span_removal",
     "b43_json_scan_roundtrip", "c02b_minhash_signatures",

@@ -532,3 +532,77 @@ def b67b_orc_evolved_scan(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         # materialize before the temp dir vanishes (bounded agg)
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "b68c_avro_widened_scan",
+    # same closed form as b67b, over the Avro source's widening path
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           ROUND(CAST(SUM(qty) AS DOUBLE), 6) AS sum_qty,
+           COUNT(l_linestatus2) AS n_with_status
+    FROM (
+      SELECT l_returnflag, l_orderkey,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(NULL AS VARCHAR) AS l_linestatus2
+      FROM lineitem WHERE l_orderkey <= 1000
+      UNION ALL
+      SELECT l_returnflag, l_orderkey,
+             CAST(l_quantity AS DOUBLE),
+             l_linestatus
+      FROM lineitem WHERE l_orderkey > 1000 AND l_orderkey <= 2000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def b68c_avro_widened_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro evolution read with WIDENING promotions (r16 — VERDICT
+    r15 item 6): slice 1 written with the key as INT and quantity as
+    FLOAT, no second status column; slice 2 post-evolution with the
+    key widened to LONG, quantity to DOUBLE, and the column added.
+    ``.option("mergeschema", "true")`` infers the widened union
+    (int->long, float->double are Avro schema-resolution promotions;
+    sources/avro_source._PROMOTIONS) with per-file value casts and
+    null-fill — where r15's merge was ADD-only and refused the type
+    change."""
+    from ..sources.avro_source import register_avro_ocf  # noqa: PLC0415
+
+    register_avro_ocf(spark)
+    base = t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity",
+        F.col("l_linestatus").alias("l_linestatus2"),
+    )
+    with tempfile.TemporaryDirectory(prefix="avro_widen_") as d:
+        base.filter("l_orderkey <= 1000").selectExpr(
+            "l_returnflag",
+            "cast(l_orderkey as int) l_orderkey",
+            "cast(l_quantity as float) l_quantity",
+        ).coalesce(1).write.format("avro_ocf").mode("append").save(
+            f"{d}/rows"
+        )
+        base.filter(
+            "l_orderkey > 1000 AND l_orderkey <= 2000"
+        ).selectExpr(
+            "l_returnflag",
+            "cast(l_orderkey as long) l_orderkey",
+            "cast(l_quantity as double) l_quantity",
+            "l_linestatus2",
+        ).coalesce(1).write.format("avro_ocf").mode("append").save(
+            f"{d}/rows"
+        )
+        back = (
+            spark.read.format("avro_ocf")
+            .option("mergeschema", "true")
+            .load(f"{d}/rows")
+        )
+        out = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("sum_key"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("l_linestatus2").alias("n_with_status"),
+        )
+        rows = out.collect()
+        # materialize before the temp dir vanishes (bounded agg)
+        return spark.createDataFrame(rows, out.schema)
