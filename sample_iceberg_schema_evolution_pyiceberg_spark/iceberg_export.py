@@ -1696,8 +1696,14 @@ def read_iceberg_table(
         import pyarrow as _pa  # noqa: PLC0415
         import pyarrow.parquet as _pq  # noqa: PLC0415
 
+        import re as _re  # noqa: PLC0415
+
         for fp in files:
-            sch = _pq.ParquetFile(fp).schema_arrow
+            # manifests from real writers record file: URIs — pyarrow
+            # needs a local path (same normalization _default_groups'
+            # footer probe applies; r16 review finding)
+            local = _re.sub("^file:/+", "/", str(fp))
+            sch = _pq.ParquetFile(local).schema_arrow
             for c in variant_cols:
                 if c not in sch.names:
                     continue  # pre-evolution file: null-fills
@@ -1755,6 +1761,23 @@ def read_iceberg_table(
                     )
                     for f in table_schema.fields
                 ]
+                + (
+                    # materialized row lineage must survive the
+                    # explicit-schema read path too — omitting the
+                    # columns here silently fell back to positional
+                    # ids for rewritten files (r16 review finding);
+                    # files without them read as nulls -> positional
+                    [
+                        T.StructField("_row_id", T.LongType(), True),
+                        T.StructField(
+                            "_last_updated_sequence_number",
+                            T.LongType(),
+                            True,
+                        ),
+                    ]
+                    if lineage
+                    else []
+                )
             )
             raw = spark.read.schema(read_schema).parquet(*files)
         else:

@@ -4144,16 +4144,21 @@ class LakeTable:
 
     # -- metadata tables (Iceberg's db.tbl.snapshots / db.tbl.files) -------
 
-    def _lineage_assignable(self) -> bool:
-        """True when row lineage can be served for the CURRENT live
-        state: every live data file carries a commit-time
-        ``first_row_id`` and no schema column shadows the lineage
-        names (a43: the precondition ``compact`` checks before
-        carrying lineage through a rewrite). Metadata-sized."""
-        names = {f.name for f in self.schema.fields}
-        if names & {"_row_id", "_last_updated_sequence_number"}:
-            return False
-        datas = [s for s in self.snapshots if not s.is_row_delete]
+    def _lineage_datas(
+        self, snaps: "list[Snapshot] | None" = None
+    ) -> "list[Snapshot]":
+        """The data snapshots a lineage read maps over: row-delete
+        masks excluded, manifest-rewrite folds expanded to their
+        SOURCE snapshots (the fold is content-preserving metadata —
+        lineage must resolve to the sources' sequence numbers, r15
+        review). ONE walk shared by ``lineage_df`` and
+        ``_lineage_assignable`` so the carry decision and the serve
+        path can never diverge (r16 review)."""
+        datas = [
+            s
+            for s in (snaps if snaps is not None else self.snapshots)
+            if not s.is_row_delete
+        ]
         if any(s.source_snapshots for s in datas):
             by_id = {x.snapshot_id: x for x in self.all_snapshots()}
             datas = [
@@ -4161,10 +4166,26 @@ class LakeTable:
                 for s in datas
                 for x in self._expand_manifest_sources(s, by_id)
             ]
+        return datas
+
+    def _lineage_shadowed(self) -> "set[str]":
+        """Schema columns shadowing the v3 lineage names."""
+        return {f.name for f in self.schema.fields} & {
+            "_row_id", "_last_updated_sequence_number",
+        }
+
+    def _lineage_assignable(self) -> bool:
+        """True when row lineage can be served for the CURRENT live
+        state: every live data file carries a commit-time
+        ``first_row_id`` and no schema column shadows the lineage
+        names (a43: the precondition ``compact`` checks before
+        carrying lineage through a rewrite). Metadata-sized."""
+        if self._lineage_shadowed():
+            return False
         return all(
             s.files is not None
             and all(f.get("first_row_id") is not None for f in s.files)
-            for s in datas
+            for s in self._lineage_datas()
         )
 
     def lineage_df(
@@ -4207,9 +4228,7 @@ class LakeTable:
         and sequence numbers AS OF that snapshot/tag/branch — the
         same segment walk the data scan uses, so a compaction after
         the target snapshot never changes the historical answer."""
-        shadow = {
-            f.name for f in self.schema.fields
-        } & {"_row_id", "_last_updated_sequence_number"}
+        shadow = self._lineage_shadowed()
         if shadow:
             raise TableFormatError(
                 f"schema columns {sorted(shadow)} shadow the v3 row-"
@@ -4228,21 +4247,7 @@ class LakeTable:
                 )
             as_of_snapshot = self.resolve_ref(as_of_snapshot)
             snaps = self._segment_ending_at(as_of_snapshot)
-        datas = [s for s in snaps if not s.is_row_delete]
-        if any(s.source_snapshots for s in datas):
-            # rewrite_manifests folds are content-preserving metadata
-            # commits: the data never moved and NO row was updated, so
-            # lineage must resolve to the SOURCE snapshots (their
-            # sequence numbers), exactly as to_df scans them and the
-            # v3 export expands them (r15 review: mapping the fold's
-            # own sequence number diverged engine from external)
-            by_id = {x.snapshot_id: x for x in self.all_snapshots()}
-            datas = [
-                x
-                for s in datas
-                for x in self._expand_manifest_sources(s, by_id)
-            ]
-        for snap in datas:
+        for snap in self._lineage_datas(snaps):
             if snap.files is None:
                 raise TableFormatError(
                     f"snapshot {snap.snapshot_id} carries no file "

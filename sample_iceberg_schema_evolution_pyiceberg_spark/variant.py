@@ -67,13 +67,21 @@ class VariantError(ValueError):
     pass
 
 
-def _uint(b: bytes, off: int, n: int) -> int:
-    if off + n > len(b):
+def _take(b: bytes, off: int, n: int) -> bytes:
+    """Bounds-checked slice — every fixed-width read goes through
+    this so truncated buffers refuse loudly instead of decoding to
+    silently wrong values (int.from_bytes over a short slice returns
+    a small int; an empty slice returns 0)."""
+    if off + n > len(b) or off < 0:
         raise VariantError(
             f"truncated variant: need {n} bytes at offset {off}, "
             f"have {len(b) - off}"
         )
-    return int.from_bytes(b[off : off + n], "little")
+    return b[off : off + n]
+
+
+def _uint(b: bytes, off: int, n: int) -> int:
+    return int.from_bytes(_take(b, off, n), "little")
 
 
 def decode_metadata(meta: bytes) -> list[str]:
@@ -125,50 +133,58 @@ def _decode_value(val: bytes, off: int, keys: list[str]) -> Any:
         if hdr == 2:
             return False
         if hdr == 3:
-            return int.from_bytes(val[p : p + 1], "little", signed=True)
+            return int.from_bytes(_take(val, p, 1), "little", signed=True)
         if hdr == 4:
-            return int.from_bytes(val[p : p + 2], "little", signed=True)
+            return int.from_bytes(_take(val, p, 2), "little", signed=True)
         if hdr == 5:
-            return int.from_bytes(val[p : p + 4], "little", signed=True)
+            return int.from_bytes(_take(val, p, 4), "little", signed=True)
         if hdr == 6:
-            return int.from_bytes(val[p : p + 8], "little", signed=True)
+            return int.from_bytes(_take(val, p, 8), "little", signed=True)
         if hdr == 7:
-            return struct.unpack_from("<d", val, p)[0]
+            return struct.unpack("<d", _take(val, p, 8))[0]
         if hdr in (8, 9, 10):
-            scale = val[p]
+            scale = _take(val, p, 1)[0]
             n = {8: 4, 9: 8, 10: 16}[hdr]
             unscaled = int.from_bytes(
-                val[p + 1 : p + 1 + n], "little", signed=True
+                _take(val, p + 1, n), "little", signed=True
             )
-            return Decimal(unscaled).scaleb(-scale)
+            # tuple construction is exact at any width — scaleb
+            # ROUNDS at the context precision (28 digits default)
+            return Decimal(
+                (
+                    1 if unscaled < 0 else 0,
+                    tuple(int(c) for c in str(abs(unscaled))),
+                    -scale,
+                )
+            )
         if hdr == 11:
-            days = int.from_bytes(val[p : p + 4], "little", signed=True)
+            days = int.from_bytes(_take(val, p, 4), "little", signed=True)
             return _EPOCH_DATE + timedelta(days=days)
         if hdr in (12, 13):
-            us = int.from_bytes(val[p : p + 8], "little", signed=True)
+            us = int.from_bytes(_take(val, p, 8), "little", signed=True)
             epoch = _EPOCH_UTC if hdr == 12 else _EPOCH_NTZ
             return epoch + timedelta(microseconds=us)
         if hdr == 14:
-            return struct.unpack_from("<f", val, p)[0]
+            return struct.unpack("<f", _take(val, p, 4))[0]
         if hdr == 15:
             n = _uint(val, p, 4)
-            return bytes(val[p + 4 : p + 4 + n])
+            return bytes(_take(val, p + 4, n))
         if hdr == 16:
             n = _uint(val, p, 4)
-            return val[p + 4 : p + 4 + n].decode("utf-8")
+            return _take(val, p + 4, n).decode("utf-8")
         if hdr == 17:  # time without time zone, µs since midnight
-            us = int.from_bytes(val[p : p + 8], "little", signed=True)
+            us = int.from_bytes(_take(val, p, 8), "little", signed=True)
             return ("time", us)
         if hdr in (18, 19):  # nanosecond timestamps
-            ns = int.from_bytes(val[p : p + 8], "little", signed=True)
+            ns = int.from_bytes(_take(val, p, 8), "little", signed=True)
             return ("ts_ns" if hdr == 18 else "ts_ns_ntz", ns)
         if hdr == 20:  # uuid: 16 bytes, big-endian per spec
-            u = val[p : p + 16].hex()
+            u = _take(val, p, 16).hex()
             return ("uuid", f"{u[:8]}-{u[8:12]}-{u[12:16]}-{u[16:20]}-{u[20:]}")
         raise VariantError(f"unknown variant primitive type id {hdr}")
     if basic == 1:  # short string
         p = off + 1
-        return val[p : p + hdr].decode("utf-8")
+        return _take(val, p, hdr).decode("utf-8")
     if basic == 2:  # object
         field_offset_size = (hdr & 0x03) + 1
         field_id_size = ((hdr >> 2) & 0x03) + 1
@@ -232,6 +248,13 @@ def _json_scalar(v: Any) -> str:
     if isinstance(v, Decimal):
         return str(v)  # unquoted number at the stored scale
     if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            # bare NaN/Infinity tokens are not JSON — quote them so
+            # the surface stays parseable by Spark's JSON functions
+            return json.dumps(
+                "NaN" if v != v else
+                ("Infinity" if v > 0 else "-Infinity")
+            )
         return json.dumps(v)
     if isinstance(v, int):
         return str(v)
@@ -247,12 +270,17 @@ def _json_scalar(v: Any) -> str:
             m, rem = divmod(rem, 60_000_000)
             s, frac = divmod(rem, 1_000_000)
             return json.dumps(f"{h:02d}:{m:02d}:{s:02d}.{frac:06d}")
-        if tag == "ts_ns":
-            dt = _EPOCH_UTC + timedelta(microseconds=payload // 1000)
-            return json.dumps(dt.isoformat())
-        if tag == "ts_ns_ntz":
-            dt = _EPOCH_NTZ + timedelta(microseconds=payload // 1000)
-            return json.dumps(dt.isoformat())
+        if tag in ("ts_ns", "ts_ns_ntz"):
+            # full nanosecond precision: floor-divmod keeps negative
+            # instants exact (-1 ns -> ...:59.999999999), no silent
+            # truncation to µs
+            secs, frac = divmod(payload, 1_000_000_000)
+            epoch = _EPOCH_UTC if tag == "ts_ns" else _EPOCH_NTZ
+            base = epoch + timedelta(seconds=secs)
+            text = base.strftime("%Y-%m-%dT%H:%M:%S") + f".{frac:09d}"
+            if tag == "ts_ns":
+                text += "+00:00"
+            return json.dumps(text)
         if tag == "uuid":
             return json.dumps(payload)
     raise VariantError(f"unrenderable variant scalar {type(v)}")
@@ -341,11 +369,26 @@ def encode_value(obj: Any, keys: list[str]) -> bytes:
     if isinstance(obj, float):
         return bytes([7 << 2 | 0]) + struct.pack("<d", obj)
     if isinstance(obj, Decimal):
-        scale = -obj.as_tuple().exponent
-        unscaled = int(obj.scaleb(scale))
-        return (
-            bytes([9 << 2 | 0, scale])
-            + unscaled.to_bytes(8, "little", signed=True)
+        if not obj.is_finite():
+            raise VariantError(f"non-finite Decimal {obj} unencodable")
+        sign, digits, exponent = obj.as_tuple()
+        scale = max(0, -exponent)  # 1E+2 rescales to scale 0
+        # exact integer arithmetic from the tuple — Decimal.scaleb
+        # ROUNDS at the context precision (28 digits by default), so
+        # a 31-digit unscaled value would silently corrupt
+        unscaled = int("".join(map(str, digits)) or "0") * 10 ** (
+            exponent + scale
+        )
+        if sign:
+            unscaled = -unscaled
+        for tid, n in ((9, 8), (10, 16)):
+            if -(1 << (8 * n - 1)) <= unscaled < (1 << (8 * n - 1)):
+                return (
+                    bytes([tid << 2 | 0, scale])
+                    + unscaled.to_bytes(n, "little", signed=True)
+                )
+        raise VariantError(
+            f"Decimal {obj} exceeds decimal16 (unscaled > 128 bits)"
         )
     if isinstance(obj, datetime):
         tid = 12 if obj.tzinfo is not None else 13

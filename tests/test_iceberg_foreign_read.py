@@ -1453,3 +1453,101 @@ def test_v3_unshredded_variant_decodes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="SHREDDED"):
         read_iceberg_table(spark, root2).__class__  # force the read
+
+
+def test_v3_materialized_lineage_with_uuid_column(spark, tmp_path):
+    """r16 review finding: a table whose schema forces the
+    explicit-read_schema path (uuid/time columns) must still surface
+    MATERIALIZED _row_id columns — the first cut omitted them from
+    the read schema, silently falling back to positional ids. The
+    manifest's first_row_id here is a decoy base (100): only the
+    materialized values (5, 6) prove the column was read."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+
+    root = tmp_path / "v3_mat_uuid"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    p = root / "data" / "f.parquet"
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            "u": pa.array(
+                [b"\x00" * 16, b"\x11" * 16], pa.binary(16)
+            ),
+            "_row_id": pa.array([5, 6], pa.int64()),
+            "_last_updated_sequence_number": pa.array(
+                [1, 1], pa.int64()
+            ),
+        }),
+        p,
+    )
+    mschema, lschema = _lineage_schemas()
+    e = _df(p, 1, record_count=2, content=0)
+    e["data_file"]["first_row_id"] = 100  # decoy inheritance base
+    e["sequence_number"] = 1
+    e["file_sequence_number"] = 1
+    write_avro_java(spark, root / "metadata" / "m1.avro", mschema, [e])
+    write_avro_java(
+        spark, root / "metadata" / "snap-901.avro", lschema,
+        [_mlist_entry(root, "m1.avro", 0, 1)],
+    )
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "u", "required": False, "type": "uuid"},
+    ], last_col=2)
+    df, _ = read_iceberg_table(spark, root, lineage=True)
+    got = {r.id: (r._row_id, r.u) for r in df.collect()}
+    # materialized ids win over the decoy base; uuid decodes too
+    assert got[1] == (5, "00000000-0000-0000-0000-000000000000")
+    assert got[2][0] == 6 and got[2][1].startswith("11111111-")
+    # without lineage the physical columns stay hidden
+    df2, _ = read_iceberg_table(spark, root)
+    assert set(df2.columns) == {"id", "u"}
+
+
+def test_variant_probe_handles_file_uris(spark, tmp_path):
+    """r16 review finding: _probe_variant_physical must normalize
+    file: URIs from real writers' manifests before the pyarrow
+    footer probe (spark.read handles URIs; pyarrow does not)."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.iceberg_export import (
+        read_iceberg_table,
+    )
+    from sample_iceberg_schema_evolution_pyiceberg_spark.variant import (
+        encode_variant,
+    )
+
+    root = tmp_path / "v3_variant_uri"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    m1, v1 = encode_variant({"a": 1})
+    p = root / "data" / "f.parquet"
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1], pa.int64()),
+            "payload": pa.array(
+                [{"metadata": m1, "value": v1}],
+                pa.struct([("metadata", pa.binary()),
+                           ("value", pa.binary())]),
+            ),
+        }),
+        p,
+    )
+    m2s = (FOREIGN / "v2_manifest.avsc").read_text()
+    lschema = (FOREIGN / "v2_manifest_list.avsc").read_text()
+    dd = _df(f"file://{p}", 1, content=0, record_count=1)
+    dd["sequence_number"] = 1
+    dd["file_sequence_number"] = 1
+    write_avro_java(spark, root / "metadata" / "m1.avro", m2s, [dd])
+    write_avro_java(
+        spark, root / "metadata" / "snap-901.avro", lschema,
+        [_mlist_entry(root, "m1.avro", 0, 1)],
+    )
+    _v3_meta(root, [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "payload", "required": False,
+         "type": "variant"},
+    ], last_col=2)
+    df, _ = read_iceberg_table(spark, root)
+    assert [r.payload for r in df.collect()] == ['{"a":1}']

@@ -160,3 +160,46 @@ def test_refusals():
     bad_obj = bytes([0 << 2 | 2, 1, 7, 0, 1, 0])
     with pytest.raises(VariantError, match="outside metadata"):
         decode_variant(META_AB, bad_obj)
+
+
+def test_review_fixes_r16():
+    """r16 review findings: truncated fixed-width primitives refuse
+    (not silently decode to 0), NaN/Inf render as quoted strings,
+    ns timestamps keep full precision incl. negative instants,
+    positive-exponent Decimals rescale, oversized Decimals refuse
+    with VariantError."""
+    # truncated int32 payload
+    with pytest.raises(VariantError, match="truncated"):
+        decode_variant(META_EMPTY, bytes([5 << 2, 0x01, 0x02]))
+    # truncated short string
+    with pytest.raises(VariantError, match="truncated"):
+        decode_variant(META_EMPTY, bytes([5 << 2 | 1]) + b"ab")
+    # truncated uuid
+    with pytest.raises(VariantError, match="truncated"):
+        decode_variant(META_EMPTY, bytes([20 << 2]) + b"\x00" * 8)
+    # NaN / Infinity doubles -> quoted tokens (valid JSON)
+    import struct as _struct
+
+    nan = bytes([7 << 2]) + _struct.pack("<d", float("nan"))
+    inf = bytes([7 << 2]) + _struct.pack("<d", float("inf"))
+    assert variant_to_json(META_EMPTY, nan) == '"NaN"'
+    assert variant_to_json(META_EMPTY, inf) == '"Infinity"'
+    # ns timestamps: full precision; -1 ns is one ns before epoch
+    one_ns = bytes([19 << 2]) + (1).to_bytes(8, "little", signed=True)
+    neg_ns = bytes([19 << 2]) + (-1).to_bytes(8, "little", signed=True)
+    assert (
+        variant_to_json(META_EMPTY, one_ns)
+        == '"1970-01-01T00:00:00.000000001"'
+    )
+    assert (
+        variant_to_json(META_EMPTY, neg_ns)
+        == '"1969-12-31T23:59:59.999999999"'
+    )
+    # positive-exponent Decimal rescales to scale 0
+    m, v = encode_variant({"x": Decimal("1E+2")})
+    assert decode_variant(m, v)["x"] == Decimal(100)
+    # huge unscaled goes to decimal16; >128-bit refuses typed
+    m2, v2 = encode_variant({"x": Decimal(2**100)})
+    assert decode_variant(m2, v2)["x"] == Decimal(2**100)
+    with pytest.raises(VariantError, match="decimal16"):
+        encode_variant({"x": Decimal(2**130)})

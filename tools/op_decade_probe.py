@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--warmups", type=int, default=2)
     ap.add_argument("--tag", default="r16")
+    ap.add_argument(
+        "--duck-mem", default=None,
+        help="optional DuckDB memory_limit (e.g. 48GB); always sets a "
+        "spill dir so big replays complete out-of-core",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -50,6 +55,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     q, o = queries(), oracle_sql()
     con = duckdb.connect()
+    # out-of-core: a spill dir lets big replays complete instead of
+    # OOMing (the c38 sf10 replay needs it); the memory cap stays an
+    # explicit flag so small boxes keep DuckDB's own default
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    if args.duck_mem:
+        con.execute(f"SET memory_limit='{args.duck_mem}'")
     for t in TABLES:
         p = Path(args.sf) / f"{t}.parquet"
         if p.exists():
