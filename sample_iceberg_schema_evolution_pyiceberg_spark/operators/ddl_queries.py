@@ -2211,7 +2211,8 @@ def a39_v3_initial_default_episode(spark: SparkSession, sf: str) -> DataFrame:
     defaults. The external read must fill the PRE-evolution files with
     the default while post-evolution files keep their real values
     (incl. none of the default leaking into them), and the v3 refusal
-    surface (format-version 4, a variant-typed field) must refuse
+    surface (format-version 4, a NESTED variant field — top-level
+    variant decodes since r16, conformance row 43) must refuse
     loudly on edited twins of the same metadata document."""
     import copy  # noqa: PLC0415
     import json as _json  # noqa: PLC0415
@@ -2274,9 +2275,14 @@ def a39_v3_initial_default_episode(spark: SparkSession, sf: str) -> DataFrame:
             s for s in dv["schemas"]
             if s["schema-id"] == dv["current-schema-id"]
         )
+        # NESTED variant: top-level variant DECODES since r16
+        # (row 43), so the refusal twin pins the still-refused
+        # nested surface
         cur2["fields"].append(
             {"id": 999, "name": "payload", "required": False,
-             "type": "variant"}
+             "type": {"type": "struct", "fields": [
+                 {"id": 1000, "name": "v", "required": False,
+                  "type": "variant"}]}}
         )
         p98 = meta_dir / "v98.metadata.json"
         p98.write_text(_json.dumps(dv))
