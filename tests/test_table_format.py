@@ -1996,3 +1996,32 @@ def test_lineage_time_travel(spark, tmp_path):
     t.create_branch("wip")
     with _pytest.raises(TableFormatError, match="branch lineage"):
         t.lineage_df(spark, as_of_snapshot="wip")
+
+
+def test_lineage_survives_snapshot_expiration(spark, tmp_path):
+    """a43 x expire_snapshots: expiring pre-compaction history leaves
+    the compacted snapshot's MATERIALIZED lineage intact (ids are
+    physical, not derived from expired ancestors), and post-expiry
+    appends continue from the preserved cursor."""
+    from pyspark.sql import types as T
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.table_format import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(tmp_path / "wh")
+    sch = T.StructType([T.StructField("id", T.LongType(), False)])
+    t = cat.create_table("db", "linex", sch)
+    t.append(spark.range(0, 5).select("id"))
+    t.delete_where(spark, "id = 1", strategy="merge_on_read")
+    t = cat.load_table("db", "linex")
+    t.compact(spark)
+    t = cat.load_table("db", "linex")
+    pre = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    t.expire_snapshots(older_than_ms=int(__import__("time").time() * 1000) + 1)
+    t = cat.load_table("db", "linex")
+    assert {r.id: r._row_id for r in t.lineage_df(spark).collect()} == pre
+    t.append(spark.range(100, 102).select("id"))
+    t = cat.load_table("db", "linex")
+    got = {r.id: r._row_id for r in t.lineage_df(spark).collect()}
+    assert got[100] == 9 and got[101] == 10  # cursor preserved (5+4)
