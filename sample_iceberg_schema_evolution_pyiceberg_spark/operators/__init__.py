@@ -119,7 +119,7 @@ _PRIORITY = [
     "b37_sample", "b38_approx_count_distinct", "b60_approx_percentile",
     "c06_ann_lsh_topk", "c06c_ann_ivf_topk", "c13b_dedup_lsh_gated_cosine",
     "s05_stream_late_data_drop", "s06_stream_stateful_counter",
-    "c06d_ann_ivf_trained_topk",
+    "c06d_ann_ivf_trained_topk", "c34b_semantic_dedup_trained",
     # Everything unlisted (r13/r14-green) keeps registration order.
 ]
 

@@ -603,9 +603,18 @@ def c34_semantic_dedup_cells(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("seed_id").alias("cell"), "embedding")
     )
+    return _semdedup_keep(cells, TAU)
+
+
+def _semdedup_keep(cells: DataFrame, tau: float) -> DataFrame:
+    """(vec_id, cell, keep) from an assigned (vec_id, cell, embedding)
+    frame: within each cell (chunk-capped, ``_c34_pair_candidates``),
+    drop every vector with a smaller-id cell-mate at cosine >= tau —
+    keep-first, the deterministic SemDeDup keeper rule. Shared by the
+    c34 gate episode and the production ``semantic_dedup``."""
     dropped = (
         _c34_pair_candidates(cells)
-        .filter(cosine(F.col("ea"), F.col("eb")) >= TAU)
+        .filter(cosine(F.col("ea"), F.col("eb")) >= tau)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))
@@ -617,6 +626,54 @@ def c34_semantic_dedup_cells(spark: SparkSession, sf: str) -> DataFrame:
             "cell",
             F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.3,
+    k: "int | None" = None,
+    iters: int = 3,
+) -> DataFrame:
+    """PRODUCTION SemDeDup (r16): train a spherical-KMeans codebook
+    on the corpus — ``k=None`` auto-sizes via ``auto_codebook_k``, so
+    cells stay ~IVF_TARGET_CELL vectors and the per-cell pair cap is
+    belt-and-suspenders (SCALE.md R15/R16) — assign every vector to
+    its nearest cell, and keep-first within cells at cosine >= tau.
+    Returns (vec_id, cell, keep). The c34 gate episode is the
+    hash-checkable twin with deterministic seed centroids; this is
+    the entry point a pipeline calls.
+
+    100 TB shape: training touches a bounded sample-or-corpus pass
+    per Lloyd iteration (model state k x dim on the driver); the
+    assignment is one Arrow-batched map-side matmul; pair work is
+    bounded by cell size times the chunk cap, never corpus-quadratic."""
+    cb = train_ivf_codebook(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters
+    )
+    cells = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    ).withColumn(
+        "cell", F.element_at(ivf_assign_udf(1, cb)("embedding"), 1)
+    )
+    return _semdedup_keep(cells, tau)
+
+
+@query("c34b_semantic_dedup_trained")  # trained codebook -> rows-only
+def c34b_semantic_dedup_trained(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Gate wiring for ``semantic_dedup`` over ``embeddings`` with the
+    AUTO-SIZED trained codebook (rows-only by design — Lloyd's float
+    summation order varies with exchange merge order, like the c06
+    family; the planted-duplicate contract is pytest-pinned)."""
+    out = semantic_dedup(t(spark, sf, "embeddings"))
+    return out.groupBy("keep").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cell").alias("n_cells"),
     )
 
 

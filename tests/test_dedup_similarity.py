@@ -694,3 +694,44 @@ def test_auto_codebook_k_sizing(spark):
     assert cb.shape == (N_CENTROIDS, 2)
     norms = np.linalg.norm(cb, axis=1)
     assert np.allclose(norms, 1.0)
+
+
+def test_semantic_dedup_production_entrypoint(spark):
+    """r16: semantic_dedup (trained auto-sized codebook + keep-first
+    within cells) drops planted near-duplicates and keeps the
+    smallest-id copy; distinct vectors all survive."""
+    import numpy as np
+
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((6, 8))
+    unit = [b / np.linalg.norm(b) for b in base]
+
+    def jit(v):
+        return [float(x) for x in v + rng.standard_normal(8) * 1e-3]
+
+    # ids 0-5: one copy of each DISTINCT vector (so the trainer's
+    # first-k init seeds distinct centroids); ids 6-9: extra planted
+    # copies of vectors 0 and 1
+    rows = [(i, jit(unit[i])) for i in range(6)]
+    rows += [(6, jit(unit[0])), (7, jit(unit[0])),
+             (8, jit(unit[1])), (9, jit(unit[1]))]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    # k pinned: auto-sizing floors at N_CENTROIDS=16 > n here, which
+    # caps to one-vector-per-cell (tiny corpora aren't the use case)
+    got = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(df, tau=0.95, k=4).collect()
+    }
+    assert len(got) == 10
+    # keep-first retains the minimum id of each planted cluster and
+    # drops the later copies
+    assert got[0] is True and got[6] is False and got[7] is False
+    assert got[1] is True and got[8] is False and got[9] is False
+    # distinct singletons survive
+    assert all(got[i] for i in range(2, 6))
