@@ -219,6 +219,10 @@ def train_ivf_codebook(
         k = auto_codebook_k(df.count())
     # bounded: model parameters (k init vectors), not data
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not init_rows:
+        raise ValueError(
+            "train_ivf_codebook: cannot train on an empty frame"
+        )
     cents = np.stack(
         [np.asarray(r[0], dtype=np.float64) for r in init_rows]
     )
@@ -646,10 +650,22 @@ def semantic_dedup(
     hash-checkable twin with deterministic seed centroids; this is
     the entry point a pipeline calls.
 
-    100 TB shape: training touches a bounded sample-or-corpus pass
-    per Lloyd iteration (model state k x dim on the driver); the
-    assignment is one Arrow-batched map-side matmul; pair work is
-    bounded by cell size times the chunk cap, never corpus-quadratic."""
+    100 TB shape: training costs iters + 2 bounded passes (count,
+    k-row init, one assign+fold per Lloyd iteration); the final
+    assignment is one Arrow-batched map-side matmul whose output is
+    PERSISTED here — ``_semdedup_keep`` reads the assigned frame in
+    three join branches, and without the persist each branch would
+    recompute the corpus-wide matmul. Callers evaluate the result
+    then ``spark.catalog.clearCache()`` (or unpersist) when done.
+    Pair work is bounded by cell size times the chunk cap, never
+    corpus-quadratic. Empty input returns an empty frame."""
+    if df.isEmpty():
+        return (
+            df.select(F.col(id_col).alias("vec_id"))
+            .limit(0)
+            .withColumn("cell", F.lit(None).cast("int"))
+            .withColumn("keep", F.lit(True))
+        )
     cb = train_ivf_codebook(
         df, vec_col=vec_col, id_col=id_col, k=k, iters=iters
     )
@@ -658,7 +674,7 @@ def semantic_dedup(
         F.col(vec_col).alias("embedding"),
     ).withColumn(
         "cell", F.element_at(ivf_assign_udf(1, cb)("embedding"), 1)
-    )
+    ).persist()
     return _semdedup_keep(cells, tau)
 
 
