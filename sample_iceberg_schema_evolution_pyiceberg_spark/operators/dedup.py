@@ -381,24 +381,24 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     pytest property test additionally plants known dups and asserts
     recovery + agreement with c04.
 
-    r16 optimization round: the persisted gram table is projected to
-    three LONGS (doc_id, h, gd) before anything shuffles or caches —
-    h replays the oracle's md5-derived minhash input bit-for-bit, gd
-    (xxhash64) carries gram identity for the verify stage's set
-    intersection, whose jaccard only needs gram-equality semantics
-    (same collision note as c04's postings). Gram TEXT never leaves
-    the tokenize projection. Caches are per-invocation: the previous
-    invocation's entries are evicted at entry, so no bench pass is
-    served from a cache an earlier pass built."""
+    r16 optimization round: the gram table is projected to three LONGS
+    (doc_id, h, gd) before anything shuffles — h replays the oracle's
+    md5-derived minhash input bit-for-bit, gd (xxhash64) carries gram
+    identity for the verify stage's set intersection, whose jaccard
+    only needs gram-equality semantics (same collision note as c04's
+    postings). Gram TEXT never leaves the tokenize projection. Caches
+    (cand, ds — both post-LSH candidate-sized) are per-invocation: the
+    previous invocation's entries are evicted at entry, so no bench
+    pass is served from a cache an earlier pass built."""
     _evict_query_caches("c02")
-    g = (
-        _grams_df(spark, sf)
-        .select(
-            "doc_id",
-            (md5_hash60("gram") % MINHASH_PRIME).alias("h"),
-            F.xxhash64("gram").alias("gd"),
-        )
-        .persist()
+    # g is NOT persisted: its two consumers (sig, ds) share the scan +
+    # repartition exchange via ReusedExchange, and re-running the
+    # explode+hash projection costs less than building and reading a
+    # gram-sized cache (A/B'd at sf0.1 and sf1, r16)
+    g = _grams_df(spark, sf).select(
+        "doc_id",
+        (md5_hash60("gram") % MINHASH_PRIME).alias("h"),
+        F.xxhash64("gram").alias("gd"),
     )
     sig = g.groupBy("doc_id").agg(*_minhash_mins())
     # band array as one parsed expression (1 py4j round trip vs ~100
@@ -471,7 +471,7 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     jac = inter.cast("double") / (
         F.size("ga") + F.size("gb") - inter
     )
-    _register_query_caches("c02", g, cand, ds)
+    _register_query_caches("c02", cand, ds)
     return (
         a.join(cand, "doc_a")
         .join(b, "doc_b")

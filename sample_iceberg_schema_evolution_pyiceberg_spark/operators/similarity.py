@@ -29,6 +29,51 @@ _DIM = 64
 _PLANES = np.random.RandomState(11).standard_normal((N_PLANES, _DIM))
 
 
+# ---------------------------------------------------------------------------
+# Unrolled fixed-dim cosine (r16 optimization round, guide §1.2 step 2)
+#
+# functions.dot/l2_norm fold with zip_with+aggregate — higher-order
+# functions are CodegenFallback in Spark, so every PAIR of a pair query
+# pays an interpreted 64-step fold. For a known fixed dim the same
+# left-to-right sum unrolls into a flat codegen'd expression:
+# 0.0 + a[0]*b[0] + a[1]*b[1] + ... parses left-associative, which is
+# EXACTLY the fold's (((0+t1)+t2)+...) association — bit-identical
+# doubles, same oracle hashes. A size guard falls back to the HOF fold
+# for any row that is not dim-sized, so the helpers stay total.
+# ---------------------------------------------------------------------------
+
+
+def _dot_fold_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _unrolled_dot(a: str, b: str, dim: int = _DIM):
+    terms = " + ".join(
+        f"(cast({a}[{i}] as double) * cast({b}[{i}] as double))"
+        for i in range(dim)
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim}"
+        f" THEN 0.0D + {terms}"
+        f" ELSE {_dot_fold_sql(a, b)} END"
+    )
+
+
+def _unrolled_norm(a: str, dim: int = _DIM):
+    terms = " + ".join(
+        f"(cast({a}[{i}] as double) * cast({a}[{i}] as double))"
+        for i in range(dim)
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} THEN sqrt(0.0D + {terms})"
+        f" ELSE sqrt({_dot_fold_sql(a, a)}) END"
+    )
+
+
 def _query_vector(spark: SparkSession, sf: str) -> DataFrame:
     """The query point: embedding of vec_id=0, as a 1-row broadcastable
     DataFrame (a query constant, not a driver-side data loop)."""
@@ -52,17 +97,22 @@ def _query_vector(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def c05_cosine_topk_brute(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force cosine top-20 neighbors of vec_id=0. Dot/norms via
-    zip_with+aggregate (sequential double fold — bit-matches DuckDB's
-    list_cosine_similarity), rounded to 6."""
+    """Brute-force cosine top-20 neighbors of vec_id=0. Dot/norms as
+    the UNROLLED sequential double fold (r16: same left-to-right sums
+    as the zip_with+aggregate form — bit-matches DuckDB's
+    list_cosine_similarity — but whole-stage-codegen instead of the
+    interpreted HOF path; see _unrolled_dot), rounded to 6."""
     e = t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
     q = _query_vector(spark, sf)
+    cos = _unrolled_dot("embedding", "qvec") / (
+        _unrolled_norm("embedding") * _unrolled_norm("qvec")
+    )
     return (
         e.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(20)
@@ -329,9 +379,24 @@ def c13_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     composition is `bucket-join >> this`, both shapes are in the repo.
     """
     e = t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    # r16: norms are per-VECTOR quantities — compute them once per side
+    # before the pair join instead of re-folding both inside every
+    # pair's cosine (the all-pairs stage then pays only the dot), and
+    # the dot itself is the unrolled codegen expression rather than the
+    # CodegenFallback HOF fold (see _unrolled_dot — bit-identical sums,
+    # measured ~8x on this stage). Same physical join; values and
+    # hashes unchanged.
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _unrolled_norm("embedding").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _unrolled_norm("embedding").alias("nb"),
+    )
+    cos = _unrolled_dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.3)
@@ -361,17 +426,20 @@ def c13b_dedup_lsh_gated_cosine(spark: SparkSession, sf: str) -> DataFrame:
     tb = e.select(
         "vec_id",
         "embedding",
+        # per-vector norm computed BEFORE the bucket join (r16): the
+        # verify stage then pays only the unrolled dot per pair
+        _unrolled_norm("embedding").alias("nrm"),
         F.posexplode("buckets").alias("table_id", "bucket"),
     )
     a = tb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "table_id", "bucket",
+        F.col("nrm").alias("na"), "table_id", "bucket",
     )
     b = tb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "table_id", "bucket",
+        F.col("nrm").alias("nb"), "table_id", "bucket",
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = _unrolled_dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
