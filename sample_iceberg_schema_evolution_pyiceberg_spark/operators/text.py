@@ -2226,18 +2226,27 @@ def c39_repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(
                 # size guards: sequence(0, -1) would DESCEND in Spark
                 # (yielding [0, -1]) — short docs must contribute no
-                # 2/3-grams, not garbage indexes
+                # 2/3-grams, not garbage indexes.
+                # r16 (guide §2.3): grams are digested to 64-bit longs
+                # INSIDE the generator — the output carries only
+                # counts/fractions, never gram text, so the (doc, k,
+                # gram) count key only needs gram-equality semantics;
+                # an 8-byte key shuffles ~4x fewer bytes than 3-word
+                # gram text and hashes/compares as a long in both
+                # aggregate phases (per-doc collision odds ~n^2/2^65
+                # at ~300 grams/doc: negligible, and a gated-scale
+                # collision would fail the value gate loudly)
                 "concat("
-                " transform(ws, w -> struct(1 as k, w as g)),"
+                " transform(ws, w -> struct(1 as k, xxhash64(w) as g)),"
                 " IF(size(ws) >= 2,"
                 "   transform(sequence(0, size(ws) - 2),"
-                "     i -> struct(2 as k, concat(ws[i], ' ', ws[i + 1])"
-                "       as g)),"
+                "     i -> struct(2 as k, xxhash64(concat(ws[i], ' ',"
+                "       ws[i + 1])) as g)),"
                 "   array()),"
                 " IF(size(ws) >= 3,"
                 "   transform(sequence(0, size(ws) - 3),"
-                "     i -> struct(3 as k, concat(ws[i], ' ', ws[i + 1],"
-                "       ' ', ws[i + 2]) as g)),"
+                "     i -> struct(3 as k, xxhash64(concat(ws[i], ' ',"
+                "       ws[i + 1], ' ', ws[i + 2])) as g)),"
                 "   array()))"
             )
         ).alias("kg"),
