@@ -111,15 +111,18 @@ def run_canary(spark, runs: int = 5) -> dict[str, float]:
 # bench_results/ + SCALE.md; the stable cross-round signal is the sf1
 # point (~0.14x), where work dominates the per-job fixed cost.
 SF01_QUIET_BAND = {
-    "ratio_min": 1.14,
-    "ratio_max": 1.59,
+    "ratio_min": 1.35,
+    "ratio_max": 1.85,
     "source": (
-        "r12-r16 records (SCALE.md R14-R16): r16 widened the band "
-        "after four same-day draws (three quiet, one borderline) "
-        "spanned 1.146-1.59 with BOTH engines moving (DuckDB "
-        "denominator 2.99-3.95 s) — the old 1.29-1.58 band "
-        "under-covered the denominator's own spread; floor 1.14 "
-        "covers a recurrence of the 1.146 draw"
+        "r16 OPTIMIZATION round re-baseline: persisted intermediates "
+        "are now evicted per invocation (OPTIMIZATION_r16.md — the "
+        "r12-r15 band [1.14, 1.59] was drawn with c02/c04 serving "
+        "measured passes from caches built in the warmups; every "
+        "pass now recomputes from parquet, which moves those two "
+        "queries from ~0.45/0.52 s cached to honest ~0.7-1.2 s at "
+        "parity with the DuckDB oracle's own per-pass recompute). "
+        "Band from the r16 quiet double-draw records in "
+        "bench_results/sf01_suite_r16opt_*.json"
     ),
 }
 

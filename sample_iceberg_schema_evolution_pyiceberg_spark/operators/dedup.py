@@ -51,6 +51,7 @@ _SQL_GRAMS = """
 
 @query(
     "c01_dedup_exact",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_copies,
@@ -107,6 +108,38 @@ def _grams_df(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT doc_id, explode({_NGRAM3_SQL}) AS gram
+        FROM (SELECT doc_id, split(lower(text), ' ') AS ws
+              FROM (SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
+                    FROM {{d}}))
+        """,
+        d=d,
+    )
+
+
+# c04/c18's gram source (r16): the pair pipeline never needs gram TEXT,
+# so the 3-gram is hashed DIRECTLY from the word triple
+# (xxhash64(w1, w2, w3) — field-chained, no concat, no per-gram string
+# allocation) and the per-doc distinct runs over longs. ~12% off the
+# c04 wall at sf0.1 (tokenize was 0.31 s of string churn), value-
+# identical results (collision caveat as in _jaccard_pairs). c02 keeps
+# _grams_df: its minhash replays md5(gram-text) bit-for-bit in DuckDB.
+_NGRAM3_HASH_SQL = (
+    "CASE WHEN size(ws) >= 3 THEN array_distinct(transform("
+    "sequence(0, size(ws) - 3), i -> xxhash64("
+    "element_at(ws, cast(i + 1 AS int)), "
+    "element_at(ws, cast(i + 2 AS int)), "
+    "element_at(ws, cast(i + 3 AS int))))) "
+    "ELSE cast(array() AS array<bigint>) END"
+)
+
+
+def _gram_digests_df(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id + exploded distinct word-3-gram DIGESTS (bigint)."""
+    d = t(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return spark.sql(
+        f"""
+        SELECT doc_id, explode({_NGRAM3_HASH_SQL}) AS g
         FROM (SELECT doc_id, split(lower(text), ' ') AS ws
               FROM (SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
                     FROM {{d}}))
@@ -242,8 +275,7 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     # the identical plan from the previous invocation's entry
     _release_gram_cache()
     posts = (
-        _grams_df(spark, sf)
-        .select("doc_id", F.xxhash64("gram").alias("g"))
+        _gram_digests_df(spark, sf)
         .groupBy("g")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") <= C04_MAX_GRAM_DF)
@@ -452,26 +484,40 @@ def c02_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # clusters of k near-dups contribute k*(k-1)/2 pairs, which
     # overran the driver at a 10x replication scale. AQE broadcasts
     # on its own whenever the set really is small (the common case).
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # no .distinct() on the semi-join source (r16): LeftSemi only asks
+    # "does a match exist" and the broadcast build side dedupes keys as
+    # it builds the hash relation, so the distinct bought nothing but
+    # its own exchange; the union stays bounded at 2x|cand| rows
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
     )
     # persisted for the same reason: ds is both join sides below, and
     # it is candidate-sized (only docs that survived LSH banding)
+    # ds persist is INPUT-SCALED (session.heavy_input): at sf1 the
+    # cache wins 1.5x end-to-end (4.5 s vs 7.0 s full pass — without
+    # it the semi-join + collect_set fold runs once per join arm), but
+    # at gate scale the persist/evict bookkeeping costs more than the
+    # recompute (1.06 s vs 1.25 s full pass). Values identical either
+    # way; this is the guide's scale-parameterised-config rule applied
+    # to a memory-for-recompute trade.
     ds = (
         g.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("gd").alias("grams"))
-        .persist()
     )
+    from ..session import heavy_input  # noqa: PLC0415
+
+    owned = [cand]
+    if heavy_input():
+        ds = ds.persist()
+        owned.append(ds)
     a = ds.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = ds.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     jac = inter.cast("double") / (
         F.size("ga") + F.size("gb") - inter
     )
-    _register_query_caches("c02", cand, ds)
+    _register_query_caches("c02", *owned)
     return (
         a.join(cand, "doc_a")
         .join(b, "doc_b")

@@ -77,6 +77,7 @@ def b02_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b03_join_inner_3way",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT n.n_name,
            ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
@@ -325,6 +326,7 @@ def b11_join_range(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b12_agg_pricing_summary",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
@@ -401,6 +403,7 @@ def b12_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b13_agg_count_distinct",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_suppkey) AS n_suppliers,
@@ -504,6 +507,7 @@ def b15_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b16_agg_having",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT o_custkey,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
@@ -579,6 +583,7 @@ def b17_agg_minmax_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b18_window_ranking",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT * FROM (
       SELECT c_mktsegment, c_custkey, c_acctbal,
@@ -642,6 +647,7 @@ def b19_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b20_window_running_frame",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT o_custkey, o_orderkey,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -675,6 +681,7 @@ def b20_window_running_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b21_topk",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice
     FROM lineitem
@@ -1077,6 +1084,7 @@ def b35_cast_promotion(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b36_dedup_keep_first",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT user_id, event_type, event_id AS first_event
     FROM (
@@ -1379,6 +1387,7 @@ def b53_percentile_median(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b54_sessionize_batch",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     WITH e AS (
       SELECT user_id, event_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
@@ -1649,6 +1658,7 @@ def b57_string_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b42_udtf_explode",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT word, COUNT(*) AS n
     FROM (SELECT UNNEST(STR_SPLIT(p_name, ' ')) AS word
@@ -1669,6 +1679,7 @@ def b42_udtf_explode(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "b62_asof_join",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     WITH dim AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice

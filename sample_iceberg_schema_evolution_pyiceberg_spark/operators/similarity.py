@@ -85,6 +85,7 @@ def _query_vector(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "c05_cosine_topk_brute",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT e.vec_id, e.label,
            ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),

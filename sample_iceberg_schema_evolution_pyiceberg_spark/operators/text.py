@@ -135,6 +135,7 @@ def c08_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "c09_token_count",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -182,6 +183,7 @@ def c09_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "c15_tfidf_top_terms",
+    memo_plan=True,  # pure constructor: prepared-plan memo (r16)
     oracle="""
     WITH w AS (
       SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS term

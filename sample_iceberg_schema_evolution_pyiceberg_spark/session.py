@@ -95,6 +95,19 @@ def declared_input_bytes() -> int:
     return _dir_input_bytes(sf_dir) if sf_dir else 0
 
 
+def heavy_input(threshold: int = _AQE_MIN_INPUT_BYTES) -> bool:
+    """True when the declared input is big enough that memory-for-
+    recompute trades (persisting a mid-query intermediate) pay for
+    themselves (r16: c02's candidate-gram-set cache wins 1.5x at sf1
+    but costs more than the recompute at gate scale, where the
+    persist/evict bookkeeping dominates). Same 64 MB basis as the AQE
+    gate; no declared input -> True (the safe at-scale default)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir:
+        return True
+    return _dir_input_bytes(sf_dir) >= threshold
+
+
 def parse_mem_bytes(mem: str) -> int:
     """'8g' / '512m' / '24g' -> bytes (JVM -Xmx suffix grammar)."""
     m = re.fullmatch(r"(\d+)([kmgt]?)", mem.strip().lower())

@@ -48,7 +48,11 @@ def test_star_join_fact_scans_are_bucketed(spark, sf_dir):
     (test_bucketed_join_needs_no_shuffle proves the join shape; this
     proves b03 actually reads that layout)."""
     df = QUERIES["b03_join_inner_3way"](spark, sf_dir)
-    plan = physical_plan(df)
+    # the prepared-plan memo (r16) may hand back the SAME DataFrame the
+    # previous test executed — an AQE-final plan prints initial+final
+    # trees, so count scans in the final block only (sibling test's
+    # pattern)
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Bucketed: true") == 2, plan
 
 
