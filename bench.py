@@ -93,7 +93,9 @@ def read_cpu_steal() -> tuple[int, int]:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         return (vals[7] if len(vals) > 7 else 0, sum(vals))
-    except OSError:
+    except (OSError, ValueError, IndexError):
+        # label-only annotation: a malformed /proc/stat line must not
+        # crash the bench (ADVICE r16)
         return (0, 0)
 
 
@@ -117,6 +119,73 @@ def run_canary(spark, runs: int = 5) -> dict[str, float]:
         "min": round(min(s), 4),
         "max": round(max(s), 4),
     }
+
+
+def _box_state(drift: float, floor: float, steal_pct: float) -> tuple[bool, bool, str]:
+    """(congested, borderline, label) from the three box-weather
+    signals. Thresholds calibrated r14 (drift/floor) and r16 (steal:
+    >3% inflated compute-bound medians 1.5-2.4x; a healthy dedicated
+    guest sees <0.1%)."""
+    congested = bool(abs(drift) > 0.5 or floor > 0.15 or steal_pct > 3.0)
+    borderline = bool(
+        not congested
+        and (abs(drift) >= 0.3 or floor > 0.10 or steal_pct > 0.75)
+    )
+    label = (
+        "congested" if congested else "borderline" if borderline else "quiet"
+    )
+    return congested, borderline, label
+
+
+# Bounded steal-gated retry of the measured sections (VERDICT r16 item
+# 1): a congested attempt (CPU steal from host neighbors, detected
+# AFTER the fact via /proc/stat deltas + the canary) is re-drawn up to
+# this many total attempts; the LAST attempt is the one reported,
+# labeled honestly either way, and every attempt's box state is kept
+# in the record. Retrying a congested draw is a measurement-validity
+# fix, not a cherry-pick: the attempt to keep is decided by box
+# weather alone, never by the resulting numbers.
+STEAL_RETRY_ATTEMPTS = max(
+    1, int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "3"))
+)
+
+
+def _measure_spark(spark, sf_dir: str, runs: int):
+    """One attempt of the Spark measured section: canary + steal
+    bracketing around the consecutive per-query sampling loop."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators import (
+        QUERIES,
+    )
+
+    canary_pre = run_canary(spark)
+    steal_pre = read_cpu_steal()
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    fingerprints: dict[str, str] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fingerprints[name] = plan_fingerprint(fn(spark, sf_dir))
+        for _ in range(runs):
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            samples[name].append(time.time() - t0)
+    canary_post = run_canary(spark)
+    steal_post = read_cpu_steal()
+    d_total = max(steal_post[1] - steal_pre[1], 1)
+    steal_pct = round(100.0 * (steal_post[0] - steal_pre[0]) / d_total, 3)
+    base = max(canary_pre["median"], 1e-4)
+    drift = round((canary_post["median"] - canary_pre["median"]) / base, 3)
+    floor = max(canary_pre["median"], canary_post["median"])
+    congested, borderline, label = _box_state(drift, floor, steal_pct)
+    canary = {
+        "pre": canary_pre,
+        "post": canary_post,
+        "drift": drift,
+        "steal_pct": steal_pct,
+        "congested": congested,
+        "borderline": borderline,
+        "box_state": label,
+    }
+    return samples, fingerprints, canary
 
 
 # The sf0.1 headline ratio band across same-day QUIET-box draws
@@ -184,62 +253,27 @@ def main() -> None:
         for name in HEADLINE:
             materialize(QUERIES[name](spark, sf_dir))
 
-    # consecutive per-query sampling (JMH-style steady state): the 3
+    # consecutive per-query sampling (JMH-style steady state): the 5
     # measured passes of a query run back-to-back, not interleaved with
-    # 15 other queries — measured on this box, interleaving inflates
+    # 16 other queries — measured on this box, interleaving inflates
     # per-query medians ~40% (cache/JIT/cleaner cross-talk between
-    # plans; see tools/aqe_experiment.py, which first quantified it)
-    canary_pre = run_canary(spark)
-    steal_pre = read_cpu_steal()
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    fingerprints: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        fingerprints[name] = plan_fingerprint(fn(spark, sf_dir))
-        for _ in range(runs):
-            t0 = time.time()
-            materialize(fn(spark, sf_dir))
-            samples[name].append(time.time() - t0)
-    canary_post = run_canary(spark)
-    steal_post = read_cpu_steal()
-    d_total = max(steal_post[1] - steal_pre[1], 1)
-    steal_pct = round(100.0 * (steal_post[0] - steal_pre[0]) / d_total, 3)
-    # drift annotation: how much the fixed cost moved across the
-    # measured section, and how inflated it is vs the historical idle
-    # floor (~0.02-0.04 s for a noop 1-row job on this box). Either
-    # signal marks the record as a congested draw for the reader.
-    # r14 (VERDICT r13 item 6): drift in [0.3, 0.5] or floor in
-    # (0.10, 0.15] self-labels as BORDERLINE — the r13 driver draw sat
-    # at drift 0.483 with 2.2x-inflated walls on both engines and
-    # carried no flag; readers should not need same-day quiet-box
-    # context to spot that. box_state is the one-word summary
-    # (quiet | borderline | congested); headline records in SCALE.md /
-    # SURVEY.md should be double-drawn (one loaded + one quiet box)
-    # and report the quiet draw with the loaded one as context.
-    base = max(canary_pre["median"], 1e-4)
-    drift = round((canary_post["median"] - canary_pre["median"]) / base, 3)
-    floor = max(canary_pre["median"], canary_post["median"])
-    # steal thresholds (r16, calibrated on this host's draws): >3%
-    # steal inflated compute-bound medians 1.5-2.4x (measured 8-10%
-    # storms); ~1.5% moved totals <10%. A healthy dedicated guest
-    # sees <0.1%.
-    congested = bool(abs(drift) > 0.5 or floor > 0.15 or steal_pct > 3.0)
-    borderline = bool(
-        not congested
-        and (abs(drift) >= 0.3 or floor > 0.10 or steal_pct > 0.75)
-    )
-    canary = {
-        "pre": canary_pre,
-        "post": canary_post,
-        "drift": drift,
-        "steal_pct": steal_pct,
-        "congested": congested,
-        "borderline": borderline,
-        "box_state": (
-            "congested" if congested
-            else "borderline" if borderline else "quiet"
-        ),
-    }
+    # plans; see tools/aqe_experiment.py, which first quantified it).
+    # Steal-gated bounded retry (VERDICT r16 item 1): a congested
+    # attempt re-draws, keeping the LAST attempt and every attempt's
+    # box state. drift/floor/steal thresholds documented at _box_state;
+    # box_state is the one-word summary (quiet|borderline|congested).
+    spark_attempts: list[dict] = []
+    for _ in range(STEAL_RETRY_ATTEMPTS):
+        samples, fingerprints, canary = _measure_spark(spark, sf_dir, runs)
+        spark_attempts.append(
+            {
+                "box_state": canary["box_state"],
+                "steal_pct": canary["steal_pct"],
+                "drift": canary["drift"],
+            }
+        )
+        if not canary["congested"]:
+            break
     times = {n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()}
     spread = {
         n: {"min": round(min(s), 3), "max": round(max(s), 3)}
@@ -247,6 +281,7 @@ def main() -> None:
     }
 
     duck_times: dict[str, float] = {}
+    duck_attempts: list[float] = []
     try:
         import duckdb
 
@@ -263,13 +298,28 @@ def main() -> None:
                 con.execute(ORACLES[name]).fetchall()
         # consecutive per-query, same as the Spark side (r8: the
         # measured passes were interleaved here while Spark's were
-        # consecutive — asymmetric, and interleaving inflates medians)
-        d_samples: dict[str, list[float]] = {n: [] for n in oracle_names}
-        for name in oracle_names:
-            for _ in range(runs):
-                t0 = time.time()
-                con.execute(ORACLES[name]).fetchall()
-                d_samples[name].append(time.time() - t0)
+        # consecutive — asymmetric, and interleaving inflates medians).
+        # Same steal-gated bounded retry as the Spark half (symmetry:
+        # a steal burst on either engine's turn skews the ratio, in
+        # either direction).
+        for _ in range(STEAL_RETRY_ATTEMPTS):
+            d_steal_pre = read_cpu_steal()
+            d_samples: dict[str, list[float]] = {n: [] for n in oracle_names}
+            for name in oracle_names:
+                for _ in range(runs):
+                    t0 = time.time()
+                    con.execute(ORACLES[name]).fetchall()
+                    d_samples[name].append(time.time() - t0)
+            d_steal_post = read_cpu_steal()
+            duck_steal_pct = round(
+                100.0
+                * (d_steal_post[0] - d_steal_pre[0])
+                / max(d_steal_post[1] - d_steal_pre[1], 1),
+                3,
+            )
+            duck_attempts.append(duck_steal_pct)
+            if duck_steal_pct <= 3.0:
+                break
         duck_times = {
             n: round(sorted(s)[len(s) // 2], 3) for n, s in d_samples.items()
         }
@@ -301,6 +351,8 @@ def main() -> None:
                 "duckdb_total": duck_total,
                 "duckdb_spread": duck_spread,
                 "canary": canary,
+                "spark_attempts": spark_attempts,
+                "duckdb_attempt_steal_pcts": duck_attempts,
             }
         )
     )
@@ -329,13 +381,14 @@ def main() -> None:
                     n: [s["min"], s["max"]] for n, s in duck_spread.items()
                 },
                 "canary": [
-                    canary_pre["median"],
-                    canary_post["median"],
+                    canary["pre"]["median"],
+                    canary["post"]["median"],
                     int(canary["congested"]),
                 ],
                 "canary_drift": canary["drift"],
-                "steal_pct": steal_pct,
+                "steal_pct": canary["steal_pct"],
                 "box_state": canary["box_state"],
+                "n_attempts": [len(spark_attempts), len(duck_attempts)],
             },
             separators=(",", ":"),
         )

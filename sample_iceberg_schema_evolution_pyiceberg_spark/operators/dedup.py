@@ -579,7 +579,17 @@ def c03_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     candidates share one of four 15-bit chunks (hamming <= 3
     within-chunk guarantee by pigeonhole over 4 chunks), verified by
     exact popcount of the XOR. Hash-gated: the DuckDB oracle replays
-    the signature arithmetic bit-for-bit."""
+    the signature arithmetic bit-for-bit.
+
+    r17 (guide §3.3, the restructure proven on c02/c04): the
+    (chunk_id, chunk) SELF-JOIN emitted k^2 rows per band bucket and
+    filtered half after the join; bucket members now fold into one
+    doc_id-sorted posting list and the doc_a < doc_b pair stream is
+    generated by codegen'd posexplode+slice — exactly k(k-1)/2 rows,
+    no join build, one exchange of the 4x|docs| chunk rows instead of
+    two join arms. Hamming is computed and thresholded in the pair
+    stream before the cross-chunk distinct. Same candidate set, same
+    popcount, same values."""
     d = t(spark, sf, "documents")
     w = d.select("doc_id", F.explode(words("text")).alias("word"))
     h = md5_hash60("word")
@@ -621,21 +631,30 @@ def c03_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
-        "chunk_id", "chunk",
+    # doc_id is unique and leads the struct, so array_sort orders by it
+    # and the slice-generated pairs are exactly doc_a < doc_b
+    posts = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
     )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
-        "chunk_id", "chunk",
+    pairs = posts.select(F.posexplode("ms").alias("i", "a"), "ms").select(
+        "a",
+        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 

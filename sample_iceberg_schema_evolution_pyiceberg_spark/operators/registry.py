@@ -49,6 +49,16 @@ ORACLES: dict[str, str] = {}
 _PLAN_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _session_stopped(spark: SparkSession) -> bool:
+    """True when the session's SparkContext has been stopped (its py4j
+    JavaObject is released on stop). Defensive: any introspection error
+    counts as stopped — eviction of a live entry only costs a rebuild."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:  # noqa: BLE001
+        return True
+
+
 def plan_memo(fn: Callable[[SparkSession, str], DataFrame]):
     """Wrap a PURE query constructor with the prepared-plan memo."""
 
@@ -59,6 +69,12 @@ def plan_memo(fn: Callable[[SparkSession, str], DataFrame]):
         # the live one before serving its plan
         if hit is not None and hit[0] is spark:
             return hit[1]
+        # memo miss (new session or new sf_dir): drop entries owned by
+        # stopped sessions so long-lived processes that create many
+        # sessions (pytest, services) don't pin dead py4j objects
+        # forever (ADVICE r16)
+        for k in [k for k, v in _PLAN_MEMO.items() if _session_stopped(v[0])]:
+            del _PLAN_MEMO[k]
         df = fn(spark, sf_dir)
         _PLAN_MEMO[key] = (spark, df)
         return df

@@ -421,32 +421,56 @@ def c13b_dedup_lsh_gated_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
     Banding is 8 tables x 3 bits (vs c06's 4x4): the 0.3-cosine target
     is a wide-angle pair (~73°, per-table collision 0.597^3≈0.21), so
-    recall needs many short bands — 1-(1-0.21)^8 ≈ 0.85."""
+    recall needs many short bands — 1-(1-0.21)^8 ≈ 0.85.
+
+    r17 (guide §3.3, the restructure proven on c02/c04): the
+    (table_id, bucket) SELF-JOIN emitted k^2 rows per bucket and
+    filtered half away after the join; bucket members now fold into
+    ONE vec_id-sorted posting list per bucket and the a<b pair stream
+    is generated by codegen'd posexplode+slice — exactly k(k-1)/2
+    rows, no join build, one exchange of the bucket rows instead of
+    two join arms. Additionally the cosine is scored and thresholded
+    INSIDE the per-bucket pair stream (map-side after the fold), so
+    the cross-table dedup shuffles only the surviving
+    (vec_a, vec_b, cos) scalars — never embeddings (guide §2.3:
+    shuffle decisions, not payloads). Same pairs, same arithmetic,
+    same values."""
     buckets = lsh_buckets_udf(n_tables=8, bits=3, seed=31)
     e = t(spark, sf, "embeddings").withColumn("buckets", buckets("embedding"))
     tb = e.select(
         "vec_id",
         "embedding",
-        # per-vector norm computed BEFORE the bucket join (r16): the
+        # per-vector norm computed BEFORE the bucket fold (r16): the
         # verify stage then pays only the unrolled dot per pair
         _unrolled_norm("embedding").alias("nrm"),
         F.posexplode("buckets").alias("table_id", "bucket"),
     )
-    a = tb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "table_id", "bucket",
+    # vec_id is unique and leads the struct, so array_sort orders by it
+    # and the slice-generated pairs are exactly vec_a < vec_b
+    posts = (
+        tb.groupBy("table_id", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "nrm", "embedding"))
+            ).alias("vs")
+        )
+        .filter(F.size("vs") >= 2)
     )
-    b = tb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "table_id", "bucket",
+    pairs = posts.select(F.posexplode("vs").alias("i", "a"), "vs").select(
+        "a",
+        F.explode(F.slice("vs", F.col("i") + 2, F.size("vs"))).alias("b"),
     )
-    cos = _unrolled_dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    cos = _unrolled_dot("a.embedding", "b.embedding") / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        pairs.filter(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
         .dropDuplicates(["vec_a", "vec_b"])  # pair may share >1 table
-        .filter(cos >= 0.3)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
 
 

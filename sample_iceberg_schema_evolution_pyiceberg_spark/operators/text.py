@@ -214,10 +214,17 @@ def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     - df derived FROM tf (tf rows are already distinct (doc_id, term),
       so COUNT(*) per term == COUNT(DISTINCT doc_id)) — the exchange
       under tf is reused, no Expand;
+    - r17 (guide §2.3, the c39/c04 digest move): the df aggregation
+      and the join back to tf key on xxhash64(term) LONGS, not term
+      strings — df only needs term EQUALITY, and the term text rides
+      the doc_id-partitioned tf side into the final output, so the
+      vocabulary exchange and the join hash carry 8-byte keys. Two
+      distinct terms colliding (~|vocab|^2/2^65) would merge df counts
+      and fail the value gate loudly at any gated scale;
     - the |vocabulary|-sized df table joins back as a broadcast, so
       the corpus-sized tf side never reshuffles on term. At extreme
       vocab (>~broadcast threshold) drop the hint and AQE falls back
-      to a term-keyed shuffle join — semantics unchanged."""
+      to a digest-keyed shuffle join — semantics unchanged."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     d = t(spark, sf, "documents")
@@ -232,7 +239,8 @@ def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(words("text")).alias("term")
     )
     tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfd = tf.withColumn("td", F.xxhash64("term"))
+    dfreq = tfd.groupBy("td").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * F.log(
         (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
@@ -243,7 +251,7 @@ def c15_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         # web scale — a forced F.broadcast is never demoted by AQE and
         # would OOM the driver on a real corpus); AQE broadcasts it on
         # its own when the vocabulary is actually small. n is one row.
-        tf.join(dfreq, "term")
+        tfd.join(dfreq, "td")
         .crossJoin(F.broadcast(n))
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= 3)

@@ -201,3 +201,108 @@ def test_broadcast_threshold_scales_with_heap():
     assert broadcast_threshold_bytes("2g") == 8 * 1024 * 1024
     with pytest.raises(ValueError):
         parse_mem_bytes("lots")
+
+
+# ---------------------------------------------------------------------------
+# Prepared-plan memo purity lint (r17, VERDICT r16 item 7): a
+# memo_plan=True constructor must be PURE plan-building — constructing
+# twice yields the same analyzed plan and touches no catalog state —
+# otherwise the memo silently skips real per-invocation work. The lint
+# runs against every registered memoized query AND is proven red on a
+# deliberately impure fixture.
+# ---------------------------------------------------------------------------
+
+
+def _normalized_analyzed_plan(df) -> str:
+    import re
+
+    s = df._jdf.queryExecution().analyzed().toString()
+    s = re.sub(r"#\d+L?", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    return s
+
+
+def _memo_purity_violations(spark, sf_dir, fn) -> list[str]:
+    """Impurity evidence for a (spark, sf_dir) -> DataFrame constructor:
+    unequal analyzed plans across two constructions, or a catalog
+    (temp-view) delta. Callers warm SESSION-level memos (the table
+    memo registers bucketed-layout views on first touch — that is
+    load_table's documented behavior, not query impurity) before
+    invoking this."""
+    views_before = {v.name for v in spark.catalog.listTables()}
+    d1 = fn(spark, sf_dir)
+    d2 = fn(spark, sf_dir)
+    views_after = {v.name for v in spark.catalog.listTables()}
+    out = []
+    if _normalized_analyzed_plan(d1) != _normalized_analyzed_plan(d2):
+        out.append("analyzed plans differ across constructions")
+    if views_after != views_before:
+        out.append(f"catalog changed: {sorted(views_after ^ views_before)}")
+    return out
+
+
+def test_plan_memo_constructors_are_pure(spark, sf_dir):
+    """Every memo_plan=True site must pass the purity lint on its RAW
+    (unmemoized) constructor — the memo itself would mask impurity by
+    returning the cached frame."""
+    memoized = {
+        n: fn for n, fn in QUERIES.items() if hasattr(fn, "__wrapped__")
+    }
+    assert memoized, "expected memo_plan=True queries in the registry"
+    failures = {}
+    for name, fn in sorted(memoized.items()):
+        raw = fn.__wrapped__
+        raw(spark, sf_dir)  # warm session-level table/layout memos
+        if v := _memo_purity_violations(spark, sf_dir, raw):
+            failures[name] = v
+    assert not failures, failures
+
+
+def test_plan_memo_purity_lint_catches_impure(spark, sf_dir):
+    """The lint must be RED on an impure constructor (else it proves
+    nothing): one that registers temp views, and one whose plan is
+    construction-dependent."""
+    import itertools
+
+    counter = itertools.count()
+
+    def registers_views(s, _sf):
+        df = s.range(3)
+        df.createOrReplaceTempView(f"impure_probe_{next(counter)}")
+        return df
+
+    assert _memo_purity_violations(spark, sf_dir, registers_views)
+
+    def unstable_plan(s, _sf):
+        return s.range(3).selectExpr(f"id + {next(counter)} AS x")
+
+    assert _memo_purity_violations(spark, sf_dir, unstable_plan)
+
+
+def test_plan_memo_evicts_stopped_sessions(spark, sf_dir):
+    """ADVICE r16: _PLAN_MEMO must not pin DataFrames of stopped
+    sessions forever. Eviction is keyed on the stopped-session check;
+    simulate one with a stub whose sparkContext._jsc is None."""
+    from sample_iceberg_schema_evolution_pyiceberg_spark.operators import (
+        registry,
+    )
+
+    class _StoppedCtx:
+        _jsc = None
+
+    class _StoppedSession:
+        sparkContext = _StoppedCtx()
+
+    stub = _StoppedSession()
+    key = (id(stub), "/nowhere", "fake_query")
+    registry._PLAN_MEMO[key] = (stub, None)
+
+    # the prune runs on a memo MISS: guarantee one with a fresh wrapper
+    @registry.plan_memo
+    def _probe(s, _d):
+        return s.range(1)
+
+    _probe(spark, str(sf_dir))
+    assert key not in registry._PLAN_MEMO
+    # clean up the probe's own entry
+    registry._PLAN_MEMO.pop((id(spark), str(sf_dir), "_probe"), None)
