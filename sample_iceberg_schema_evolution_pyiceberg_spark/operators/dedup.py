@@ -290,7 +290,7 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     # ascending posting lists -> (element i, every later element) is
     # exactly the doc_a < doc_b pair set; posexplode + slice are plain
     # Generate/expression nodes (whole-stage codegen), no join
-    shared = (
+    pair_gen = (
         posts.filter(F.size("ds") >= 2)
         .select(F.posexplode("ds").alias("i", "doc_a"), "ds")
         .select(
@@ -299,8 +299,27 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
                 F.slice("ds", F.col("i") + 2, F.size("ds"))
             ).alias("doc_b"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    from ..session import heavy_input  # noqa: PLC0415
+
+    if heavy_input():
+        # r17 (guide §2.5/§5): the pair stream is near-unique on
+        # (doc_a, doc_b) — measured at sf1: 85.2M generated rows,
+        # 71.5M distinct pairs (multiplicity 1.19) — so the partial
+        # aggregation reduces almost nothing while its per-task hash
+        # maps (2.2M+ keys on a cores-sized reducer count) overflow
+        # execution memory and spill. Repartitioning the RAW pair rows
+        # to 4x cores first gives each aggregation task a map that
+        # fits (measured 8.1 -> 5.6 s on this stage at sf1); the
+        # explicit count keeps AQE from coalescing it back. Gate-scale
+        # inputs skip it: their pair volume is small enough that the
+        # extra exchange is pure overhead (same heavy_input basis as
+        # c02's ds persist). Values identical either way.
+        pair_gen = pair_gen.repartition(
+            4 * spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+    shared = pair_gen.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("both")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
