@@ -154,10 +154,17 @@ def asof_join(left, right, on, left_time: str, right_time: str,
     Determinism contract: (key, right_time) must be unique on the right
     side — pre-dedup with a row_number if it isn't (equal-time right
     rows would otherwise tie on sort order).
+
+    r17 (guide §2.3 narrower exchanges): the left's OWN key/time
+    columns are the merge columns — the right side aliases its key and
+    time INTO them — instead of duplicating them behind ``__k``/``__t``
+    tags. Two fewer columns ride the union, the key exchange, the sort
+    and the window; left rows pass through untouched, right rows are
+    dropped after the window, so the output is identical.
     """
     lkey, rkey = (on, on) if isinstance(on, str) else on
     payload = [c for c in right.columns if c not in (rkey, right_time)]
-    reserved = {"__k", "__t", "__side", "__p"}
+    reserved = {"__side", "__p"}
     if bad := reserved & set(left.columns) | reserved & set(right.columns):
         raise ValueError(f"asof_join reserves column names {sorted(bad)}")
     if clash := set(payload) & set(left.columns):
@@ -166,15 +173,10 @@ def asof_join(left, right, on, left_time: str, right_time: str,
             "columns — rename one side before joining (the output keeps "
             "all left columns and appends the right payload)"
         )
-    lt = left.select(
-        "*",
-        F.col(lkey).alias("__k"),
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-    )
+    lt = left.select("*", F.lit(1).alias("__side"))
     rt = right.select(
-        F.col(rkey).alias("__k"),
-        F.col(right_time).alias("__t"),
+        F.col(rkey).alias(lkey),
+        F.col(right_time).alias(left_time),
         F.lit(0).alias("__side"),
         F.struct(
             F.col(right_time).alias("__rt"), *[F.col(c) for c in payload]
@@ -184,14 +186,14 @@ def asof_join(left, right, on, left_time: str, right_time: str,
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        Window.partitionBy(lkey)
+        .orderBy(F.col(left_time).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
     if tolerance_seconds is not None:
         in_tol = (
-            F.col("__t").cast("double")
+            F.col(left_time).cast("double")
             - F.col("__p.__rt").cast("double")
         ) <= F.lit(float(tolerance_seconds))
         u = u.withColumn("__p", F.when(in_tol, F.col("__p")))
